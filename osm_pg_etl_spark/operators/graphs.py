@@ -1,0 +1,114 @@
+"""Directed graph expansion, node tables, edge lists, topology snapping —
+``osm-road-graphs.sql:56-61,180-254`` and the pgrouting analog
+(``osm-road-graphs-fix.sql:125-131``); SURVEY §2.7 U1-U2, §2.8 F19.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import array_reverse
+from ..functions.geo import point_wkt, snap_to_grid
+from ..sources.io import append_slices
+
+EDGE_COLUMNS = ("start_node", "end_node", "edge_id", "tags", "nodes",
+                "length", "speed_limit", "highway", "oneway", "geom")
+
+
+def network_nodes(nodes: DataFrame, network: DataFrame) -> DataFrame:
+    """``graphs.car_network_nodes`` (``osm-road-graphs.sql:56-61``): the
+    distinct endpoint node ids (UNION dedups — U1) joined back to the nodes
+    table, coords exported as WKT (the ``ST_Transform(,4326)`` is a no-op on
+    4326 data). Endpoint-id set is small relative to nodes → semi-join."""
+    endpoints = (network.select(F.col("start_node").alias("id"))
+                 .union(network.select(F.col("end_node").alias("id")))
+                 .distinct())
+    return (nodes.join(endpoints, "id", "left_semi")
+            .select(F.col("id").alias("node_id"),
+                    point_wkt("lon", "lat").alias("node_coord")))
+
+
+def directed_network(merged: DataFrame, minimal: bool = False) -> DataFrame:
+    """``graphs.car_network_directed`` / ``car_graph_directed``
+    (``osm-road-graphs.sql:183-254``): 4-slice UNION ALL expansion of the
+    undirected merged edge list, with the reference's three-valued-logic
+    semantics preserved verbatim:
+
+    - two-way slice (``:201``): ``(oneway IS NULL OR oneway='no') AND
+      highway != 'motorway'`` — NULL highway rows match neither branch;
+    - forward-only slice (``:213``): ``oneway='yes' OR (highway='motorway'
+      AND oneway != '-1')`` — a motorway with NULL oneway matches *neither*
+      ``:201`` (motorway excluded) *nor* ``:213`` (NULL != '-1' is NULL) and
+      silently drops out of the directed graph (SURVEY §2.2 note). Do not
+      "fix" with coalesce.
+    - reverse slices flip start/end and reverse the node list
+      (``array_reverse``, ``general-functions.sql:36-42`` → ``F.reverse``).
+
+    ``minimal=True`` projects the 4-column ``car_graph_directed`` shape
+    (``:223-254``) consumed by igraph.
+    """
+    two_way = (F.col("oneway").isNull() | (F.col("oneway") == "no")) \
+        & (F.col("highway") != "motorway")
+    forward = (F.col("oneway") == "yes") \
+        | ((F.col("highway") == "motorway") & (F.col("oneway") != "-1"))
+    reverse_drawn = F.col("oneway") == "-1"
+
+    fwd_cols = list(EDGE_COLUMNS)
+    rev = [F.col("end_node").alias("start_node"),
+           F.col("start_node").alias("end_node"),
+           F.col("edge_id"), F.col("tags"),
+           array_reverse("nodes").alias("nodes"),
+           F.col("length"), F.col("speed_limit"), F.col("highway"),
+           F.col("oneway"), F.col("geom")]
+
+    slices = [
+        merged.filter(two_way).select(*fwd_cols),
+        merged.filter(two_way).select(*rev),
+        merged.filter(forward).select(*fwd_cols),
+        merged.filter(reverse_drawn).select(*rev),
+    ]
+    out = append_slices(slices)
+    if minimal:
+        out = out.select("start_node", "end_node", "length", "speed_limit")
+    return out
+
+
+def create_topology(edges: DataFrame, tolerance: float = 0.0001,
+                    geom_col: str = "geom") -> DataFrame:
+    """``pgr_createTopology(table, 0.0001, 'geom', 'sid')`` analog
+    (``osm-road-graphs-fix.sql:130``): assign integer ``source``/``target``
+    vertex ids to edge endpoints, snapping endpoints within ``tolerance``
+    degrees to the same vertex.
+
+    Distributed recipe (SURVEY §2.8 F19): round each endpoint to the
+    tolerance grid, ``dense_rank`` over distinct grid keys for vertex ids,
+    join back. The reference notes pgrouting "can be slow on big data and
+    must be split on very large tables" (``:131``); this version is two
+    shuffles on the endpoint key and scales with the cluster.
+
+    Note: like pgr_createTopology's grid hashing, points within tolerance of
+    a cell edge may land in different cells; exact tolerance-disk matching
+    would need a neighbor-cell pass (not in v1, matching reference accuracy
+    in practice).
+    """
+    e = edges.withColumn(
+        "_src_key", snap_to_grid(F.element_at(F.col(geom_col), 1)["lon"],
+                                 F.element_at(F.col(geom_col), 1)["lat"], tolerance)
+    ).withColumn(
+        "_dst_key", snap_to_grid(F.element_at(F.col(geom_col), -1)["lon"],
+                                 F.element_at(F.col(geom_col), -1)["lat"], tolerance))
+
+    verts = (e.select(F.col("_src_key").alias("k"))
+             .union(e.select(F.col("_dst_key").alias("k")))
+             .distinct()
+             .select("k", F.dense_rank().over(Window.orderBy("k")).alias("vid")))
+    # Window.orderBy without partition is single-partition; vertex-id
+    # assignment over the distinct key set is the same pattern
+    # pgr_createTopology serializes on. For very large vertex sets swap in
+    # zipWithIndex via monotonically_increasing_id + a rank join.
+    return (e.join(verts.withColumnRenamed("vid", "source"),
+                   e["_src_key"] == verts["k"], "left").drop("k")
+            .join(verts.withColumnRenamed("vid", "target").alias("v2"),
+                  F.col("_dst_key") == F.col("v2.k"), "left").drop("k")
+            .drop("_src_key", "_dst_key"))

@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (extension beyond the reference surface,
+BASELINE.json north star).
+
+Design: a multimodal table carries ``content: binary`` plus a
+``media_meta: struct<kind, mime, width, height, duration_ms>`` column.
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas iterators over ``mapInPandas`` — the Spark-side plumbing (schema,
+batch shape, partitioning) is real and tested; the actual codec step is
+STUBBED (image/audio libraries are not in this container) behind
+``decode_stub``: it produces a deterministic fake so pipelines exercise the
+full path end-to-end. Swapping in a real decoder means replacing one
+function that takes/returns ``bytes``.
+
+Scale notes: binary payloads dominate row size — repartition by size-aware
+keys before mapInPandas so Arrow batches stay bounded
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows/batch); never
+collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_META = StructType([
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("content_hash", StringType()),
+    StructField("feat_mean", DoubleType()),   # mean byte value (stub feature)
+    StructField("feat_entropy_proxy", DoubleType()),
+])
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a binary payload + metadata from a text
+    column so multimodal plumbing is testable in this container (no real
+    media libraries / files available)."""
+    content = F.encode(F.col(text_col), "utf-8").cast(BinaryType())
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("application/x-fake").alias("mime"),
+        (F.length(text_col) % 640 + 1).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return df.select(F.col(id_col), content.alias("content"), meta.alias("media_meta"))
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decode step. A real deployment replaces this with PIL/libav/etc.
+    Produces deterministic pseudo-features from the raw bytes so the
+    distributed plumbing around it is fully exercised."""
+    if payload is None:
+        raise NotImplementedError(
+            "real media decode requires image/audio libraries not present "
+            "in this environment; decode_stub only handles fake payloads")
+    n = len(payload)
+    mean = (sum(payload) / n) if n else 0.0
+    distinct = len(set(payload))
+    return {"n_bytes": n, "feat_mean": mean,
+            "feat_entropy_proxy": distinct / 256.0}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``. Each batch is
+    a pandas DataFrame of (doc_id, content, media_meta); output schema is
+    fixed (FEATURE_SCHEMA) so Catalyst can prune upstream columns."""
+    import hashlib  # local import: shipped to executors inside the closure
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_stub(p) for p in pdf["content"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "kind": [m["kind"] for m in pdf["media_meta"]],
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "content_hash": [hashlib.md5(p).hexdigest() for p in pdf["content"]],
+                "feat_mean": [f["feat_mean"] for f in feats],
+                "feat_entropy_proxy": [f["feat_entropy_proxy"] for f in feats],
+            })
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled offset. The frame *decode* is stubbed (returns the offset and a
+    slice digest); schema/explode shape is the real contract."""
+    import hashlib
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_ms": [], "frame_hash": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["content"],
+                                             pdf["media_meta"]):
+                duration = meta.get("duration_ms") or every_ms
+                for off in range(0, int(duration), every_ms):
+                    lo = off % max(len(payload), 1)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_ms"].append(off)
+                    rows["frame_hash"].append(
+                        hashlib.md5(payload[lo:lo + 64]).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)

@@ -1,0 +1,81 @@
+"""Statistical aggregates — SURVEY §2.4 A3-A6, §2.5 W2-W5.
+
+The reference defines a custom exact-median UDAF (``general-functions.sql:
+7-34``) and window-based weighted medians (``general-functions.sql:52-106``).
+Spark's built-in ``percentile`` is an exact interpolating percentile
+(PERCENTILE_CONT semantics, matching ``osm-complete-graphs.sql:33-38``), so
+the median UDAF needs no custom aggregation machinery. Weighted medians are
+re-expressed with window running sums — the same construction the reference
+uses, minus its dynamic SQL (Python parameterization replaces ``format()`` +
+``EXECUTE``, ``general-functions.sql:61-72``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def median(c: Column | str) -> Column:
+    """Exact median aggregate (``general-functions.sql:29-34``): NULLs
+    excluded (the SFUNC skips them at ``:12``), even counts average the two
+    middle values (``:23-24`` LIMIT/OFFSET midpoint + AVG)."""
+    return F.percentile(F.col(c) if isinstance(c, str) else c, F.lit(0.5))
+
+
+def median_by_group(df: DataFrame, group_cols: list[str], value_col: str,
+                    alias: str = "median") -> DataFrame:
+    """``SELECT g, median(x) ... GROUP BY g`` (``osm-road-graphs.sql:43-46``,
+    ``osm-complete-graphs.sql:33-38``). Partial aggregation happens map-side;
+    the grouped result is tiny (one row per highway class) and broadcastable
+    for the imputation join (J6)."""
+    return df.groupBy(*group_cols).agg(median(value_col).alias(alias))
+
+
+def weighted_median(df: DataFrame, x: str, w: str,
+                    group_cols: list[str] | None = None,
+                    alias: str = "weighted_median") -> DataFrame:
+    """Weighted median via running-sum windows — port of
+    ``weighted_median`` (``general-functions.sql:52-75``) and
+    ``weighted_median_by_group`` (``:84-106``).
+
+    Construction (kept structurally identical to the reference so its edge
+    cases — zero total weight, ties at the midpoint — behave the same):
+
+    - order rows by x; compute running weight sum including (W3) and
+      excluding (W4) the current row, plus the total weight (W5);
+    - keep rows where total/2 lies in [prev_sum, run_sum];
+    - if two rows straddle the midpoint exactly (even parity), average their
+      x values (CASE at ``general-functions.sql:68``), else take the single x.
+
+    NULL weights count as 0 (``coalesce(w,0)``, ``:65-67``). When the total
+    weight is 0 the filter matches every row and the average of all x is
+    returned — matching the reference's observable behavior on its own
+    smoke-test table ``temp_table2`` (``general-functions.sql:121-129``).
+
+    Scale note: the window orders by x *within each group* — a shuffle on the
+    group key then a per-partition sort. For the ungrouped variant Spark
+    plans a single-partition window, fine for the scalar-result use the
+    reference makes of it (one number per table, ``osm-road-graphs.sql:176``);
+    never apply the ungrouped form to a large table.
+    """
+    gcols = group_cols or []
+    w_ord = Window.partitionBy(*gcols).orderBy(F.col(x)) if gcols else Window.orderBy(F.col(x))
+    w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+
+    # Exact decimal weight sums: the midpoint-straddle comparison below must
+    # not depend on float summation order (ties at total/2 would otherwise be
+    # engine- and partitioning-dependent).
+    cw = F.coalesce(F.col(w), F.lit(0)).cast("decimal(28,6)")
+    run = F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    prev = F.coalesce(
+        F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("decimal(28,6)"))
+    total = F.sum(cw).over(w_all)
+
+    scored = df.select(*gcols, F.col(x).cast("double").alias("_x"),
+                       run.alias("_run"), prev.alias("_prev"), total.alias("_tot"))
+    half = F.col("_tot") / 2
+    hit = scored.filter((half >= F.col("_prev")) & (half <= F.col("_run")))
+    agg = hit.groupBy(*gcols).agg(F.avg("_x").alias(alias))
+    return agg

@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star): language
+ID, quality scoring, token counting, document fingerprinting. All pure
+Column expressions (JVM-side, whole-stage codegen) — a 100 TB documents
+table never leaves the executors and never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact high-frequency stopword lists for n-gram/stopword language ID.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "que", "est"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "zu", "ein"),
+}
+
+_WORD_SPLIT = "\\s+"
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, _WORD_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + punctuation
+    symbols counted separately (a cheap, deterministic stand-in for a BPE
+    tokenizer's length signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose stopword ratio is highest;
+    'und' when no stopwords hit at all. Deterministic tie-break by language
+    code order via greatest-of-structs."""
+    scored = [F.struct(stopword_ratio(text, lang).alias("score"),
+                       F.lit(lang).alias("lang"))
+              for lang in sorted(STOPWORDS, reverse=True)]
+    best = F.greatest(*scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean word length,
+    punctuation ratio, uppercase ratio, stopword ratio. The standard cheap
+    pre-filter stage before expensive dedup/model scoring."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.when(n_tok > 0,
+               F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+               .cast("double") / n_tok).otherwise(F.lit(0.0)).alias("q_mean_word_len"),
+        (F.length(F.regexp_replace(c, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+         .cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (F.length(F.regexp_replace(c, "[^A-Z]", ""))
+         .cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_upper_ratio"),
+        stopword_ratio(c).alias("q_stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalization fingerprint: lowercase, collapse whitespace, sort the
+    distinct tokens, md5. Robust to reordering/duplication — the classic
+    key for clustering near-identical short documents."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    normalized = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.md5(normalized)

@@ -1,0 +1,205 @@
+"""Topological way-splitting — the reference's crown jewel
+(``osm-road-graphs.sql:64-165``, generic form ``osm-road-graphs-fix.sql:17-75,
+134-182``; SURVEY §2.3 J7-J10, §2.4 A7-A10, §2.5 W1).
+
+OSM ways do not break at intersections; the pipeline reconstructs proper
+graph edges by splitting each way at nodes shared with other ways
+("Approach 2" in the reference — ``osm-road-graphs-fix.sql:14``: "Node based
+reconstruction is topological and therefore more precise and robust"). This
+is the approach that scales: it is pure joins/windows/aggregations with no
+spatial machinery, unlike the O(n²) geometric split the reference itself
+flags as "Does not work with large maps" (``osm-road-graphs-fix.sql:91``).
+
+Stages (names mirror the reference's ``topology_summary.*`` IR tables):
+
+1. ``shared_nodes``    — node ids used more than once among network ways
+                         (``osm-road-graphs.sql:66-76``, J9). Occurrence
+                         count, not distinct ways: a closed ring's repeated
+                         endpoint counts twice, exactly as in the reference.
+2. ``ways_length``     — per-way max sequence_id and its node, via
+                         ``max_by`` instead of DISTINCT ON (A10). The
+                         reference's ``sequence_id > 1`` filter is kept:
+                         2-node ways have no length row and are never split.
+3. ``ways_split_nodes``— interior shared nodes (0 < seq < length) (J2/J3).
+4. ``ways_merge_limits``— per-way segment boundaries: lag window over the
+                         shared-node positions (W1) + dead-end closing
+                         segments (J10).
+5. ``nodes_to_merge``  — way_nodes × limits range join (J7): equi on way_id
+                         with a BETWEEN residual, so Catalyst plans a normal
+                         hash/SMJ join; per-way limit lists are tiny.
+6. ``merged_network``  — segment reassembly + attribute backfill + anti-join
+                         append of untouched ways (A7/A8, J6, J4).
+
+Scale notes: every stage shuffles on ``way_id`` or ``node_id`` only; AQE
+handles the mild skew (a handful of mega-ways). The fast assembly path
+avoids the way_nodes×nodes join entirely by slicing each way's own
+``nodes``/``linestring`` arrays — segment extraction becomes a narrow
+operation co-located with the way row, which at 100 TB removes the single
+biggest shuffle of the reference pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import array_first, array_last
+from ..functions.geo import linestring_length_km
+
+MERGED_COLUMNS = ("start_node", "end_node", "edge_id", "tags", "nodes",
+                  "length", "speed_limit", "highway", "oneway", "geom")
+
+
+def network_way_nodes(way_nodes: DataFrame, network: DataFrame) -> DataFrame:
+    """way_nodes restricted to network ways — the ``way_id IN (SELECT
+    edge_id ...)`` semi-join used by every stage (``osm-road-graphs.sql:72,
+    82,91``). Computed once and cached by the pipeline driver."""
+    ids = network.select(F.col("edge_id").alias("way_id"))
+    return way_nodes.join(ids, "way_id", "left_semi")
+
+
+def shared_nodes(wn_net: DataFrame) -> DataFrame:
+    """``topology_summary.ways_shared_nodes`` (``osm-road-graphs.sql:66-76``)."""
+    return (wn_net.groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") > 1))
+
+
+def ways_length(wn_net: DataFrame) -> DataFrame:
+    """``topology_summary.ways_length`` (``osm-road-graphs.sql:78-85``):
+    DISTINCT ON (way_id) ... ORDER BY sequence_id DESC ≡ max_by. The
+    ``sequence_id > 1`` filter is reference-observable behavior (2-node ways
+    drop out) and is preserved."""
+    f = wn_net.filter(F.col("sequence_id") > 1)
+    return f.groupBy("way_id").agg(
+        F.max("sequence_id").alias("length"),
+        F.max_by("node_id", "sequence_id").alias("node_id"))
+
+
+def ways_split_nodes(wn_net: DataFrame, shared: DataFrame,
+                     lengths: DataFrame) -> DataFrame:
+    """``topology_summary.ways_split_nodes`` (``osm-road-graphs.sql:87-95``):
+    shared nodes strictly interior to a way. The correlated EXISTS with the
+    ``sequence_id < length`` inequality decorrelates to an equi-join on
+    way_id (unique) + filter."""
+    return (wn_net.filter(F.col("sequence_id") > 0)
+            .join(shared.select("node_id"), "node_id", "left_semi")
+            .join(lengths.select("way_id", "length"), "way_id", "inner")
+            .filter(F.col("sequence_id") < F.col("length"))
+            .select("way_id", "node_id", "sequence_id"))
+
+
+def ways_merge_limits(wn_net: DataFrame, shared: DataFrame,
+                      split_nodes: DataFrame, lengths: DataFrame) -> DataFrame:
+    """``topology_summary.ways_merge_limits`` (``osm-road-graphs.sql:97-115``):
+    for each way that has a split node, the [bottom, top] sequence ranges of
+    its segments. Boundaries are *all* shared-node positions with seq > 0
+    (including a shared final node), bottom = lag(seq, 1, default 0); then a
+    closing segment is appended for dead-end tails (top-1 boundary < way
+    length)."""
+    w = Window.partitionBy("way_id").orderBy("sequence_id")
+    base = (wn_net.filter(F.col("sequence_id") > 0)
+            .join(split_nodes.select("way_id").distinct(), "way_id", "left_semi")
+            .join(shared.select("node_id"), "node_id", "left_semi")
+            .select("way_id",
+                    F.lag("sequence_id", 1, 0).over(w).alias("bottom_limit"),
+                    F.col("sequence_id").alias("top_limit")))
+    # Dead ends (osm-road-graphs.sql:106-115): DISTINCT ON max top_limit per
+    # way, joined to way length, appended when it falls short.
+    last = base.groupBy("way_id").agg(F.max("top_limit").alias("bottom_limit"))
+    tail = (last.join(lengths.select("way_id", "length"), "way_id", "inner")
+            .filter(F.col("bottom_limit") < F.col("length"))
+            .select("way_id", "bottom_limit", F.col("length").alias("top_limit")))
+    return base.unionByName(tail)
+
+
+def nodes_to_merge(wn_net: DataFrame, limits: DataFrame) -> DataFrame:
+    """``topology_summary.nodes_to_merge`` (``osm-road-graphs.sql:119-127``):
+    assign every way_node row to its segment(s). Range join (J7): equi on
+    way_id + BETWEEN residual. Boundary nodes fall in two ranges and are
+    correctly duplicated (segment N's end is segment N+1's start)."""
+    return (wn_net.join(limits, "way_id", "inner")
+            .filter((F.col("sequence_id") >= F.col("bottom_limit"))
+                    & (F.col("sequence_id") <= F.col("top_limit")))
+            .select("way_id", F.col("top_limit").alias("group_id"),
+                    "sequence_id", "node_id"))
+
+
+def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame) -> DataFrame:
+    """Fast segment assembly: because segment ranges are contiguous in
+    sequence order and ``ways.nodes``/``linestring`` are already ordered by
+    sequence_id, segment node lists and geometries are array *slices* of the
+    parent way's own columns — no way_nodes×nodes join, no collect_list.
+    Equivalent to the reference's group-by reassembly
+    (``osm-road-graphs.sql:143-148``); proven against the general path in
+    tests/test_topology.py."""
+    seg_len = F.col("top_limit") - F.col("bottom_limit") + 1
+    return (network.join(limits, network["edge_id"] == limits["way_id"], "inner")
+            .select(
+                network["edge_id"],
+                F.col("top_limit").alias("group_id"),
+                F.slice(network["nodes"], F.col("bottom_limit") + 1, seg_len).alias("nodes"),
+                F.slice(network["geom"], F.col("bottom_limit") + 1, seg_len).alias("geom"),
+            ))
+
+
+def _assemble_from_nodes(merge_rows: DataFrame, nodes: DataFrame) -> DataFrame:
+    """General segment assembly (``osm-road-graphs.sql:143-148``): join the
+    per-segment node rows to the nodes table for coordinates, then rebuild
+    ordered arrays with sort_array(collect_list(struct(seq, ...))) — the
+    deterministic replacement for ``array_agg(... ORDER BY sequence_id)``
+    (SURVEY §2.4 A7/A8)."""
+    pts = merge_rows.join(
+        nodes.select(F.col("id").alias("node_id"), "lon", "lat"),
+        "node_id", "inner")
+    collected = (pts.groupBy(F.col("way_id").alias("edge_id"), "group_id")
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col("sequence_id").alias("seq"),
+                     F.col("node_id").alias("node_id"),
+                     F.struct(F.col("lon").alias("lon"),
+                              F.col("lat").alias("lat")).alias("pt"),
+                 ))).alias("s")))
+    return collected.select(
+        "edge_id", "group_id",
+        F.transform("s", lambda r: r["node_id"]).alias("nodes"),
+        F.transform("s", lambda r: r["pt"]).alias("geom"))
+
+
+def merged_network(network: DataFrame, way_nodes: DataFrame,
+                   nodes: DataFrame | None = None,
+                   use_array_fast_path: bool = True) -> DataFrame:
+    """``graphs.car_network_merged`` (``osm-road-graphs.sql:129-165``): the
+    split-and-reassembled edge table.
+
+    - Segment rows get attributes from the parent way via an equi-join on
+      edge_id (the UPDATE…FROM backfill at ``:149-159``), with start/end
+      promoted from the new node arrays and geodesic-km length.
+    - Ways with no split pass through unchanged via an anti-join append
+      (``:161-165``).
+    """
+    wn_net = network_way_nodes(way_nodes, network).cache()
+    shared = shared_nodes(wn_net)
+    lengths = ways_length(wn_net).cache()
+    splits = ways_split_nodes(wn_net, shared, lengths)
+    limits = ways_merge_limits(wn_net, shared, splits, lengths)
+
+    if use_array_fast_path:
+        segs = _assemble_from_way_arrays(limits, network)
+    else:
+        if nodes is None:
+            raise ValueError("general assembly path requires the nodes table")
+        segs = _assemble_from_nodes(nodes_to_merge(wn_net, limits), nodes)
+
+    attrs = network.select("edge_id", "tags", "speed_limit", "highway", "oneway")
+    merged = (segs.join(attrs, "edge_id", "inner")
+              .select(
+                  array_first("nodes").alias("start_node"),
+                  array_last("nodes").alias("end_node"),
+                  "edge_id", "tags", "nodes",
+                  linestring_length_km("geom").alias("length"),
+                  "speed_limit", "highway", "oneway", "geom"))
+
+    untouched = (network
+                 .join(segs.select("edge_id").distinct(), "edge_id", "left_anti")
+                 .select(*MERGED_COLUMNS))
+    return merged.select(*MERGED_COLUMNS).unionByName(untouched)

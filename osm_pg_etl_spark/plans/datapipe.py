@@ -1,0 +1,367 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal)
+with DuckDB oracles where SQL-expressible.
+
+Hashing is md5-based on both sides (see functions.hashing), so even the
+MinHash-LSH pipeline is oracle-checked end to end: DuckDB recomputes
+shingles, signatures, band buckets, candidate pairs, and exact Jaccard with
+list lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .common import t
+
+# DuckDB md5-derived 32-bit int, matching functions.hashing.md5_long
+def _sql_md5int(expr: str, seed: int = 0) -> str:
+    inner = expr if seed == 0 else f"'{seed}|' || {expr}"
+    return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+
+
+_TOKS_SQL = r"""
+toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w
+  FROM documents)
+"""
+
+_SHINGLES_SQL = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM toks)
+"""
+
+
+# --- exact dedup --------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS count,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --- fingerprint clustering ------------------------------------------------------
+
+def q_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select(text.fingerprint("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("count"), F.min("doc_id").alias("keep_id"))
+            .filter(F.col("count") > 1))
+
+
+SQL_FINGERPRINT_DUPES = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           list_transform(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> ''), t -> lower(t)))), ' ')) AS fp
+  FROM documents)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS count, MIN(doc_id) AS keep_id
+FROM f GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+# --- MinHash + LSH near-duplicate pairs (full oracle) ------------------------------
+
+_MH_HASHES, _MH_BANDS = 8, 4  # 2 rows per band
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, n=3, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+def _sql_minhash() -> str:
+    rpb = _MH_HASHES // _MH_BANDS
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> {_sql_md5int('s', seed=i)})) AS h{i}"
+        for i in range(_MH_HASHES))
+    band_keys = ", ".join(
+        "md5('{b}|' || {parts})".format(
+            b=b, parts=" || ',' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        for b in range(_MH_BANDS))
+    return f"""
+WITH {_TOKS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id, sh,
+         {sigs}
+  FROM sh),
+buckets AS (
+  SELECT doc_id, sh, unnest([{band_keys}]) AS bucket FROM sig),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT DISTINCT id_a, id_b, ROUND(j, 6) AS jaccard_sim
+FROM cand WHERE j >= 0.5
+"""
+
+
+# --- SimHash fingerprints (16-bit, full oracle) --------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       dedup.simhash("text", bits=_SIMHASH_BITS).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {b}) & 1) = 1)) "
+        f"- len(hs) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS))
+    return f"""
+WITH {_TOKS_SQL.strip()},
+h AS (SELECT doc_id,
+             list_transform(w, t -> {_sql_md5int('t')}) AS hs
+      FROM toks)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+# --- SimHash near-dup pairs (rows-only: banded hamming join) ---------------------------
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, bits=32, bands=4, max_hamming=3)
+
+
+# --- n-gram Jaccard exact pairs (full oracle) ---------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_TOKS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard_sim
+FROM common
+JOIN sizes na ON common.id_a = na.doc_id
+JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+"""
+
+
+# --- embedding similarity ----------------------------------------------------------------
+
+_COS_SQL = ("CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)) > 0 "
+            "THEN list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) "
+            "* sqrt(list_dot_product(qv, qv))) ELSE 0.0 END")
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.brute_force_topk(emb, query, k=20)
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, ROUND({_COS_SQL}, 6) AS cosine_sim
+FROM e, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.9, exact=True)
+
+
+_COS_AB_SQL = ("CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0 "
+               "THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+               "* sqrt(list_dot_product(b.v, b.v))) ELSE 0.0 END")
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_AB_SQL}, 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS_AB_SQL}, 6) >= 0.9
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (rows-only check: approximation has no SQL oracle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.lsh_topk(emb, query, k=20, num_planes=8, multi_probe=2)
+
+
+# --- text analysis --------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       text.token_count("text").alias("ws_tokens"),
+                       text.bpe_ish_token_count("text").alias("bpe_tokens"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+         AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       text.detect_language("text").alias("lang_detected"),
+                       F.round(text.stopword_ratio("text", "en"), 6).alias("sw_en"))
+
+
+def _sql_lang_id() -> str:
+    ratios = []
+    for lang, words in text.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratios.append(
+            f"CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, "
+            f"t -> list_contains([{lst}], t))) AS DOUBLE) / len(w) "
+            f"ELSE 0.0 END AS r_{lang}")
+    # Spark's greatest-of-structs tie-break = highest score, then highest
+    # lang string; emulated with greatest over scores + reverse-alpha CASE.
+    langs = sorted(text.STOPWORDS)
+    best_score = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN r_{lang} = bs THEN '{lang}'"
+                    for lang in sorted(langs, reverse=True))
+    return f"""
+WITH {_TOKS_SQL.strip()},
+r AS (SELECT doc_id, w, {', '.join(ratios)} FROM toks),
+best AS (SELECT doc_id, r_en, {best_score} AS bs,
+                CASE {pick} END AS bl FROM r)
+SELECT doc_id,
+       CASE WHEN bs > 0 THEN bl ELSE 'und' END AS lang_detected,
+       ROUND(r_en, 6) AS sw_en
+FROM best
+"""
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    q = text.quality_features(docs)
+    return q.select("doc_id", "q_n_chars", "q_n_tokens",
+                    F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
+                    F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+                    F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"))
+
+
+def _sql_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    return rf"""
+WITH {_TOKS_SQL.strip()}
+SELECT d.doc_id,
+       CAST(len(d.text) AS INT) AS q_n_chars,
+       CAST(len(w) AS INT) AS q_n_tokens,
+       ROUND(CASE WHEN len(w) > 0
+             THEN CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
+             ELSE 0.0 END, 6) AS q_mean_word_len,
+       ROUND(CAST(len(regexp_replace(d.text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g')) AS DOUBLE)
+             / greatest(len(d.text), 1), 6) AS q_punct_ratio,
+       ROUND(CASE WHEN len(w) > 0
+             THEN CAST(len(list_filter(w, t -> list_contains([{en}], t))) AS DOUBLE) / len(w)
+             ELSE 0.0 END, 6) AS q_stopword_ratio
+FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+"""
+
+
+# --- multimodal plumbing (binary payloads + Arrow-batched extraction) -------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select("doc_id", "n_bytes", "content_hash",
+                        F.round("feat_mean", 6).alias("feat_mean"),
+                        F.round("feat_entropy_proxy", 6).alias("feat_entropy"))
+
+
+# documents text is ASCII, so utf-8 bytes == character codes: the decode stub's
+# byte statistics are reproducible in SQL over the characters.
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       ROUND(CASE WHEN len(text) > 0
+             THEN CAST(list_sum(list_transform(range(1, len(text) + 1),
+                                i -> ascii(text[i]))) AS DOUBLE) / len(text)
+             ELSE 0.0 END, 6) AS feat_mean,
+       ROUND(CAST(len(list_distinct(list_transform(range(1, len(text) + 1),
+                  i -> ascii(text[i])))) AS DOUBLE) / 256.0, 6) AS feat_entropy
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dupes": q_fingerprint_dupes,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_features": q_quality_features,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
+    "minhash_neardup": _sql_minhash(),
+    "simhash": _sql_simhash(),
+    # simhash_neardup / similarity_lsh_topk: approximate & banded — rows-only
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "lang_id": _sql_lang_id(),
+    "quality_features": _sql_quality(),
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+}

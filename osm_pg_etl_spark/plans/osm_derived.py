@@ -1,0 +1,525 @@
+"""OSM-pipeline queries with DuckDB oracles.
+
+The driver's synthetic data has no OSM tables, so these queries *derive* a
+deterministic OSM-shaped world from them (same derivation on both sides):
+
+- ``nodes``     ← part   (node_id = p_partkey, grid lon/lat, POI tags)
+- ``way_nodes`` ← lineitem (way_id = l_orderkey, node_id = l_partkey,
+                  sequence_id = per-order row_number by l_linenumber − 1)
+- ``ways``      ← way_nodes + orders (tag map: highway/oneway/maxspeed/…
+                  from o_orderkey residues)
+
+then run the *real* engine operators (car_network → impute → split/merge →
+directed expansion; complete-network mode flags; POIs). The oracles
+replicate the reference's SQL semantics directly in DuckDB, so a hash match
+checks the whole crown-jewel pipeline (SURVEY §2.3 J1-J10, §2.4 A7-A10,
+§2.5 W1, §2.2 P9) line by line.
+
+Because parts are reused across orders, nearly every node is shared —
+a dense topology workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graphs import directed_network, network_nodes
+from ..operators.network import (
+    car_network,
+    complete_network,
+    impute_speed_limit,
+    with_mode_flags,
+)
+from ..operators.pois import pois_from_nodes
+from ..operators.topology import (
+    merged_network,
+    network_way_nodes,
+    shared_nodes,
+    ways_length,
+    ways_merge_limits,
+    ways_split_nodes,
+)
+from .common import t
+
+# ---------------------------------------------------------------------------
+# Derivation (Spark side). The SQL fragments below mirror these expressions.
+# ---------------------------------------------------------------------------
+
+_HIGHWAYS = ("residential", "primary", "motorway", "footway", "secondary",
+             "service", "tertiary", "steps", "cycleway", "living_street",
+             "path", "construction")
+
+
+def _case_mod(col, pairs: list[tuple[int, str | None]], mod: int):
+    expr = F.lit(None).cast("string")
+    c = col % mod
+    for val, out in pairs:
+        if out is not None:
+            expr = F.when(c == val, F.lit(out)).otherwise(expr)
+    return expr
+
+
+def _way_tag_exprs(key_col):
+    """The tag-value expressions, keyed by o_orderkey residues."""
+    hw = F.element_at(F.array(*[F.lit(h) for h in _HIGHWAYS]),
+                      (key_col % 12).cast("int") + 1)
+    return {
+        "highway": hw,
+        "oneway": _case_mod(key_col, [(1, "yes"), (2, "no"), (3, "-1")], 4),
+        "maxspeed": _case_mod(key_col, [(1, "50"), (2, "50 mph"), (3, "30"),
+                                        (4, "none")], 5),
+        "access": _case_mod(key_col, [(0, "private"), (1, "no"), (2, "permit")], 11),
+        "service": _case_mod(key_col, [(0, "parking_aisle"), (1, "drive-through")], 13),
+        "bicycle": _case_mod(key_col, [(0, "designated")], 17),
+        "foot": _case_mod(key_col, [(0, "designated")], 19),
+        "footway": _case_mod(key_col, [(0, "sidewalk"), (1, "crossing"), (2, "yes")], 23),
+        "motor_vehicle": _case_mod(key_col, [(0, "no")], 29),
+        "bus": _case_mod(key_col, [(0, "designated")], 31),
+        "cycleway": _case_mod(key_col, [(0, "designated")], 37),
+    }
+
+
+_NODE_TAG_EXPRS = {
+    "amenity": lambda p: F.when(p["p_size"] % 3 == 0, p["p_brand"]),
+    "shop": lambda p: F.when(p["p_size"] % 4 == 0, p["p_type"]),
+    "leisure": lambda p: F.when(p["p_size"] % 5 == 0, F.lit("park")),
+    "sport": lambda p: F.when(p["p_size"] % 7 == 0, F.lit("soccer")),
+    "tourism": lambda p: F.when(p["p_size"] % 11 == 3, F.lit("hotel")),
+    "name": lambda p: F.when(p["p_size"] % 2 == 0, p["p_name"]),
+}
+
+
+def _tags_map(exprs: dict) -> F.Column:
+    """Build a map<string,string>, dropping absent (NULL) values — hstore
+    never stores a key with no value."""
+    entries = []
+    for k, v in exprs.items():
+        entries.extend([F.lit(k), v])
+    return F.map_filter(F.map_from_arrays(
+        F.array(*entries[0::2]), F.array(*entries[1::2])),
+        lambda k, v: v.isNotNull())
+
+
+def derive_osm(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    # coords span a ~4°×2° region: keeps haversine sums O(100 km) so the
+    # round(…,4) applied before hashing sits far from any float boundary
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") % 360).cast("double") / 100 - F.lit(1.795)).alias("lon"),
+        ((F.col("p_partkey") % 170).cast("double") / 100 - F.lit(0.845)).alias("lat"),
+        _tags_map({k: f(part) for k, f in _NODE_TAG_EXPRS.items()}).alias("tags"))
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # tiebreak on l_partkey so sequence_id is deterministic (full ties then
+    # share the same node_id, so any residual order is value-identical)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    way_nodes = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_partkey").alias("node_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("sequence_id"))
+
+    pts = way_nodes.join(
+        nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+    collected = (pts.groupBy(F.col("way_id").alias("id"))
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col("sequence_id").alias("seq"),
+                     F.col("node_id").alias("node_id"),
+                     F.struct("lon", "lat").alias("pt")))).alias("s")))
+    key = F.col("id")
+    ways = collected.select(
+        "id",
+        F.transform("s", lambda r: r["node_id"]).alias("nodes"),
+        F.transform("s", lambda r: r["pt"]).alias("linestring"),
+        _tags_map(_way_tag_exprs(key)).alias("tags"))
+    return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes}
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE fragments mirroring the derivation + reference pipeline.
+# ---------------------------------------------------------------------------
+
+_HW_SQL = ("CASE o_orderkey % 12 "
+           + " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(_HIGHWAYS))
+           + " END")
+
+_WTAGS_SQL = f"""
+wtags AS (
+  SELECT o_orderkey AS way_id,
+    {_HW_SQL} AS highway,
+    CASE o_orderkey % 4 WHEN 1 THEN 'yes' WHEN 2 THEN 'no' WHEN 3 THEN '-1' END AS oneway,
+    CASE o_orderkey % 5 WHEN 1 THEN '50' WHEN 2 THEN '50 mph' WHEN 3 THEN '30'
+                        WHEN 4 THEN 'none' END AS maxspeed,
+    CASE o_orderkey % 11 WHEN 0 THEN 'private' WHEN 1 THEN 'no' WHEN 2 THEN 'permit' END AS access,
+    CASE o_orderkey % 13 WHEN 0 THEN 'parking_aisle' WHEN 1 THEN 'drive-through' END AS service,
+    CASE o_orderkey % 17 WHEN 0 THEN 'designated' END AS bicycle,
+    CASE o_orderkey % 19 WHEN 0 THEN 'designated' END AS foot,
+    CASE o_orderkey % 23 WHEN 0 THEN 'sidewalk' WHEN 1 THEN 'crossing' WHEN 2 THEN 'yes' END AS footway,
+    CASE o_orderkey % 29 WHEN 0 THEN 'no' END AS motor_vehicle,
+    CASE o_orderkey % 31 WHEN 0 THEN 'designated' END AS bus,
+    CASE o_orderkey % 37 WHEN 0 THEN 'designated' END AS cycleway
+  FROM orders)
+"""
+
+_NODES_SQL = """
+nodes_d AS (
+  SELECT p_partkey AS id,
+         CAST(p_partkey % 360 AS DOUBLE) / 100 - 1.795 AS lon,
+         CAST(p_partkey % 170 AS DOUBLE) / 100 - 0.845 AS lat,
+         CASE WHEN p_size % 3 = 0 THEN p_brand END AS amenity,
+         CASE WHEN p_size % 4 = 0 THEN p_type END AS shop,
+         CASE WHEN p_size % 5 = 0 THEN 'park' END AS leisure,
+         CASE WHEN p_size % 7 = 0 THEN 'soccer' END AS sport,
+         CASE WHEN p_size % 11 = 3 THEN 'hotel' END AS tourism,
+         CASE WHEN p_size % 2 = 0 THEN p_name END AS name
+  FROM part)
+"""
+
+_WN_SQL = """
+wn AS (
+  SELECT l_orderkey AS way_id, l_partkey AS node_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) - 1 AS INT)
+           AS sequence_id
+  FROM lineitem)
+"""
+
+# car_network: include-list + NULL-preserving exclusion (osm-road-graphs.sql:8-28)
+_CN_SQL = """
+cn AS (
+  SELECT w.way_id AS edge_id, w.highway, w.oneway,
+         CASE WHEN regexp_extract(w.maxspeed, '([0-9]+)', 1) != ''
+              THEN CAST(regexp_extract(w.maxspeed, '([0-9]+)', 1) AS INT) END AS speed_limit
+  FROM wtags w
+  WHERE w.highway IN ('motorway','primary','tertiary','secondary','primary_link',
+                      'tertiary_link','secondary_link','trunk','residential',
+                      'unclassified','living_street')
+    AND NOT COALESCE(
+        w.bicycle IN ('designated') OR w.foot IN ('designated')
+        OR w.bus IN ('designated') OR w.footway IN ('sidewalk','crossing')
+        OR w.motor_vehicle IN ('no','private') OR w.access IN ('no','private')
+        OR w.service IN ('parking_aisle','parking'), FALSE)
+    AND w.way_id IN (SELECT way_id FROM wn))
+"""
+
+# per-way geodesic length over consecutive way_node points (F10/F11)
+_WAYLEN_SQL = """
+waypts AS (
+  SELECT wn.way_id, wn.sequence_id, n.lon, n.lat,
+         LAG(n.lon) OVER (PARTITION BY wn.way_id ORDER BY wn.sequence_id) AS plon,
+         LAG(n.lat) OVER (PARTITION BY wn.way_id ORDER BY wn.sequence_id) AS plat
+  FROM wn JOIN nodes_d n ON wn.node_id = n.id),
+waylen AS (
+  SELECT way_id,
+         COALESCE(SUM(2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+           SIN(RADIANS(lat - plat) / 2) * SIN(RADIANS(lat - plat) / 2)
+           + COS(RADIANS(plat)) * COS(RADIANS(lat))
+           * SIN(RADIANS(lon - plon) / 2) * SIN(RADIANS(lon - plon) / 2)))))
+           FILTER (WHERE plon IS NOT NULL), 0.0) AS length
+  FROM waypts GROUP BY way_id)
+"""
+
+# way endpoints from way_nodes (nodes[1] / nodes[array_upper])
+_WAYENDS_SQL = """
+wayends AS (
+  SELECT way_id, min_by(node_id, sequence_id) AS start_node,
+         max_by(node_id, sequence_id) AS end_node
+  FROM wn GROUP BY way_id)
+"""
+
+# the topology split pipeline (osm-road-graphs.sql:64-127) over network ways
+_TOPOLOGY_SQL = """
+wn_net AS (SELECT wn.* FROM wn WHERE wn.way_id IN (SELECT edge_id FROM cn)),
+shared AS (
+  SELECT node_id FROM wn_net GROUP BY node_id HAVING COUNT(*) > 1),
+wlen AS (
+  SELECT way_id, MAX(sequence_id) AS length
+  FROM wn_net WHERE sequence_id > 1 GROUP BY way_id),
+splits AS (
+  SELECT n.way_id, n.node_id, n.sequence_id
+  FROM wn_net n JOIN wlen w ON n.way_id = w.way_id AND n.sequence_id < w.length
+  WHERE n.sequence_id > 0 AND n.node_id IN (SELECT node_id FROM shared)),
+lim0 AS (
+  SELECT way_id,
+         LAG(sequence_id, 1, 0) OVER (PARTITION BY way_id ORDER BY sequence_id)
+           AS bottom_limit,
+         sequence_id AS top_limit
+  FROM wn_net
+  WHERE sequence_id > 0
+    AND way_id IN (SELECT way_id FROM splits)
+    AND node_id IN (SELECT node_id FROM shared)),
+tails AS (
+  SELECT l.way_id, l.top AS bottom_limit, w.length AS top_limit
+  FROM (SELECT way_id, MAX(top_limit) AS top FROM lim0 GROUP BY way_id) l
+  JOIN wlen w ON l.way_id = w.way_id AND l.top < w.length),
+lims AS (SELECT * FROM lim0 UNION ALL SELECT * FROM tails)
+"""
+
+# merged segments + untouched ways (osm-road-graphs.sql:129-165)
+_MERGED_SQL = """
+segrows AS (
+  SELECT n.way_id, l.top_limit AS group_id, n.sequence_id, n.node_id
+  FROM wn_net n JOIN lims l
+    ON n.way_id = l.way_id
+   AND n.sequence_id BETWEEN l.bottom_limit AND l.top_limit),
+segpts AS (
+  SELECT s.way_id, s.group_id, s.sequence_id, s.node_id, n.lon, n.lat,
+         LAG(n.lon) OVER (PARTITION BY s.way_id, s.group_id ORDER BY s.sequence_id) AS plon,
+         LAG(n.lat) OVER (PARTITION BY s.way_id, s.group_id ORDER BY s.sequence_id) AS plat
+  FROM segrows s JOIN nodes_d n ON s.node_id = n.id),
+segs AS (
+  SELECT way_id AS edge_id, group_id,
+         min_by(node_id, sequence_id) AS start_node,
+         max_by(node_id, sequence_id) AS end_node,
+         CAST(COUNT(*) AS INT) AS n_nodes,
+         COALESCE(SUM(2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+           SIN(RADIANS(lat - plat) / 2) * SIN(RADIANS(lat - plat) / 2)
+           + COS(RADIANS(plat)) * COS(RADIANS(lat))
+           * SIN(RADIANS(lon - plon) / 2) * SIN(RADIANS(lon - plon) / 2)))))
+           FILTER (WHERE plon IS NOT NULL), 0.0) AS length
+  FROM segpts GROUP BY way_id, group_id),
+merged AS (
+  SELECT s.edge_id, s.start_node, s.end_node, s.n_nodes, s.length,
+         c.highway, c.oneway, c.speed_limit
+  FROM segs s JOIN cn c ON s.edge_id = c.edge_id
+  UNION ALL
+  SELECT c.edge_id, e.start_node, e.end_node,
+         CAST((SELECT COUNT(*) FROM wn_net x WHERE x.way_id = c.edge_id) AS INT)
+           AS n_nodes,
+         wl.length, c.highway, c.oneway, c.speed_limit
+  FROM cn c
+  JOIN wayends e ON c.edge_id = e.way_id
+  JOIN waylen wl ON c.edge_id = wl.way_id
+  WHERE c.edge_id NOT IN (SELECT DISTINCT edge_id FROM segs))
+"""
+
+
+def _cte(*frags: str) -> str:
+    return "WITH " + ",\n".join(f.strip() for f in frags)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_osm_car_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    return cn.select("edge_id", "start_node", "end_node", "highway", "oneway",
+                     "speed_limit", F.round("length", 4).alias("length_km"))
+
+
+SQL_OSM_CAR_NETWORK = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                           _WAYLEN_SQL, _WAYENDS_SQL) + """
+SELECT c.edge_id, e.start_node, e.end_node, c.highway, c.oneway,
+       c.speed_limit, ROUND(w.length, 4) AS length_km
+FROM cn c JOIN wayends e ON c.edge_id = e.way_id
+JOIN waylen w ON c.edge_id = w.way_id
+"""
+
+
+def q_osm_shared_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    wn_net = network_way_nodes(d["way_nodes"], cn)
+    return shared_nodes(wn_net)
+
+
+SQL_OSM_SHARED_NODES = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL) + """
+SELECT node_id, CAST(COUNT(*) AS BIGINT) AS count
+FROM wn WHERE way_id IN (SELECT edge_id FROM cn)
+GROUP BY node_id HAVING COUNT(*) > 1
+"""
+
+
+def q_osm_merge_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    wn_net = network_way_nodes(d["way_nodes"], cn)
+    sh = shared_nodes(wn_net)
+    ln = ways_length(wn_net)
+    sp = ways_split_nodes(wn_net, sh, ln)
+    return ways_merge_limits(wn_net, sh, sp, ln)
+
+
+SQL_OSM_MERGE_LIMITS = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL, _TOPOLOGY_SQL) + """
+SELECT way_id, bottom_limit, top_limit FROM lims
+"""
+
+
+def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    merged = merged_network(cn, d["way_nodes"])
+    return merged.select("edge_id", "start_node", "end_node",
+                         F.size("nodes").alias("n_nodes"),
+                         F.round("length", 4).alias("length_km"),
+                         "highway", "oneway", "speed_limit")
+
+
+SQL_OSM_MERGED_NETWORK = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                              _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+                              _MERGED_SQL) + """
+SELECT edge_id, start_node, end_node, n_nodes, ROUND(length, 4) AS length_km,
+       highway, oneway, speed_limit
+FROM merged
+"""
+
+
+def q_osm_directed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = impute_speed_limit(car_network(d["ways"]))
+    merged = merged_network(cn, d["way_nodes"])
+    out = directed_network(merged, minimal=True)
+    return out.select("start_node", "end_node",
+                      F.round("length", 4).alias("length_km"), "speed_limit")
+
+
+SQL_OSM_DIRECTED_GRAPH = _cte(
+    _WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL + """,
+med AS (SELECT highway, CAST(ROUND(quantile_cont(speed_limit, 0.5)) AS INT) AS m
+        FROM cn GROUP BY highway),
+cni AS (SELECT c.edge_id, c.highway, c.oneway,
+               COALESCE(c.speed_limit, m.m) AS speed_limit
+        FROM cn c LEFT JOIN med m ON c.highway = m.highway)
+""", _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+    _MERGED_SQL.replace("JOIN cn c", "JOIN cni c")
+               .replace("FROM cn c", "FROM cni c")) + """
+, expanded AS (
+  SELECT start_node, end_node, length, speed_limit FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT end_node, start_node, length, speed_limit FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT start_node, end_node, length, speed_limit FROM merged
+    WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+  UNION ALL
+  SELECT end_node, start_node, length, speed_limit FROM merged
+    WHERE oneway = '-1')
+SELECT start_node, end_node, ROUND(length, 4) AS length_km, speed_limit
+FROM expanded
+"""
+
+
+def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    comp = with_mode_flags(complete_network(d["ways"]))
+    return comp.select("edge_id", "highway", "car", "pedestrian", "bicycle")
+
+
+def _cascade_sql(col: str, steps: list[tuple[str, int]]) -> str:
+    """Nested-CASE emulation of the sequential UPDATE cascade: each step is
+    (condition-SQL with {cur} placeholder, value)."""
+    cur = "CAST(NULL AS INT)"
+    for cond, val in steps:
+        cur = f"(CASE WHEN {cond.format(cur=cur)} THEN {val} ELSE {cur} END)"
+    return f"{cur} AS {col}"
+
+
+_ALL_ZERO_STEPS = [
+    ("w.access IN ('no','private','permit','customers','forestry','agricultural',"
+     "'military','emergency','bus','delivery','restricted')", 0),
+    ("w.service IN ('drive-through','emergency_access','bus')", 0),
+    ("w.highway IN ('disused','dismantled','razed','rest_area','corridor',"
+     "'construction','abandoned','raceway','proposed','rest_area','planned','platform')", 0),
+]
+
+_CAR_STEPS = _ALL_ZERO_STEPS + [
+    ("w.highway IN ('steps','footway','pedestrian','cycleway','bridleway',"
+     "'elevator','sidewalk')", 0),
+    ("w.bicycle IN ('designated') OR w.cycleway IN ('designated') "
+     "OR w.foot IN ('designated') OR w.footway IN ('sidewalk','crossing','yes') "
+     "OR w.motor_vehicle IN ('no','private') "
+     "OR w.service IN ('parking_aisle','parking') OR w.bus IN ('designated')", 0),
+    ("{cur} IS NULL AND w.highway IN ('motorway','primary','tertiary','secondary',"
+     "'primary_link','tertiary_link','secondary_link','trunk','trunk_link',"
+     "'motorway_link','motorway_junction')", 1),
+]
+
+_PED_STEPS = _ALL_ZERO_STEPS + [
+    ("w.highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction')", 0),
+    ("w.bus IN ('designated')", 0),
+    ("{cur} IS NULL AND w.highway IN ('steps','footway','pedestrian','bridleway',"
+     "'elevator','sidewalk','living_street','path')", 1),
+    ("({cur} IS NULL AND w.foot IN ('designated')) "
+     "OR w.footway IN ('sidewalk','crossing','yes')", 1),
+]
+
+_BIKE_STEPS = _ALL_ZERO_STEPS + [
+    ("w.highway IN ('motorway','trunk','trunk_link','motorway_link','motorway_junction')", 0),
+    ("w.bus IN ('designated')", 0),
+    ("{cur} IS NULL AND w.highway IN ('cycleway','living_street')", 1),
+    ("({cur} IS NULL AND w.bicycle IN ('designated')) OR w.cycleway IN ('designated')", 1),
+]
+
+SQL_OSM_MODE_FLAGS = _cte(_WTAGS_SQL, _WN_SQL) + f"""
+SELECT w.way_id AS edge_id, w.highway,
+       {_cascade_sql('car', _CAR_STEPS)},
+       {_cascade_sql('pedestrian', _PED_STEPS)},
+       {_cascade_sql('bicycle', _BIKE_STEPS)}
+FROM wtags w
+WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)
+"""
+
+
+def q_osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    return pois_from_nodes(d["nodes"]).select("node_id", "key", "values", "name")
+
+
+SQL_OSM_POIS = _cte(_NODES_SQL) + """
+SELECT id AS node_id, k AS key,
+       CASE k WHEN 'leisure' THEN leisure WHEN 'sport' THEN sport
+              WHEN 'shop' THEN shop WHEN 'amenity' THEN amenity
+              WHEN 'tourism' THEN tourism END AS values,
+       name
+FROM nodes_d
+CROSS JOIN (SELECT unnest(['leisure','sport','shop','office','amenity',
+                           'craft','tourism','emergency','historic']) AS k)
+WHERE CASE k WHEN 'leisure' THEN leisure WHEN 'sport' THEN sport
+             WHEN 'shop' THEN shop WHEN 'amenity' THEN amenity
+             WHEN 'tourism' THEN tourism END IS NOT NULL
+"""
+
+
+def q_osm_network_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    return network_nodes(d["nodes"], cn)
+
+
+SQL_OSM_NETWORK_NODES = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                             _WAYENDS_SQL) + """
+SELECT n.id AS node_id, printf('POINT(%.7f %.7f)', n.lon, n.lat) AS node_coord
+FROM nodes_d n
+WHERE n.id IN (SELECT start_node FROM wayends WHERE way_id IN (SELECT edge_id FROM cn)
+               UNION
+               SELECT end_node FROM wayends WHERE way_id IN (SELECT edge_id FROM cn))
+"""
+
+
+QUERIES = {
+    "osm_car_network": q_osm_car_network,
+    "osm_shared_nodes": q_osm_shared_nodes,
+    "osm_merge_limits": q_osm_merge_limits,
+    "osm_merged_network": q_osm_merged_network,
+    "osm_directed_graph": q_osm_directed_graph,
+    "osm_mode_flags": q_osm_mode_flags,
+    "osm_pois": q_osm_pois,
+    "osm_network_nodes": q_osm_network_nodes,
+}
+
+ORACLES = {
+    "osm_car_network": SQL_OSM_CAR_NETWORK,
+    "osm_shared_nodes": SQL_OSM_SHARED_NODES,
+    "osm_merge_limits": SQL_OSM_MERGE_LIMITS,
+    "osm_merged_network": SQL_OSM_MERGED_NETWORK,
+    "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
+    "osm_mode_flags": SQL_OSM_MODE_FLAGS,
+    "osm_pois": SQL_OSM_POIS,
+    "osm_network_nodes": SQL_OSM_NETWORK_NODES,
+}

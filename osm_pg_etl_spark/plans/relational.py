@@ -1,0 +1,559 @@
+"""Driver-checkable queries: one per relational operator family of
+SURVEY §2, phrased over the driver's synthetic tables (FIXTURES.md §B
+mapping). Every query has a DuckDB oracle with identical column aliases.
+
+Naming: q<nn>_<operator-slug>; the SURVEY §2 ids covered are noted on each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import array_first, array_last, first_int
+from ..functions.geo import haversine_km, point_wkt
+from ..operators.network import compile_update_cascade
+from ..operators.stats import weighted_median
+from .common import davg, dsum, sql_davg, sql_dsum, t
+
+
+# --- A1/O1: group-count summary (the osm-explore table shape) ---------------
+
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 dsum("l_quantity").alias("sum_qty"))
+            .orderBy(F.desc("count"), "l_returnflag"))
+
+
+SQL_GROUP_COUNT = f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS count,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY count DESC, l_returnflag
+"""
+
+# --- A2: multi-key group count ----------------------------------------------
+
+def q_multi_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "l_returnflag", "l_linestatus"))
+
+
+SQL_MULTI_GROUP_COUNT = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS count
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY count DESC, l_returnflag, l_linestatus
+"""
+
+# --- P1/P2 + A1: tag-map value summary (events.props as the hstore) ---------
+
+def q_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tags = F.from_json("props", "map<string,string>")
+    return (ev.select(tags.alias("tags"))
+            .filter(F.map_contains_key("tags", "k"))
+            .groupBy(F.element_at("tags", "k").alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "value"))
+
+
+SQL_TAG_VALUES = """
+SELECT json_extract_string(props, '$.k') AS value, CAST(COUNT(*) AS BIGINT) AS count
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY count DESC, value
+"""
+
+# --- P3 + A2: explode the tag map, (key, value) frequency --------------------
+
+def q_tag_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tags = F.from_json("props", "map<string,string>")
+    return (ev.select(F.explode(tags).alias("tag", "value"))
+            .groupBy("tag", "value")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "tag", "value"))
+
+
+SQL_TAG_EXPLODE = """
+SELECT k AS tag, json_extract_string(props, '$."' || k || '"') AS value,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+GROUP BY 1, 2 ORDER BY count DESC, tag, value
+"""
+
+# --- A3/A4: exact median by group -------------------------------------------
+
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty")))
+
+
+SQL_MEDIAN_BY_GROUP = """
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- A5 (+W2-W5): weighted median, whole table -------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wm = weighted_median(li, x="l_quantity", w="l_extendedprice")
+    return wm.select(F.round("weighted_median", 6).alias("weighted_median"))
+
+
+_WM_WINDOWS = """
+    SELECT {part_cols} l_quantity AS x,
+           SUM(CAST(COALESCE(l_extendedprice, 0) AS DECIMAL(28,6)))
+             OVER ({part} ORDER BY l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum,
+           COALESCE(SUM(CAST(COALESCE(l_extendedprice, 0) AS DECIMAL(28,6)))
+             OVER ({part} ORDER BY l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevsum,
+           SUM(CAST(COALESCE(l_extendedprice, 0) AS DECIMAL(28,6)))
+             OVER ({part_only}) AS total
+    FROM lineitem
+"""
+
+SQL_WEIGHTED_MEDIAN = f"""
+WITH wm AS ({_WM_WINDOWS.format(part_cols="", part="", part_only="")})
+SELECT ROUND(AVG(x), 6) AS weighted_median
+FROM wm WHERE total / 2 BETWEEN prevsum AND runsum
+"""
+
+# --- A6: weighted median by group --------------------------------------------
+
+def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wm = weighted_median(li, x="l_quantity", w="l_extendedprice",
+                         group_cols=["l_returnflag"])
+    return wm.select("l_returnflag",
+                     F.round("weighted_median", 6).alias("weighted_median"))
+
+
+SQL_WEIGHTED_MEDIAN_BY_GROUP = f"""
+WITH wm AS ({_WM_WINDOWS.format(part_cols="l_returnflag,",
+                                part="PARTITION BY l_returnflag",
+                                part_only="PARTITION BY l_returnflag")})
+SELECT l_returnflag, ROUND(AVG(x), 6) AS weighted_median
+FROM wm WHERE total / 2 BETWEEN prevsum AND runsum
+GROUP BY l_returnflag
+"""
+
+# --- J2: semi-join ------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return (orders.join(big, "o_orderkey", "left_semi")
+            .select("o_orderkey", "o_orderstatus"))
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+# --- J4/J5: anti-join ----------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (cust.join(orders.select(F.col("o_custkey").alias("c_custkey")),
+                      "c_custkey", "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# --- J7: range join (equi key + BETWEEN residual) ------------------------------
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    limits = orders.select("o_orderkey", "o_orderpriority",
+                           F.lit(2).alias("bottom"),
+                           (F.col("o_orderkey") % 5 + 2).alias("top"))
+    joined = li.join(limits, (li["l_orderkey"] == limits["o_orderkey"])
+                     & (li["l_linenumber"] >= limits["bottom"])
+                     & (li["l_linenumber"] <= limits["top"]))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+SQL_RANGE_JOIN = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS count,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  AND l_linenumber BETWEEN 2 AND o_orderkey % 5 + 2
+GROUP BY o_orderpriority
+"""
+
+# --- J6/S5: join-update median imputation --------------------------------------
+
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # treat 0-discount as missing, impute the per-returnflag median discount
+    with_null = li.withColumn(
+        "disc", F.when(F.col("l_discount") > 0, F.col("l_discount")))
+    med = with_null.groupBy("l_returnflag").agg(
+        F.percentile("disc", F.lit(0.5)).alias("_med"))
+    imputed = (with_null.join(F.broadcast(med), "l_returnflag", "left")
+               .withColumn("disc", F.coalesce("disc", "_med")))
+    return (imputed.groupBy("l_returnflag")
+            .agg(dsum("disc", 6).alias("sum_disc"),
+                 F.count(F.lit(1)).alias("count")))
+
+
+SQL_IMPUTE_MEDIAN = f"""
+WITH wn AS (SELECT l_returnflag,
+                   CASE WHEN l_discount > 0 THEN l_discount END AS disc
+            FROM lineitem),
+med AS (SELECT l_returnflag, quantile_cont(disc, 0.5) AS m FROM wn GROUP BY 1)
+SELECT wn.l_returnflag, {sql_dsum('COALESCE(disc, m)', 6)} AS sum_disc,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM wn LEFT JOIN med ON wn.l_returnflag = med.l_returnflag
+GROUP BY wn.l_returnflag
+"""
+
+# --- A10/O3/W6: DISTINCT ON (top-1 per key) -------------------------------------
+
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (orders.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                    F.col("o_totalprice").alias("latest_price")))
+
+
+SQL_DISTINCT_ON = """
+SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+# --- W1: lag with default -------------------------------------------------------
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias("delta"))
+
+
+SQL_WINDOW_LAG = """
+SELECT event_id,
+       ROUND(value - LAG(value, 1, 0.0) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 6) AS delta
+FROM events
+"""
+
+# --- W2/W3/W4/W5: running-sum window frames --------------------------------------
+
+def q_running_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(28,6)")
+    run = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    prev = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    total = F.sum(dec).over(Window.partitionBy("user_id"))
+    lastv = F.last("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id",
+        F.round(run.cast("double"), 4).alias("run_sum"),
+        F.round(prev.cast("double"), 4).alias("prev_sum"),
+        F.round(total.cast("double"), 4).alias("total"),
+        F.round(lastv, 4).alias("last_value"))
+
+
+SQL_RUNNING_SUMS = """
+SELECT event_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS run_sum,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 4) AS prev_sum,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE), 4) AS total,
+  ROUND(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_value
+FROM events
+"""
+
+# --- U1: UNION with dedup ---------------------------------------------------------
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (orders.select(F.col("o_custkey").alias("custkey"))
+            .union(cust.select(F.col("c_custkey").alias("custkey")))
+            .distinct())
+
+
+SQL_UNION_DISTINCT = """
+SELECT o_custkey AS custkey FROM orders UNION SELECT c_custkey FROM customer
+"""
+
+# --- U2 (+F2-analog): directed-expansion union slices ------------------------------
+
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    fwd = [F.col("o_custkey").alias("start_node"),
+           F.col("o_orderkey").alias("end_node"), F.lit("fwd").alias("direction")]
+    rev = [F.col("o_orderkey").alias("start_node"),
+           F.col("o_custkey").alias("end_node"), F.lit("rev").alias("direction")]
+    two_way = F.col("o_orderstatus") == "O"
+    forward = (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") != "1-URGENT")
+    reverse = F.col("o_orderstatus") == "P"
+    slices = [orders.filter(two_way).select(*fwd),
+              orders.filter(two_way).select(*rev),
+              orders.filter(forward).select(*fwd),
+              orders.filter(reverse).select(*rev)]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+SQL_UNION_SLICES = """
+SELECT o_custkey AS start_node, o_orderkey AS end_node, 'fwd' AS direction
+  FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'rev' FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_custkey, o_orderkey, 'fwd' FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority != '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'rev' FROM orders WHERE o_orderstatus = 'P'
+"""
+
+# --- P9/P10: ordered UPDATE-cascade classification ----------------------------------
+
+def q_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rules = [
+        (lambda cur: F.col("o_orderstatus") == "F", 0),
+        (lambda cur: F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0),
+        (lambda cur: cur.isNull() & (F.col("o_orderstatus") == "O"), 1),
+        # precedence-quirk rule shape: (cur IS NULL AND a) OR b
+        (lambda cur: (cur.isNull() & (F.col("o_orderpriority") == "3-MEDIUM"))
+            | (F.col("o_orderstatus") == "P"), 1),
+    ]
+    flag = compile_update_cascade(F.lit(None).cast("int"), rules)
+    return (orders.select(flag.alias("class"))
+            .groupBy("class").agg(F.count(F.lit(1)).alias("count")))
+
+
+SQL_CASE_CLASSIFY = """
+WITH s1 AS (SELECT *, CASE WHEN o_orderstatus = 'F' THEN 0 END AS f1 FROM orders),
+s2 AS (SELECT *, CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE f1 END AS f2 FROM s1),
+s3 AS (SELECT *, CASE WHEN f2 IS NULL AND o_orderstatus = 'O' THEN 1 ELSE f2 END AS f3 FROM s2),
+s4 AS (SELECT *, CASE WHEN (f3 IS NULL AND o_orderpriority = '3-MEDIUM')
+                        OR o_orderstatus = 'P' THEN 1 ELSE f3 END AS f4 FROM s3)
+SELECT f4 AS class, CAST(COUNT(*) AS BIGINT) AS count FROM s4 GROUP BY f4
+"""
+
+# --- P4-P7: predicate toolbox --------------------------------------------------------
+
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (part
+            .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            .filter(~F.col("p_type").isin("burnished nickel"))
+            .filter(F.instr(F.col("p_name"), "small") == 0)
+            .filter(F.col("p_size").isNotNull())
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("count")))
+
+
+SQL_FILTER_PREDICATES = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS count FROM part
+WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+  AND p_type NOT IN ('burnished nickel')
+  AND POSITION('small' IN p_name) = 0
+  AND p_size IS NOT NULL
+GROUP BY p_brand
+"""
+
+# --- P8/F2/F3: array subscripts, ends, reverse, size ----------------------------------
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(array_first("embedding").cast("double"), 6).alias("first_val"),
+        F.round(array_last("embedding").cast("double"), 6).alias("last_val"),
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(F.reverse("embedding"), 1).cast("double"), 6)
+        .alias("rev_first"))
+
+
+SQL_ARRAY_OPS = """
+SELECT vec_id,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(CAST(list_reverse(embedding)[1] AS DOUBLE), 6) AS rev_first
+FROM embeddings
+"""
+
+# --- F1: get_ints_from_text ------------------------------------------------------------
+
+def q_first_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_id", first_int("props").alias("k_int"))
+
+
+SQL_FIRST_INT = """
+SELECT event_id,
+       CASE WHEN regexp_extract(props, '([0-9]+)', 1) != ''
+            THEN CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) END AS k_int
+FROM events
+"""
+
+# --- A12/F8: scalar aggregates -----------------------------------------------------------
+
+def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        dsum("l_extendedprice", 2).alias("sum_price"))
+
+
+SQL_SCALAR_AGGS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(MIN(l_quantity), 6) AS min_qty,
+       ROUND(MAX(l_quantity), 6) AS max_qty,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+"""
+
+# --- F10/F11: haversine length ------------------------------------------------------------
+
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lon = F.col("value")
+    lat = (F.col("event_id") % 160 - 80).cast("double") / 10
+    d = ev.select("event_id", lon.alias("lon"), lat.alias("lat"),
+                  F.lag(lon).over(w).alias("plon"),
+                  F.lag(lat).over(w).alias("plat"))
+    return (d.filter(F.col("plon").isNotNull())
+            .select("event_id",
+                    F.round(haversine_km(F.col("plon"), F.col("plat"),
+                                         F.col("lon"), F.col("lat")), 4)
+                    .alias("dist_km")))
+
+
+SQL_HAVERSINE = """
+WITH pts AS (
+  SELECT event_id, value AS lon, CAST(event_id % 160 - 80 AS DOUBLE) / 10 AS lat,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         LAG(CAST(event_id % 160 - 80 AS DOUBLE) / 10)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+  FROM events)
+SELECT event_id,
+       ROUND(2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+         SIN(RADIANS(lat - plat) / 2) * SIN(RADIANS(lat - plat) / 2)
+         + COS(RADIANS(plat)) * COS(RADIANS(lat))
+         * SIN(RADIANS(lon - plon) / 2) * SIN(RADIANS(lon - plon) / 2)))), 4)
+       AS dist_km
+FROM pts WHERE plon IS NOT NULL
+"""
+
+# --- F12: WKT export -------------------------------------------------------------------------
+
+def q_point_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        point_wkt(F.col("value"), (F.col("event_id") % 90).cast("double"))
+        .alias("wkt"))
+
+
+SQL_POINT_WKT = """
+SELECT event_id,
+       printf('POINT(%.7f %.7f)', value, CAST(event_id % 90 AS DOUBLE)) AS wkt
+FROM events
+"""
+
+# --- streaming-analog: tumbling event-time window ---------------------------------------------
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value")))
+
+
+SQL_TUMBLING_WINDOW = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "group_count": q_group_count,
+    "multi_group_count": q_multi_group_count,
+    "tag_values": q_tag_values,
+    "tag_explode": q_tag_explode,
+    "median_by_group": q_median_by_group,
+    "weighted_median": q_weighted_median,
+    "weighted_median_by_group": q_weighted_median_by_group,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
+    "impute_median": q_impute_median,
+    "distinct_on": q_distinct_on,
+    "window_lag": q_window_lag,
+    "running_sums": q_running_sums,
+    "union_distinct": q_union_distinct,
+    "union_slices": q_union_slices,
+    "case_classify": q_case_classify,
+    "filter_predicates": q_filter_predicates,
+    "array_ops": q_array_ops,
+    "first_int": q_first_int,
+    "scalar_aggs": q_scalar_aggs,
+    "haversine": q_haversine,
+    "point_wkt": q_point_wkt,
+    "tumbling_window": q_tumbling_window,
+}
+
+ORACLES = {
+    "group_count": SQL_GROUP_COUNT,
+    "multi_group_count": SQL_MULTI_GROUP_COUNT,
+    "tag_values": SQL_TAG_VALUES,
+    "tag_explode": SQL_TAG_EXPLODE,
+    "median_by_group": SQL_MEDIAN_BY_GROUP,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "weighted_median_by_group": SQL_WEIGHTED_MEDIAN_BY_GROUP,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "impute_median": SQL_IMPUTE_MEDIAN,
+    "distinct_on": SQL_DISTINCT_ON,
+    "window_lag": SQL_WINDOW_LAG,
+    "running_sums": SQL_RUNNING_SUMS,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "union_slices": SQL_UNION_SLICES,
+    "case_classify": SQL_CASE_CLASSIFY,
+    "filter_predicates": SQL_FILTER_PREDICATES,
+    "array_ops": SQL_ARRAY_OPS,
+    "first_int": SQL_FIRST_INT,
+    "scalar_aggs": SQL_SCALAR_AGGS,
+    "haversine": SQL_HAVERSINE,
+    "point_wkt": SQL_POINT_WKT,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+}
