@@ -1,0 +1,68 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full evaluation, no
+driver collect). Headline set: the flagship OSM graph pipeline, the heavy
+relational operators, and the training-data extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "group_count",          # TPC-H q1-style scan+agg over lineitem
+    "tag_values",           # map-column tag summary (osm-explore parity)
+    "running_sums",         # window running sums
+    "range_join",           # equi+BETWEEN join
+    "osm_merged_network",   # topological split/merge (crown jewel)
+    "osm_directed_graph",   # full flagship pipeline incl. imputation
+    "osm_mode_flags",       # UPDATE-cascade compilation
+    "minhash_neardup",      # MinHash+LSH dedup
+    "simhash",              # per-row SimHash fingerprints
+    "similarity_topk",      # brute-force cosine top-k
+    "quality_features",     # text quality scoring
+    "tumbling_window",      # event-time window agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from osm_pg_etl_spark.session import get_spark
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers so q1 doesn't pay startup costs
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

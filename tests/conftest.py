@@ -1,0 +1,114 @@
+"""Shared fixtures: a local SparkSession and the hand-verifiable OSM world
+from FIXTURES.md §A (topology cases 1-9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    from osm_pg_etl_spark.session import get_spark
+
+    s = get_spark(app_name="tests", shuffle_partitions=4)
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# OSM fixture world (FIXTURES.md "Required topology cases"):
+#
+#   W1 [1,2,3,4,5]    residential, maxspeed 50, no oneway   (case 1,3)
+#   W2 [6,3,7]        residential, oneway yes               (case 1)
+#   W3 [5,8,9]        residential, maxspeed 20 — shares node 5 only at its
+#                     START endpoint -> never split          (case 2)
+#   W4 [10,2,11,3,12] residential, maxspeed "30 mph", oneway -1
+#                     two interior shared nodes -> 3 segs    (case 3,6)
+#   W5 [13,14,2,15,16] residential, oneway no, no maxspeed -> imputed
+#                     dead-end tail after node 2             (case 4,7)
+#   W6 [17,18,19]     residential, no shared nodes -> untouched (case 5)
+#   W7 [3,20,21]      footway — NOT in car network; its use of node 3 must
+#                     not affect shared-node counts
+#   W8 [22,23]        motorway, oneway absent -> 3VL drop from directed
+#   W9 [23,24]        motorway, oneway yes, maxspeed 100
+#
+# Shared (car-network) node occurrence counts:
+#   2: W1,W4,W5 -> 3   3: W1,W2,W4 -> 3   5: W1,W3 -> 2   23: W8,W9 -> 2
+# ---------------------------------------------------------------------------
+
+WAY_NODE_LISTS = {
+    1: [1, 2, 3, 4, 5],
+    2: [6, 3, 7],
+    3: [5, 8, 9],
+    4: [10, 2, 11, 3, 12],
+    5: [13, 14, 2, 15, 16],
+    6: [17, 18, 19],
+    7: [3, 20, 21],
+    8: [22, 23],
+    9: [23, 24],
+}
+
+WAY_TAGS = {
+    1: {"highway": "residential", "maxspeed": "50"},
+    2: {"highway": "residential", "oneway": "yes"},
+    3: {"highway": "residential", "maxspeed": "20"},
+    4: {"highway": "residential", "maxspeed": "30 mph", "oneway": "-1"},
+    5: {"highway": "residential", "oneway": "no"},
+    6: {"highway": "residential"},
+    7: {"highway": "footway"},
+    8: {"highway": "motorway", "maxspeed": "100"},
+    9: {"highway": "motorway", "oneway": "yes"},
+}
+
+NODE_IDS = sorted({n for ns in WAY_NODE_LISTS.values() for n in ns})
+
+NODE_TAGS = {
+    1: {"amenity": "cafe", "sport": "soccer", "name": "Corner"},  # case 9
+    6: {"shop": "bakery"},
+    17: {"tourism": "hotel", "name": "Grand"},
+}
+
+
+def node_coord(nid: int) -> tuple[float, float]:
+    # ~1.1 km east-west spacing, ~1.1 km north-south per id step
+    return (float(nid % 6) / 100.0, float(nid // 6) / 100.0)
+
+
+@pytest.fixture(scope="session")
+def osm(spark):
+    nodes_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ])
+    nodes = spark.createDataFrame(
+        [(n, *node_coord(n), NODE_TAGS.get(n, {})) for n in NODE_IDS],
+        nodes_schema)
+
+    ways_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("nodes", T.ArrayType(T.LongType())),
+        T.StructField("linestring", T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]))),
+    ])
+    ways = spark.createDataFrame(
+        [(w, WAY_TAGS[w], ns, [node_coord(n) for n in ns])
+         for w, ns in WAY_NODE_LISTS.items()],
+        ways_schema)
+
+    way_nodes_schema = T.StructType([
+        T.StructField("way_id", T.LongType()),
+        T.StructField("node_id", T.LongType()),
+        T.StructField("sequence_id", T.IntegerType()),
+    ])
+    way_nodes = spark.createDataFrame(
+        [(w, n, i) for w, ns in WAY_NODE_LISTS.items()
+         for i, n in enumerate(ns)],
+        way_nodes_schema)
+
+    return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes}

@@ -1,0 +1,140 @@
+"""Training-data-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — small hand-checkable corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from osm_pg_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from osm_pg_etl_spark.operators.text import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),      # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "el gato y el perro en la casa de los vecinos"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert (got[0]["count"], got[0]["keep_id"]) == (2, 1)
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("Hello world",)], "t string")
+    got = df.select(word_shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert got == ["hello world"]  # < n tokens -> whole-doc shingle
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+             for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    # docs 1,3 (9 tokens each) differ in the last shingle only:
+    # 6 shared of 8 union -> J = 0.75
+    assert pairs[(1, 3)] == pytest.approx(0.75)
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_duplicates(docs, max_hamming=0).collect()}
+    assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
+
+
+def test_fingerprint_reorder_invariant(spark):
+    df = spark.createDataFrame(
+        [("b a c",), ("c  b a",), ("a b d",)], "t string")
+    got = [r["f"] for r in df.select(fingerprint("t").alias("f")).collect()]
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], "t string")
+    r = df.select(token_count("t").alias("w"),
+                  bpe_ish_token_count("t").alias("b")).collect()[0]
+    assert r["w"] == 4
+    # hello , world ! 42 times -> 6
+    assert r["b"] == 6
+
+
+def test_detect_language(docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", detect_language("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"
+    df = docs.sparkSession.createDataFrame([("zzz qqq",)], "t string")
+    assert df.select(detect_language("t").alias("l")).collect()[0]["l"] == "und"
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb):
+    got = [r["vec_id"] for r in
+           brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert got[0] == 1 and got[1] == 2
+    assert 5 not in got[:3]
+
+
+def test_lsh_topk_subset_of_brute_force(emb):
+    # LSH candidates come from matching buckets; scores must agree with the
+    # exact cosine for whatever it returns
+    exact = {r["vec_id"]: r["cosine_sim"] for r in
+             brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5).collect()}
+    for r in lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect():
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+def test_embedding_near_duplicates(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_near_duplicates(emb, threshold=0.9).collect()}
+    assert list(pairs) == [(1, 2)]
+    assert pairs[(1, 2)] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)

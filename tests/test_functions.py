@@ -1,0 +1,96 @@
+"""Scalar function semantics — SURVEY §2.8 F1-F12."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.functions.arrays import (
+    array_first,
+    array_last,
+    array_reverse,
+    first_int,
+    get_ints_from_text,
+)
+from osm_pg_etl_spark.functions.geo import (
+    haversine_km,
+    linestring_length_km,
+    point_wkt,
+    snap_to_grid,
+)
+from osm_pg_etl_spark.functions.maps import tag_get, tag_has
+
+
+def _one(df, col):
+    return df.select(col.alias("x")).collect()[0]["x"]
+
+
+def test_get_ints_from_text(spark):
+    # general-functions.sql:3-5 — regex split on non-digits, drop empties
+    df = spark.range(1)
+    assert _one(df, get_ints_from_text(F.lit("50 mph"))) == [50]
+    assert _one(df, get_ints_from_text(F.lit("maxspeed=30;40"))) == [30, 40]
+    assert _one(df, get_ints_from_text(F.lit("none"))) == []
+    assert _one(df, get_ints_from_text(F.lit(None).cast("string"))) is None
+
+
+def test_first_int(spark):
+    df = spark.range(1)
+    assert _one(df, first_int(F.lit("50 mph"))) == 50
+    assert _one(df, first_int(F.lit("none"))) is None
+    assert _one(df, first_int(F.lit(None).cast("string"))) is None
+
+
+def test_array_ends_and_reverse(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "a array<long>")
+    assert _one(df, array_first("a")) == 1
+    assert _one(df, array_last("a")) == 3
+    assert _one(df, array_reverse("a")) == [3, 2, 1]
+
+
+def test_tag_ops(spark):
+    df = spark.createDataFrame(
+        [({"highway": "residential"},), ({},)],
+        "tags map<string,string>")
+    rows = df.select(tag_get("tags", "highway").alias("v"),
+                     tag_has("tags", "highway").alias("h")).collect()
+    assert (rows[0]["v"], rows[0]["h"]) == ("residential", True)
+    assert (rows[1]["v"], rows[1]["h"]) == (None, False)
+
+
+def test_haversine_known_distance(spark):
+    # 1 degree of longitude at the equator ~ 111.1949 km (R=6371.0088)
+    df = spark.range(1)
+    got = _one(df, haversine_km(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)))
+    assert got == pytest.approx(6371.0088 * math.pi / 180, rel=1e-9)
+
+
+def test_linestring_length_sums_segments(spark):
+    df = spark.createDataFrame(
+        [([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)],)],
+        "line array<struct<lon:double,lat:double>>")
+    one_deg = 6371.0088 * math.pi / 180
+    got = _one(df, linestring_length_km("line"))
+    # second leg is a meridian arc: same length as an equatorial degree
+    assert got == pytest.approx(2 * one_deg, rel=1e-6)
+    # single point / empty -> 0.0
+    df2 = spark.createDataFrame(
+        [([(5.0, 5.0)],), ([],)], "line array<struct<lon:double,lat:double>>")
+    assert [r["x"] for r in
+            df2.select(linestring_length_km("line").alias("x")).collect()] \
+        == [0.0, 0.0]
+
+
+def test_point_wkt(spark):
+    df = spark.range(1)
+    got = _one(df, point_wkt(F.lit(-8.1), F.lit(42.25)))
+    assert got == "POINT(-8.1000000 42.2500000)"
+
+
+def test_snap_to_grid_groups_nearby_points(spark):
+    df = spark.range(1)
+    a = _one(df, snap_to_grid(F.lit(1.00004), F.lit(2.00004), 0.0001))
+    b = _one(df, snap_to_grid(F.lit(1.00001), F.lit(2.00001), 0.0001))
+    c = _one(df, snap_to_grid(F.lit(1.0012), F.lit(2.0), 0.0001))
+    assert a == b
+    assert a != c
