@@ -60,17 +60,41 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for hash-function i, min over the shingle set of
-    ``md5_long(i, shingle)``. Computed entirely per-row (array transform +
-    array_min) — adding signatures to a 100 TB table is a narrow map."""
-    def hasher(i: int):
-        # a factory (not a default-arg lambda): pyspark's higher-order
-        # functions pass one column per declared parameter
-        return lambda s: md5_long(s, seed=i)
+MINHASH_P = 4294967311  # smallest prime > 2^32
 
-    mins = [F.array_min(F.transform(shingles, hasher(i)))
-            for i in range(num_hashes)]
+
+def minhash_coefficients(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    ``h_i(x) = (a_i * base(x) + b_i) mod P`` — pure-python LCG so the family
+    is identical in the DuckDB oracle (plans/datapipe.py imports these)."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) | 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 32) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature via ONE md5 per shingle plus a universal-hash
+    family ``(a_i * h + b_i) mod P`` over the 32-bit base hash — the
+    standard single-base-hash MinHash construction. Computed entirely
+    per-row (array transform + array_min): adding signatures to a 100 TB
+    table is a narrow map, and the md5 cost does not scale with
+    ``num_hashes``. All arithmetic stays below 2^63 (a < 2^31, h < 2^32)
+    so the mod is exact in any engine's BIGINT."""
+    base = F.transform(shingles, lambda s: md5_long(s))
+
+    def fam(a: int, b: int):
+        # factory, not a default-arg lambda: pyspark's higher-order
+        # functions bind one column per declared lambda parameter
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    mins = [F.array_min(F.transform(base, fam(a, b)))
+            for a, b in minhash_coefficients(num_hashes)]
     return F.array(*mins)
 
 
@@ -105,23 +129,25 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     handled by AQE skew-join splitting.
     """
     rows_per_band = num_hashes // bands
-    base = (df.select(F.col(id_col),
-                      word_shingles(text_col, n).alias("_sh"))
-            .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-            .withColumn("_bk", _band_keys(F.col("_sig"), bands, rows_per_band)))
-    buckets = base.select(id_col, "_sh", F.explode("_bk").alias("bucket"))
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+    buckets = (sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+               .select(id_col, F.explode(
+                   _band_keys(F.col("_sig"), bands, rows_per_band)).alias("bucket")))
 
-    a = buckets.select(F.col(id_col).alias("id_a"),
-                       F.col("_sh").alias("sh_a"), "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"),
-                       F.col("_sh").alias("sh_b"), "bucket")
-    pairs = (a.join(b, "bucket")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
-             .distinct()
-             .filter(F.col("jaccard_sim") >= threshold))
-    return pairs
+    # bucket join carries only (id, bucket) — the shingle arrays are joined
+    # back per *deduplicated* candidate pair, so a pair found by several
+    # bands is verified once and no array data rides the exploded shuffle
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b",
+                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+            .filter(F.col("jaccard_sim") >= threshold))
 
 
 def simhash(text: Column | str, bits: int = 32) -> Column:

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import array_reverse
 from ..functions.geo import point_wkt, snap_to_grid
-from ..sources.io import append_slices
 
 EDGE_COLUMNS = ("start_node", "end_node", "edge_id", "tags", "nodes",
                 "length", "speed_limit", "highway", "oneway", "geom")
@@ -54,21 +53,28 @@ def directed_network(merged: DataFrame, minimal: bool = False) -> DataFrame:
         | ((F.col("highway") == "motorway") & (F.col("oneway") != "-1"))
     reverse_drawn = F.col("oneway") == "-1"
 
-    fwd_cols = list(EDGE_COLUMNS)
-    rev = [F.col("end_node").alias("start_node"),
-           F.col("start_node").alias("end_node"),
-           F.col("edge_id"), F.col("tags"),
-           array_reverse("nodes").alias("nodes"),
-           F.col("length"), F.col("speed_limit"), F.col("highway"),
-           F.col("oneway"), F.col("geom")]
-
-    slices = [
-        merged.filter(two_way).select(*fwd_cols),
-        merged.filter(two_way).select(*rev),
-        merged.filter(forward).select(*fwd_cols),
-        merged.filter(reverse_drawn).select(*rev),
-    ]
-    out = append_slices(slices)
+    # Single scan: each row emits its direction tags ("f"/"r") as an array
+    # and explodes — exact UNION ALL multiplicity (concat of per-slice
+    # contributions, NULL conditions contribute nothing) without reading
+    # the merged table four times.
+    empty = F.array().cast("array<string>")
+    dirs = F.concat(
+        F.when(two_way, F.array(F.lit("f"), F.lit("r"))).otherwise(empty),
+        F.when(forward, F.array(F.lit("f"))).otherwise(empty),
+        F.when(reverse_drawn, F.array(F.lit("r"))).otherwise(empty))
+    fwd = F.col("_dir") == "f"
+    out = (merged
+           .withColumn("_dir", F.explode(dirs))
+           .select(
+               F.when(fwd, F.col("start_node")).otherwise(F.col("end_node"))
+               .alias("start_node"),
+               F.when(fwd, F.col("end_node")).otherwise(F.col("start_node"))
+               .alias("end_node"),
+               F.col("edge_id"), F.col("tags"),
+               F.when(fwd, F.col("nodes")).otherwise(array_reverse("nodes"))
+               .alias("nodes"),
+               F.col("length"), F.col("speed_limit"), F.col("highway"),
+               F.col("oneway"), F.col("geom")))
     if minimal:
         out = out.select("start_node", "end_node", "length", "speed_limit")
     return out

@@ -132,14 +132,33 @@ def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame) -> DataFram
     parent way's own columns — no way_nodes×nodes join, no collect_list.
     Equivalent to the reference's group-by reassembly
     (``osm-road-graphs.sql:143-148``); proven against the general path in
-    tests/test_topology.py."""
-    seg_len = F.col("top_limit") - F.col("bottom_limit") + 1
-    return (network.join(limits, network["edge_id"] == limits["way_id"], "inner")
+    tests/test_topology.py.
+
+    Single pass over ``network``: the per-way limit list is aggregated small
+    (segments per way), left-joined once, and ways without limits fall back
+    to one whole-way range — this fuses the reference's INSERT + UPDATE
+    backfill + anti-join append (``osm-road-graphs.sql:143-165``) into one
+    join, so the (huge) ways table is scanned exactly once."""
+    lim_lists = limits.groupBy("way_id").agg(
+        F.collect_list(F.struct(
+            F.col("bottom_limit").cast("int").alias("bottom_limit"),
+            F.col("top_limit").cast("int").alias("top_limit"))).alias("_lims"))
+    whole_way = F.array(F.struct(
+        F.lit(0).cast("int").alias("bottom_limit"),
+        (F.size("nodes") - 1).cast("int").alias("top_limit")))
+    seg_len = F.col("_lim.top_limit") - F.col("_lim.bottom_limit") + 1
+    return (network
+            .join(lim_lists, network["edge_id"] == lim_lists["way_id"], "left")
+            .withColumn("_lim", F.explode(F.coalesce("_lims", whole_way)))
             .select(
                 network["edge_id"],
-                F.col("top_limit").alias("group_id"),
-                F.slice(network["nodes"], F.col("bottom_limit") + 1, seg_len).alias("nodes"),
-                F.slice(network["geom"], F.col("bottom_limit") + 1, seg_len).alias("geom"),
+                F.col("_lim.top_limit").alias("group_id"),
+                F.slice(network["nodes"], F.col("_lim.bottom_limit") + 1,
+                        seg_len).alias("nodes"),
+                F.slice(network["geom"], F.col("_lim.bottom_limit") + 1,
+                        seg_len).alias("geom"),
+                network["tags"], network["speed_limit"], network["highway"],
+                network["oneway"],
             ))
 
 
@@ -184,12 +203,19 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     limits = ways_merge_limits(wn_net, shared, splits, lengths)
 
     if use_array_fast_path:
+        # one scan of network; untouched ways fall through as a whole-way
+        # slice (identical nodes/geom/length to the original row)
         segs = _assemble_from_way_arrays(limits, network)
-    else:
-        if nodes is None:
-            raise ValueError("general assembly path requires the nodes table")
-        segs = _assemble_from_nodes(nodes_to_merge(wn_net, limits), nodes)
+        return segs.select(
+            array_first("nodes").alias("start_node"),
+            array_last("nodes").alias("end_node"),
+            "edge_id", "tags", "nodes",
+            linestring_length_km("geom").alias("length"),
+            "speed_limit", "highway", "oneway", "geom")
 
+    if nodes is None:
+        raise ValueError("general assembly path requires the nodes table")
+    segs = _assemble_from_nodes(nodes_to_merge(wn_net, limits), nodes)
     attrs = network.select("edge_id", "tags", "speed_limit", "highway", "oneway")
     merged = (segs.join(attrs, "edge_id", "inner")
               .select(

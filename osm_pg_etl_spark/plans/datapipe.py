@@ -90,10 +90,13 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
+    from ..operators.dedup import MINHASH_P, minhash_coefficients
+
     rpb = _MH_HASHES // _MH_BANDS
+    coeffs = minhash_coefficients(_MH_HASHES)
     sigs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> {_sql_md5int('s', seed=i)})) AS h{i}"
-        for i in range(_MH_HASHES))
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs))
     band_keys = ", ".join(
         "md5('{b}|' || {parts})".format(
             b=b, parts=" || ',' || ".join(
@@ -102,10 +105,13 @@ def _sql_minhash() -> str:
     return f"""
 WITH {_TOKS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
+base AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_sql_md5int('s')}) AS hs
+  FROM sh),
 sig AS (
   SELECT doc_id, sh,
          {sigs}
-  FROM sh),
+  FROM base),
 buckets AS (
   SELECT doc_id, sh, unnest([{band_keys}]) AS bucket FROM sig),
 cand AS (

@@ -286,13 +286,13 @@ merged AS (
          c.highway, c.oneway, c.speed_limit
   FROM segs s JOIN cn c ON s.edge_id = c.edge_id
   UNION ALL
-  SELECT c.edge_id, e.start_node, e.end_node,
-         CAST((SELECT COUNT(*) FROM wn_net x WHERE x.way_id = c.edge_id) AS INT)
-           AS n_nodes,
+  SELECT c.edge_id, e.start_node, e.end_node, wc.n_nodes,
          wl.length, c.highway, c.oneway, c.speed_limit
   FROM cn c
   JOIN wayends e ON c.edge_id = e.way_id
   JOIN waylen wl ON c.edge_id = wl.way_id
+  JOIN (SELECT way_id, CAST(COUNT(*) AS INT) AS n_nodes
+        FROM wn_net GROUP BY way_id) wc ON c.edge_id = wc.way_id
   WHERE c.edge_id NOT IN (SELECT DISTINCT edge_id FROM segs))
 """
 
@@ -352,7 +352,7 @@ SELECT way_id, bottom_limit, top_limit FROM lims
 
 def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"])
+    cn = car_network(d["ways"]).cache()
     merged = merged_network(cn, d["way_nodes"])
     return merged.select("edge_id", "start_node", "end_node",
                          F.size("nodes").alias("n_nodes"),
@@ -371,7 +371,10 @@ FROM merged
 
 def q_osm_directed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
-    cn = impute_speed_limit(car_network(d["ways"]))
+    # cache the filtered network: the expensive ways-derivation subtree
+    # feeds the median agg, the imputation join, the semi-join and the
+    # assembly join — without this it is recomputed per consumer
+    cn = impute_speed_limit(car_network(d["ways"]).cache())
     merged = merged_network(cn, d["way_nodes"])
     out = directed_network(merged, minimal=True)
     return out.select("start_node", "end_node",

@@ -55,8 +55,11 @@ def test_word_shingles_short_doc(spark):
 
 
 def test_minhash_finds_near_dups(docs):
+    # bands=8 (2 rows/band): capture probability for J=0.75 is ~0.999 —
+    # and deterministic given the fixed md5-based family
     pairs = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
-             for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+             for r in minhash_near_duplicates(
+                 docs, num_hashes=16, bands=8, threshold=0.5).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
     assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
     assert all(a != 4 and b != 4 for a, b in pairs)
