@@ -93,6 +93,33 @@ def snap_to_grid(lon: Column | str, lat: Column | str, tolerance: float = 0.0001
     return F.concat_ws(":", gx, gy)
 
 
+def segment_grid_cells(line: Column | str, cell_deg: float = 0.01) -> Column:
+    """Covering grid cells of every *segment's bounding box* — a guaranteed
+    superset of the cells the line passes through, so cell-blocking has no
+    false negatives even when a segment spans cells none of its endpoints
+    fall in. Per segment this is the small integer rectangle
+    [floor(min lon/c), floor(max lon/c)] × [floor(min lat/c), floor(max
+    lat/c)]; road segments are short relative to any sane cell size, so the
+    expansion factor is ~1-4 cells per segment."""
+    inv = 1.0 / cell_deg
+    line = _col(line)
+    n = F.size(line)
+    heads = F.slice(line, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(line, 2, F.greatest(n - 1, F.lit(0)))
+
+    def cells_of(p: Column, q: Column) -> Column:
+        gx0 = F.floor(F.least(p["lon"], q["lon"]) * inv)
+        gx1 = F.floor(F.greatest(p["lon"], q["lon"]) * inv)
+        gy0 = F.floor(F.least(p["lat"], q["lat"]) * inv)
+        gy1 = F.floor(F.greatest(p["lat"], q["lat"]) * inv)
+        return F.flatten(F.transform(
+            F.sequence(gx0, gx1),
+            lambda gx: F.transform(F.sequence(gy0, gy1),
+                                   lambda gy: F.concat_ws(":", gx, gy))))
+
+    return F.array_distinct(F.flatten(F.zip_with(heads, tails, cells_of)))
+
+
 def grid_cells(line: Column | str, cell_deg: float = 0.01) -> Column:
     """Covering grid cells of a linestring's vertices — the blocking key for
     the distributed spatial join (SURVEY §2.3 J8). Exploding these and

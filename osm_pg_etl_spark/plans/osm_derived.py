@@ -489,6 +489,100 @@ WHERE CASE k WHEN 'leisure' THEN leisure WHEN 'sport' THEN sport
 """
 
 
+def q_osm_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 grid-blocked spatial join over a deterministic way subset (the
+    derived 'ways' are random jumps across the region, so a modest subset +
+    coarse cells keeps candidate counts road-network-realistic)."""
+    from ..operators.spatial import intersecting_way_pairs
+
+    d = derive_osm(spark, sf_dir)
+    sub = d["ways"].filter(F.col("id") % 97 == 0)
+    return intersecting_way_pairs(sub, id_col="id", line_col="linestring",
+                                  cell_deg=0.5)
+
+
+# Same blocking + same orientation-test arithmetic (identical expression
+# grouping -> identical IEEE doubles) in DuckDB.
+SQL_OSM_SPATIAL_PAIRS = _cte(_NODES_SQL, _WN_SQL) + """,
+geom AS (
+  SELECT wn.way_id AS id,
+         list(n.lon ORDER BY wn.sequence_id) AS xs,
+         list(n.lat ORDER BY wn.sequence_id) AS ys
+  FROM wn JOIN nodes_d n ON wn.node_id = n.id
+  WHERE wn.way_id % 97 = 0
+  GROUP BY wn.way_id),
+segs AS (
+  SELECT id, xs[i] AS x1, ys[i] AS y1, xs[i+1] AS x2, ys[i+1] AS y2
+  FROM geom, UNNEST(range(1, len(xs))) AS t(i)),
+cells AS (
+  SELECT DISTINCT id, gx, gy
+  FROM segs,
+       UNNEST(range(CAST(floor(least(x1, x2) / 0.5) AS BIGINT),
+                    CAST(floor(greatest(x1, x2) / 0.5) AS BIGINT) + 1)) AS tx(gx),
+       UNNEST(range(CAST(floor(least(y1, y2) / 0.5) AS BIGINT),
+                    CAST(floor(greatest(y1, y2) / 0.5) AS BIGINT) + 1)) AS ty(gy)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cells a JOIN cells b ON a.gx = b.gx AND a.gy = b.gy AND a.id < b.id),
+dvals AS (
+  SELECT c.id_a, c.id_b,
+         (sb.x2 - sb.x1) * (sa.y1 - sb.y1) - (sb.y2 - sb.y1) * (sa.x1 - sb.x1) AS d1,
+         (sb.x2 - sb.x1) * (sa.y2 - sb.y1) - (sb.y2 - sb.y1) * (sa.x2 - sb.x1) AS d2,
+         (sa.x2 - sa.x1) * (sb.y1 - sa.y1) - (sa.y2 - sa.y1) * (sb.x1 - sa.x1) AS d3,
+         (sa.x2 - sa.x1) * (sb.y2 - sa.y1) - (sa.y2 - sa.y1) * (sb.x2 - sa.x1) AS d4,
+         sa.x1 AS ax1, sa.y1 AS ay1, sa.x2 AS ax2, sa.y2 AS ay2,
+         sb.x1 AS bx1, sb.y1 AS by1, sb.x2 AS bx2, sb.y2 AS by2
+  FROM cand c
+  JOIN segs sa ON sa.id = c.id_a
+  JOIN segs sb ON sb.id = c.id_b)
+SELECT DISTINCT id_a, id_b FROM dvals
+WHERE (((d1 > 0) != (d2 > 0)) AND ((d3 > 0) != (d4 > 0))
+       AND d1 != 0 AND d2 != 0 AND d3 != 0 AND d4 != 0)
+   OR (d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+              AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
+   OR (d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+              AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
+   OR (d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+              AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+   OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+              AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+"""
+
+
+def q_osm_create_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: pgr_createTopology analog — snap endpoints to a 0.0001° grid,
+    dense-rank distinct grid keys into vertex ids."""
+    from ..operators.graphs import create_topology
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"])
+    t = create_topology(cn.select("edge_id", "geom"), tolerance=0.0001)
+    return t.select("edge_id", "source", "target")
+
+
+SQL_OSM_CREATE_TOPOLOGY = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL) + """,
+ends AS (
+  SELECT wn.way_id AS edge_id,
+         min_by(n.lon, wn.sequence_id) AS slon, min_by(n.lat, wn.sequence_id) AS slat,
+         max_by(n.lon, wn.sequence_id) AS elon, max_by(n.lat, wn.sequence_id) AS elat
+  FROM wn JOIN nodes_d n ON wn.node_id = n.id
+  WHERE wn.way_id IN (SELECT edge_id FROM cn)
+  GROUP BY wn.way_id),
+keyed AS (
+  SELECT edge_id,
+         CAST(round(slon * 10000.0) AS BIGINT) || ':' ||
+         CAST(round(slat * 10000.0) AS BIGINT) AS sk,
+         CAST(round(elon * 10000.0) AS BIGINT) || ':' ||
+         CAST(round(elat * 10000.0) AS BIGINT) AS tk
+  FROM ends),
+verts AS (
+  SELECT k, CAST(DENSE_RANK() OVER (ORDER BY k) AS INT) AS vid
+  FROM (SELECT sk AS k FROM keyed UNION SELECT tk FROM keyed))
+SELECT e.edge_id, sv.vid AS source, tv.vid AS target
+FROM keyed e JOIN verts sv ON e.sk = sv.k JOIN verts tv ON e.tk = tv.k
+"""
+
+
 def q_osm_network_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"])
@@ -514,9 +608,13 @@ QUERIES = {
     "osm_mode_flags": q_osm_mode_flags,
     "osm_pois": q_osm_pois,
     "osm_network_nodes": q_osm_network_nodes,
+    "osm_spatial_pairs": q_osm_spatial_pairs,
+    "osm_create_topology": q_osm_create_topology,
 }
 
 ORACLES = {
+    "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
+    "osm_create_topology": SQL_OSM_CREATE_TOPOLOGY,
     "osm_car_network": SQL_OSM_CAR_NETWORK,
     "osm_shared_nodes": SQL_OSM_SHARED_NODES,
     "osm_merge_limits": SQL_OSM_MERGE_LIMITS,

@@ -1,0 +1,61 @@
+"""Grid-blocked spatial join (SURVEY §2.3 J8): exact predicate cases and
+blocking soundness."""
+
+import pytest
+
+from osm_pg_etl_spark.operators.spatial import (
+    _segments_intersect,
+    intersecting_way_pairs,
+)
+
+import numpy as np
+
+
+def seg(*pts):
+    xs = np.array([p[0] for p in pts], dtype=float)
+    ys = np.array([p[1] for p in pts], dtype=float)
+    return xs, ys
+
+
+def test_predicate_crossing():
+    a, b = seg((0, 0), (2, 2)), seg((0, 2), (2, 0))
+    assert _segments_intersect(*a, *b)
+
+
+def test_predicate_endpoint_touch():
+    a, b = seg((0, 0), (1, 0)), seg((1, 0), (2, 5))
+    assert _segments_intersect(*a, *b)
+
+
+def test_predicate_t_touch_midsegment():
+    a, b = seg((0, 0), (2, 0)), seg((1, 0), (1, 3))
+    assert _segments_intersect(*a, *b)
+
+
+def test_predicate_parallel_disjoint():
+    a, b = seg((0, 0), (1, 0)), seg((0, 1), (1, 1))
+    assert not _segments_intersect(*a, *b)
+
+
+def test_predicate_collinear_overlap():
+    a, b = seg((0, 0), (2, 0)), seg((1, 0), (3, 0))
+    assert _segments_intersect(*a, *b)
+
+
+def test_predicate_collinear_disjoint():
+    a, b = seg((0, 0), (1, 0)), seg((2, 0), (3, 0))
+    assert not _segments_intersect(*a, *b)
+
+
+def test_intersecting_way_pairs(spark):
+    ways = spark.createDataFrame([
+        (1, [(0.0, 0.0), (2.0, 2.0)]),
+        (2, [(0.0, 2.0), (2.0, 0.0)]),        # crosses 1 at (1,1)
+        (3, [(2.0, 2.0), (3.0, 0.0)]),        # touches 1 at its endpoint
+        (4, [(10.0, 10.0), (11.0, 11.0)]),    # far away (pruned by blocking)
+        (5, [(1.5, 0.1), (1.8, 0.1)]),        # near 1 but disjoint: same cell,
+                                              # must be rejected by verify
+    ], "id long, linestring array<struct<lon:double,lat:double>>")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 intersecting_way_pairs(ways, cell_deg=1.0).collect())
+    assert got == [(1, 2), (1, 3)]
