@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hex, md5_long
+from ..sources.io import spread
 from .text import tokens
 
 
@@ -129,10 +130,17 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     handled by AQE skew-join splitting.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+    # shingles feed the band join (twice, as both sides) and the Jaccard
+    # verification: materialize once. cache() is MEMORY_AND_DISK — at
+    # corpus scale this is the signature/shingle table an industrial
+    # pipeline would persist anyway rather than recompute per consumer.
+    sh = (spread(df.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+          .cache())
     buckets = (sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
                .select(id_col, F.explode(
-                   _band_keys(F.col("_sig"), bands, rows_per_band)).alias("bucket")))
+                   _band_keys(F.col("_sig"), bands, rows_per_band)).alias("bucket"))
+               .cache())
 
     # bucket join carries only (id, bucket) — the shingle arrays are joined
     # back per *deduplicated* candidate pair, so a pair found by several
@@ -179,7 +187,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     distance. Returns (id_a, id_b, hamming) with id_a < id_b."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("_sim"))
+    sig = (spread(df.select(F.col(id_col), F.col(text_col)))
+           .select(F.col(id_col), simhash(text_col, bits).alias("_sim"))
+           .cache())
     keys = F.array(*[
         F.concat_ws("|", F.lit(str(b)),
                     (F.col("_sim") / F.lit(float(1 << (b * chunk))))
@@ -205,7 +215,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     use as the verifier / oracle; MinHash-LSH is the scale path. A
     frequency cutoff on pathological shingles (stopword runs) is the
     standard mitigation when running this directly on large corpora."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+    sh = (spread(df.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+          .cache())
     sizes = sh.select(id_col, F.size("_sh").alias("_n"))
     inv = sh.select(id_col, F.explode("_sh").alias("shingle"))
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")

@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..sources.io import spread
 from .common import t
+
+
+def docs_t(spark, sf_dir):
+    """documents table spread to cluster parallelism: the synthetic file is
+    a single row group, which would serialize the per-row text ops that
+    follow; at real scale spread() is the identity (see sources.io)."""
+    return spread(t(spark, sf_dir, "documents"))
 
 # DuckDB md5-derived 32-bit int, matching functions.hashing.md5_long
 def _sql_md5int(expr: str, seed: int = 0) -> str:
@@ -43,7 +51,7 @@ sh AS (
 # --- exact dedup --------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     return dedup.exact_duplicates(docs)
 
 
@@ -57,7 +65,7 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 # --- fingerprint clustering ------------------------------------------------------
 
 def q_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     return (docs.select(text.fingerprint("text").alias("fp"), "doc_id")
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("count"), F.min("doc_id").alias("keep_id"))
@@ -131,7 +139,7 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     return docs.select("doc_id",
                        dedup.simhash("text", bits=_SIMHASH_BITS).alias("simhash"))
 
@@ -237,7 +245,7 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis --------------------------------------------------------------------------
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     return docs.select("doc_id",
                        text.token_count("text").alias("ws_tokens"),
                        text.bpe_ish_token_count("text").alias("bpe_tokens"))
@@ -254,7 +262,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     return docs.select("doc_id",
                        text.detect_language("text").alias("lang_detected"),
                        F.round(text.stopword_ratio("text", "en"), 6).alias("sw_en"))
@@ -287,7 +295,7 @@ FROM best
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     q = text.quality_features(docs)
     return q.select("doc_id", "q_n_chars", "q_n_tokens",
                     F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
@@ -317,7 +325,7 @@ FROM documents d JOIN toks ON d.doc_id = toks.doc_id
 # --- multimodal plumbing (binary payloads + Arrow-batched extraction) -------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     media = multimodal.attach_fake_media(docs)
     feats = multimodal.extract_features(media)
     return feats.select("doc_id", "n_bytes", "content_hash",

@@ -118,10 +118,15 @@ def derive_osm(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # tiebreak on l_partkey so sequence_id is deterministic (full ties then
     # share the same node_id, so any residual order is value-identical)
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    # nodes/way_nodes are consumed by several downstream branches per query
+    # (ways assembly, the network semi-join, POIs); cache both — identical
+    # plans across queries also hit the same InMemoryRelation, mirroring
+    # the reference's materialized pgsnapshot base tables
+    nodes = nodes.cache()
     way_nodes = li.select(
         F.col("l_orderkey").alias("way_id"),
         F.col("l_partkey").alias("node_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("sequence_id"))
+        (F.row_number().over(w) - 1).cast("int").alias("sequence_id")).cache()
 
     pts = way_nodes.join(
         nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
@@ -409,8 +414,24 @@ FROM expanded
 
 
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = derive_osm(spark, sf_dir)
-    comp = with_mode_flags(complete_network(d["ways"]))
+    """Mode flags depend only on tags, so build a geometry-free network
+    projection (the cascade operator is identical; skipping the linestring
+    assembly is pure column pruning the join would otherwise defeat)."""
+    from ..functions.maps import tag_get
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    way_ids = li.select(F.col("l_orderkey").alias("id")).distinct()
+    key = F.col("o_orderkey")
+    ways_tags = (orders.select(key.alias("id"),
+                               _tags_map(_way_tag_exprs(key)).alias("tags"))
+                 .join(way_ids, "id", "left_semi"))
+    net = (ways_tags.filter(tag_get("tags", "highway").isNotNull())
+           .select(F.col("id").alias("edge_id"), "tags",
+                   tag_get("tags", "highway").alias("highway"),
+                   tag_get("tags", "service").alias("service"),
+                   tag_get("tags", "access").alias("access")))
+    comp = with_mode_flags(net)
     return comp.select("edge_id", "highway", "car", "pedestrian", "bicycle")
 
 

@@ -23,6 +23,22 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Ensure at least cluster-parallelism partitions before a CPU-heavy
+    narrow stage.
+
+    Small inputs (a single-row-group parquet file, a collected dimension)
+    arrive as one task, serializing per-row work like shingling or hashing
+    on one core. When the plan already has enough partitions — the normal
+    case at scale — this is the identity, so no shuffle is added to big
+    pipelines.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read one table. Column pruning + predicate pushdown happen at the
     parquet scan (verify with ``df.explain``: PushedFilters / ReadSchema)."""
