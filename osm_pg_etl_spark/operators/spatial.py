@@ -92,6 +92,131 @@ def polylines_intersect(*cols):
     return _polylines_intersect_udf(*cols)
 
 
+def _pair_intersection_points(ax, ay, bx, by) -> list[tuple[float, float]]:
+    """All intersection points of two polylines (F16: ``ST_Intersection`` +
+    ``ST_Dump`` on the point-array model, ``osm-road-graphs-fix.sql:96``).
+    Proper crossings yield the computed crossing point; touches yield the
+    touching endpoint. Collinear-overlap contributes its shared endpoints
+    (PostGIS would return a line segment there; the blade model only uses
+    points, see module docstring)."""
+    pts: list[tuple[float, float]] = []
+    if len(ax) < 2 or len(bx) < 2:
+        return pts
+
+    def cross(ox, oy, x1, y1, x2, y2):
+        return (x1 - ox) * (y2 - oy) - (y1 - oy) * (x2 - ox)
+
+    def on_seg(sx1, sy1, sx2, sy2, px, py):
+        return (min(sx1, sx2) <= px <= max(sx1, sx2)
+                and min(sy1, sy2) <= py <= max(sy1, sy2))
+
+    for i in range(len(ax) - 1):
+        p1x, p1y, p2x, p2y = ax[i], ay[i], ax[i + 1], ay[i + 1]
+        for j in range(len(bx) - 1):
+            q1x, q1y, q2x, q2y = bx[j], by[j], bx[j + 1], by[j + 1]
+            d1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+            d2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+            d3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
+            d4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+                    and 0 not in (d1, d2, d3, d4):
+                t = d1 / (d1 - d2)
+                pts.append((p1x + t * (p2x - p1x), p1y + t * (p2y - p1y)))
+                continue
+            if d1 == 0 and on_seg(q1x, q1y, q2x, q2y, p1x, p1y):
+                pts.append((p1x, p1y))
+            if d2 == 0 and on_seg(q1x, q1y, q2x, q2y, p2x, p2y):
+                pts.append((p2x, p2y))
+            if d3 == 0 and on_seg(p1x, p1y, p2x, p2y, q1x, q1y):
+                pts.append((q1x, q1y))
+            if d4 == 0 and on_seg(p1x, p1y, p2x, p2y, q2x, q2y):
+                pts.append((q2x, q2y))
+    # +0.0 folds IEEE -0.0 into +0.0 so point identity matches SQL DISTINCT
+    return sorted({(x + 0.0, y + 0.0) for x, y in pts})
+
+
+_PT_ARRAY = "array<struct<lon:double,lat:double>>"
+
+_pair_points_udf = None
+
+
+def pair_intersection_points(*cols):
+    global _pair_points_udf
+    if _pair_points_udf is None:
+        def fn(ax, ay, bx, by):
+            return pd.Series([
+                [{"lon": x, "lat": y} for x, y in _pair_intersection_points(
+                    np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64),
+                    np.asarray(c, dtype=np.float64), np.asarray(d, dtype=np.float64))]
+                for a, b, c, d in zip(ax, ay, bx, by)])
+        _pair_points_udf = pandas_udf(fn, _PT_ARRAY)
+    return _pair_points_udf(*cols)
+
+
+def _split_polyline(xs, ys, cut_pts, eps=1e-9):
+    """Cut a polyline at every cut point that lies on it (F15: ``ST_Split``
+    + ``ST_Dump``). Returns the list of parts, each a list of (x, y)."""
+    cuts = []  # (segment index, parameter t along segment)
+    for px, py in cut_pts:
+        for i in range(len(xs) - 1):
+            dx, dy = xs[i + 1] - xs[i], ys[i + 1] - ys[i]
+            seg_len2 = dx * dx + dy * dy
+            if seg_len2 == 0:
+                continue
+            t = ((px - xs[i]) * dx + (py - ys[i]) * dy) / seg_len2
+            if -eps <= t <= 1 + eps:
+                t = min(max(t, 0.0), 1.0)
+                ox, oy = xs[i] + t * dx, ys[i] + t * dy
+                if abs(ox - px) <= eps and abs(oy - py) <= eps:
+                    cuts.append((i, t))
+                    break
+    # drop cuts at the line's own endpoints; order along the line
+    cuts = sorted({(i, t) for i, t in cuts
+                   if not (i == 0 and t <= eps)
+                   and not (i == len(xs) - 2 and t >= 1 - eps)})
+    if not cuts:
+        return [list(zip(xs, ys))]
+    parts = []
+    cur = [(xs[0], ys[0])]
+    ci = 0
+    for i in range(len(xs) - 1):
+        while ci < len(cuts) and cuts[ci][0] == i:
+            _, t = cuts[ci]
+            px = xs[i] + t * (xs[i + 1] - xs[i])
+            py = ys[i] + t * (ys[i + 1] - ys[i])
+            if (px, py) != cur[-1]:
+                cur.append((px, py))
+            if len(cur) > 1:
+                parts.append(cur)
+            cur = [(px, py)]
+            ci += 1
+        nxt = (xs[i + 1], ys[i + 1])
+        if nxt != cur[-1]:
+            cur.append(nxt)
+    if len(cur) > 1:
+        parts.append(cur)
+    return parts
+
+
+_split_udf = None
+
+
+def split_at_points(*cols):
+    global _split_udf
+    if _split_udf is None:
+        def fn(xs, ys, cx, cy):
+            out = []
+            for x, y, px, py in zip(xs, ys, cx, cy):
+                parts = _split_polyline(
+                    np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64),
+                    list(zip(px, py)))
+                out.append([[{"lon": a, "lat": b} for a, b in part]
+                            for part in parts])
+            return pd.Series(out)
+        _split_udf = pandas_udf(fn, f"array<{_PT_ARRAY}>")
+    return _split_udf(*cols)
+
+
 def intersecting_way_pairs(ways: DataFrame, id_col: str = "id",
                            line_col: str = "linestring",
                            cell_deg: float = 0.01) -> DataFrame:
@@ -123,3 +248,74 @@ def intersecting_way_pairs(ways: DataFrame, id_col: str = "id",
     return (cand.join(ga, "id_a").join(gb, "id_b")
             .filter(polylines_intersect("ax", "ay", "bx", "by"))
             .select("id_a", "id_b"))
+
+
+def _candidate_pair_geoms(ways: DataFrame, id_col: str, line_col: str,
+                          cell_deg: float) -> DataFrame:
+    """Blocked candidate pairs with both geometries attached (shared head of
+    the pair-predicate and intersection-point paths)."""
+    cells = ways.select(
+        F.col(id_col).alias("_id"),
+        F.explode(segment_grid_cells(line_col, cell_deg)).alias("cell"))
+    a = cells.select(F.col("_id").alias("id_a"), "cell")
+    b = cells.select(F.col("_id").alias("id_b"), "cell")
+    cand = (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    geom = ways.select(
+        F.col(id_col).alias("_gid"),
+        F.transform(line_col, lambda p: p["lon"]).alias("_xs"),
+        F.transform(line_col, lambda p: p["lat"]).alias("_ys"))
+    ga = geom.select(F.col("_gid").alias("id_a"),
+                     F.col("_xs").alias("ax"), F.col("_ys").alias("ay"))
+    gb = geom.select(F.col("_gid").alias("id_b"),
+                     F.col("_xs").alias("bx"), F.col("_ys").alias("by"))
+    return cand.join(ga, "id_a").join(gb, "id_b")
+
+
+def way_blades(ways: DataFrame, id_col: str = "id",
+               line_col: str = "linestring",
+               cell_deg: float = 0.01) -> DataFrame:
+    """Per-way 'blade' multipoint (A9/F16: ``ST_Union(ST_Intersection)``
+    per way pair, ``osm-road-graphs-fix.sql:81-104``): the distinct points
+    where a way meets any other way. Returns (id, blade) with blade an
+    array<struct<lon,lat>> — the point-model multipoint."""
+    pairs = (_candidate_pair_geoms(ways, id_col, line_col, cell_deg)
+             .withColumn("_pts", pair_intersection_points("ax", "ay", "bx", "by"))
+             .filter(F.size("_pts") > 0))
+    per_way = (pairs.select(F.col("id_a").alias("id"), "_pts")
+               .unionByName(pairs.select(F.col("id_b").alias("id"), "_pts")))
+    return (per_way.select("id", F.explode("_pts").alias("pt"))
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_set("pt")).alias("blade")))
+
+
+def geometric_split(ways: DataFrame, id_col: str = "id",
+                    line_col: str = "linestring",
+                    cell_deg: float = 0.01,
+                    min_blade_points: int = 0) -> DataFrame:
+    """The reference's 'Approach 1' geometric split
+    (``osm-road-graphs-fix.sql:89-123``): cut every way's linestring at its
+    blade points (``ST_Split`` + ``ST_Dump``, F15) — one output row per
+    part, ways without blades pass through whole. ``min_blade_points``
+    mirrors the ``ST_NumGeometries > n`` blade-size filter (F18,
+    ``osm-road-graphs-fix.sql:105``).
+
+    Unlike the reference — which runs the O(n²) pairwise intersection this
+    path was abandoned over — blades come from the grid-blocked join, so
+    the geometric path scales the same way the topological one does."""
+    blades = way_blades(ways, id_col, line_col, cell_deg)
+    if min_blade_points > 0:
+        blades = blades.filter(F.size("blade") >= min_blade_points)
+    joined = (ways.join(blades, ways[id_col] == blades["id"], "left")
+              .select(ways[id_col].alias("_id"), F.col(line_col).alias("_line"),
+                      F.coalesce("blade", F.array().cast(
+                          "array<struct<lon:double,lat:double>>")).alias("_blade")))
+    parts = joined.select(
+        "_id",
+        F.posexplode(split_at_points(
+            F.transform("_line", lambda p: p["lon"]),
+            F.transform("_line", lambda p: p["lat"]),
+            F.transform("_blade", lambda p: p["lon"]),
+            F.transform("_blade", lambda p: p["lat"]))).alias("part_index", "geom"))
+    return parts.select(F.col("_id").alias(id_col), "part_index", "geom")

@@ -523,8 +523,9 @@ def q_osm_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Same blocking + same orientation-test arithmetic (identical expression
-# grouping -> identical IEEE doubles) in DuckDB.
-SQL_OSM_SPATIAL_PAIRS = _cte(_NODES_SQL, _WN_SQL) + """,
+# grouping -> identical IEEE doubles) in DuckDB. Shared by the
+# pair-predicate and blade oracles.
+_SPATIAL_CTES = """,
 geom AS (
   SELECT wn.way_id AS id,
          list(n.lon ORDER BY wn.sequence_id) AS xs,
@@ -556,6 +557,9 @@ dvals AS (
   FROM cand c
   JOIN segs sa ON sa.id = c.id_a
   JOIN segs sb ON sb.id = c.id_b)
+"""
+
+SQL_OSM_SPATIAL_PAIRS = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + """
 SELECT DISTINCT id_a, id_b FROM dvals
 WHERE (((d1 > 0) != (d2 > 0)) AND ((d3 > 0) != (d4 > 0))
        AND d1 != 0 AND d2 != 0 AND d3 != 0 AND d4 != 0)
@@ -568,6 +572,64 @@ WHERE (((d1 > 0) != (d2 > 0)) AND ((d3 > 0) != (d4 > 0))
    OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
               AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
 """
+
+
+def q_osm_geometric_blades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/A9: per-way intersection-point ('blade') counts over the same
+    deterministic subset as osm_spatial_pairs."""
+    from ..operators.spatial import way_blades
+
+    d = derive_osm(spark, sf_dir)
+    sub = d["ways"].filter(F.col("id") % 97 == 0)
+    return (way_blades(sub, id_col="id", line_col="linestring", cell_deg=0.5)
+            .select("id", F.size("blade").alias("n_blade")))
+
+
+SQL_OSM_GEOMETRIC_BLADES = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + """,
+pts0 AS (
+  SELECT id_a, id_b,
+         ax1 + (d1 / (d1 - d2)) * (ax2 - ax1) AS px,
+         ay1 + (d1 / (d1 - d2)) * (ay2 - ay1) AS py
+  FROM dvals
+  WHERE ((d1 > 0) != (d2 > 0)) AND ((d3 > 0) != (d4 > 0))
+    AND d1 != 0 AND d2 != 0 AND d3 != 0 AND d4 != 0
+  UNION ALL
+  SELECT id_a, id_b, ax1, ay1 FROM dvals
+  WHERE d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+               AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2)
+  UNION ALL
+  SELECT id_a, id_b, ax2, ay2 FROM dvals
+  WHERE d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+               AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2)
+  UNION ALL
+  SELECT id_a, id_b, bx1, by1 FROM dvals
+  WHERE d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+               AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2)
+  UNION ALL
+  SELECT id_a, id_b, bx2, by2 FROM dvals
+  WHERE d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+               AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2)),
+pts AS (
+  SELECT id, px + 0.0 AS px, py + 0.0 AS py
+  FROM (SELECT id_a AS id, px, py FROM pts0
+        UNION ALL
+        SELECT id_b AS id, px, py FROM pts0))
+SELECT id, CAST(COUNT(DISTINCT (px, py)) AS INT) AS n_blade
+FROM pts GROUP BY id
+"""
+
+
+def q_osm_geometric_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: ST_Split at blades (rows-only: the split itself is verified by
+    unit goldens in tests/test_geometric_split.py; blades are
+    oracle-checked by osm_geometric_blades)."""
+    from ..operators.spatial import geometric_split
+
+    d = derive_osm(spark, sf_dir)
+    sub = d["ways"].filter(F.col("id") % 97 == 0)
+    parts = geometric_split(sub, id_col="id", line_col="linestring",
+                            cell_deg=0.5)
+    return parts.select("id", "part_index", F.size("geom").alias("n_points"))
 
 
 def q_osm_create_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,11 +692,15 @@ QUERIES = {
     "osm_pois": q_osm_pois,
     "osm_network_nodes": q_osm_network_nodes,
     "osm_spatial_pairs": q_osm_spatial_pairs,
+    "osm_geometric_blades": q_osm_geometric_blades,
+    "osm_geometric_split": q_osm_geometric_split,
     "osm_create_topology": q_osm_create_topology,
 }
 
 ORACLES = {
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
+    "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
+    # osm_geometric_split: rows-only (split goldens in unit tests)
     "osm_create_topology": SQL_OSM_CREATE_TOPOLOGY,
     "osm_car_network": SQL_OSM_CAR_NETWORK,
     "osm_shared_nodes": SQL_OSM_SHARED_NODES,

@@ -504,7 +504,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- S9: change-feed batch MERGE (pgsnapshot actions semantics) --------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_actions over a deterministic changeset derived from orders:
+    C/M/D per o_orderkey residue against the customer snapshot."""
+    from ..streaming.actions import apply_actions
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    ord_ = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 3)
+    actions = ord_.select(
+        F.lit("N").alias("data_type"),
+        F.element_at(F.array(F.lit("C"), F.lit("M"), F.lit("D")),
+                     (F.col("o_orderkey") % 3).cast("int") + 1).alias("action"),
+        F.col("o_custkey").alias("id"))
+    changed = (cust.join(
+        actions.filter(F.col("action").isin("C", "M"))
+        .select(F.col("id").alias("c_custkey")).distinct(), "c_custkey", "left_semi")
+        .select("c_custkey", "c_name",
+                F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal")))
+    out = apply_actions(cust, actions, changed, "N", id_col="c_custkey")
+    return out.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+SQL_CDC_APPLY = """
+WITH actions AS (
+  SELECT 'N' AS data_type,
+         CASE o_orderkey % 3 WHEN 0 THEN 'C' WHEN 1 THEN 'M' ELSE 'D' END AS action,
+         o_custkey AS id
+  FROM orders WHERE o_orderkey % 100 < 3),
+acted AS (SELECT DISTINCT id FROM actions),
+upsert_ids AS (SELECT DISTINCT id FROM actions WHERE action IN ('C', 'M'))
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_custkey NOT IN (SELECT id FROM acted)
+UNION ALL
+SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+FROM customer WHERE c_custkey IN (SELECT id FROM upsert_ids)
+"""
+
+
 QUERIES = {
+    "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
     "multi_group_count": q_multi_group_count,
     "tag_values": q_tag_values,
@@ -532,6 +572,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,
     "multi_group_count": SQL_MULTI_GROUP_COUNT,
     "tag_values": SQL_TAG_VALUES,
