@@ -490,6 +490,27 @@ WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)
 """
 
 
+def q_osm_tag_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osm-explore key-frequency summary with the literal + substring
+    denylists (P6/P7): 'name' drops out via position(x in tag) = 0."""
+    from ..operators.tags import tag_key_summary
+
+    d = derive_osm(spark, sf_dir)
+    return tag_key_summary(d["nodes"])
+
+
+SQL_OSM_TAG_KEYS = _cte(_NODES_SQL) + """,
+k AS (
+  SELECT 'amenity' AS tag FROM nodes_d WHERE amenity IS NOT NULL
+  UNION ALL SELECT 'shop' FROM nodes_d WHERE shop IS NOT NULL
+  UNION ALL SELECT 'leisure' FROM nodes_d WHERE leisure IS NOT NULL
+  UNION ALL SELECT 'sport' FROM nodes_d WHERE sport IS NOT NULL
+  UNION ALL SELECT 'tourism' FROM nodes_d WHERE tourism IS NOT NULL)
+SELECT tag, CAST(COUNT(*) AS BIGINT) AS count
+FROM k GROUP BY tag ORDER BY count DESC, tag
+"""
+
+
 def q_osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
     return pois_from_nodes(d["nodes"]).select("node_id", "key", "values", "name")
@@ -690,6 +711,7 @@ QUERIES = {
     "osm_directed_graph": q_osm_directed_graph,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_pois": q_osm_pois,
+    "osm_tag_keys": q_osm_tag_keys,
     "osm_network_nodes": q_osm_network_nodes,
     "osm_spatial_pairs": q_osm_spatial_pairs,
     "osm_geometric_blades": q_osm_geometric_blades,
@@ -698,6 +720,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
     # osm_geometric_split: rows-only (split goldens in unit tests)
