@@ -50,6 +50,16 @@ MERGED_COLUMNS = ("start_node", "end_node", "edge_id", "tags", "nodes",
                   "length", "speed_limit", "highway", "oneway", "geom")
 
 
+def unnest_way_nodes(ways: DataFrame) -> DataFrame:
+    """``unnest_bbox_way_nodes`` (U6, ``etl/pgsnapshot_schema_0.6.sql:
+    122-136``): the plpgsql loop that unnests ``ways.nodes`` into
+    (way_id, node_id, sequence_id) rows is a single posexplode."""
+    return ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("nodes").alias("sequence_id", "node_id"),
+    ).select("way_id", "node_id", F.col("sequence_id").cast("int").alias("sequence_id"))
+
+
 def network_way_nodes(way_nodes: DataFrame, network: DataFrame) -> DataFrame:
     """way_nodes restricted to network ways — the ``way_id IN (SELECT
     edge_id ...)`` semi-join used by every stage (``osm-road-graphs.sql:72,

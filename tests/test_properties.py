@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis): invariants that hold for arbitrary
+inputs, complementing the golden/oracle checks."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_pg_etl_spark.operators.spatial import (
+    _pair_intersection_points,
+    _segments_intersect,
+    _split_polyline,
+)
+
+
+def _weighted_median_reference(pairs):
+    """Direct re-implementation of general-functions.sql:52-75 semantics."""
+    pairs = sorted(pairs, key=lambda p: p[0])
+    weights = [0.0 if w is None else w for _, w in pairs]
+    total = sum(weights)
+    half = total / 2
+    run, hits = 0.0, []
+    for (x, _), w in zip(pairs, weights):
+        prev = run
+        run += w
+        if prev <= half <= run:
+            hits.append(x)
+    return sum(hits) / len(hits) if hits else None
+
+
+@st.composite
+def xw_pairs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    xs = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n,
+                       unique=True))
+    ws = draw(st.lists(st.integers(0, 20), min_size=n, max_size=n))
+    return [(float(x), float(w)) for x, w in zip(xs, ws)]
+
+
+class TestWeightedMedianProperty:
+    """One Spark session per class run; data-driven via hypothesis."""
+
+    @pytest.fixture(autouse=True)
+    def _spark(self, spark):
+        self.spark = spark
+
+    @settings(max_examples=12, deadline=None)
+    @given(pairs=xw_pairs())
+    def test_matches_reference_semantics(self, pairs):
+        from osm_pg_etl_spark.operators.stats import weighted_median
+
+        df = self.spark.createDataFrame(pairs, "x double, w double")
+        got = weighted_median(df, "x", "w").collect()[0]["weighted_median"]
+        want = _weighted_median_reference(pairs)
+        # distinct integer xs: ties at the midpoint average identically
+        assert got == pytest.approx(want)
+
+
+coord = st.integers(-5, 5).map(float)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.tuples(coord, coord, coord, coord),
+       st.tuples(coord, coord, coord, coord))
+def test_intersection_predicate_symmetric(a, b):
+    ax = np.array([a[0], a[2]]); ay = np.array([a[1], a[3]])
+    bx = np.array([b[0], b[2]]); by = np.array([b[1], b[3]])
+    assert _segments_intersect(ax, ay, bx, by) \
+        == _segments_intersect(bx, by, ax, ay)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.tuples(coord, coord, coord, coord),
+       st.tuples(coord, coord, coord, coord))
+def test_intersection_points_lie_on_both_bboxes(a, b):
+    ax = np.array([a[0], a[2]]); ay = np.array([a[1], a[3]])
+    bx = np.array([b[0], b[2]]); by = np.array([b[1], b[3]])
+    eps = 1e-9
+    for px, py in _pair_intersection_points(ax, ay, bx, by):
+        assert min(ax) - eps <= px <= max(ax) + eps
+        assert min(bx) - eps <= px <= max(bx) + eps
+        assert min(ay) - eps <= py <= max(ay) + eps
+        assert min(by) - eps <= py <= max(by) + eps
+
+
+@st.composite
+def polyline(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    pts = draw(st.lists(st.tuples(coord, coord), min_size=n, max_size=n))
+    # drop consecutive duplicates (zero-length segments)
+    out = [pts[0]]
+    for p in pts[1:]:
+        if p != out[-1]:
+            out.append(p)
+    if len(out) < 2:
+        out.append((out[0][0] + 1.0, out[0][1]))
+    return out
+
+
+def _length(parts):
+    return sum(
+        math.dist(part[i], part[i + 1])
+        for part in parts for i in range(len(part) - 1))
+
+
+@settings(max_examples=150, deadline=None)
+@given(line=polyline(), cuts=st.lists(st.tuples(coord, coord), max_size=4))
+def test_split_preserves_total_length(line, cuts):
+    xs = np.array([p[0] for p in line])
+    ys = np.array([p[1] for p in line])
+    parts = _split_polyline(xs, ys, cuts)
+    assert _length(parts) == pytest.approx(_length([line]), abs=1e-9)
+    for part in parts:
+        assert len(part) >= 2
+    # parts chain: each part starts where the previous ended
+    for prev, nxt in zip(parts, parts[1:]):
+        assert prev[-1] == nxt[0]
+
+
+def test_unnest_way_nodes_roundtrip(spark, osm):
+    from osm_pg_etl_spark.operators.topology import unnest_way_nodes
+
+    got = sorted((r["way_id"], r["node_id"], r["sequence_id"]) for r in
+                 unnest_way_nodes(osm["ways"]).collect())
+    want = sorted((r["way_id"], r["node_id"], r["sequence_id"]) for r in
+                  osm["way_nodes"].collect())
+    assert got == want
