@@ -144,25 +144,50 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        dedup.simhash("text", bits=_SIMHASH_BITS).alias("simhash"))
 
 
-def _sql_simhash() -> str:
-    terms = " + ".join(
+def _simhash_terms(bits: int) -> str:
+    return " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {b}) & 1) = 1)) "
         f"- len(hs) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(_SIMHASH_BITS))
+        for b in range(bits))
+
+
+def _sql_simhash() -> str:
     return f"""
 WITH {_TOKS_SQL.strip()},
 h AS (SELECT doc_id,
              list_transform(w, t -> {_sql_md5int('t')}) AS hs
       FROM toks)
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+SELECT doc_id, CAST({_simhash_terms(_SIMHASH_BITS)} AS BIGINT) AS simhash FROM h
 """
 
 
-# --- SimHash near-dup pairs (rows-only: banded hamming join) ---------------------------
+# --- SimHash near-dup pairs (banded hamming join, full oracle) -------------------------
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return dedup.simhash_near_duplicates(docs, bits=32, bands=4, max_hamming=3)
+
+
+def _sql_simhash_neardup(bits: int = 32, bands: int = 4,
+                         max_hamming: int = 3) -> str:
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    # floor() mirrors Spark's double-division + cast(long) truncation
+    # (sims are non-negative, so truncation == floor)
+    keys = ", ".join(
+        f"'{b}|' || CAST(CAST(floor(sim / {float(1 << (b * chunk))}) AS BIGINT) "
+        f"% {mask + 1} AS VARCHAR)"
+        for b in range(bands))
+    return f"""
+WITH {_TOKS_SQL.strip()},
+h AS (SELECT doc_id, list_transform(w, t -> {_sql_md5int('t')}) AS hs FROM toks),
+s AS (SELECT doc_id, CAST({_simhash_terms(bits)} AS BIGINT) AS sim FROM h),
+b AS (SELECT doc_id, sim, unnest([{keys}]) AS bucket FROM s)
+SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, x.sim)) AS INT) AS hamming
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.doc_id < x.doc_id
+WHERE bit_count(xor(a.sim, x.sim)) <= {max_hamming}
+"""
 
 
 # --- n-gram Jaccard exact pairs (full oracle) ---------------------------------------------
@@ -235,11 +260,38 @@ WHERE ROUND({_COS_AB_SQL}, 6) >= 0.9
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only check: approximation has no SQL oracle)."""
+    """Approximate ANN. Deterministic given the fixed hyperplane family, so
+    the bucketing + probe + scoring is fully oracle-checkable."""
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     return similarity.lsh_topk(emb, query, k=20, num_planes=8, multi_probe=2)
+
+
+def _sql_lsh_topk(dim: int = 64, num_planes: int = 8, k: int = 20,
+                  multi_probe: int = 2) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed=42)
+    plane_lits = [("[" + ", ".join(repr(x) for x in p) + "]") for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, lit in enumerate(plane_lits))
+    qsig = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, lit in enumerate(plane_lits))
+    probes = ", ".join(["qs"] + [f"xor(qs, {1 << p})" for p in range(multi_probe)])
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT CAST({qsig} AS BIGINT) AS qs, qv FROM q),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS s FROM e),
+cand AS (SELECT vec_id, v, qv FROM sig, qb WHERE s IN ({probes}))
+SELECT vec_id, ROUND({_COS_SQL}, 6) AS cosine_sim
+FROM cand
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
 
 
 # --- text analysis --------------------------------------------------------------------------
@@ -370,7 +422,8 @@ ORACLES = {
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
     "simhash": _sql_simhash(),
-    # simhash_neardup / similarity_lsh_topk: approximate & banded — rows-only
+    "simhash_neardup": _sql_simhash_neardup(),
+    "similarity_lsh_topk": _sql_lsh_topk(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
