@@ -504,6 +504,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- J1 at depth: 3-table join + agg + top-k (TPC-H q3 shape) ----------------
+
+def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join (lineitem ⨝ orders, SMJ at scale) + broadcast dim
+    (customer filter), map-side-combinable agg, TakeOrderedAndProject."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+SQL_JOIN3_TOPK = f"""
+SELECT o_orderkey, o_orderdate,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 # --- S9: change-feed batch MERGE (pgsnapshot actions semantics) --------------
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +574,7 @@ FROM customer WHERE c_custkey IN (SELECT id FROM upsert_ids)
 
 
 QUERIES = {
+    "join3_topk": q_join3_topk,
     "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
     "multi_group_count": q_multi_group_count,
@@ -572,6 +603,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join3_topk": SQL_JOIN3_TOPK,
     "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,
     "multi_group_count": SQL_MULTI_GROUP_COUNT,
