@@ -573,7 +573,70 @@ FROM customer WHERE c_custkey IN (SELECT id FROM upsert_ids)
 """
 
 
+# --- session windows (streaming-class, batch-checkable) ----------------------
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.actions import session_counts
+
+    return session_counts(t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# gaps-and-islands: a session breaks when the gap to the previous event
+# reaches 30 minutes (session_window extends by ts+gap, strict <)
+SQL_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {sql_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.actions import capped_sessions
+
+    return capped_sessions(t(spark, sf_dir, "events"),
+                           gap_minutes=30, max_duration_minutes=120)
+
+
+SQL_CAPPED_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM g),
+seg AS (
+  SELECT user_id, ts, value, island,
+         FLOOR((epoch(ts) - FIRST_VALUE(epoch(ts)) OVER
+                (PARTITION BY user_id, island ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING)) / 7200.0) AS seg
+  FROM s)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {sql_dsum('value')} AS sum_value
+FROM seg GROUP BY user_id, island, seg
+"""
+
+
 QUERIES = {
+    "session_window": q_session_window,
+    "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
     "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
@@ -603,6 +666,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_window": SQL_SESSION_WINDOW,
+    "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
     "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,

@@ -70,7 +70,9 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name in ("ts", "tstamp", "o_orderdate", "l_shipdate") \
                 and isinstance(field.dataType, LongType):
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            micros = F.floor(F.col(field.name) / 1000).cast("long")
+            # integer division: epoch-nanos (~1.8e18) exceeds a double's
+            # 53-bit mantissa, so `/ 1000` + floor would be off by ±1 µs
+            micros = F.expr(f"{field.name} div 1000")
             df = df.withColumn(
                 field.name, F.timestamp_micros(micros).cast("timestamp_ntz"))
     return df

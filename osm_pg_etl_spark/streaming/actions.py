@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DATA_TYPES = {"N": "nodes", "W": "ways", "R": "relations"}
@@ -66,6 +66,120 @@ def incremental_pipeline(spark, changes_path: str, checkpoint_path: str,
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True)
             .start())
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session aggregation via the built-in ``session_window``
+    (extension; SURVEY §2.9 — the reference has no event-time operators).
+    Two events share a session iff consecutive gaps stay under ``gap``.
+    Works on batch and streaming inputs alike; on a stream the watermark
+    bounds session state."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4)
+                 .alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def capped_sessions(events: DataFrame, gap_minutes: int = 30,
+                    max_duration_minutes: int = 120,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful sessionization the built-in window can't express:
+    sessions close on a ``gap_minutes`` silence OR when they reach
+    ``max_duration_minutes`` total span (training-pipeline style bounded
+    sessions).
+
+    Semantics (identical on both paths): events group into gap-islands;
+    an island splits into sessions at fixed ``max_duration`` boundaries
+    measured from the island's first event.
+
+    Streaming input → ``applyInPandasWithState`` (per-key state = current
+    island/session accumulator, processing-time timeout flushes idle
+    keys). Batch input → the equivalent two-pass window computation, so
+    the operator is testable and oracle-checkable without a streaming
+    runtime.
+    """
+    out_schema = ("user_id long, session_start timestamp_ntz, "
+                  "n_events long, sum_value double")
+
+    if not events.isStreaming:
+        gap_s = gap_minutes * 60
+        cap_s = max_duration_minutes * 60
+        w = Window.partitionBy("user_id").orderBy("ts")
+        # NTZ has no direct double cast; UTC session tz makes the hop exact
+        sec = F.col("ts").cast("timestamp").cast("double")
+        prev = F.lag(sec).over(w)
+        new_island = (prev.isNull() | (sec - prev >= gap_s)).cast("int")
+        island = F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        df = events.select("user_id", "ts", "value",
+                           island.alias("_island"), sec.alias("_sec"))
+        wi = Window.partitionBy("user_id", "_island").orderBy("ts")
+        start = F.first("_sec").over(
+            wi.rowsBetween(Window.unboundedPreceding, 0))
+        seg = F.floor((F.col("_sec") - start) / cap_s)
+        return (df.withColumn("_seg", seg)
+                .groupBy("user_id", "_island", "_seg")
+                .agg(F.min("ts").alias("session_start"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum(F.col("value").cast("decimal(20,6)"))
+                             .cast("double"), 4).alias("sum_value"))
+                .select("user_id", "session_start", "n_events", "sum_value"))
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_s = gap_minutes * 60
+    cap_s = max_duration_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        # state: (island_start, sess_start, last_epoch, n, total)
+        sessions = []
+        cur = list(state.get) if state.exists else None
+        if state.hasTimedOut:
+            if cur:
+                sessions.append(cur)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            for ts, val in zip(rows["ts"], rows["value"]):
+                e = ts.timestamp()
+                if cur is None:
+                    cur = [e, e, e, 0, 0.0]
+                elif e - cur[2] >= gap_s:
+                    sessions.append(cur)
+                    cur = [e, e, e, 0, 0.0]
+                elif (e - cur[0]) // cap_s != (cur[1] - cur[0]) // cap_s:
+                    island = cur[0]
+                    sessions.append(cur)
+                    cur = [island, e, e, 0, 0.0]
+                cur[2] = e
+                cur[3] += 1
+                cur[4] += float(val)
+            state.update(tuple(cur))
+            state.setTimeoutDuration(gap_s * 1000)
+        return iter([pd.DataFrame({
+            "user_id": [key[0]] * len(sessions),
+            "session_start": [pd.Timestamp(s[1], unit="s") for s in sessions],
+            "n_events": [s[3] for s in sessions],
+            "sum_value": [round(s[4], 4) for s in sessions],
+        })])
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, out_schema,
+                "island_ts double, start_ts double, last_ts double, "
+                "n long, total double",
+                "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

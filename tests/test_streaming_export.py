@@ -114,3 +114,89 @@ def test_write_back_roundtrip(spark):
         got = sorted((r["node"], r["betweenness"])
                      for r in spark.read.parquet(path).collect())
         assert got == [(1, 0.5), (2, 0.7)]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_capped_sessions_batch_cap_splits(spark):
+    from osm_pg_etl_spark.streaming.actions import capped_sessions
+
+    # one gap-island (25-min spacing), split by the 120-min cap at 125 min
+    rows = [(1, f"2026-01-01 {h:02d}:{m:02d}:00", 1.0)
+            for h, m in [(0, 0), (0, 25), (0, 50), (1, 15), (1, 40),
+                         (2, 5), (2, 30), (2, 55)]]
+    got = sorted((str(r["session_start"]), r["n_events"]) for r in
+                 capped_sessions(_ev(spark, rows), gap_minutes=30,
+                                 max_duration_minutes=120).collect())
+    assert got == [("2026-01-01 00:00:00", 5), ("2026-01-01 02:05:00", 3)]
+
+
+def test_capped_sessions_batch_gap_splits(spark):
+    from osm_pg_etl_spark.streaming.actions import capped_sessions
+
+    rows = [(1, "2026-01-01 00:00:00", 1.0), (1, "2026-01-01 00:10:00", 2.0),
+            (1, "2026-01-01 01:00:00", 3.0),          # 50-min gap -> new island
+            (2, "2026-01-01 00:00:00", 4.0)]
+    got = sorted((r["user_id"], str(r["session_start"]), r["n_events"],
+                  r["sum_value"]) for r in
+                 capped_sessions(_ev(spark, rows)).collect())
+    assert got == [(1, "2026-01-01 00:00:00", 2, 3.0),
+                   (1, "2026-01-01 01:00:00", 1, 3.0),
+                   (2, "2026-01-01 00:00:00", 1, 4.0)]
+
+
+def test_capped_sessions_streaming_stateful(spark):
+    """applyInPandasWithState path: batch 2's late event closes batch 1's
+    session, which is then emitted."""
+    from osm_pg_etl_spark.streaming.actions import capped_sessions
+
+    # state-store maintenance may still touch checkpoint files after stop
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        # plain parquet FILES (df.write makes directories, which a flat
+        # readStream source ignores); µs timestamps to match the schema
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def write_file(df, name):
+            pq.write_table(pa.Table.from_pandas(df.toPandas()),
+                           os.path.join(src, name), coerce_timestamps="us")
+
+        b1 = _ev(spark, [(1, "2026-01-01 00:00:00", 1.0),
+                         (1, "2026-01-01 00:10:00", 2.0)])
+        write_file(b1, "b1.parquet")
+        b2 = _ev(spark, [(1, "2026-01-01 01:00:00", 5.0)])
+        write_file(b2, "b2.parquet")
+
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = capped_sessions(stream)
+        # NOT availableNow: with ProcessingTimeTimeout registered, the
+        # trigger loops on "cleaning up state" until timeouts fire and
+        # never terminates; process what's there, assert, stop.
+        q = (out.writeStream.format("memory").queryName("caps")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .start())
+        import time
+
+        try:
+            # poll the sink: the state-cleanup trigger never quiesces, so
+            # processAllAvailable()/awaitTermination would block forever
+            deadline = time.monotonic() + 120
+            got = []
+            while time.monotonic() < deadline and not got:
+                time.sleep(2)
+                got = sorted((r["user_id"], str(r["session_start"]),
+                              r["n_events"], r["sum_value"])
+                             for r in spark.table("caps").collect())
+        finally:
+            q.stop()
+        # the 00:00 session (2 events, sum 3.0) was closed by the 01:00
+        # event; the 01:00 session is still open in state -> not emitted
+        assert got == [(1, "2026-01-01 00:00:00", 2, 3.0)]
