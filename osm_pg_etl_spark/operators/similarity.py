@@ -11,9 +11,11 @@ Extensions beyond the reference surface (BASELINE.json north star):
   Multi-probe (flipping one bit) trades recall for fan-out.
 - **embedding near-dup pairs** — cosine over LSH-bucketed candidates.
 
-IVF (k-means coarse quantizer) is the step beyond hyperplane LSH; the
-bucket-join skeleton below is the same, with centroid assignment replacing
-sign bits.
+- **IVF (inverted-file) top-k** — the coarse-quantizer scale path: a small
+  centroid set partitions the vectors into cells (narrow argmax over
+  broadcast centroid literals, no shuffle); a query probes only its
+  ``nprobe`` nearest cells. Cell assignment is the natural partition /
+  cluster key for a persisted index at 100 TB.
 """
 
 from __future__ import annotations
@@ -111,6 +113,71 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 
     indexed = lsh_index(embeddings, num_planes, dim, vec_col, seed)
     candidates = indexed.filter(F.col("lsh_bucket").isin(probe_buckets))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (candidates
+            .select(F.col(id_col),
+                    F.round(cosine(_as_double_array(F.col(vec_col)), q), 6)
+                    .alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), id_col)
+            .limit(k))
+
+
+def ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer "training": deterministically sample the
+    ``num_centroids`` lowest-id vectors as cell centroids.
+
+    A Lloyd/k-means refinement would be a separate offline job writing a
+    centroid table; the cell-assignment / probe skeleton downstream is
+    identical, so the sampled variant keeps the whole index deterministic
+    (and therefore oracle-checkable) without changing the architecture.
+    """
+    rows = (embeddings.orderBy(id_col).limit(num_centroids)
+            .select(F.col(id_col), _as_double_array(F.col(vec_col)).alias("v"))
+            .collect())
+    return [(int(r[0]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def ivf_assign(embeddings: DataFrame,
+               centroids: list[tuple[int, list[float]]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the nearest-centroid cell id (``ivf_cell``) to every row.
+
+    Pure narrow map: centroids ride along as literals (the broadcast-side of
+    an IVF index is always tiny), the argmax is an ``array_max`` over
+    (cosine, -centroid_id) structs — ties break to the lowest centroid id.
+    No shuffle; at scale, persist partitioned by ``ivf_cell`` so probes prune
+    whole files.
+    """
+    v = _as_double_array(F.col(vec_col))
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine(v, F.array(*[F.lit(x) for x in cv])).alias("s"),
+            F.lit(-cid).cast("long").alias("nc"))
+        for cid, cv in centroids]))
+    return embeddings.withColumn("ivf_cell", (-best["nc"]).cast("long"))
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             num_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k via inverted-file probing: score the query against
+    the centroid set driver-side, scan only rows whose cell is among the
+    ``nprobe`` nearest centroids, brute-force cosine within. Reads ~nprobe/C
+    of the data; the candidate scan stays a narrow filter + per-partition
+    top-k (TakeOrderedAndProject)."""
+    centroids = ivf_centroids(embeddings, num_centroids, vec_col, id_col)
+    nq = math.sqrt(sum(x * x for x in query))
+    scored = []
+    for cid, cv in centroids:
+        denom = nq * math.sqrt(sum(x * x for x in cv))
+        c = (sum(a * b for a, b in zip(query, cv)) / denom) if denom > 0 else 0.0
+        scored.append((c, cid))
+    probe = [cid for c, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.filter(F.col("ivf_cell").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query])
     return (candidates
             .select(F.col(id_col),

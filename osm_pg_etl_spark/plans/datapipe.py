@@ -294,6 +294,45 @@ LIMIT {k}
 """
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic sampled centroids partition the vectors
+    into cells; the query probes its nprobe nearest cells only. Fully
+    oracle-checkable because training (centroid choice) is deterministic."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.ivf_topk(emb, query, k=20, num_centroids=16, nprobe=4)
+
+
+def _sql_ivf_topk(num_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+    # cosine with the exact same expression grouping as operators.similarity:
+    # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — identical IEEE results.
+    def cos(a: str, b: str) -> str:
+        return (f"CASE WHEN sqrt(list_dot_product({a}, {a})) "
+                f"* sqrt(list_dot_product({b}, {b})) > 0 "
+                f"THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+                f"* sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END")
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {num_centroids}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+asn AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {cos('v', 'cv')} DESC, cid) AS rn
+  FROM e CROSS JOIN c),
+probe AS (
+  SELECT cid FROM c CROSS JOIN q
+  ORDER BY {cos('qv', 'cv')} DESC, cid LIMIT {nprobe})
+SELECT vec_id, ROUND({cos('v', 'qv')}, 6) AS cosine_sim
+FROM asn JOIN probe USING (cid) CROSS JOIN q
+WHERE rn = 1
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
 # --- text analysis --------------------------------------------------------------------------
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +450,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_neardup": q_embedding_neardup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
@@ -424,6 +464,7 @@ ORACLES = {
     "simhash": _sql_simhash(),
     "simhash_neardup": _sql_simhash_neardup(),
     "similarity_lsh_topk": _sql_lsh_topk(),
+    "similarity_ivf_topk": _sql_ivf_topk(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -504,6 +504,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h window, 30 min slide): every event
+    lands in window_duration/slide = 2 overlapping windows via the built-in
+    ``F.window`` expansion — the batch shape of the Structured Streaming
+    ``readStream.groupBy(window(...))`` aggregation (SURVEY §2.9 extension).
+    """
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value"))
+            .select(F.col("window.start").alias("win_start"),
+                    F.col("window.end").alias("win_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+# Spark aligns sliding windows to the epoch: starts are the multiples of the
+# slide; an event at t belongs to starts floor(t/s)*s - i*s for i in 0..d/s-1
+# (all of them valid when d is a multiple of s). Rebuilt with epoch math —
+# TIMESTAMP '1970-01-01' + seconds keeps it timezone-free on both engines.
+SQL_SLIDING_WINDOW = f"""
+WITH w AS (
+  SELECT event_type, value,
+         TIMESTAMP '1970-01-01' + to_seconds(
+           CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i.i * 1800) AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {sql_dsum('value')} AS sum_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 # --- J1 at depth: 3-table join + agg + top-k (TPC-H q3 shape) ----------------
 
 def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +694,7 @@ QUERIES = {
     "haversine": q_haversine,
     "point_wkt": q_point_wkt,
     "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
 }
 
 ORACLES = {
@@ -694,4 +726,5 @@ ORACLES = {
     "haversine": SQL_HAVERSINE,
     "point_wkt": SQL_POINT_WKT,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "sliding_window": SQL_SLIDING_WINDOW,
 }

@@ -183,15 +183,19 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
-    """Streaming-ready tumbling-window aggregate over the events stream
+                          watermark: str = "2 hours",
+                          slide: str | None = None) -> DataFrame:
+    """Streaming-ready event-time window aggregate over the events stream
     (extension — the reference has no event-time operators, SURVEY §2.9).
-    Works identically on a batch DataFrame (watermark is a no-op) and a
-    streaming one (late data beyond the watermark dropped)."""
+    Tumbling by default; pass ``slide`` (< window) for sliding windows, where
+    each event expands into window/slide overlapping buckets. Works
+    identically on a batch DataFrame (watermark is a no-op) and a streaming
+    one (late data beyond the watermark dropped)."""
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+    return (src.groupBy(F.window("ts", window, slide or window).alias("w"),
+                        "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4)
                  .alias("sum_value"))

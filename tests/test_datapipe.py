@@ -17,6 +17,9 @@ from osm_pg_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_near_duplicates,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 from osm_pg_etl_spark.operators.text import (
@@ -134,6 +137,24 @@ def test_lsh_topk_subset_of_brute_force(emb):
              brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5).collect()}
     for r in lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect():
         assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+def test_ivf_assign_cells(emb):
+    cents = ivf_centroids(emb, num_centroids=3)
+    assert [cid for cid, _ in cents] == [1, 2, 3]
+    cells = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(emb, cents).collect()}
+    # vec 4 is orthogonal to every centroid (three-way tie) -> lowest cid;
+    # vec 5 is anti-parallel to c1/c2, so its best cosine is c3's 0.0
+    assert cells == {1: 1, 2: 2, 3: 3, 4: 1, 5: 3}
+
+
+def test_ivf_topk_probes_nearest_cells(emb):
+    got = ivf_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3,
+                   num_centroids=3, nprobe=2).collect()
+    # probe = cells {1, 2}; candidates 1, 4 (cell 1) and 2 (cell 2);
+    # vec 5 sits in un-probed cell 3 and must not appear
+    assert [r["vec_id"] for r in got] == [1, 2, 4]
+    assert got[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_embedding_near_duplicates(emb):

@@ -66,6 +66,24 @@ def test_windowed_event_counts_batch_parity(spark):
     }
 
 
+def test_windowed_event_counts_sliding(spark):
+    events = spark.createDataFrame(
+        [("2026-01-01 00:10:00", "click", 1.0),
+         ("2026-01-01 00:40:00", "click", 2.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in windowed_event_counts(
+               events, window="1 hour", slide="30 minutes").collect()}
+    # 00:10 -> windows starting 23:30 and 00:00; 00:40 -> 00:00 and 00:30
+    assert got == {
+        ("2025-12-31 23:30:00", "click"): (1, 1.0),
+        ("2026-01-01 00:00:00", "click"): (2, 3.0),
+        ("2026-01-01 00:30:00", "click"): (1, 2.0),
+    }
+
+
 def test_windowed_event_counts_streaming_with_watermark(spark):
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "events")
