@@ -206,7 +206,12 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     - Ways with no split pass through unchanged via an anti-join append
       (``:161-165``).
     """
-    wn_net = network_way_nodes(way_nodes, network).cache()
+    # hash-partition by way_id BEFORE caching: the cached partitioning is
+    # reused by every way_id-keyed stage downstream (length agg, limits
+    # window, assembly groupBy), collapsing their per-stage shuffles into
+    # this one exchange — the Spark analog of the reference clustering its
+    # IR tables (CLUSTER, pgsnapshot_schema_0.6.sql:112-116)
+    wn_net = network_way_nodes(way_nodes, network).repartition("way_id").cache()
     shared = shared_nodes(wn_net)
     lengths = ways_length(wn_net).cache()
     splits = ways_split_nodes(wn_net, shared, lengths)
