@@ -41,8 +41,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warm the JVM + parquet footers so q1 doesn't pay startup costs
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM, parquet footers, and the OS page cache for every input
+    # table so timings measure the queries, not first-touch disk reads or
+    # JIT warm-up (a cold first run measured ~2.5x slower than steady state
+    # on identical plans).
+    from osm_pg_etl_spark.sources.io import read_testdata
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            read_testdata(spark, sf_dir, name).count()
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else None
