@@ -97,7 +97,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-def _sql_minhash() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in ``mh_pairs`` (near-dup pair list) —
+    consumed by both the pair oracle and the clustering oracle."""
     from ..operators.dedup import MINHASH_P, minhash_coefficients
 
     rpb = _MH_HASHES // _MH_BANDS
@@ -110,8 +112,7 @@ def _sql_minhash() -> str:
             b=b, parts=" || ',' || ".join(
                 f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
         for b in range(_MH_BANDS))
-    return f"""
-WITH {_TOKS_SQL.strip()},
+    return f"""{_TOKS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 base AS (
   SELECT doc_id, sh, list_transform(sh, s -> {_sql_md5int('s')}) AS hs
@@ -127,9 +128,16 @@ cand AS (
          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
   FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-SELECT DISTINCT id_a, id_b, ROUND(j, 6) AS jaccard_sim
-FROM cand WHERE j >= 0.5
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+mh_pairs AS (
+  SELECT DISTINCT id_a, id_b, ROUND(j, 6) AS jaccard_sim
+  FROM cand WHERE j >= 0.5)"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT id_a, id_b, jaccard_sim FROM mh_pairs
 """
 
 
@@ -294,6 +302,43 @@ LIMIT {k}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: MinHash-LSH pairs are edges; connected
+    components pick one canonical doc (min id) per group — the step a real
+    training pipeline runs after pair generation to actually drop rows."""
+    from ..operators.graph_algo import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, n=3, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5)
+    return dedup_clusters(docs, pairs)
+
+
+# transitive closure by recursive CTE: labels(node) = MIN over everything
+# reachable — the same fixpoint the Spark hash-min propagation converges to
+SQL_DEDUP_CLUSTERS_TEMPLATE = """
+WITH RECURSIVE {ctes},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM {pairs}
+  UNION
+  SELECT id_b, id_a FROM {pairs}),
+reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    return SQL_DEDUP_CLUSTERS_TEMPLATE.format(ctes=_minhash_ctes(),
+                                              pairs="mh_pairs")
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic sampled centroids partition the vectors
     into cells; the query probes its nprobe nearest cells only. Fully
@@ -444,6 +489,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dupes": q_fingerprint_dupes,
     "minhash_neardup": q_minhash_neardup,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -461,6 +507,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
+    "dedup_clusters": _sql_dedup_clusters(),
     "simhash": _sql_simhash(),
     "simhash_neardup": _sql_simhash_neardup(),
     "similarity_lsh_topk": _sql_lsh_topk(),

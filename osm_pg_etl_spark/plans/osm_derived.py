@@ -413,6 +413,36 @@ FROM expanded
 """
 
 
+def q_osm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the merged car graph — the first network
+    analysis the reference ships out to igraph (``osm-pg-etl.md:31-105``),
+    run natively on DataFrames instead (operators.graph_algo). Component =
+    min reachable node id, so the result is iteration-order independent."""
+    from ..operators.graph_algo import connected_components
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    return connected_components(edges)
+
+
+SQL_OSM_COMPONENTS = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                          _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+                          _MERGED_SQL).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (
+  SELECT start_node AS a, end_node AS b FROM merged WHERE start_node != end_node
+  UNION
+  SELECT end_node, start_node FROM merged WHERE start_node != end_node),
+reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node
+"""
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -709,6 +739,7 @@ QUERIES = {
     "osm_merge_limits": q_osm_merge_limits,
     "osm_merged_network": q_osm_merged_network,
     "osm_directed_graph": q_osm_directed_graph,
+    "osm_components": q_osm_components,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_pois": q_osm_pois,
     "osm_tag_keys": q_osm_tag_keys,
@@ -730,6 +761,7 @@ ORACLES = {
     "osm_merge_limits": SQL_OSM_MERGE_LIMITS,
     "osm_merged_network": SQL_OSM_MERGED_NETWORK,
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
+    "osm_components": SQL_OSM_COMPONENTS,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_pois": SQL_OSM_POIS,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,
