@@ -85,6 +85,35 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII scrubbing — regex dialect kept to the Java ∩ RE2 common subset
+# (no backslash classes) so Spark and the DuckDB oracles match exactly.
+# Replacement order matters and is fixed: email first (so phone/ip never
+# see an address's digits), then phone, then ipv4.
+PII_PATTERNS = (
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"),
+    ("PHONE", "[0-9]{1,3}[-][0-9]{2,4}[-][0-9]{3,4}[-][0-9]{3,4}"),
+    ("IPV4", "([0-9]{1,3}[.]){3}[0-9]{1,3}"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 literals with ``<KIND>``
+    placeholder tokens — the standard scrub pass before training-data
+    release. Pure JVM regexp_replace chain, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pattern in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, f"<{kind}>")
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII kind (on the *unredacted* text), for audit
+    metrics alongside the scrub."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {kind: F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+            for kind, pattern in PII_PATTERNS}
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, sort the
     distinct tokens, md5. Robust to reordering/duplication — the classic

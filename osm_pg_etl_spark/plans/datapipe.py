@@ -458,6 +458,55 @@ FROM documents d JOIN toks ON d.doc_id = toks.doc_id
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically-composed contact string (the
+    synthetic documents contain no PII, so the string is built from
+    customer name/phone — non-zero matches, same construction in the
+    oracle). Narrow regexp_replace chain, no UDF."""
+    cust = t(spark, sf_dir, "customer")
+    phone = F.concat(
+        (F.col("c_nationkey") + 1).cast("string"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+    contact = F.concat(
+        F.col("c_mktsegment"), F.lit(" contact "),
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", ".")),
+        F.lit("@example.com tel "), phone)
+    base = cust.select("c_custkey", contact.alias("contact"))
+    counts = text.pii_counts(F.col("contact"))
+    return base.select(
+        "c_custkey",
+        text.redact_pii(F.col("contact")).alias("clean"),
+        counts["EMAIL"].alias("n_email"),
+        counts["PHONE"].alias("n_phone"),
+        counts["IPV4"].alias("n_ipv4"))
+
+
+def _sql_pii_redact() -> str:
+    repl = "contact"
+    for kind, pattern in text.PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pattern}', '<{kind}>', 'g')"
+    cnts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(contact, '{p}')) AS INT) AS n_{k.lower()}"
+        for k, p in text.PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT c_custkey,
+         c_mktsegment || ' contact ' ||
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) ||
+         '@example.com tel ' ||
+         CAST(c_nationkey + 1 AS VARCHAR) || '-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer)
+SELECT c_custkey, {repl} AS clean,
+       {cnts}
+FROM c
+"""
+
+
 # --- multimodal plumbing (binary payloads + Arrow-batched extraction) -------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +549,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
+    "pii_redact": q_pii_redact,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -518,5 +568,6 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
+    "pii_redact": _sql_pii_redact(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -26,6 +26,8 @@ from osm_pg_etl_spark.operators.text import (
     bpe_ish_token_count,
     detect_language,
     fingerprint,
+    pii_counts,
+    redact_pii,
     token_count,
 )
 
@@ -137,6 +139,20 @@ def test_lsh_topk_subset_of_brute_force(emb):
              brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5).collect()}
     for r in lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect():
         assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.org now",),
+         ("call 1-800-555-0199 or ping 192.168.0.1",),
+         ("nothing sensitive here",)], "t string")
+    got = [r["c"] for r in df.select(redact_pii("t").alias("c")).collect()]
+    assert got == ["mail <EMAIL> now",
+                   "call <PHONE> or ping <IPV4>",
+                   "nothing sensitive here"]
+    cnt = df.select(*[v.alias(k) for k, v in pii_counts("t").items()]).collect()
+    assert [(r["EMAIL"], r["PHONE"], r["IPV4"]) for r in cnt] == \
+        [(1, 0, 0), (0, 1, 1), (0, 0, 0)]
 
 
 def test_ivf_assign_cells(emb):
