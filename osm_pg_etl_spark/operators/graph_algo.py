@@ -59,9 +59,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     prev_sum = None
     for _ in range(max_iter):
-        # neighbor propagation: one hop along the original edges
+        # neighbor propagation: one hop along the original edges. A label
+        # >= the receiving node's id can never win (the node's own label is
+        # already <= its id, and the component minimum reaches every node
+        # through strictly larger intermediates), so prune before the
+        # shuffle — the same dominance argument bounds the oracle's
+        # recursive closure.
         nbr = (und.join(labels, und["b"] == labels["node"])
-               .select(und["a"].alias("node"), "label"))
+               .select(und["a"].alias("node"), "label")
+               .filter(F.col("label") < F.col("node")))
         # materialize once: hop feeds three consumers below (both sides of
         # the doubling self-join + the union)
         hop = (labels.unionByName(nbr)
@@ -73,7 +79,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         dbl = (hop.alias("x")
                .join(hop.alias("y"), F.col("x.label") == F.col("y.node"))
                .select(F.col("x.node").alias("node"),
-                       F.col("y.label").alias("label")))
+                       F.col("y.label").alias("label"))
+               .filter(F.col("label") < F.col("node")))
         labels = (hop.unionByName(dbl)
                   .groupBy("node").agg(F.min("label").alias("label"))
                   .localCheckpoint())
