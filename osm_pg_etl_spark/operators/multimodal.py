@@ -100,6 +100,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """Resize plumbing: clamp width/height to ``max_px`` preserving aspect
+    ratio and emit a (stub-)re-encoded payload. The pixel resample itself is
+    stubbed (payload passes through with a truncation marker); the metadata
+    arithmetic, schema, and Arrow batch shape are the real contract."""
+    w = F.col("media_meta.width")
+    h = F.col("media_meta.height")
+    scale = F.when(F.greatest(w, h) > max_px,
+                   F.lit(max_px) / F.greatest(w, h).cast("double")) \
+             .otherwise(F.lit(1.0))
+    new_meta = F.struct(
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.mime").alias("mime"),
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("width"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    # stub re-encode: payload size shrinks with the pixel count; a real
+    # deployment swaps this expression for a decode->resample->encode UDF
+    new_content = F.when(scale < 1.0, F.substring(
+        F.col("content"), 1,
+        F.greatest((F.length(F.col("content")) * scale * scale).cast("int"),
+                   F.lit(1)))).otherwise(F.col("content"))
+    return media.select("doc_id", new_content.alias("content"),
+                        new_meta.alias("media_meta"))
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
     sampled offset. The frame *decode* is stubbed (returns the offset and a
