@@ -102,10 +102,14 @@ def _tags_map(exprs: dict) -> F.Column:
 
 
 def derive_osm(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    part = t(spark, sf_dir, "part")
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
+    return derive_osm_from(t(spark, sf_dir, "part"),
+                           t(spark, sf_dir, "lineitem"))
 
+
+def derive_osm_from(part: DataFrame, li: DataFrame) -> dict[str, DataFrame]:
+    """Build the OSM-shaped world (nodes/ways/way_nodes) from arbitrary
+    part/lineitem-shaped DataFrames — shared by the sf_dir-based gate
+    queries and the key-offset scale-stress harness."""
     # coords span a ~4°×2° region: keeps haversine sums O(100 km) so the
     # round(…,4) applied before hashing sits far from any float boundary
     nodes = part.select(

@@ -1,0 +1,79 @@
+"""Scale-stress harness: run the flagship topology pipeline on K key-offset
+replicas of the sf0.1 tables (K=10 ~ sf1: ~6M lineitem rows, ~1.5M ways)
+and report wall time per stage so scaling behavior is measured, not argued.
+
+Replication shifts every key by replica_index * (max_key + 1), so each
+replica is a disjoint region with the same dense shared-node topology —
+rows grow linearly, per-way work stays constant, and shuffle volume is the
+only thing that scales. Near-linear wall-time growth here is the local
+proxy for "holds at 1000 executors".
+
+Usage: python scripts/scale_stress.py [K ...]   (default: 1 2 5 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F
+
+from osm_pg_etl_spark.session import get_spark
+from osm_pg_etl_spark.sources.io import read_testdata
+from osm_pg_etl_spark.operators.network import car_network
+from osm_pg_etl_spark.operators.topology import merged_network
+from osm_pg_etl_spark.operators.graphs import directed_network
+from osm_pg_etl_spark.plans.osm_derived import derive_osm_from
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """k disjoint copies: every key column shifted by i * (global max + 1)."""
+    if k == 1:
+        return df
+    offsets = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in key_cols}
+    copies = [
+        df.select(*[
+            (F.col(c) + i * offsets[c]).alias(c) if c in key_cols else F.col(c)
+            for c in df.columns])
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run(k: int) -> None:
+    spark = get_spark(app_name=f"scale-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+
+    t0 = time.perf_counter()
+    d = derive_osm_from(part, li)
+    cn = car_network(d["ways"]).cache()
+    n_ways = cn.count()
+    t1 = time.perf_counter()
+    merged = merged_network(cn, d["way_nodes"])
+    merged.write.format("noop").mode("overwrite").save()
+    t2 = time.perf_counter()
+    directed = directed_network(merged, minimal=True)
+    directed.write.format("noop").mode("overwrite").save()
+    t3 = time.perf_counter()
+    n_li = li.count()
+    print(f"k={k:>2}  lineitem={n_li:>8}  car_ways={n_ways:>7}  "
+          f"derive+filter={t1 - t0:6.1f}s  split/merge={t2 - t1:6.1f}s  "
+          f"directed={t3 - t2:6.1f}s  total={t3 - t0:6.1f}s", flush=True)
+    # fresh caches per K so runs are independent
+    spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    for k in ks:
+        run(k)
