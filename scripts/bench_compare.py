@@ -1,0 +1,63 @@
+"""Side-by-side wall-clock: our Spark queries vs DuckDB running the
+equivalent oracle SQL on the same parquet files, at the bench scale factor.
+
+This is the honest local stand-in for BASELINE.md (the reference publishes
+no query timings): DuckDB is a strong single-node columnar engine, so
+matching it on a single box while every stage stays shuffle-partitioned is
+the "fast locally, scales horizontally" evidence.
+
+Usage: python scripts/bench_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+from bench import HEADLINE
+from osm_pg_etl_spark.session import get_spark
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from osm_pg_etl_spark.plans.registry import all_oracles, all_queries
+    from osm_pg_etl_spark.sources.io import read_testdata
+
+    spark = get_spark(app_name="bench-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = all_queries(), all_oracles()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+            read_testdata(spark, sf_dir, t).count()  # warm both engines
+
+    tot_s = tot_d = 0.0
+    print(f"{'query':<22}{'spark_s':>9}{'duckdb_s':>9}{'ratio':>7}")
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        d = time.perf_counter() - t0
+        tot_s += s
+        tot_d += d
+        print(f"{name:<22}{s:>9.2f}{d:>9.2f}{s / d:>7.1f}")
+    print(f"{'TOTAL':<22}{tot_s:>9.2f}{tot_d:>9.2f}{tot_s / tot_d:>7.1f}")
+
+
+if __name__ == "__main__":
+    main()
