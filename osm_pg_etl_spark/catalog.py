@@ -1,0 +1,68 @@
+"""SQL catalog surface: the reference's users talk to *named tables* in
+psql (``graphs.car_network``, ``topology_summary.ways_merge_limits``, …,
+created by CTAS chains in ``osm-road-graphs.sql``). This module registers
+the same world as Spark temp views (schema dots become underscores) so the
+whole pipeline is queryable with ``spark.sql`` exactly like the reference —
+S2/S3's "CTAS ≡ registered DataFrame" made concrete.
+
+Views are lazy plans; reused subtrees (the network filter, the restricted
+way_nodes) are cached at registration, mirroring which tables the reference
+materializes. At scale, swap ``materialize`` for ``write_table`` +
+``saveAsTable`` to land them in a real metastore instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.graphs import directed_network, network_nodes
+from .operators.network import car_network
+from .operators.pois import pois_from_nodes
+from .operators.topology import (
+    merged_network,
+    network_way_nodes,
+    nodes_to_merge,
+    shared_nodes,
+    ways_length,
+    ways_merge_limits,
+    ways_split_nodes,
+)
+from .sources.io import materialize
+
+
+def register_osm_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the OSM base tables and every derived pipeline table under
+    the reference's names (``graphs.x`` → ``x``, ``topology_summary.y`` →
+    ``y``). Returns the name → DataFrame mapping."""
+    from .plans.osm_derived import derive_osm
+
+    d = derive_osm(spark, sf_dir)
+    cn = materialize(car_network(d["ways"]), "car_network")
+    wn_net = materialize(network_way_nodes(d["way_nodes"], cn),
+                         "network_way_nodes")
+    shared = shared_nodes(wn_net)
+    lengths = ways_length(wn_net)
+    splits = ways_split_nodes(wn_net, shared, lengths)
+    limits = ways_merge_limits(wn_net, shared, splits, lengths)
+    merged = merged_network(cn, d["way_nodes"])
+
+    views: dict[str, DataFrame] = {
+        "nodes": d["nodes"],
+        "ways": d["ways"],
+        "way_nodes": d["way_nodes"],
+        "car_network": cn,
+        "network_way_nodes": wn_net,
+        "ways_shared_nodes": shared,
+        "ways_length": lengths,
+        "ways_split_nodes": splits,
+        "ways_merge_limits": limits,
+        "nodes_to_merge": nodes_to_merge(wn_net, limits),
+        "car_network_merged": merged,
+        "car_graph_directed": directed_network(merged, minimal=True),
+        "network_nodes": network_nodes(d["nodes"], merged),
+        "pois": pois_from_nodes(d["nodes"]),
+    }
+    for name, df in views.items():
+        if name not in ("car_network", "network_way_nodes"):  # already done
+            df.createOrReplaceTempView(name)
+    return views
