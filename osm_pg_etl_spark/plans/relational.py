@@ -504,6 +504,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-dedup batch equivalent: first event per (user_id, event_type)
+    by event time (streaming path uses dropDuplicatesWithinWatermark —
+    tested in test_streaming_export)."""
+    from ..streaming.actions import dedup_events
+
+    ev = t(spark, sf_dir, "events")
+    out = dedup_events(ev, key_cols=("user_id", "event_type"),
+                       tiebreak=("event_id",))
+    return out.select("event_id", "user_id", "event_type", "ts",
+                      F.round("value", 6).alias("value"))
+
+
+SQL_DEDUP_EVENTS = """
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type, ts, ROUND(value, 6) AS value
+FROM r WHERE rn = 1
+"""
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time window (1 h window, 30 min slide): every event
     lands in window_duration/slide = 2 overlapping windows via the built-in
@@ -695,6 +719,7 @@ QUERIES = {
     "point_wkt": q_point_wkt,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
+    "dedup_events": q_dedup_events,
 }
 
 ORACLES = {
@@ -727,4 +752,5 @@ ORACLES = {
     "point_wkt": SQL_POINT_WKT,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "sliding_window": SQL_SLIDING_WINDOW,
+    "dedup_events": SQL_DEDUP_EVENTS,
 }

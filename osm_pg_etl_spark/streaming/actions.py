@@ -182,6 +182,29 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
                 "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+                 ts_col: str = "ts", watermark: str = "2 hours",
+                 tiebreak: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Streaming deduplication — the streaming face of the dedup suite
+    (operators.dedup): keep one row per key.
+
+    - Streaming input: ``dropDuplicatesWithinWatermark`` keeps the
+      first-*arriving* row per key and expires state past the watermark, so
+      state is bounded — the only formulation that scales to an unbounded
+      stream.
+    - Batch input: the deterministic equivalent — first row by event time
+      (then ``tiebreak``) via the A10 distinct-on pattern.
+    """
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(list(key_cols)))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
+    return (events.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours",
                           slide: str | None = None) -> DataFrame:

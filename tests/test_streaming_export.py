@@ -107,6 +107,59 @@ def test_windowed_event_counts_streaming_with_watermark(spark):
             "window_start", "event_type", "n_events", "sum_value"]
 
 
+def test_dedup_events_batch_deterministic(spark):
+    from osm_pg_etl_spark.streaming.actions import dedup_events
+
+    ev = spark.createDataFrame(
+        [(3, "2026-01-01 00:20:00", 7, "click", 3.0),
+         (1, "2026-01-01 00:10:00", 7, "click", 1.0),   # earliest -> kept
+         (2, "2026-01-01 00:10:00", 7, "view", 2.0),
+         (4, "2026-01-01 00:10:00", 8, "click", 4.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    kept = sorted(r["event_id"] for r in
+                  dedup_events(ev, key_cols=("user_id", "event_type")).collect())
+    assert kept == [1, 2, 4]
+
+
+def test_dedup_events_streaming_drops_cross_batch_dupes(spark):
+    from osm_pg_etl_spark.streaming.actions import dedup_events
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = "event_id long, ts string, user_id long, value double"
+
+        def write_file(rows, name):
+            df = spark.createDataFrame(rows, schema) \
+                .withColumn("ts", F.to_timestamp("ts"))
+            pq.write_table(pa.Table.from_pandas(df.toPandas()),
+                           os.path.join(src, name), coerce_timestamps="us")
+            return df
+
+        b1 = write_file([(1, "2026-01-01 00:10:00", 7, 1.0),
+                         (2, "2026-01-01 00:11:00", 8, 2.0)], "b1.parquet")
+        # batch 2 arrives with a duplicate key (1) + one new key (3)
+        write_file([(1, "2026-01-01 00:30:00", 7, 9.0),
+                    (3, "2026-01-01 00:12:00", 9, 3.0)], "b2.parquet")
+
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = dedup_events(stream, key_cols=("event_id",), watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("dedup_ev")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["event_id"] for r in spark.table("dedup_ev").collect())
+        # one row per distinct key; batch 2's re-send of key 1 dropped by
+        # the cross-batch dedup state
+        assert got == [1, 2, 3]
+
+
 def test_edge_tuples_shape(spark):
     edges = spark.createDataFrame(
         [(1, 2, 0.5, 50), (2, 3, 1.5, 30)],
