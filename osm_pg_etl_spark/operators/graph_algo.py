@@ -94,6 +94,37 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels.select("node", F.col("label").alias("component"))
 
 
+def shortest_paths(edges: DataFrame, source: int, max_hops: int = 4,
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "w") -> DataFrame:
+    """Single-source shortest distances using at most ``max_hops`` edges —
+    ``max_hops`` rounds of synchronous Bellman-Ford relaxation, the routing
+    primitive behind the reference's "further routing with iGraph"
+    (``osm-road-graphs.sql:56``, ``osm-pg-etl.md:31-62``) run distributed.
+
+    Each round is one equi-join on the frontier + a min-aggregation; with
+    ``max_hops`` = graph diameter it is exact SSSP. Results are
+    deterministic: float ``(min, +)`` is still a monotone semiring
+    (x ≤ y ⇒ a+x ≤ a+y in IEEE), so the k-round result equals the exact
+    minimum over all ≤k-edge path sums. Returns (node, dist); unreached
+    nodes are absent.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     F.col(weight).cast("double").alias("w")).cache()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0.0)], "node long, dist double")
+    for _ in range(max_hops):
+        relax = (e.join(dist, e["u"] == dist["node"])
+                 .select(e["v"].alias("node"),
+                         (dist["dist"] + e["w"]).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    e.unpersist()
+    return dist
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    pair_cols: tuple[str, str] = ("id_a", "id_b")) -> DataFrame:

@@ -447,6 +447,50 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node
 """
 
 
+def q_osm_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop SSSP over the directed car graph from its minimum node:
+    4 Bellman-Ford relaxation rounds ≡ exact shortest distance over paths
+    of ≤4 edges (the distributed version of the reference's igraph routing
+    step). Float-exact parity: both engines accumulate each path's sum
+    left-to-right and take MIN over the same value set."""
+    from ..operators.graph_algo import shortest_paths
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    directed = directed_network(merged, minimal=True).cache()
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    sp = shortest_paths(directed, source, max_hops=4,
+                        src="start_node", dst="end_node", weight="length")
+    return sp.select("node", F.round("dist", 6).alias("dist_km"))
+
+
+SQL_OSM_SHORTEST_HOPS = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                             _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+                             _MERGED_SQL).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+expanded AS (
+  SELECT start_node, end_node, length FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT end_node, start_node, length FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT start_node, end_node, length FROM merged
+    WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+  UNION ALL
+  SELECT end_node, start_node, length FROM merged
+    WHERE oneway = '-1'),
+walk AS (
+  SELECT (SELECT MIN(start_node) FROM expanded) AS node,
+         CAST(0.0 AS DOUBLE) AS dist, 0 AS hops
+  UNION
+  SELECT e.end_node, w.dist + e.length, w.hops + 1
+  FROM walk w JOIN expanded e ON e.start_node = w.node
+  WHERE w.hops < 4)
+SELECT node, ROUND(MIN(dist), 6) AS dist_km FROM walk GROUP BY node
+"""
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -744,6 +788,7 @@ QUERIES = {
     "osm_merged_network": q_osm_merged_network,
     "osm_directed_graph": q_osm_directed_graph,
     "osm_components": q_osm_components,
+    "osm_shortest_hops": q_osm_shortest_hops,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_pois": q_osm_pois,
     "osm_tag_keys": q_osm_tag_keys,
@@ -766,6 +811,7 @@ ORACLES = {
     "osm_merged_network": SQL_OSM_MERGED_NETWORK,
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
     "osm_components": SQL_OSM_COMPONENTS,
+    "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_pois": SQL_OSM_POIS,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,

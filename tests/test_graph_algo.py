@@ -1,8 +1,11 @@
 """Connected components + dedup clustering (operators.graph_algo)."""
 
+import pytest
+
 from osm_pg_etl_spark.operators.graph_algo import (
     connected_components,
     dedup_clusters,
+    shortest_paths,
     symmetric_edges,
 )
 
@@ -32,6 +35,26 @@ def test_connected_components_long_path_converges(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {i: 1 for i in range(1, 42)}
+
+
+def test_shortest_paths_bounded_hops(spark):
+    #   1 --1.0--> 2 --1.0--> 3 --1.0--> 4 --1.0--> 5
+    #   1 ----------5.0----------> 3   (longer direct edge)
+    #   3 --2.0--> 6 (directed; no way back)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0),
+         (1, 3, 5.0), (3, 6, 2.0)], "src long, dst long, w double")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(edges, 1, max_hops=3).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0           # 2-hop chain beats the 5.0 direct edge
+    assert got[4] == 3.0
+    assert got[6] == 4.0           # via the chain (2+2), not 5.0+2.0
+    assert got[5] == 7.0           # only 3-edge path: direct 5.0 edge + 1 + 1
+    full = {r["node"]: r["dist"]
+            for r in shortest_paths(edges, 1, max_hops=4).collect()}
+    assert full[5] == pytest.approx(4.0)   # 4-edge chain now beats it
 
 
 def test_dedup_clusters_canonical_pick(spark):
