@@ -61,6 +61,8 @@ def weighted_median(df: DataFrame, x: str, w: str,
     """
     gcols = group_cols or []
     w_ord = Window.partitionBy(*gcols).orderBy(F.col(x)) if gcols else Window.orderBy(F.col(x))
+    # (an applyInPandas formulation of the same computation lives in
+    # weighted_median_pandas below — the true UDTF analog of U5)
     w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
 
     # Exact decimal weight sums: the midpoint-straddle comparison below must
@@ -79,3 +81,35 @@ def weighted_median(df: DataFrame, x: str, w: str,
     hit = scored.filter((half >= F.col("_prev")) & (half <= F.col("_run")))
     agg = hit.groupBy(*gcols).agg(F.avg("_x").alias(alias))
     return agg
+
+
+def weighted_median_pandas(df: DataFrame, x: str, w: str,
+                           group_cols: list[str],
+                           alias: str = "weighted_median") -> DataFrame:
+    """``weighted_median_by_group`` as a true UDTF (§2.10 U5): the
+    reference's plpgsql ``RETURNS TABLE`` function maps to ``applyInPandas``
+    — one Arrow batch per group in, one result row per group out.
+
+    Semantics are identical to :func:`weighted_median` (proved equivalent in
+    tests); this variant exists for computations a window construction can't
+    express. Per-group data must fit one executor's memory — the same
+    contract as any grouped pandas UDF."""
+    import pandas as pd  # noqa: PLC0415
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*group_cols).dtypes]
+        + [f"{alias} double"])
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[[x, w]].copy()
+        s[w] = s[w].fillna(0)
+        s = s.sort_values(x, kind="mergesort")
+        run = s[w].cumsum()
+        prev = run - s[w]
+        half = s[w].sum() / 2.0
+        hit = s[x][(prev <= half) & (half <= run)]
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out[alias] = [float(hit.astype(float).mean())]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*group_cols).applyInPandas(one_group, schema=schema)

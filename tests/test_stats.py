@@ -59,6 +59,23 @@ def test_weighted_median_by_group(spark):
     assert got["b"] == pytest.approx(2.5)
 
 
+def test_weighted_median_pandas_equals_window_path(spark):
+    from osm_pg_etl_spark.operators.stats import weighted_median_pandas
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0),
+         ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+         ("c", 5.0, 3.0), ("c", 7.0, 1.0), ("c", 9.0, None)],
+        "g string, x double, w double")
+    win = {r["g"]: r["wm"] for r in
+           weighted_median(df, "x", "w", group_cols=["g"], alias="wm").collect()}
+    pdn = {r["g"]: r["wm"] for r in
+           weighted_median_pandas(df, "x", "w", ["g"], alias="wm").collect()}
+    assert set(win) == set(pdn) == {"a", "b", "c"}
+    for g in win:
+        assert pdn[g] == pytest.approx(win[g]), g
+
+
 def test_median_by_group_matches_percentile_cont(spark):
     # PERCENTILE_CONT(0.5) semantics (osm-complete-graphs.sql:33-38)
     df = spark.createDataFrame(
