@@ -1,0 +1,61 @@
+"""sources/io.py: S1-S7 readers/writers/CTAS helpers."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.sources.io import (
+    append_slices,
+    materialize,
+    read_table,
+    spread,
+    write_table,
+)
+
+
+def test_write_table_partitioned_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, grp string, v double")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        write_table(df, path, partition_by=["grp"])
+        # partition directories exist -> equi-filters on grp prune files
+        assert sorted(d for d in os.listdir(path) if d.startswith("grp=")) \
+            == ["grp=a", "grp=b"]
+        back = read_table(spark, path)
+        assert back.count() == 3
+        assert back.filter(F.col("grp") == "b").select("id").first()["id"] == 3
+
+
+def test_write_table_csv(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "c")
+        write_table(df, path, fmt="csv")
+        back = spark.read.csv(path)
+        assert back.count() == 1
+
+
+def test_append_slices_missing_columns_null(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([(2, 9.5)], "id long, v double")
+    out = append_slices([a, b])
+    assert set(out.columns) == {"id", "s", "v"}
+    rows = {r["id"]: (r["s"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, 9.5)}  # implicit NULLs (S4)
+
+
+def test_spread_raises_parallelism_only_when_needed(spark):
+    one = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
+    assert spread(one).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(64)
+    assert spread(wide).rdd.getNumPartitions() == 64  # identity at scale
+
+
+def test_materialize_registers_view(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    materialize(df, "mat_view_test", cache=False)
+    assert spark.sql("SELECT COUNT(*) AS n FROM mat_view_test").first()["n"] == 1
