@@ -65,10 +65,20 @@ def run(k: int) -> None:
     directed = directed_network(merged, minimal=True)
     directed.write.format("noop").mode("overwrite").save()
     t3 = time.perf_counter()
+    # iterative stage: label-propagation components over the merged edges —
+    # the skew-sensitive op (hub labels concentrate); AQE skew-join handles it
+    from osm_pg_etl_spark.operators.graph_algo import connected_components
+    comps = connected_components(
+        merged.select(F.col("start_node").alias("src"),
+                      F.col("end_node").alias("dst")))
+    n_comp_nodes = comps.count()
+    t4 = time.perf_counter()
     n_li = li.count()
     print(f"k={k:>2}  lineitem={n_li:>8}  car_ways={n_ways:>7}  "
+          f"cc_nodes={n_comp_nodes:>7}  "
           f"derive+filter={t1 - t0:6.1f}s  split/merge={t2 - t1:6.1f}s  "
-          f"directed={t3 - t2:6.1f}s  total={t3 - t0:6.1f}s", flush=True)
+          f"directed={t3 - t2:6.1f}s  components={t4 - t3:6.1f}s  "
+          f"total={t4 - t0:6.1f}s", flush=True)
     # fresh caches per K so runs are independent
     spark.catalog.clearCache()
 
