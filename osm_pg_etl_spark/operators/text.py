@@ -85,6 +85,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf
+    (idf = ln(N / df_t)); ties break alphabetically. Two aggregations —
+    (doc, term) counts and term document-frequency — plus one broadcastable
+    join: the inverted-index shape that scales to any corpus.
+
+    Returns (id_col, term, tf, df_docs, score)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term")) \
+             .select(id_col, F.lower("term").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df_docs")))   # docs containing term
+    n_docs = df.count()
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.col("tf") * F.log(F.lit(float(n_docs))
+                                              / F.col("df_docs"))))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(id_col, "term", "tf", "df_docs",
+                    F.round("score", 6).alias("score")))
+
+
 # PII scrubbing — regex dialect kept to the Java ∩ RE2 common subset
 # (no backslash classes) so Spark and the DuckDB oracles match exactly.
 # Replacement order matters and is fixed: email first (so phone/ip never

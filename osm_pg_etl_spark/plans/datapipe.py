@@ -458,6 +458,31 @@ FROM documents d JOIN toks ON d.doc_id = toks.doc_id
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms by tf·idf — inverted-index shape
+    (two aggs + a broadcastable term-frequency join)."""
+    docs = docs_t(spark, sf_dir)
+    return text.tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {_TOKS_SQL.strip()},
+tok2 AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok2 GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT doc_id, tf.term, tf.tf, dfq.df_docs,
+             tf.tf * ln(n.n / dfq.df_docs) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term, tf, df_docs, ROUND(score, 6) AS score
+FROM r WHERE rn <= 3
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a deterministically-composed contact string (the
     synthetic documents contain no PII, so the string is built from
@@ -550,6 +575,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "pii_redact": q_pii_redact,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -569,5 +595,6 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
     "pii_redact": _sql_pii_redact(),
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -141,6 +141,23 @@ def test_lsh_topk_subset_of_brute_force(emb):
         assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
 
 
+def test_tfidf_top_terms(spark):
+    import math
+
+    from osm_pg_etl_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "spark spark rare"), (2, "spark common"),
+         (3, "common common other")], "doc_id long, text string")
+    got = [(r["term"], r["score"]) for r in
+           tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1)
+           .orderBy(F.desc("score")).collect()]
+    # rare: 1*ln(3/1)=1.0986 beats spark: 2*ln(3/2)=0.8109
+    assert [t for t, _ in got] == ["rare", "spark"]
+    assert got[0][1] == pytest.approx(math.log(3), abs=1e-6)
+    assert got[1][1] == pytest.approx(2 * math.log(1.5), abs=1e-6)
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [("mail bob.smith+x@corp.example.org now",),
