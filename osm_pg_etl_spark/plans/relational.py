@@ -504,6 +504,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot key (l_returnflag: 3 values
+    for 600k rows). Result is identical to the direct groupBy — the oracle
+    checks the equivalence; the plan bounds every reducer to ~1/16 of a hot
+    key's rows."""
+    from ..functions.skew import salted_count_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_count_sum(li, ["l_returnflag"], "l_quantity",
+                            entropy_col="l_orderkey", buckets=16)
+
+
+SQL_SALTED_GROUP_COUNT = f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_value
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dedup batch equivalent: first event per (user_id, event_type)
     by event time (streaming path uses dropDuplicatesWithinWatermark —
@@ -720,6 +739,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "dedup_events": q_dedup_events,
+    "salted_group_count": q_salted_group_count,
 }
 
 ORACLES = {
@@ -753,4 +773,5 @@ ORACLES = {
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "sliding_window": SQL_SLIDING_WINDOW,
     "dedup_events": SQL_DEDUP_EVENTS,
+    "salted_group_count": SQL_SALTED_GROUP_COUNT,
 }

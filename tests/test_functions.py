@@ -94,3 +94,25 @@ def test_snap_to_grid_groups_nearby_points(spark):
     c = _one(df, snap_to_grid(F.lit(1.0012), F.lit(2.0), 0.0001))
     assert a == b
     assert a != c
+
+
+def test_salted_count_sum_equals_direct(spark):
+    from osm_pg_etl_spark.functions.skew import salted_count_sum, with_salt
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i % 7)) for i in range(500)]
+        + [("cold", i, 1.0) for i in range(3)],
+        "k string, uid long, v double")
+    got = {r["k"]: (r["n_rows"], r["sum_value"]) for r in
+           salted_count_sum(df, ["k"], "v", entropy_col="uid",
+                            buckets=8).collect()}
+    direct = {r["k"]: (r["n"], r["s"]) for r in
+              df.groupBy("k").agg(
+                  F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("v"), 4).alias("s")).collect()}
+    assert got == direct
+    # the salt actually spreads the hot key across buckets
+    n_buckets = (with_salt(df, "uid", 8).filter(F.col("k") == "hot")
+                 .select("_salt").distinct().count())
+    assert n_buckets == 8
