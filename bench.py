@@ -28,7 +28,11 @@ HEADLINE = [
     "simhash",              # per-row SimHash fingerprints
     "similarity_topk",      # brute-force cosine top-k
     "quality_features",     # text quality scoring
+    "tfidf_top_terms",      # inverted-index tf-idf
+    "pii_redact",           # regex scrub chain
     "tumbling_window",      # event-time window agg
+    "sliding_window",       # overlapping event-time windows
+    "dedup_events",         # stream-dedup batch equivalent
 ]
 
 
