@@ -5,7 +5,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.arrays import array_reverse
@@ -105,14 +105,21 @@ def create_topology(edges: DataFrame, tolerance: float = 0.0001,
         "_dst_key", snap_to_grid(F.element_at(F.col(geom_col), -1)["lon"],
                                  F.element_at(F.col(geom_col), -1)["lat"], tolerance))
 
-    verts = (e.select(F.col("_src_key").alias("k"))
-             .union(e.select(F.col("_dst_key").alias("k")))
-             .distinct()
-             .select("k", F.dense_rank().over(Window.orderBy("k")).alias("vid")))
-    # Window.orderBy without partition is single-partition; vertex-id
-    # assignment over the distinct key set is the same pattern
-    # pgr_createTopology serializes on. For very large vertex sets swap in
-    # zipWithIndex via monotonically_increasing_id + a rank join.
+    keys = (e.select(F.col("_src_key").alias("k"))
+            .union(e.select(F.col("_dst_key").alias("k")))
+            .distinct())
+    # Global dense ids WITHOUT a single-partition window: range-partitioned
+    # sort + zipWithIndex (partition sizes + offsets, two passes) — the ids
+    # equal DENSE_RANK() OVER (ORDER BY k) because keys are distinct, so
+    # the oracle is unchanged while the ranking scales with the cluster.
+    # (One of the rare justified RDD drops: no DataFrame op gives a global
+    # contiguous index without serializing.)
+    spark = edges.sparkSession
+    verts = spark.createDataFrame(
+        keys.orderBy("k").rdd.map(lambda r: r["k"]).zipWithIndex()
+            .map(lambda kv: (kv[0], kv[1] + 1)),
+        "k string, vid long",
+    ).withColumn("vid", F.col("vid").cast("int"))
     return (e.join(verts.withColumnRenamed("vid", "source"),
                    e["_src_key"] == verts["k"], "left").drop("k")
             .join(verts.withColumnRenamed("vid", "target").alias("v2"),

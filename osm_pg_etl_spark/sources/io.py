@@ -109,6 +109,23 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     w.format(fmt).save(path)
 
 
+def write_bucketed(df: DataFrame, name: str, bucket_cols: list[str],
+                   num_buckets: int = 32, path: str | None = None,
+                   fmt: str = "parquet") -> None:
+    """Persist bucketed by join key — the 100 TB substitute for the
+    reference's btree/CLUSTER physical tuning: two tables bucketed on the
+    same key by the same bucket count equi-join WITHOUT a shuffle (verify:
+    no Exchange above the scans in the join plan).
+
+    Bucketing requires the table-catalog write path (``saveAsTable``);
+    pass ``path`` to make it external."""
+    w = (df.write.mode("overwrite").format(fmt)
+         .bucketBy(num_buckets, *bucket_cols).sortBy(*bucket_cols))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def append_slices(slices: Iterable[DataFrame]) -> DataFrame:
     """INSERT…SELECT-by-append (S4, U2): union heterogeneous slices by name.
 

@@ -59,3 +59,25 @@ def test_materialize_registers_view(spark):
     df = spark.createDataFrame([(1,)], "id long")
     materialize(df, "mat_view_test", cache=False)
     assert spark.sql("SELECT COUNT(*) AS n FROM mat_view_test").first()["n"] == 1
+
+
+def test_write_bucketed_join_without_shuffle(spark):
+    from osm_pg_etl_spark.sources.io import write_bucketed
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)],
+                               "id long, v long")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_bucketed(df, "bkt_a", ["id"], num_buckets=4,
+                       path=os.path.join(tmp, "a"))
+        write_bucketed(df, "bkt_b", ["id"], num_buckets=4,
+                       path=os.path.join(tmp, "b"))
+        # force a sort-merge join (tiny tables would broadcast otherwise) —
+        # the co-bucketed layout must make it shuffle-free
+        joined = spark.table("bkt_a").hint("merge") \
+            .join(spark.table("bkt_b"), "id")
+        assert joined.count() == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        spark.sql("DROP TABLE bkt_a")
+        spark.sql("DROP TABLE bkt_b")
