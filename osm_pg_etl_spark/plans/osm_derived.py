@@ -568,6 +568,42 @@ WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)
 """
 
 
+def q_osm_complete_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full complete-network pipeline (``osm-complete-graphs.sql``):
+    every highway-tagged way → median speed imputation → car/pedestrian/
+    bicycle mode-flag cascade, with endpoints and geodesic length."""
+    d = derive_osm(spark, sf_dir)
+    comp = impute_speed_limit(complete_network(d["ways"]))
+    flagged = with_mode_flags(comp)
+    return flagged.select("edge_id", "start_node", "end_node",
+                          F.round("length", 4).alias("length_km"),
+                          "speed_limit", "car", "pedestrian", "bicycle")
+
+
+def _sql_osm_complete_network() -> str:
+    return _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _WAYLEN_SQL, _WAYENDS_SQL) + f""",
+compnet AS (
+  SELECT w.*, CASE WHEN regexp_extract(w.maxspeed, '([0-9]+)', 1) != ''
+              THEN CAST(regexp_extract(w.maxspeed, '([0-9]+)', 1) AS INT)
+              END AS speed_limit
+  FROM wtags w
+  WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)),
+med AS (
+  SELECT highway, CAST(ROUND(quantile_cont(speed_limit, 0.5)) AS INT) AS m
+  FROM compnet GROUP BY highway)
+SELECT w.way_id AS edge_id, e.start_node, e.end_node,
+       ROUND(l.length, 4) AS length_km,
+       COALESCE(w.speed_limit, med.m) AS speed_limit,
+       {_cascade_sql('car', _CAR_STEPS)},
+       {_cascade_sql('pedestrian', _PED_STEPS)},
+       {_cascade_sql('bicycle', _BIKE_STEPS)}
+FROM compnet w
+JOIN wayends e ON w.way_id = e.way_id
+JOIN waylen l ON w.way_id = l.way_id
+LEFT JOIN med ON w.highway = med.highway
+"""
+
+
 def q_osm_tag_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """osm-explore key-frequency summary with the literal + substring
     denylists (P6/P7): 'name' drops out via position(x in tag) = 0."""
@@ -790,6 +826,7 @@ QUERIES = {
     "osm_components": q_osm_components,
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_mode_flags": q_osm_mode_flags,
+    "osm_complete_network": q_osm_complete_network,
     "osm_pois": q_osm_pois,
     "osm_tag_keys": q_osm_tag_keys,
     "osm_network_nodes": q_osm_network_nodes,
@@ -813,6 +850,7 @@ ORACLES = {
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
+    "osm_complete_network": _sql_osm_complete_network(),
     "osm_pois": SQL_OSM_POIS,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,
 }
