@@ -568,6 +568,22 @@ WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)
 """
 
 
+def q_osm_highway_maxspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tags_summary.highway_maxspeed_values`` (``osm-road-graphs.sql:
+    32-40``): the data-QA summary the reference eyeballs before imputing —
+    counts per (highway, parsed speed_limit) over the car network."""
+    from ..operators.network import highway_maxspeed_values
+
+    d = derive_osm(spark, sf_dir)
+    return highway_maxspeed_values(car_network(d["ways"]))
+
+
+SQL_OSM_HIGHWAY_MAXSPEED = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL) + """
+SELECT highway, speed_limit, CAST(COUNT(*) AS BIGINT) AS count
+FROM cn GROUP BY highway, speed_limit
+"""
+
+
 def q_osm_complete_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full complete-network pipeline (``osm-complete-graphs.sql``):
     every highway-tagged way → median speed imputation → car/pedestrian/
@@ -827,6 +843,7 @@ QUERIES = {
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
+    "osm_highway_maxspeed": q_osm_highway_maxspeed,
     "osm_pois": q_osm_pois,
     "osm_tag_keys": q_osm_tag_keys,
     "osm_network_nodes": q_osm_network_nodes,
@@ -851,6 +868,7 @@ ORACLES = {
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
+    "osm_highway_maxspeed": SQL_OSM_HIGHWAY_MAXSPEED,
     "osm_pois": SQL_OSM_POIS,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,
 }
