@@ -46,8 +46,18 @@ from pyspark.sql import functions as F
 from ..functions.arrays import array_first, array_last
 from ..functions.geo import linestring_length_km
 
+# attribute columns carried through the split by default (the car-network
+# set, osm-road-graphs.sql:149-159); complete_network_merged passes the wider
+# mode-flag set (osm-complete-graphs-fix.sql:167-188)
+DEFAULT_MERGE_ATTRS = ("speed_limit", "highway", "oneway")
+
 MERGED_COLUMNS = ("start_node", "end_node", "edge_id", "tags", "nodes",
                   "length", "speed_limit", "highway", "oneway", "geom")
+
+
+def _merged_columns(attrs: tuple[str, ...]) -> tuple[str, ...]:
+    return ("start_node", "end_node", "edge_id", "tags", "nodes",
+            "length", *attrs, "geom")
 
 
 def unnest_way_nodes(ways: DataFrame) -> DataFrame:
@@ -135,7 +145,8 @@ def nodes_to_merge(wn_net: DataFrame, limits: DataFrame) -> DataFrame:
                     "sequence_id", "node_id"))
 
 
-def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame) -> DataFrame:
+def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame,
+                              attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS) -> DataFrame:
     """Fast segment assembly: because segment ranges are contiguous in
     sequence order and ``ways.nodes``/``linestring`` are already ordered by
     sequence_id, segment node lists and geometries are array *slices* of the
@@ -167,8 +178,7 @@ def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame) -> DataFram
                         seg_len).alias("nodes"),
                 F.slice(network["geom"], F.col("_lim.bottom_limit") + 1,
                         seg_len).alias("geom"),
-                network["tags"], network["speed_limit"], network["highway"],
-                network["oneway"],
+                network["tags"], *[network[a] for a in attrs],
             ))
 
 
@@ -196,7 +206,8 @@ def _assemble_from_nodes(merge_rows: DataFrame, nodes: DataFrame) -> DataFrame:
 
 def merged_network(network: DataFrame, way_nodes: DataFrame,
                    nodes: DataFrame | None = None,
-                   use_array_fast_path: bool = True) -> DataFrame:
+                   use_array_fast_path: bool = True,
+                   attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS) -> DataFrame:
     """``graphs.car_network_merged`` (``osm-road-graphs.sql:129-165``): the
     split-and-reassembled edge table.
 
@@ -205,6 +216,16 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
       promoted from the new node arrays and geodesic-km length.
     - Ways with no split pass through unchanged via an anti-join append
       (``:161-165``).
+    - ``attrs`` selects which parent-way columns ride through the split;
+      the complete-network variant passes the mode-flag set
+      (service/access/car/pedestrian/bicycle,
+      ``osm-complete-graphs-fix.sql:167-188``).
+
+    Contract shared by both assembly paths: the ``nodes`` table must cover
+    every id in ``ways.nodes``. The fast path slices the way's own arrays
+    (missing node ids are kept verbatim); the general path inner-joins the
+    nodes table and would drop them — on truncated OSM extracts, pre-filter
+    ways to those fully inside the extract before splitting.
     """
     # hash-partition by way_id BEFORE caching: the cached partitioning is
     # reused by every way_id-keyed stage downstream (length agg, limits
@@ -217,30 +238,31 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     splits = ways_split_nodes(wn_net, shared, lengths)
     limits = ways_merge_limits(wn_net, shared, splits, lengths)
 
+    out_cols = _merged_columns(attrs)
     if use_array_fast_path:
         # one scan of network; untouched ways fall through as a whole-way
         # slice (identical nodes/geom/length to the original row)
-        segs = _assemble_from_way_arrays(limits, network)
+        segs = _assemble_from_way_arrays(limits, network, attrs)
         return segs.select(
             array_first("nodes").alias("start_node"),
             array_last("nodes").alias("end_node"),
             "edge_id", "tags", "nodes",
             linestring_length_km("geom").alias("length"),
-            "speed_limit", "highway", "oneway", "geom")
+            *attrs, "geom")
 
     if nodes is None:
         raise ValueError("general assembly path requires the nodes table")
     segs = _assemble_from_nodes(nodes_to_merge(wn_net, limits), nodes)
-    attrs = network.select("edge_id", "tags", "speed_limit", "highway", "oneway")
-    merged = (segs.join(attrs, "edge_id", "inner")
+    attr_tbl = network.select("edge_id", "tags", *attrs)
+    merged = (segs.join(attr_tbl, "edge_id", "inner")
               .select(
                   array_first("nodes").alias("start_node"),
                   array_last("nodes").alias("end_node"),
                   "edge_id", "tags", "nodes",
                   linestring_length_km("geom").alias("length"),
-                  "speed_limit", "highway", "oneway", "geom"))
+                  *attrs, "geom"))
 
     untouched = (network
                  .join(segs.select("edge_id").distinct(), "edge_id", "left_anti")
-                 .select(*MERGED_COLUMNS))
-    return merged.select(*MERGED_COLUMNS).unionByName(untouched)
+                 .select(*out_cols))
+    return merged.select(*out_cols).unionByName(untouched)

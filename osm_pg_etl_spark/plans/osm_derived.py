@@ -267,8 +267,12 @@ tails AS (
 lims AS (SELECT * FROM lim0 UNION ALL SELECT * FROM tails)
 """
 
-# merged segments + untouched ways (osm-road-graphs.sql:129-165)
-_MERGED_SQL = """
+# merged segments + untouched ways (osm-road-graphs.sql:129-165). The
+# attribute list is parameterized so the complete-network variant
+# (osm-complete-graphs-fix.sql:167-197) can carry the mode-flag columns.
+def _merged_sql(attrs: tuple[str, ...] = ("highway", "oneway", "speed_limit")) -> str:
+    alist = ", ".join(f"c.{a}" for a in attrs)
+    return f"""
 segrows AS (
   SELECT n.way_id, l.top_limit AS group_id, n.sequence_id, n.node_id
   FROM wn_net n JOIN lims l
@@ -292,11 +296,11 @@ segs AS (
   FROM segpts GROUP BY way_id, group_id),
 merged AS (
   SELECT s.edge_id, s.start_node, s.end_node, s.n_nodes, s.length,
-         c.highway, c.oneway, c.speed_limit
+         {alist}
   FROM segs s JOIN cn c ON s.edge_id = c.edge_id
   UNION ALL
   SELECT c.edge_id, e.start_node, e.end_node, wc.n_nodes,
-         wl.length, c.highway, c.oneway, c.speed_limit
+         wl.length, {alist}
   FROM cn c
   JOIN wayends e ON c.edge_id = e.way_id
   JOIN waylen wl ON c.edge_id = wl.way_id
@@ -304,6 +308,9 @@ merged AS (
         FROM wn_net GROUP BY way_id) wc ON c.edge_id = wc.way_id
   WHERE c.edge_id NOT IN (SELECT DISTINCT edge_id FROM segs))
 """
+
+
+_MERGED_SQL = _merged_sql()
 
 
 def _cte(*frags: str) -> str:
@@ -620,6 +627,51 @@ LEFT JOIN med ON w.highway = med.highway
 """
 
 
+_COMPLETE_MERGE_ATTRS = ("speed_limit", "highway", "service", "access",
+                         "oneway", "car", "pedestrian", "bicycle")
+
+
+def q_osm_complete_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix-file's final artifact (``osm-complete-graphs-fix.sql:147-197``):
+    topological split/merge over the *complete* network, with the mode-flag
+    columns (service/access/car/pedestrian/bicycle) carried through the
+    split UPDATE at ``:167-188`` — the multi-modal routing graph."""
+    d = derive_osm(spark, sf_dir)
+    comp = with_mode_flags(impute_speed_limit(complete_network(d["ways"]))).cache()
+    merged = merged_network(comp, d["way_nodes"], attrs=_COMPLETE_MERGE_ATTRS)
+    return merged.select("edge_id", "start_node", "end_node",
+                         F.size("nodes").alias("n_nodes"),
+                         F.round("length", 4).alias("length_km"),
+                         *_COMPLETE_MERGE_ATTRS)
+
+
+def _sql_osm_complete_merged() -> str:
+    cnf = f"""
+compnet AS (
+  SELECT w.*, CASE WHEN regexp_extract(w.maxspeed, '([0-9]+)', 1) != ''
+              THEN CAST(regexp_extract(w.maxspeed, '([0-9]+)', 1) AS INT)
+              END AS speed_limit
+  FROM wtags w
+  WHERE w.highway IS NOT NULL AND w.way_id IN (SELECT way_id FROM wn)),
+med AS (
+  SELECT highway, CAST(ROUND(quantile_cont(speed_limit, 0.5)) AS INT) AS m
+  FROM compnet GROUP BY highway),
+cn AS (
+  SELECT w.way_id AS edge_id, COALESCE(w.speed_limit, med.m) AS speed_limit,
+         w.highway, w.service, w.access, w.oneway,
+         {_cascade_sql('car', _CAR_STEPS)},
+         {_cascade_sql('pedestrian', _PED_STEPS)},
+         {_cascade_sql('bicycle', _BIKE_STEPS)}
+  FROM compnet w LEFT JOIN med ON w.highway = med.highway)
+"""
+    return _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _WAYLEN_SQL, _WAYENDS_SQL,
+                cnf, _TOPOLOGY_SQL, _merged_sql(_COMPLETE_MERGE_ATTRS)) + """
+SELECT edge_id, start_node, end_node, n_nodes, ROUND(length, 4) AS length_km,
+       speed_limit, highway, service, access, oneway, car, pedestrian, bicycle
+FROM merged
+"""
+
+
 def q_osm_tag_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """osm-explore key-frequency summary with the literal + substring
     denylists (P6/P7): 'name' drops out via position(x in tag) = 0."""
@@ -843,6 +895,7 @@ QUERIES = {
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
+    "osm_complete_merged": q_osm_complete_merged,
     "osm_highway_maxspeed": q_osm_highway_maxspeed,
     "osm_pois": q_osm_pois,
     "osm_tag_keys": q_osm_tag_keys,
@@ -868,6 +921,7 @@ ORACLES = {
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
+    "osm_complete_merged": _sql_osm_complete_merged(),
     "osm_highway_maxspeed": SQL_OSM_HIGHWAY_MAXSPEED,
     "osm_pois": SQL_OSM_POIS,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,

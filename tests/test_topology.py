@@ -99,6 +99,35 @@ def test_merged_network_general_path_equivalent(osm, stages):
         assert f[k][1] == g[k][1]
 
 
+def test_merged_network_carries_custom_attrs(osm):
+    """osm-complete-graphs-fix.sql:167-188 — the complete-network merge
+    carries mode columns through the split; both assembly paths agree and
+    each segment inherits its parent way's values."""
+    from osm_pg_etl_spark.operators.network import (
+        complete_network,
+        with_mode_flags,
+    )
+
+    attrs = ("speed_limit", "highway", "service", "access", "oneway",
+             "car", "pedestrian", "bicycle")
+    comp = with_mode_flags(complete_network(osm["ways"]))
+    fast = merged_network(comp, osm["way_nodes"], attrs=attrs)
+    general = merged_network(comp, osm["way_nodes"], nodes=osm["nodes"],
+                             use_array_fast_path=False, attrs=attrs)
+    assert fast.columns == list(general.columns)
+    assert set(attrs) <= set(fast.columns)
+
+    def rows(df):
+        return sorted((r["edge_id"], tuple(r["nodes"]),
+                       *[r[a] for a in attrs]) for r in df.collect())
+
+    f, g = rows(fast), rows(general)
+    assert f == g
+    parent = {r["edge_id"]: tuple(r[a] for a in attrs) for r in comp.collect()}
+    for row in f:
+        assert row[2:] == parent[row[0]], row
+
+
 def test_segment_lengths_sum_to_way_length(osm, stages):
     # splitting is length-preserving per way (boundary nodes shared)
     from osm_pg_etl_spark.functions.geo import linestring_length_km
