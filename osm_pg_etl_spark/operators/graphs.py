@@ -5,7 +5,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import array_reverse
@@ -108,18 +108,24 @@ def create_topology(edges: DataFrame, tolerance: float = 0.0001,
     keys = (e.select(F.col("_src_key").alias("k"))
             .union(e.select(F.col("_dst_key").alias("k")))
             .distinct())
-    # Global dense ids WITHOUT a single-partition window: range-partitioned
-    # sort + zipWithIndex (partition sizes + offsets, two passes) — the ids
-    # equal DENSE_RANK() OVER (ORDER BY k) because keys are distinct, so
-    # the oracle is unchanged while the ranking scales with the cluster.
-    # (One of the rare justified RDD drops: no DataFrame op gives a global
-    # contiguous index without serializing.)
-    spark = edges.sparkSession
-    verts = spark.createDataFrame(
-        keys.orderBy("k").rdd.map(lambda r: r["k"]).zipWithIndex()
-            .map(lambda kv: (kv[0], kv[1] + 1)),
-        "k string, vid long",
-    ).withColumn("vid", F.col("vid").cast("int"))
+    # Global dense ids WITHOUT a single-partition window and WITHOUT leaving
+    # the JVM: range-partition the distinct keys (partition p holds smaller
+    # keys than p+1), row_number within each partition, then add broadcast
+    # cumulative partition offsets. Because keys are distinct, the ids equal
+    # DENSE_RANK() OVER (ORDER BY k), so the oracle is unchanged while every
+    # per-row step stays inside whole-stage codegen. The offsets table has
+    # one row per shuffle partition — the only driver-sized piece.
+    ranged = (keys.repartitionByRange(F.col("k"))
+              .withColumn("_pid", F.spark_partition_id())
+              .cache())  # pin pid assignment: counts + ranks must agree
+    w_local = Window.partitionBy("_pid").orderBy("k")
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"))
+    verts = (ranged.withColumn("_rn", F.row_number().over(w_local))
+             .join(F.broadcast(offsets), "_pid")
+             .select("k", (F.col("_off") + F.col("_rn")).cast("int").alias("vid")))
     return (e.join(verts.withColumnRenamed("vid", "source"),
                    e["_src_key"] == verts["k"], "left").drop("k")
             .join(verts.withColumnRenamed("vid", "target").alias("v2"),
