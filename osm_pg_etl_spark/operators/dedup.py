@@ -160,22 +160,31 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint over lowercase tokens: per-bit majority vote of
-    token-hash bits, packed into a long. Pure per-row expression."""
+    token-hash bits, packed into a long. Pure per-row expression.
+
+    Single aggregate pass: the fold state is an array of ``bits`` vote
+    counters updated with zip_with, so each token is md5-hashed exactly
+    once. (The per-bit-aggregate formulation re-inlined the token hashing
+    into every one of the 32 folds — ~32x the expression cost.)"""
     hashes = F.transform(F.transform(tokens(text), lambda t: F.lower(t)),
                          lambda t: md5_long(t))
-    # bit extraction via exact power-of-two division (hash < 2^32 so the
-    # double division is exact); F.shiftright rejects lambda columns
-    def voter(b: int):
-        shift = float(1 << b)
-        return lambda acc, h: acc + F.when(
-            (h / F.lit(shift)).cast("long") % 2 == 1,
-            F.lit(1)).otherwise(F.lit(-1))
+    # bit extraction via exact power-of-two division (hash < 2^32 and 2^b
+    # are exact doubles); F.shiftright rejects lambda columns, so divide by
+    # a constant-folded array of 2^b literals instead
+    pows = F.array(*[F.lit(float(1 << b)) for b in range(bits)])
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), voter(b)) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    def bit_signs(h):
+        return F.transform(pows, lambda p: F.when(
+            (h / p).cast("long") % 2 == 1, F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_signs(h), lambda a, s: a + s))
+    weights = F.zip_with(
+        votes, pows,
+        lambda v, p: F.when(v > 0, p.cast("long")).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
