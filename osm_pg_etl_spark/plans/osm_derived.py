@@ -788,7 +788,9 @@ def q_osm_geometric_blades(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.size("blade").alias("n_blade")))
 
 
-SQL_OSM_GEOMETRIC_BLADES = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + """,
+# per-pair intersection points (the blade model) — shared by the blade-count
+# and geometric-split oracles
+_PTS0_SQL = """,
 pts0 AS (
   SELECT id_a, id_b,
          ax1 + (d1 / (d1 - d2)) * (ax2 - ax1) AS px,
@@ -811,7 +813,10 @@ pts0 AS (
   UNION ALL
   SELECT id_a, id_b, bx2, by2 FROM dvals
   WHERE d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
-               AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2)),
+               AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+"""
+
+SQL_OSM_GEOMETRIC_BLADES = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + _PTS0_SQL + """,
 pts AS (
   SELECT id, px + 0.0 AS px, py + 0.0 AS py
   FROM (SELECT id_a AS id, px, py FROM pts0
@@ -833,6 +838,93 @@ def q_osm_geometric_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = geometric_split(sub, id_col="id", line_col="linestring",
                             cell_deg=0.5)
     return parts.select("id", "part_index", F.size("geom").alias("n_points"))
+
+
+# Oracle for the geometric split: re-derives blade points (shared _PTS0_SQL),
+# then emulates operators/spatial.py:_split_polyline step by step — project
+# each blade point onto its way's FIRST matching segment (same IEEE
+# expression grouping), clamp t, drop cuts at the line's own endpoints,
+# merge cut points into the vertex sequence in param order (cut before a
+# param-tied vertex, as the Python loop appends), collapse consecutive
+# coordinate-equal appends, and count points per part (parts with a single
+# point are not emitted). Ways whose cut set is empty return their raw
+# vertex list without the duplicate collapse — exactly the early return.
+SQL_OSM_GEOMETRIC_SPLIT = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + _PTS0_SQL + """,
+bpts AS (
+  SELECT DISTINCT id, px + 0.0 AS px, py + 0.0 AS py
+  FROM (SELECT id_a AS id, px, py FROM pts0
+        UNION ALL
+        SELECT id_b AS id, px, py FROM pts0)),
+segsx AS (
+  SELECT id, i - 1 AS i, xs[i] AS x1, ys[i] AS y1, xs[i+1] AS x2, ys[i+1] AS y2
+  FROM geom, UNNEST(range(1, len(xs))) AS ti(i)),
+vertx AS (
+  SELECT id, j - 1 AS j, xs[j] AS x, ys[j] AS y
+  FROM geom, UNNEST(range(1, len(xs) + 1)) AS tj(j)),
+cutc AS (
+  SELECT b.id, b.px, b.py, s.i,
+         ((b.px - s.x1) * (s.x2 - s.x1) + (b.py - s.y1) * (s.y2 - s.y1))
+           / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)) AS t_raw,
+         LEAST(GREATEST(t_raw, 0.0), 1.0) AS t
+  FROM bpts b JOIN segsx s ON b.id = s.id
+  WHERE ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)) != 0
+    AND t_raw BETWEEN -1e-9 AND 1 + 1e-9
+    AND abs((s.x1 + t * (s.x2 - s.x1)) - b.px) <= 1e-9
+    AND abs((s.y1 + t * (s.y2 - s.y1)) - b.py) <= 1e-9),
+firstcut AS (
+  SELECT id, i, t FROM (
+    SELECT id, i, t, ROW_NUMBER() OVER (PARTITION BY id, px, py ORDER BY i) AS rn
+    FROM cutc) WHERE rn = 1),
+cuts AS (
+  SELECT DISTINCT c.id, c.i, c.t
+  FROM firstcut c
+  JOIN (SELECT id, MAX(j) AS mj FROM vertx GROUP BY id) v ON c.id = v.id
+  WHERE NOT (c.i = 0 AND c.t <= 1e-9)
+    AND NOT (c.i = v.mj - 1 AND c.t >= 1 - 1e-9)),
+entries AS (
+  -- (ord, tb) break param ties in Python append order: cuts are processed
+  -- sorted by (i, t) during segment iteration i, and the vertex v_j is
+  -- appended at the end of iteration j-1 — so cut(i=j-1, t→1) < vertex v_j
+  -- < cut(i=j, t→0), and same-segment cuts order by t even when i+t rounds
+  -- to the same double
+  SELECT id, CAST(j AS DOUBLE) AS p, j - 0.5 AS ord, 0.0 AS tb, x, y, 0 AS isc
+  FROM vertx WHERE id IN (SELECT id FROM cuts)
+  UNION ALL
+  SELECT c.id, c.i + c.t AS p, CAST(c.i AS DOUBLE) AS ord, c.t AS tb,
+         s.x1 + c.t * (s.x2 - s.x1) AS x,
+         s.y1 + c.t * (s.y2 - s.y1) AS y, 1 AS isc
+  FROM cuts c JOIN segsx s ON c.id = s.id AND c.i = s.i),
+runs AS (
+  SELECT id, p, ord, tb, isc, x, y,
+         CASE WHEN LAG(x) OVER w IS NULL THEN 1
+              WHEN x != LAG(x) OVER w OR y != LAG(y) OVER w THEN 1
+              ELSE 0 END AS newrun
+  FROM entries
+  WINDOW w AS (PARTITION BY id ORDER BY p, ord, tb)),
+collapsed AS (
+  SELECT id, grp, MAX(isc) AS isc
+  FROM (SELECT id, isc,
+               SUM(newrun) OVER (PARTITION BY id ORDER BY p, ord, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM runs)
+  GROUP BY id, grp),
+memb AS (
+  SELECT id, UNNEST(CASE WHEN isc = 1 THEN [c - 1, c] ELSE [c] END) AS part
+  FROM (SELECT id, grp, isc,
+               SUM(isc) OVER (PARTITION BY id ORDER BY grp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM collapsed)),
+cutparts AS (
+  SELECT id, part, COUNT(*) AS n
+  FROM memb GROUP BY id, part HAVING COUNT(*) > 1)
+SELECT id, CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY part) - 1 AS INT)
+         AS part_index,
+       CAST(n AS INT) AS n_points
+FROM cutparts
+UNION ALL
+SELECT id, 0 AS part_index, CAST(len(xs) AS INT) AS n_points
+FROM geom WHERE id NOT IN (SELECT DISTINCT id FROM cuts)
+"""
 
 
 def q_osm_create_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,7 +1002,7 @@ ORACLES = {
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
-    # osm_geometric_split: rows-only (split goldens in unit tests)
+    "osm_geometric_split": SQL_OSM_GEOMETRIC_SPLIT,
     "osm_create_topology": SQL_OSM_CREATE_TOPOLOGY,
     "osm_car_network": SQL_OSM_CAR_NETWORK,
     "osm_shared_nodes": SQL_OSM_SHARED_NODES,
