@@ -53,30 +53,55 @@ def weighted_median(df: DataFrame, x: str, w: str,
     returned — matching the reference's observable behavior on its own
     smoke-test table ``temp_table2`` (``general-functions.sql:121-129``).
 
-    Scale note: the window orders by x *within each group* — a shuffle on the
-    group key then a per-partition sort. For the ungrouped variant Spark
-    plans a single-partition window, fine for the scalar-result use the
-    reference makes of it (one number per table, ``osm-road-graphs.sql:176``);
-    never apply the ungrouped form to a large table.
+    Scale note: the grouped form shuffles on the group key and sorts within
+    partitions. The ungrouped form does NOT plan a single-partition window:
+    it range-partitions by x, computes per-partition running sums, and adds
+    broadcast cumulative partition offsets (the same JVM-side prefix-sum
+    construction as ``create_topology``'s dense ids). Exact because the
+    decimal sums are associative; the only unpartitioned window runs over
+    the one-row-per-shuffle-partition offsets table.
     """
     gcols = group_cols or []
-    w_ord = Window.partitionBy(*gcols).orderBy(F.col(x)) if gcols else Window.orderBy(F.col(x))
-    # (an applyInPandas formulation of the same computation lives in
-    # weighted_median_pandas below — the true UDTF analog of U5)
-    w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-
     # Exact decimal weight sums: the midpoint-straddle comparison below must
     # not depend on float summation order (ties at total/2 would otherwise be
     # engine- and partitioning-dependent).
     cw = F.coalesce(F.col(w), F.lit(0)).cast("decimal(28,6)")
-    run = F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-    prev = F.coalesce(
-        F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("decimal(28,6)"))
-    total = F.sum(cw).over(w_all)
 
-    scored = df.select(*gcols, F.col(x).cast("double").alias("_x"),
-                       run.alias("_run"), prev.alias("_prev"), total.alias("_tot"))
+    if gcols:
+        # (an applyInPandas formulation of the same computation lives in
+        # weighted_median_pandas below — the true UDTF analog of U5)
+        w_ord = Window.partitionBy(*gcols).orderBy(F.col(x))
+        run = F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        prev = F.coalesce(
+            F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("decimal(28,6)"))
+        total = F.sum(cw).over(Window.partitionBy(*gcols))
+        scored = df.select(*gcols, F.col(x).cast("double").alias("_x"),
+                           run.alias("_run"), prev.alias("_prev"),
+                           total.alias("_tot"))
+    else:
+        # distributed global prefix sum: partition p holds smaller x than
+        # p+1, so run = local running sum + sum of earlier partitions' totals
+        ranged = (df.select(F.col(x).cast("double").alias("_x"), cw.alias("_w"))
+                  .repartitionByRange(F.col("_x"))
+                  .withColumn("_pid", F.spark_partition_id())
+                  .cache())  # pin pid assignment: offsets + ranks must agree
+        w_local = Window.partitionBy("_pid").orderBy("_x")
+        w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        zero = F.lit(0).cast("decimal(28,6)")
+        offs = (ranged.groupBy("_pid").agg(F.sum("_w").alias("_c"))
+                .select("_pid",
+                        F.coalesce(F.sum("_c").over(w_off), zero).alias("_off"),
+                        F.sum("_c").over(Window.partitionBy()).alias("_tot")))
+        local_run = F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+        local_prev = F.coalesce(
+            F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, -1)), zero)
+        scored = (ranged.join(F.broadcast(offs), "_pid")
+                  .select("_x",
+                          (local_run + F.col("_off")).alias("_run"),
+                          (local_prev + F.col("_off")).alias("_prev"),
+                          "_tot"))
+
     half = F.col("_tot") / 2
     hit = scored.filter((half >= F.col("_prev")) & (half <= F.col("_run")))
     agg = hit.groupBy(*gcols).agg(F.avg("_x").alias(alias))
