@@ -129,6 +129,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     near-dup cluster size; a pathological bucket (e.g. empty docs) is
     handled by AQE skew-join splitting.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands ({bands}): "
+            "trailing signature entries would be silently ignored, reducing "
+            "recall below the documented 1-(1-s^r)^b capture probability")
     rows_per_band = num_hashes // bands
     # shingles feed the band join (twice, as both sides) and the Jaccard
     # verification: materialize once. cache() is MEMORY_AND_DISK — at
@@ -194,6 +199,11 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     ``bands`` chunks (two fingerprints within ``bands-1`` bit flips share at
     least one chunk — pigeonhole), bucket-join on chunks, verify Hamming
     distance. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if bits % bands:
+        raise ValueError(
+            f"bits ({bits}) must be a multiple of bands ({bands}): trailing "
+            "fingerprint bits would be silently ignored, breaking the "
+            "pigeonhole guarantee for max_hamming <= bands - 1")
     chunk = bits // bands
     mask = (1 << chunk) - 1
     sig = (spread(df.select(F.col(id_col), F.col(text_col)))
@@ -217,18 +227,28 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted shingle index:
     explode shingles → self-join on shingle → |A∩B| per pair → Jaccard from
     per-doc shingle counts. Exact but quadratic in posting-list length —
-    use as the verifier / oracle; MinHash-LSH is the scale path. A
-    frequency cutoff on pathological shingles (stopword runs) is the
-    standard mitigation when running this directly on large corpora."""
+    use as the verifier / oracle; MinHash-LSH is the scale path.
+
+    ``max_doc_freq`` drops shingles whose posting list exceeds the cutoff
+    (stopword runs, boilerplate) before the self-join — the standard
+    mitigation for pathological posting lists on large corpora. Intersection
+    counts then miss the dropped shingles while denominators keep them, so
+    reported similarity is a lower bound; ``None`` (default) stays exact."""
     sh = (spread(df.select(F.col(id_col), F.col(text_col)))
           .select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
           .cache())
     sizes = sh.select(id_col, F.size("_sh").alias("_n"))
     inv = sh.select(id_col, F.explode("_sh").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("shingle"))
+        inv = inv.join(rare, "shingle", "left_semi")
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), "shingle")
     common = (a.join(b, "shingle")

@@ -99,11 +99,14 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df_docs")))   # docs containing term
-    n_docs = df.count()
+    # corpus size as a broadcast one-row join, not a separate df.count()
+    # action — the whole computation stays one job (empty docs still count)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
-                          F.col("tf") * F.log(F.lit(float(n_docs))
-                                              / F.col("df_docs"))))
+                          F.col("tf") * F.log(F.col("_n") / F.col("df_docs")))
+              .drop("_n"))
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")

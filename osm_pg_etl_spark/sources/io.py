@@ -23,6 +23,13 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# logical operators that already shape partitioning (or imply a shuffle
+# upstream): when one is present, spread() trusts the plan instead of paying
+# a full physical compile just to count partitions
+_SHAPED_OPS = ("Join", "Aggregate", "Repartition", "Window", "Deduplicate",
+               "Sort", "RebalancePartitions")
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Ensure at least cluster-parallelism partitions before a CPU-heavy
     narrow stage.
@@ -32,7 +39,16 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     on one core. When the plan already has enough partitions — the normal
     case at scale — this is the identity, so no shuffle is added to big
     pipelines.
+
+    The partition-count probe (``df.rdd``) compiles the full physical plan,
+    so it is gated to scan-rooted inputs: if the analyzed plan already
+    contains a shuffle-shaping operator (join/agg/repartition/...), the
+    upstream stage chose the partitioning and spread() is the identity
+    without any probe.
     """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(op in plan for op in _SHAPED_OPS):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

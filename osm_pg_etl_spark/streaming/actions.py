@@ -94,15 +94,23 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
     ``max_duration_minutes`` total span (training-pipeline style bounded
     sessions).
 
-    Semantics (identical on both paths): events group into gap-islands;
-    an island splits into sessions at fixed ``max_duration`` boundaries
-    measured from the island's first event.
+    Semantics (identical on both paths *for per-key in-order arrival*):
+    events group into gap-islands; an island splits into sessions at fixed
+    ``max_duration`` boundaries measured from the island's first event.
 
     Streaming input → ``applyInPandasWithState`` (per-key state = current
     island/session accumulator, processing-time timeout flushes idle
     keys). Batch input → the equivalent two-pass window computation, so
     the operator is testable and oracle-checkable without a streaming
     runtime.
+
+    In-order assumption (streaming path): events are sorted within each
+    micro-batch, but an event admitted by the watermark that is *older
+    than the key's state* (``ts < last_ts`` across batches) is folded into
+    the open session as if it were current — the gap test sees a negative
+    delta and never closes, while the batch path would have sorted it into
+    place. Feed per-key ordered streams (e.g. Kafka key-partitioned) or
+    accept batch/streaming divergence on cross-batch late data.
     """
     out_schema = ("user_id long, session_start timestamp_ntz, "
                   "n_events long, sum_value double")

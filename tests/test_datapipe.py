@@ -85,6 +85,24 @@ def test_simhash_near_duplicates(docs):
     assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
 
 
+def test_band_geometry_validated(docs):
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_near_duplicates(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        simhash_near_duplicates(docs, bits=32, bands=5)
+
+
+def test_ngram_jaccard_doc_freq_cutoff(docs):
+    # every shingle of docs 1/2 appears in >= 2 docs: cutoff=1 removes all
+    # their postings, so the (1,2) pair disappears; exact mode keeps it
+    exact = ngram_jaccard_pairs(docs, threshold=0.4)
+    capped = ngram_jaccard_pairs(docs, threshold=0.4, max_doc_freq=1)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1, 2) in exact_pairs
+    assert capped_pairs < exact_pairs
+
+
 def test_fingerprint_reorder_invariant(spark):
     df = spark.createDataFrame(
         [("b a c",), ("c  b a",), ("a b d",)], "t string")

@@ -47,12 +47,20 @@ def test_append_slices_missing_columns_null(spark):
     assert rows == {1: ("x", None), 2: (None, 9.5)}  # implicit NULLs (S4)
 
 
-def test_spread_raises_parallelism_only_when_needed(spark):
-    one = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
-    assert spread(one).rdd.getNumPartitions() \
+def test_spread_raises_parallelism_only_when_needed(spark, tmp_path):
+    # the real target: a single-row-group parquet scan arriving as one task
+    p = str(tmp_path / "one.parquet")
+    spark.createDataFrame([(i,) for i in range(10)], "id long") \
+        .coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert scan.rdd.getNumPartitions() == 1
+    assert spread(scan).rdd.getNumPartitions() \
         == spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(64)
     assert spread(wide).rdd.getNumPartitions() == 64  # identity at scale
+    # an explicit partitioning choice upstream is respected without a probe
+    one = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
+    assert spread(one).rdd.getNumPartitions() == 1
 
 
 def test_materialize_registers_view(spark):
