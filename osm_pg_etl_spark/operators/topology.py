@@ -207,7 +207,8 @@ def _assemble_from_nodes(merge_rows: DataFrame, nodes: DataFrame) -> DataFrame:
 def merged_network(network: DataFrame, way_nodes: DataFrame,
                    nodes: DataFrame | None = None,
                    use_array_fast_path: bool = True,
-                   attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS) -> DataFrame:
+                   attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS,
+                   pre_partitioned: bool = False) -> DataFrame:
     """``graphs.car_network_merged`` (``osm-road-graphs.sql:129-165``): the
     split-and-reassembled edge table.
 
@@ -231,8 +232,15 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     # reused by every way_id-keyed stage downstream (length agg, limits
     # window, assembly groupBy), collapsing their per-stage shuffles into
     # this one exchange — the Spark analog of the reference clustering its
-    # IR tables (CLUSTER, pgsnapshot_schema_0.6.sql:112-116)
-    wn_net = network_way_nodes(way_nodes, network).repartition("way_id").cache()
+    # IR tables (CLUSTER, pgsnapshot_schema_0.6.sql:112-116).
+    # pre_partitioned=True skips even that exchange: pass it when way_nodes
+    # comes from a table bucketed by way_id (sources.io.write_bucketed) —
+    # the bucket scan's HashPartitioning(way_id) already satisfies every
+    # way_id-keyed stage, so the pipeline runs with zero way_id shuffles.
+    wn_net = network_way_nodes(way_nodes, network)
+    if not pre_partitioned:
+        wn_net = wn_net.repartition("way_id")
+    wn_net = wn_net.cache()
     shared = shared_nodes(wn_net)
     lengths = ways_length(wn_net).cache()
     splits = ways_split_nodes(wn_net, shared, lengths)

@@ -69,6 +69,48 @@ def test_materialize_registers_view(spark):
     assert spark.sql("SELECT COUNT(*) AS n FROM mat_view_test").first()["n"] == 1
 
 
+def test_bucketed_way_nodes_feed_topology_without_exchange(spark, osm):
+    """End-to-end: way_nodes materialized bucketed by way_id feed the real
+    split/merge pipeline with zero way_id shuffles — the per-stage plans up
+    to the way-keyed agg/window read the bucket layout directly, and the
+    full pipeline's output matches the unbucketed path."""
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import (
+        merged_network,
+        network_way_nodes,
+        ways_length,
+    )
+    from osm_pg_etl_spark.sources.io import write_bucketed
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_bucketed(osm["way_nodes"], "wn_bkt", ["way_id"], num_buckets=4,
+                       path=os.path.join(tmp, "wn"))
+        wn = spark.table("wn_bkt")
+        cn = car_network(osm["ways"])
+
+        # way_id-keyed aggregation straight off the bucket scan: no Exchange
+        # anywhere in the plan (the network-id semi-join broadcasts — hinted
+        # here because the tiny fixture has no stats; at scale AQE decides,
+        # and an SMJ would shuffle only the id side, never the fact table)
+        from pyspark.sql import functions as F
+        lengths = ways_length(network_way_nodes(wn, F.broadcast(cn)))
+        plan = lengths._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # no shuffle exchange anywhere (a BroadcastExchange of the tiny id
+        # list is fine — it moves no fact-table data)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+        # the full pipeline agrees with the unbucketed path row for row
+        bucketed = merged_network(cn, wn, pre_partitioned=True)
+        default = merged_network(cn, osm["way_nodes"])
+        key = lambda df: sorted((r["edge_id"], tuple(r["nodes"]))  # noqa: E731
+                                for r in df.collect())
+        assert key(bucketed) == key(default)
+        spark.sql("DROP TABLE wn_bkt")
+
+
 def test_write_bucketed_join_without_shuffle(spark):
     from osm_pg_etl_spark.sources.io import write_bucketed
 
