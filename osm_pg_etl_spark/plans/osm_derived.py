@@ -977,7 +977,53 @@ WHERE n.id IN (SELECT start_node FROM wayends WHERE way_id IN (SELECT edge_id FR
 """
 
 
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 in-engine PBF ingest, value-checked end-to-end: the derived nodes
+    table is encoded to a real ``.osm.pbf`` (``write_pbf``: DenseNodes,
+    delta/zigzag packed varints, zlib blobs) and re-ingested with the
+    distributed ``read_pbf`` blob scan; the oracle re-derives the same rows
+    straight from ``part``, so a hash match proves the codec round-trips
+    ids, signed nano-degree coordinates, and tag maps exactly
+    (``etl/osm-load.sh:29``'s Osmosis step, made self-contained).
+
+    The driver-side collect here is *fixture generation only* (bounded by
+    |part|); the read path under test is the executor-parallel ranged-blob
+    scan a planet-scale ingest would use."""
+    import os
+    import tempfile
+
+    from ..functions.geo import point_wkt
+    from ..sources.pbf import read_pbf, write_pbf
+
+    nodes = derive_osm(spark, sf_dir)["nodes"]
+    rows = nodes.select("id", "lon", "lat", "tags").collect()
+    path = os.path.join(tempfile.mkdtemp(prefix="pbf_gate_"), "nodes.osm.pbf")
+    write_pbf(path, nodes=[
+        {"id": r["id"], "lon": r["lon"], "lat": r["lat"], "tags": r["tags"]}
+        for r in rows])
+    back = read_pbf(spark, path, "nodes")
+    return back.select(
+        "id",
+        point_wkt("lon", "lat").alias("coord"),
+        F.array_join(F.sort_array(F.transform(
+            F.map_entries("tags"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+            "&").alias("tags_kv"))
+
+
+SQL_PBF_ROUNDTRIP = _cte(_NODES_SQL) + """
+SELECT id,
+       printf('POINT(%.7f %.7f)', lon, lat) AS coord,
+       COALESCE(list_aggr(list_sort(list_filter(
+         ['amenity=' || amenity, 'shop=' || shop, 'leisure=' || leisure,
+          'sport=' || sport, 'tourism=' || tourism, 'name=' || name],
+         x -> x IS NOT NULL)), 'string_agg', '&'), '') AS tags_kv
+FROM nodes_d
+"""
+
+
 QUERIES = {
+    "pbf_roundtrip": q_pbf_roundtrip,
     "osm_car_network": q_osm_car_network,
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
@@ -999,6 +1045,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pbf_roundtrip": SQL_PBF_ROUNDTRIP,
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
