@@ -1,9 +1,11 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 Extensions beyond the reference surface (BASELINE.json north star): language
-ID, quality scoring, token counting, document fingerprinting. All pure
-Column expressions (JVM-side, whole-stage codegen) — a 100 TB documents
-table never leaves the executors and never crosses into Python.
+ID, quality scoring, token counting, document fingerprinting. Pure Column
+expressions (JVM-side, whole-stage codegen) throughout — a 100 TB documents
+table never leaves the executors and never crosses into Python — except
+``winnow_fingerprints``, an Arrow-batched pandas UDF (see its docstring for
+why the Column formulation loses).
 """
 
 from __future__ import annotations
@@ -152,3 +154,70 @@ def fingerprint(text: Column | str) -> Column:
     toks = F.transform(tokens(text), lambda t: F.lower(t))
     normalized = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return F.md5(normalized)
+
+
+# Winnowing constants: polynomial rolling-hash base/modulus, chosen so every
+# intermediate fits comfortably in 32 bits (max code 122 × max power < 2^27,
+# k-term sum < 2^30) — identical integer arithmetic on any engine, which is
+# what makes the DuckDB oracle value-exact.
+WINNOW_BASE = 257
+WINNOW_MOD = 1_048_573  # largest prime < 2^20
+
+
+def _winnow_one(text: str | None, k: int, window: int) -> list[int]:
+    """Winnow a single document; pure-numpy, O(n) in document length."""
+    import re
+
+    import numpy as np
+
+    if not text:
+        return []
+    norm = re.sub("[^a-z0-9]", "", text.lower())
+    n = len(norm)
+    if n < k:
+        return []
+    codes = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    pows = np.array([pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)
+                     for j in range(k)], dtype=np.int64)
+    grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+    hashes = (grams @ pows) % WINNOW_MOD  # max 122·2^20·7 < 2^30: no overflow
+    if len(hashes) < window:
+        return [int(hashes.min())]
+    minima = np.min(
+        np.lib.stride_tricks.sliding_window_view(hashes, window), axis=1)
+    return np.unique(minima).tolist()
+
+
+_winnow_udfs: dict[tuple[int, int], Column] = {}
+
+
+def winnow_fingerprints(text: Column | str, k: int = 7,
+                        window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): normalize to ``[a-z0-9]``, hash every character
+    k-gram with a polynomial rolling hash, then keep the minimum hash of
+    each ``window`` consecutive k-grams. The selected minima are a
+    position-robust fingerprint *set*: any shared substring of length
+    ``k + window - 1`` guarantees a shared fingerprint, so overlap of the
+    sets detects partial/local duplication that whole-document hashing
+    misses.
+
+    Implemented as an Arrow-batched pandas UDF (sliding-window matmul in
+    numpy, O(n) per document, no shuffle — per-document narrow compute that
+    parallelizes by partition). A pure-Column higher-order-function
+    formulation was measured and rejected: Catalyst re-evaluates expressions
+    captured by nested lambdas once per element, turning the k-gram slice
+    chain into O(n³) per row. The modulus keeps every intermediate in 32
+    bits, so the arithmetic — and therefore the DuckDB oracle — is
+    value-exact on any engine.
+
+    Returns the sorted distinct minima as a bigint array. Documents with
+    fewer than ``k`` usable characters yield an empty set; with fewer than
+    ``k + window - 1``, the single global minimum (the standard short-input
+    degeneration)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if (k, window) not in _winnow_udfs:
+        def fn(s, _k=k, _w=window):
+            return s.map(lambda t: _winnow_one(t, _k, _w))
+        _winnow_udfs[(k, window)] = F.pandas_udf(fn, "array<bigint>")
+    return _winnow_udfs[(k, window)](c)

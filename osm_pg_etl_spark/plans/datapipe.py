@@ -397,6 +397,53 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_t(spark, sf_dir)
+    fp = text.winnow_fingerprints("text")
+    return docs.select("doc_id",
+                       F.size(fp).alias("n_fp"),
+                       F.array_join(fp, ",").alias("fp"))
+
+
+def _sql_winnow(k: int = 7, window: int = 4) -> str:
+    """Re-derive the winnowing selection in DuckDB: same polynomial k-gram
+    hash (constants imported from the operator — don't fork), same
+    window-minimum selection, value-exact."""
+    mod = text.WINNOW_MOD
+    terms = " + ".join(
+        f"codes[i + {j + 1}] * {pow(text.WINNOW_BASE, k - 1 - j, mod)}"
+        for j in range(k))
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+  FROM documents),
+cc AS (
+  SELECT doc_id,
+         list_transform(range(1, len(norm) + 1),
+                        i -> CAST(ascii(norm[i]) AS BIGINT)) AS codes
+  FROM c),
+h AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(codes) - {k - 1}, 0)),
+                        i -> ({terms}) % {mod}) AS hashes
+  FROM cc),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hashes) < {window} THEN [list_min(hashes)]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(0, len(hashes) - {window - 1}),
+                     i -> list_min(hashes[i + 1 : i + {window}]))))
+         END AS fp
+  FROM h)
+SELECT doc_id,
+       CAST(len(fp) AS INT) AS n_fp,
+       array_to_string(fp, ',') AS fp
+FROM fps
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     return docs.select("doc_id",
@@ -572,6 +619,7 @@ QUERIES = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "token_counts": q_token_counts,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "pii_redact": q_pii_redact,
@@ -592,6 +640,7 @@ ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "token_counts": SQL_TOKEN_COUNTS,
+    "winnow_fingerprints": _sql_winnow(),
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
     "pii_redact": _sql_pii_redact(),

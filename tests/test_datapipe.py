@@ -111,6 +111,30 @@ def test_fingerprint_reorder_invariant(spark):
     assert got[0] != got[2]
 
 
+def test_winnow_fingerprints(spark):
+    from osm_pg_etl_spark.operators.text import _winnow_one, winnow_fingerprints
+
+    shared = "a common phrase of respectable length"  # >> k+window-1 chars
+    rows = [(1, "intro text " + shared + " and an ending"),
+            (2, "другое начало " + shared + " другой конец"),
+            (3, "totally unrelated writing about nothing similar"),
+            (4, "xy"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", winnow_fingerprints("text").alias("fp")).collect()}
+    # winnowing guarantee: a shared substring of >= k+window-1 normalized
+    # chars forces at least one shared fingerprint
+    assert set(got[1]) & set(got[2])
+    assert not (set(got[1]) & set(got[3]))
+    assert got[4] == [] and got[5] == [] and got[6] == []
+    # sorted distinct, position-shift invariant on the pure shared text
+    assert got[1] == sorted(set(got[1]))
+    assert (_winnow_one("XX" + shared, 7, 4) is not None)
+    # short-input degeneration: >=k grams but < window of them -> global min
+    one = _winnow_one("abcdefgh", 7, 4)  # 2 grams
+    assert len(one) == 1
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("Hello, world! 42 times",)], "t string")
     r = df.select(token_count("t").alias("w"),
