@@ -263,3 +263,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      / (F.col("_na") + F.col("_nb") - F.col("_common")))
                     .alias("jaccard_sim"))
             .filter(F.col("jaccard_sim") >= threshold))
+
+
+def winnow_near_duplicates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 7,
+                           window: int = 4, threshold: float = 0.5,
+                           max_doc_freq: int | None = None) -> DataFrame:
+    """Partial/local near-duplicate pairs from winnowing fingerprint overlap
+    (the MOSS pipeline end-to-end): explode each document's winnow minima
+    (:func:`..operators.text.winnow_fingerprints`) into an inverted index,
+    self-join on fingerprint, score each pair by fingerprint-set Jaccard.
+
+    Catches shared *passages* — any common substring of ``k + window - 1``
+    normalized chars is guaranteed a shared fingerprint — where
+    whole-document MinHash dilutes local overlap below its threshold.
+    Winnowing keeps ~2/(window+1) of the k-gram hashes, so posting lists
+    (and the self-join) are a fraction of :func:`ngram_jaccard_pairs`'s;
+    ``max_doc_freq`` additionally drops boilerplate fingerprints whose
+    posting list exceeds the cutoff before the join (similarity then reads
+    as a lower bound, same contract as ``ngram_jaccard_pairs``)."""
+    from .text import winnow_fingerprints
+
+    fps = (spread(df.select(F.col(id_col), F.col(text_col)))
+           .select(F.col(id_col),
+                   winnow_fingerprints(text_col, k, window).alias("_fp"))
+           .cache())
+    sizes = fps.select(id_col, F.size("_fp").alias("_n"))
+    inv = fps.select(id_col, F.explode("_fp").alias("f"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("f").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("f"))
+        inv = inv.join(rare, "f", "left_semi")
+    a = inv.select(F.col(id_col).alias("id_a"), "f")
+    b = inv.select(F.col(id_col).alias("id_b"), "f")
+    common = (a.join(b, "f")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("_common")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("_common").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("_common")))
+                    .alias("winnow_jaccard"))
+            .filter(F.col("winnow_jaccard") >= threshold))

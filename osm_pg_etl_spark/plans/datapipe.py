@@ -405,16 +405,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.array_join(fp, ",").alias("fp"))
 
 
-def _sql_winnow(k: int = 7, window: int = 4) -> str:
-    """Re-derive the winnowing selection in DuckDB: same polynomial k-gram
-    hash (constants imported from the operator — don't fork), same
-    window-minimum selection, value-exact."""
+def _winnow_ctes(k: int = 7, window: int = 4) -> str:
+    """DuckDB CTE chain ending in ``fps(doc_id, fp)`` that re-derives the
+    winnowing selection: same polynomial k-gram hash (constants imported
+    from the operator — don't fork), same window-minimum selection,
+    value-exact."""
     mod = text.WINNOW_MOD
     terms = " + ".join(
         f"codes[i + {j + 1}] * {pow(text.WINNOW_BASE, k - 1 - j, mod)}"
         for j in range(k))
-    return f"""
-WITH c AS (
+    return f"""c AS (
   SELECT doc_id,
          regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
   FROM documents),
@@ -436,11 +436,41 @@ fps AS (
                      range(0, len(hashes) - {window - 1}),
                      i -> list_min(hashes[i + 1 : i + {window}]))))
          END AS fp
-  FROM h)
+  FROM h)"""
+
+
+def _sql_winnow(k: int = 7, window: int = 4) -> str:
+    return f"""
+WITH {_winnow_ctes(k, window)}
 SELECT doc_id,
        CAST(len(fp) AS INT) AS n_fp,
        array_to_string(fp, ',') AS fp
 FROM fps
+"""
+
+
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.winnow_near_duplicates(docs, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("winnow_jaccard", 6).alias("winnow_jaccard"))
+
+
+def _sql_winnow_neardup(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_winnow_ctes()},
+inv AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+sizes AS (SELECT doc_id, len(fp) AS n FROM fps),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS winnow_jaccard
+FROM common
+JOIN sizes na ON common.id_a = na.doc_id
+JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {threshold}
 """
 
 
@@ -620,6 +650,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_neardup": q_winnow_neardup,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "pii_redact": q_pii_redact,
@@ -641,6 +672,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "winnow_fingerprints": _sql_winnow(),
+    "winnow_neardup": _sql_winnow_neardup(),
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
     "pii_redact": _sql_pii_redact(),

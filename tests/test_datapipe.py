@@ -135,6 +135,16 @@ def test_winnow_fingerprints(spark):
     assert len(one) == 1
 
 
+def test_winnow_near_duplicates(docs):
+    from osm_pg_etl_spark.operators.dedup import winnow_near_duplicates
+
+    pairs = {(r["id_a"], r["id_b"]): r["winnow_jaccard"]
+             for r in winnow_near_duplicates(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0              # exact dup: identical fp sets
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0   # shared passage
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("Hello, world! 42 times",)], "t string")
     r = df.select(token_count("t").alias("w"),
