@@ -221,3 +221,93 @@ def winnow_fingerprints(text: Column | str, k: int = 7,
             return s.map(lambda t: _winnow_one(t, _k, _w))
         _winnow_udfs[(k, window)] = F.pandas_udf(fn, "array<bigint>")
     return _winnow_udfs[(k, window)](c)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram_ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-document
+    duplicate-line and duplicate-word fractions plus, for each ``n`` in
+    ``ngram_ns``, the fraction of characters covered by the most frequent
+    word n-gram and by duplicated word n-grams. High values flag the
+    boilerplate / template / crawler-loop documents that repetition-heavy
+    corpora are full of.
+
+    Definitions (fixed so the DuckDB oracle is expression-exact):
+
+    - ``dup_line_frac``  = 1 − distinct_lines / lines (empty lines dropped)
+    - ``dup_line_char_frac`` = chars in lines beyond each line's first
+      occurrence / total line chars
+    - ``dup_word_frac``  = 1 − distinct_tokens / tokens (lowercased)
+    - ``top_{n}gram_char_frac`` = occurrences×chars of the most frequent
+      n-gram (ties → lexicographically greatest) / document chars
+    - ``dup_{n}gram_char_frac`` = Σ occurrences×chars over n-grams seen
+      more than once / document chars (overlaps counted, so >1 possible)
+
+    Scale shape: line/word fractions are pure Column expressions (narrow);
+    n-gram stats are one explode → one shuffle on ``(id, n, ngram)`` → one
+    conditional re-aggregation per document — the same two-level inverted
+    shape as :func:`tfidf_top_terms`. Every doc is kept (zero-token docs get
+    0.0 everywhere) via a broadcast-size left join back onto the base."""
+    from ..sources.io import spread  # noqa: PLC0415
+
+    c = F.col(text_col)
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda a, x: a + F.length(x))
+    dist_line_chars = F.aggregate(F.array_distinct(lines), F.lit(0),
+                                  lambda a, x: a + F.length(x))
+    frac = (lambda num, den:
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)))
+    base = spread(df.select(F.col(id_col), c)).select(
+        F.col(id_col),
+        F.length(c).alias("_n_chars"),
+        toks.alias("_toks"),
+        frac(F.size(lines) - F.size(F.array_distinct(lines)),
+             F.size(lines)).alias("dup_line_frac"),
+        frac(line_chars - dist_line_chars, line_chars)
+        .alias("dup_line_char_frac"),
+        frac(F.size(toks) - F.size(F.array_distinct(toks)),
+             F.size(toks)).alias("dup_word_frac"),
+    ).cache()
+
+    def grams(n: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+        arr = F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(F.col("_toks"), i, n)))
+        return F.when(F.size("_toks") >= n, arr).otherwise(
+            F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # NB: a `lambda g, _n=n` default would be read by F.transform as the
+        # binary (element, index) form — _n would get the array index.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("ng"))
+
+    pairs = base.select(
+        id_col,
+        F.explode(F.concat(*[F.transform(grams(n), tag(n))
+                             for n in ngram_ns])).alias("g"))
+    counts = (pairs.groupBy(id_col, F.col("g.n").alias("n"),
+                            F.col("g.ng").alias("ng"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    occ_chars = F.col("cnt") * F.length("ng")
+    per_n = (counts.groupBy(id_col, "n")
+             .agg(F.max(F.struct(F.col("cnt"), F.col("ng"))).alias("top"),
+                  F.sum(F.when(F.col("cnt") > 1, occ_chars)
+                        .otherwise(F.lit(0))).alias("dup_chars")))
+    wide = per_n.groupBy(id_col).agg(*[
+        agg for n in ngram_ns for agg in (
+            F.max(F.when(F.col("n") == n,
+                         F.col("top.cnt") * F.length("top.ng")))
+            .alias(f"_top{n}"),
+            F.max(F.when(F.col("n") == n, F.col("dup_chars")))
+            .alias(f"_dup{n}"))])
+    out = base.join(wide, id_col, "left")
+    return out.select(
+        id_col, "dup_line_frac", "dup_line_char_frac", "dup_word_frac",
+        *[col for n in ngram_ns for col in (
+            frac(F.coalesce(F.col(f"_top{n}"), F.lit(0)), F.col("_n_chars"))
+            .alias(f"top_{n}gram_char_frac"),
+            frac(F.coalesce(F.col(f"_dup{n}"), F.lit(0)), F.col("_n_chars"))
+            .alias(f"dup_{n}gram_char_frac"))])

@@ -535,6 +535,74 @@ FROM documents d JOIN toks ON d.doc_id = toks.doc_id
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_t(spark, sf_dir)
+    r = text.repetition_signals(docs)
+    return r.select("doc_id", *[F.round(c, 6).alias(c)
+                                for c in r.columns if c != "doc_id"])
+
+
+def _sql_repetition(ngram_ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    values = ", ".join(f"({n})" for n in ngram_ns)
+    tops = "\n         ".join(
+        f"MAX(CASE WHEN t.n = {n} THEN t.topchars END) AS top{n},"
+        for n in ngram_ns)
+    dups = ",\n         ".join(
+        f"MAX(CASE WHEN t.n = {n} THEN d.dupchars END) AS dup{n}"
+        for n in ngram_ns)
+    outs = ",\n       ".join(
+        f"ROUND(CASE WHEN n_chars > 0 THEN CAST(COALESCE(top{n}, 0) AS DOUBLE)"
+        f" / n_chars ELSE 0.0 END, 6) AS top_{n}gram_char_frac,\n       "
+        f"ROUND(CASE WHEN n_chars > 0 THEN CAST(COALESCE(dup{n}, 0) AS DOUBLE)"
+        f" / n_chars ELSE 0.0 END, 6) AS dup_{n}gram_char_frac"
+        for n in ngram_ns)
+    return rf"""
+WITH {_TOKS_SQL.strip()},
+base AS (
+  SELECT d.doc_id, len(d.text) AS n_chars, w,
+         list_filter(string_split(d.text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents d JOIN toks USING (doc_id)),
+stats AS (
+  SELECT doc_id, n_chars,
+         len(lines) AS nl, len(list_distinct(lines)) AS dl,
+         COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) AS lc,
+         COALESCE(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0) AS dlc,
+         len(w) AS nw, len(list_distinct(w)) AS dw
+  FROM base),
+ng AS (
+  SELECT doc_id, n, array_to_string(w[i : i + n - 1], ' ') AS ng
+  FROM (
+    SELECT b.doc_id, ns.n AS n, b.w,
+           unnest(range(1, greatest(len(b.w) - ns.n + 2, 1))) AS i
+    FROM base b, (VALUES {values}) ns(n))),
+cnt AS (
+  SELECT doc_id, n, ng, CAST(COUNT(*) AS BIGINT) AS c, len(ng) AS l
+  FROM ng GROUP BY 1, 2, 3),
+tops AS (
+  SELECT doc_id, n, c * l AS topchars FROM cnt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                             ORDER BY c DESC, ng DESC) = 1),
+dups AS (
+  SELECT doc_id, n, SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dupchars
+  FROM cnt GROUP BY 1, 2),
+wide AS (
+  SELECT t.doc_id,
+         {tops}
+         {dups}
+  FROM tops t JOIN dups d USING (doc_id, n)
+  GROUP BY t.doc_id)
+SELECT s.doc_id,
+       ROUND(CASE WHEN nl > 0 THEN CAST(nl - dl AS DOUBLE) / nl
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
+             ELSE 0.0 END, 6) AS dup_line_char_frac,
+       ROUND(CASE WHEN nw > 0 THEN CAST(nw - dw AS DOUBLE) / nw
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       {outs}
+FROM stats s LEFT JOIN wide USING (doc_id)
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document characteristic terms by tf·idf — inverted-index shape
     (two aggs + a broadcastable term-frequency join)."""
@@ -653,6 +721,7 @@ QUERIES = {
     "winnow_neardup": q_winnow_neardup,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
+    "repetition_signals": q_repetition_signals,
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
@@ -675,6 +744,7 @@ ORACLES = {
     "winnow_neardup": _sql_winnow_neardup(),
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
+    "repetition_signals": _sql_repetition(),
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

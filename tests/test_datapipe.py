@@ -247,3 +247,32 @@ def test_embedding_near_duplicates(emb):
              for r in embedding_near_duplicates(emb, threshold=0.9).collect()}
     assert list(pairs) == [(1, 2)]
     assert pairs[(1, 2)] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+
+
+def test_repetition_signals(spark):
+    from osm_pg_etl_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),                 # heavy 2-gram repetition
+        (2, "x\ny\nx\nz"),                  # one duplicate line
+        (3, "all words unique here now"),   # clean doc
+        (4, ""),                            # empty doc -> all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(df, ngram_ns=(2,)).collect()}
+
+    # doc 1: tokens [a b a b a b] -> 2 distinct of 6; 2-grams:
+    # "a b"x3, "b a"x2 -> top = 3*3=9 chars, dup = 3*3+2*3=15, len=11
+    assert got[1]["dup_word_frac"] == pytest.approx(4 / 6)
+    assert got[1]["top_2gram_char_frac"] == pytest.approx(9 / 11)
+    assert got[1]["dup_2gram_char_frac"] == pytest.approx(15 / 11)
+    # doc 2: 4 lines, 1 dup ("x"); line chars 4, dup chars 1
+    assert got[2]["dup_line_frac"] == pytest.approx(1 / 4)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(1 / 4)
+    # doc 3: no repetition anywhere
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["dup_2gram_char_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] > 0.0   # top 2-gram still exists
+    # doc 4: empty -> all zeros, row still present
+    assert all(v == 0.0 for k, v in got[4].items() if k != "doc_id")
