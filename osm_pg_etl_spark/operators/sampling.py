@@ -1,0 +1,110 @@
+"""Deterministic sampling, splitting, and domain-mixing operators for
+training-data pipelines.
+
+All randomness is md5-derived (:mod:`..functions.hashing`) rather than
+``rand()``: assignments are a pure function of the row key and a seed, so
+they are stable across runs, retries, engines (DuckDB oracles re-derive
+them exactly), and cluster re-partitioning — the property a 100 TB corpus
+pipeline needs for reproducible train/val/test membership. Everything here
+is narrow Column expressions except the mixture-rate computation, which is
+one small aggregation broadcast back onto the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# 2^32 — md5_long's range; dividing maps it onto a uniform double in [0,1).
+_HASH_RANGE = float(2**32)
+
+
+def hash_uniform(c: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform double in ``[0, 1)`` from ``md5(seed|x)``.
+
+    Portable: ``('0x' || substr(md5(seed || x), 1, 8))::bigint /
+    4294967296.0`` in ANSI-ish SQL computes the identical value.
+    """
+    return md5_long(c, seed).cast("double") / F.lit(_HASH_RANGE)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               splits: tuple[tuple[str, float], ...] = (
+                   ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+               seed: int = 42) -> DataFrame:
+    """Assign every row to a named split by hashed-key interval: row goes to
+    the first split whose cumulative weight exceeds ``hash_uniform(id)``.
+
+    Membership is a pure function of (id, seed): adding or removing other
+    rows never moves a document between splits — unlike ``randomSplit``,
+    which depends on partitioning and sampling order. Weights must sum to 1
+    (the last split absorbs any floating-point remainder).
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform(id_col, seed)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    branches = []
+    for name, w in splits[:-1]:
+        cum += w
+        branches.append((name, cum))
+    for name, threshold in reversed(branches):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      seed: int = 7) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash_uniform(id) < fraction(stratum)``. Strata missing from
+    ``fractions`` are dropped (rate 0). Same reproducibility contract as
+    :func:`hash_split`; rows never shuffle.
+    """
+    rate = F.lit(0.0)
+    for stratum, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(frac)).otherwise(rate)
+    return df.filter(hash_uniform(id_col, seed) < rate)
+
+
+def domain_mixture_rates(df: DataFrame, weights: dict[str, float],
+                         domain_col: str = "source") -> DataFrame:
+    """Per-domain downsampling rates that realize a target mixture.
+
+    Given target weights (relative proportions), find the largest corpus
+    achievable *without upsampling*: total ``T = min_d(n_d / w_d)``, rate
+    ``min(1, w_d · T / n_d)``. Domains absent from ``weights`` get rate 0.
+    Returns ``(domain_col, n_docs, target_weight, sample_rate, n_sampled)``
+    with ``n_sampled = floor(rate · n_docs)``.
+
+    One count aggregation plus a broadcast one-row min — the corpus itself
+    is only scanned once, and the result is broadcast-joinable back for the
+    actual sampling pass (:func:`stratified_sample` with these rates).
+    """
+    total_w = sum(weights.values())
+    norm = {d: w / total_w for d, w in weights.items()}
+    wmap = F.lit(None).cast("double")
+    for domain, w in sorted(norm.items()):
+        wmap = F.when(F.col(domain_col) == domain, F.lit(w)).otherwise(wmap)
+    counts = (df.groupBy(domain_col)
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .withColumn("target_weight", wmap))
+    cap = counts.filter(F.col("target_weight").isNotNull()).agg(
+        F.min(F.col("n_docs").cast("double") / F.col("target_weight"))
+        .alias("_t"))
+    rate = F.when(
+        F.col("target_weight").isNull(), F.lit(0.0)
+    ).otherwise(F.least(F.lit(1.0),
+                        F.col("target_weight") * F.col("_t") / F.col("n_docs")))
+    return (counts.crossJoin(F.broadcast(cap))
+            .withColumn("sample_rate", rate)
+            .withColumn("n_sampled",
+                        F.floor(F.col("sample_rate") * F.col("n_docs")))
+            .select(domain_col, "n_docs",
+                    F.coalesce("target_weight", F.lit(0.0))
+                    .alias("target_weight"),
+                    "sample_rate", "n_sampled"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..sources.io import spread
 from .common import t
 
@@ -535,6 +535,88 @@ FROM documents d JOIN toks ON d.doc_id = toks.doc_id
 """
 
 
+_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+_SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _sql_u(expr: str, seed: int) -> str:
+    """DuckDB double in [0,1) matching sampling.hash_uniform."""
+    return f"CAST({_sql_md5int(expr, seed)} AS DOUBLE) / 4294967296.0"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, splits=_SPLITS).select("doc_id", "split")
+
+
+def _sql_hash_split(seed: int = 42) -> str:
+    # identical cumulative-threshold floats as hash_split (incl. 0.9+0.05
+    # rounding), emitted at full precision
+    cum, branches = 0.0, []
+    for name, w in _SPLITS[:-1]:
+        cum += w
+        branches.append(f"WHEN u < CAST({cum!r} AS DOUBLE) THEN '{name}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(branches)} ELSE '{_SPLITS[-1][0]}' END AS split
+FROM (SELECT doc_id, {_sql_u("CAST(doc_id AS VARCHAR)", seed)} AS u
+      FROM documents)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (sampling.stratified_sample(docs, _SAMPLE_FRACTIONS)
+            .select("doc_id", "source"))
+
+
+def _sql_stratified_sample(seed: int = 7) -> str:
+    rate = " ".join(
+        f"WHEN source = '{s}' THEN CAST({f!r} AS DOUBLE)"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items()))
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_sql_u("CAST(doc_id AS VARCHAR)", seed)}
+      < CASE {rate} ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    r = sampling.domain_mixture_rates(docs, _MIXTURE_WEIGHTS)
+    return r.select("source", "n_docs",
+                    F.round("target_weight", 6).alias("target_weight"),
+                    F.round("sample_rate", 6).alias("sample_rate"),
+                    "n_sampled")
+
+
+def _sql_domain_mixture() -> str:
+    total = sum(_MIXTURE_WEIGHTS.values())
+    wmap = " ".join(
+        f"WHEN source = '{d}' THEN CAST({w / total!r} AS DOUBLE)"
+        for d, w in sorted(_MIXTURE_WEIGHTS.items()))
+    return f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CASE {wmap} END AS tw
+  FROM documents GROUP BY source),
+cap AS (
+  SELECT MIN(CAST(n_docs AS DOUBLE) / tw) AS t FROM c WHERE tw IS NOT NULL),
+r AS (
+  SELECT source, n_docs, tw,
+         CASE WHEN tw IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE least(CAST(1.0 AS DOUBLE), tw * t / n_docs) END AS rate
+  FROM c CROSS JOIN cap)
+SELECT source, n_docs,
+       ROUND(COALESCE(tw, CAST(0.0 AS DOUBLE)), 6) AS target_weight,
+       ROUND(rate, 6) AS sample_rate,
+       CAST(floor(rate * n_docs) AS BIGINT) AS n_sampled
+FROM r
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     r = text.repetition_signals(docs)
@@ -722,6 +804,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "domain_mixture": q_domain_mixture,
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
@@ -745,6 +830,9 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),
+    "hash_split": _sql_hash_split(),
+    "stratified_sample": _sql_stratified_sample(),
+    "domain_mixture": _sql_domain_mixture(),
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

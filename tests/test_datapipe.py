@@ -276,3 +276,47 @@ def test_repetition_signals(spark):
     assert got[3]["top_2gram_char_frac"] > 0.0   # top 2-gram still exists
     # doc 4: empty -> all zeros, row still present
     assert all(v == 0.0 for k, v in got[4].items() if k != "doc_id")
+
+
+def test_hash_split_deterministic(spark):
+    from osm_pg_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = hash_split(df).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in got}
+    assert set(by) == {"train", "val", "test"}
+    assert 0.85 < by["train"] / 2000 < 0.95        # ~90%
+    # membership is per-row stable: a subset gets identical assignments
+    sub = hash_split(df.filter("doc_id < 100")).collect()
+    full = {r["doc_id"]: r["split"]
+            for r in hash_split(df).filter("doc_id < 100").collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+    with pytest.raises(ValueError):
+        hash_split(df, splits=(("a", 0.5), ("b", 0.4)))
+
+
+def test_stratified_sample(spark):
+    from osm_pg_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "doc_id long, source string")
+    got = stratified_sample(df, {"a": 0.5}).collect()
+    assert all(r["source"] == "a" for r in got)     # "b" dropped (rate 0)
+    assert 0.35 < len(got) / 500 < 0.65
+
+
+def test_domain_mixture_rates(spark):
+    from osm_pg_etl_spark.operators.sampling import domain_mixture_rates
+
+    rows = [(i, "a") for i in range(100)] + [(i, "b") for i in range(50)] \
+        + [(i, "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in
+           domain_mixture_rates(df, {"a": 0.5, "b": 0.5}).collect()}
+    # T = min(100/0.5, 50/0.5) = 100 -> a: rate 0.5 (50 docs), b: rate 1.0
+    assert got["a"]["sample_rate"] == pytest.approx(0.5)
+    assert got["a"]["n_sampled"] == 50
+    assert got["b"]["sample_rate"] == 1.0
+    assert got["b"]["n_sampled"] == 50
+    assert got["c"]["sample_rate"] == 0.0 and got["c"]["target_weight"] == 0.0
