@@ -311,3 +311,37 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             .alias(f"top_{n}gram_char_frac"),
             frac(F.coalesce(F.col(f"_dup{n}"), F.lit(0)), F.col("_n_chars"))
             .alias(f"dup_{n}gram_char_frac"))])
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard context-window preparation step before tokenize-and-pack.
+
+    Windows start at token offsets ``0, stride, 2·stride, …`` and span
+    ``chunk_tokens`` whitespace tokens (overlap = chunk_tokens − stride);
+    the final window is the first one reaching the document's end and may
+    be shorter. Zero-token documents yield no rows. Requires
+    ``stride <= chunk_tokens`` (contiguous coverage, no gaps).
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_text)`` — one row per
+    window, ``chunk_id`` 0-based. Pure Column expressions: sequence →
+    posexplode → array slice, no shuffle, no Python.
+    """
+    if stride <= 0 or stride > chunk_tokens:
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # index of the last window: ceil(max(n - chunk, 0) / stride)
+    m = F.floor((F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1))
+                / stride).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(1), F.lit(1) + m * stride,
+                                      F.lit(stride))).otherwise(
+        F.array().cast("array<int>"))
+    exploded = (df.select(F.col(id_col), toks.alias("_toks"),
+                          F.posexplode(starts).alias("chunk_id", "_start")))
+    piece = F.slice("_toks", F.col("_start"), chunk_tokens)
+    return exploded.select(
+        id_col, "chunk_id", F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

@@ -617,6 +617,36 @@ FROM r
 """
 
 
+_CHUNK, _CHUNK_STRIDE = 16, 12
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_t(spark, sf_dir)
+    return text.chunk_documents(docs, chunk_tokens=_CHUNK,
+                                stride=_CHUNK_STRIDE)
+
+
+def _sql_chunk(chunk: int = _CHUNK, stride: int = _CHUNK_STRIDE) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents),
+starts AS (
+  SELECT doc_id, w,
+         unnest(range(0, 1 + CAST(floor(
+             (greatest(len(w) - {chunk}, 0) + {stride - 1}) / {stride})
+             AS INT))) AS i
+  FROM w WHERE len(w) > 0)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(w[1 + i * {stride} : i * {stride} + {chunk}]) AS INT)
+           AS n_tokens,
+       array_to_string(w[1 + i * {stride} : i * {stride} + {chunk}], ' ')
+           AS chunk_text
+FROM starts
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     r = text.repetition_signals(docs)
@@ -804,6 +834,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
+    "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
@@ -830,6 +861,7 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),
+    "chunk_documents": _sql_chunk(),
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),

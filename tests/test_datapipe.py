@@ -320,3 +320,28 @@ def test_domain_mixture_rates(spark):
     assert got["b"]["sample_rate"] == 1.0
     assert got["b"]["n_sampled"] == 50
     assert got["c"]["sample_rate"] == 0.0 and got["c"]["target_weight"] == 0.0
+
+
+def test_chunk_documents(spark):
+    from osm_pg_etl_spark.operators.text import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 3 chunks
+            (2, "a b c"),                                # fits one chunk
+            (3, "")]                                     # no chunks
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+                 key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by1 = [r for r in got if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in by1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r["n_tokens"] for r in by1] == [4, 4, 4]
+    assert [r["chunk_text"] for r in got if r["doc_id"] == 2] == ["a b c"]
+    assert not any(r["doc_id"] == 3 for r in got)
+    # tail shorter than a full window
+    short = chunk_documents(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        chunk_tokens=4, stride=3).collect()
+    assert sorted((r["chunk_id"], r["n_tokens"]) for r in short) == [
+        (0, 4), (1, 2)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=5)
