@@ -708,7 +708,58 @@ FROM seg GROUP BY user_id, island, seg
 """
 
 
+# --- S5 true mutable-table MERGE/DELETE (sources.mutable) ---------------------
+
+
+def q_mutable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the versioned copy-on-write table end to end: create orders
+    as a MutableTable, MERGE an update+insert batch, DELETE a key range,
+    then aggregate the final snapshot. The oracle re-derives the merge
+    relationally (anti-join + union), so the storage layer's snapshot
+    semantics — not just the expression — are what's being checked."""
+    import shutil  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
+    from ..sources.mutable import MutableTable  # noqa: PLC0415
+
+    orders = t(spark, sf_dir, "orders")
+    path = (Path(__file__).resolve().parents[2]
+            / "spark-warehouse" / "_mutable_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    tab = MutableTable(spark, str(path), key="o_orderkey").create(orders)
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    tab.merge(upd.unionByName(ins))
+    tab.delete(F.col("o_orderkey") % 10 == 7)
+    return (tab.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 dsum("o_totalprice", 2).alias("sum_price")))
+
+
+SQL_MUTABLE_MERGE = f"""
+WITH src AS (
+  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey,
+                    o_totalprice * 2 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 10 = 3),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL SELECT * FROM src),
+final AS (SELECT * FROM merged WHERE o_orderkey % 10 <> 7)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       {sql_dsum('o_totalprice', 2)} AS sum_price
+FROM final GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "mutable_merge": q_mutable_merge,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
@@ -743,6 +794,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mutable_merge": SQL_MUTABLE_MERGE,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,

@@ -1,0 +1,204 @@
+"""Mutable-table semantics over immutable parquet — the reference's
+UPDATE/DELETE/MERGE surface (SURVEY §2.1 S5-S6; ``osm-road-graphs.sql``'s
+in-place UPDATE passes) as a versioned, partition-level copy-on-write store.
+
+This is a miniature of the Delta/Iceberg transaction-log design, built only
+on parquet + JSON manifests so it runs anywhere Spark runs:
+
+- Rows are hash-bucketed on the primary key into ``n_buckets`` partitions
+  (a disk-level ``_bucket=`` directory per written version).
+- Every mutation (merge / update / delete) rewrites **only the buckets it
+  touches** and writes a new manifest mapping each bucket to the version
+  directory that last rewrote it — mutation cost is proportional to the
+  touched key range, not table size, which is what makes UPDATE viable at
+  100 TB.
+- A snapshot read unions the per-version directories with a disk-partition
+  filter on ``_bucket`` (Spark prunes the untouched directories at plan
+  time), so readers always see one consistent version; old manifests remain
+  readable (time travel).
+
+On a real deployment the same call sites map 1:1 to Delta/Iceberg
+``MERGE INTO`` / ``UPDATE`` / ``DELETE`` — this module exists so the
+semantics are executable and testable without those jars. Concurrency
+control is last-writer-wins on the manifest pointer (single-writer
+assumption; a lakehouse log is the production answer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET = "_bucket"
+
+
+class MutableTable:
+    """A keyed, versioned parquet table supporting merge/update/delete.
+
+    Layout under ``path``::
+
+        data/v<N>/_bucket=<b>/*.parquet   -- buckets rewritten by version N
+        manifest/v<N>.json                -- {bucket: version that owns it}
+        _latest                           -- current version number
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key: str,
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key = key
+        self.n_buckets = n_buckets
+
+    # ---- snapshot bookkeeping -------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.path}/manifest/v{version}.json"
+
+    def latest_version(self) -> int:
+        with open(f"{self.path}/_latest", encoding="utf-8") as fh:
+            return int(fh.read().strip())
+
+    def versions(self) -> list[int]:
+        mdir = f"{self.path}/manifest"
+        return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+
+    def _read_manifest(self, version: int) -> dict[str, int]:
+        with open(self._manifest_path(version), encoding="utf-8") as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def _commit(self, version: int, manifest: Mapping[str, int]) -> None:
+        os.makedirs(f"{self.path}/manifest", exist_ok=True)
+        with open(self._manifest_path(version), "w", encoding="utf-8") as fh:
+            json.dump(dict(manifest), fh)
+        tmp = f"{self.path}/_latest.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, f"{self.path}/_latest")  # atomic pointer flip
+
+    def _bucket_of(self, c: Column) -> Column:
+        # crc32 of the string key: stable across Spark versions/restarts
+        # (unlike hash()'s seed-sensitive murmur3 on some types)
+        return F.pmod(F.crc32(c.cast("string")), F.lit(self.n_buckets)) \
+                .cast("int")
+
+    def _write_buckets(self, df: DataFrame, version: int) -> None:
+        (df.repartition(_BUCKET)
+           .write.mode("errorifexists").partitionBy(_BUCKET)
+           .parquet(f"{self.path}/data/v{version}"))
+
+    # ---- public API ------------------------------------------------------
+
+    def create(self, df: DataFrame) -> "MutableTable":
+        """Materialize version 0 from ``df`` (all buckets)."""
+        data = df.withColumn(_BUCKET, self._bucket_of(F.col(self.key)))
+        self._write_buckets(data, 0)
+        self._commit(0, {str(b): 0 for b in range(self.n_buckets)})
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). One parquet scan
+        per distinct owning version, disk-partition-pruned to the buckets
+        that version still owns."""
+        version = self.latest_version() if version is None else version
+        manifest = self._read_manifest(version)
+        by_version: dict[int, list[int]] = {}
+        for bucket, owner in manifest.items():
+            by_version.setdefault(owner, []).append(int(bucket))
+        parts = []
+        for owner, buckets in sorted(by_version.items()):
+            scan = self.spark.read.parquet(f"{self.path}/data/v{owner}")
+            parts.append(scan.filter(F.col(_BUCKET).isin(buckets)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop(_BUCKET)
+
+    def _mutate(self, touched: DataFrame,
+                rewrite: Callable[[DataFrame], DataFrame]) -> "MutableTable":
+        """Copy-on-write one step: ``touched`` is a tiny DataFrame with the
+        affected bucket ids; ``rewrite(old)`` maps the current rows of those
+        buckets (with ``_bucket`` column) to their replacement."""
+        version = self.latest_version()
+        manifest = self._read_manifest(version)
+        buckets = [r[_BUCKET] for r in touched.distinct().collect()]
+        if not buckets:
+            self._commit(version + 1, manifest)
+            return self
+        current = self.read(version)
+        old = (current.withColumn(_BUCKET, self._bucket_of(F.col(self.key)))
+               .filter(F.col(_BUCKET).isin(buckets)))
+        self._write_buckets(rewrite(old), version + 1)
+        for b in buckets:
+            manifest[str(b)] = version + 1
+        self._commit(version + 1, manifest)
+        return self
+
+    def merge(self, source: DataFrame, when_matched: str = "update",
+              insert_unmatched: bool = True) -> "MutableTable":
+        """``MERGE INTO`` on the primary key: ``when_matched`` is
+        ``"update"`` (replace the row with the source row) or ``"delete"``;
+        unmatched source rows are inserted unless ``insert_unmatched`` is
+        False. Source keys must be unique. Only buckets containing source
+        keys are rewritten."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, "
+                             f"got {when_matched!r}")
+        src = source.withColumn(_BUCKET, self._bucket_of(F.col(self.key)))
+
+        def rewrite(old: DataFrame) -> DataFrame:
+            kept = old.join(src.select(self.key), self.key, "left_anti")
+            if when_matched == "delete":
+                return kept
+            if insert_unmatched:
+                return kept.unionByName(src)
+            hits = src.join(old.select(self.key), self.key, "left_semi")
+            return kept.unionByName(hits)
+
+        return self._mutate(src.select(_BUCKET), rewrite)
+
+    def update(self, condition: Column,
+               assignments: Mapping[str, Column]) -> "MutableTable":
+        """``UPDATE SET col = expr WHERE condition`` — recompute-as-rewrite
+        of every bucket holding a matching row (the S5 pattern, now with
+        real in-place table semantics)."""
+        current = self.read()
+        touched = (current.filter(condition)
+                   .select(self._bucket_of(F.col(self.key)).alias(_BUCKET)))
+
+        def rewrite(old: DataFrame) -> DataFrame:
+            cond = F.coalesce(condition, F.lit(False))
+            return old.select(
+                *[F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                  if c in assignments else F.col(c)
+                  for c in old.columns])
+
+        return self._mutate(touched, rewrite)
+
+    def delete(self, condition: Column) -> "MutableTable":
+        """``DELETE WHERE condition`` — NULL-preserving inverse filter
+        (rows where the predicate is NULL survive, 3VL like the reference's
+        S6), rewriting only buckets with a matching row."""
+        current = self.read()
+        touched = (current.filter(condition)
+                   .select(self._bucket_of(F.col(self.key)).alias(_BUCKET)))
+
+        def rewrite(old: DataFrame) -> DataFrame:
+            return old.filter(~F.coalesce(condition, F.lit(False)))
+
+        return self._mutate(touched, rewrite)
+
+
+def merge_statement(target: DataFrame, source: DataFrame,
+                    key_cols: Sequence[str]) -> DataFrame:
+    """Stateless MERGE (upsert) expression for callers that manage their own
+    storage: target rows whose key appears in ``source`` are replaced, new
+    keys appended — the anti-join + union plan a lakehouse engine generates
+    for ``MERGE INTO`` (cf. :func:`..streaming.actions.apply_actions`)."""
+    return (target.join(source.select(*key_cols).distinct(),
+                        list(key_cols), "left_anti")
+            .unionByName(source))

@@ -1,0 +1,100 @@
+"""MutableTable: versioned partition-level copy-on-write MERGE/UPDATE/DELETE
+(SURVEY §2.1 S5-S6 with real mutable-table semantics)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.sources.mutable import MutableTable, merge_statement
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i * 10)) for i in range(100)],
+        "id long, name string, amount double")
+    return MutableTable(spark, str(tmp_path / "t"), key="id",
+                        n_buckets=8).create(df)
+
+
+def rows(df):
+    return {r["id"]: (r["name"], r["amount"]) for r in df.collect()}
+
+
+def test_create_and_read(table):
+    got = rows(table.read())
+    assert len(got) == 100 and got[7] == ("name7", 70.0)
+    assert table.latest_version() == 0 and table.versions() == [0]
+
+
+def test_merge_upsert(table, spark):
+    src = spark.createDataFrame(
+        [(5, "five", 0.0), (200, "new", 1.0)],
+        "id long, name string, amount double")
+    table.merge(src)
+    got = rows(table.read())
+    assert len(got) == 101
+    assert got[5] == ("five", 0.0) and got[200] == ("new", 1.0)
+    assert got[6] == ("name6", 60.0)          # untouched row intact
+    # time travel: version 0 unchanged
+    assert rows(table.read(0))[5] == ("name5", 50.0)
+
+
+def test_merge_only_rewrites_touched_buckets(table, spark):
+    src = spark.createDataFrame([(5, "five", 0.0)],
+                                "id long, name string, amount double")
+    table.merge(src)
+    manifest = table._read_manifest(1)
+    owners = set(manifest.values())
+    assert owners == {0, 1}                    # most buckets still at v0
+    assert sum(1 for v in manifest.values() if v == 1) == 1
+    # the v1 directory holds exactly one bucket on disk
+    v1 = os.path.join(table.path, "data", "v1")
+    assert sum(1 for d in os.listdir(v1) if d.startswith("_bucket=")) == 1
+
+
+def test_merge_delete_and_matched_only(table, spark):
+    src = spark.createDataFrame([(1, "x", 0.0), (300, "y", 0.0)],
+                                "id long, name string, amount double")
+    table.merge(src, when_matched="delete", insert_unmatched=False)
+    got = rows(table.read())
+    assert 1 not in got and 300 not in got and len(got) == 99
+    with pytest.raises(ValueError):
+        table.merge(src, when_matched="replace")
+
+
+def test_update_where(table):
+    table.update(F.col("id") < 3, {"amount": F.col("amount") + 1000})
+    got = rows(table.read())
+    assert got[0] == ("name0", 1000.0) and got[2] == ("name2", 1020.0)
+    assert got[3] == ("name3", 30.0)
+    assert rows(table.read(0))[0] == ("name0", 0.0)   # old snapshot intact
+
+
+def test_delete_where(table):
+    table.delete(F.col("id") % 10 == 9)
+    got = rows(table.read())
+    assert len(got) == 90 and 9 not in got and 99 not in got
+    assert table.versions() == [0, 1]
+
+
+def test_chained_mutations_and_time_travel(table, spark):
+    src = spark.createDataFrame([(0, "zero", -1.0)],
+                                "id long, name string, amount double")
+    table.merge(src).delete(F.col("id") == 1) \
+         .update(F.col("id") == 2, {"name": F.lit("two")})
+    assert table.versions() == [0, 1, 2, 3]
+    got = rows(table.read())
+    assert got[0] == ("zero", -1.0) and 1 not in got
+    assert got[2] == ("two", 20.0)
+    assert rows(table.read(1))[2] == ("name2", 20.0)
+    assert 1 in rows(table.read(1))
+
+
+def test_merge_statement(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    got = {r["id"]: r["v"]
+           for r in merge_statement(target, source, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
