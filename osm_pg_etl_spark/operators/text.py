@@ -345,3 +345,55 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     return exploded.select(
         id_col, "chunk_id", F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   token_col: str | None = None) -> DataFrame:
+    """Concat-and-cut sequence-packing bookkeeping: documents are laid out
+    end to end in ``id_col`` order and the token stream is cut into
+    training sequences of ``capacity`` tokens (the standard GPT-style
+    packing layout, where documents straddle sequence boundaries). Returns
+    per document::
+
+        (id_col, n_tokens, start_pos, seq_start, seq_offset, seq_end)
+
+    — the document's absolute token offset, the sequence index + in-sequence
+    offset where it begins, and the sequence where it ends (zero-token
+    documents get ``seq_end = seq_start``). From this table both the
+    packer's shard assignments and attention-mask document boundaries are
+    direct lookups.
+
+    Scale shape: the global exclusive prefix sum over token counts uses the
+    same construction as the distributed ``weighted_median`` /
+    ``create_topology`` — range-partition by id, per-partition running sum,
+    broadcast cumulative partition offsets. No single-partition window, no
+    Python; all integer arithmetic (``div``), exact at any corpus size.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    n = F.col(token_col) if token_col else token_count(text_col)
+    base = df.select(F.col(id_col), n.cast("long").alias("_n"))
+    ranged = (base.repartitionByRange(F.col(id_col))
+              .withColumn("_pid", F.spark_partition_id())
+              .cache())  # pin pid assignment: offsets + local sums must agree
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (ranged.groupBy("_pid").agg(F.sum("_n").alias("_c"))
+            .select("_pid", F.coalesce(F.sum("_c").over(w_off),
+                                       F.lit(0)).alias("_off")))
+    w_local = Window.partitionBy("_pid").orderBy(id_col)
+    local_prev = F.coalesce(
+        F.sum("_n").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    out = (ranged.join(F.broadcast(offs), "_pid")
+           .select(id_col, "_n",
+                   (local_prev + F.col("_off")).alias("start_pos")))
+    last = F.col("start_pos") + F.greatest(F.col("_n"), F.lit(1)) - 1
+    return out.select(
+        id_col, F.col("_n").alias("n_tokens"), "start_pos",
+        F.expr(f"start_pos div {capacity}").alias("seq_start"),
+        (F.col("start_pos") % capacity).alias("seq_offset"),
+        last.alias("_last")
+    ).withColumn("seq_end", F.expr(f"_last div {capacity}")).drop("_last")

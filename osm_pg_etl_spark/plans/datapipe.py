@@ -617,6 +617,36 @@ FROM r
 """
 
 
+_PACK_CAPACITY = 32
+
+
+def q_pack_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_t(spark, sf_dir)
+    return text.pack_positions(docs, capacity=_PACK_CAPACITY)
+
+
+def _sql_pack(capacity: int = _PACK_CAPACITY) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start_pos
+  FROM w)
+SELECT doc_id, n AS n_tokens, start_pos,
+       CAST(start_pos // {capacity} AS BIGINT) AS seq_start,
+       start_pos % {capacity} AS seq_offset,
+       CAST((start_pos + greatest(n, 1) - 1) // {capacity} AS BIGINT)
+           AS seq_end
+FROM c
+"""
+
+
 _CHUNK, _CHUNK_STRIDE = 16, 12
 
 
@@ -835,6 +865,7 @@ QUERIES = {
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
     "chunk_documents": q_chunk_documents,
+    "pack_positions": q_pack_positions,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
@@ -862,6 +893,7 @@ ORACLES = {
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),
     "chunk_documents": _sql_chunk(),
+    "pack_positions": _sql_pack(),
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),

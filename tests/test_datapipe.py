@@ -345,3 +345,22 @@ def test_chunk_documents(spark):
         (0, 4), (1, 2)]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_pack_positions(spark):
+    from osm_pg_etl_spark.operators.text import pack_positions
+
+    rows = [(1, "a b c"), (2, " ".join(["w"] * 7)), (3, ""), (4, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_positions(df, capacity=4).collect()}
+    # stream: doc1 [0,3) doc2 [3,10) doc3 [10,10) doc4 [10,12)
+    assert (got[1]["start_pos"], got[1]["seq_start"], got[1]["seq_offset"],
+            got[1]["seq_end"]) == (0, 0, 0, 0)
+    assert (got[2]["start_pos"], got[2]["seq_start"], got[2]["seq_offset"],
+            got[2]["seq_end"]) == (3, 0, 3, 2)      # straddles seqs 0-2
+    assert (got[3]["n_tokens"], got[3]["seq_start"],
+            got[3]["seq_end"]) == (0, 2, 2)          # empty doc, zero span
+    assert (got[4]["seq_start"], got[4]["seq_offset"],
+            got[4]["seq_end"]) == (2, 2, 2)
+    with pytest.raises(ValueError):
+        pack_positions(df, capacity=0)
