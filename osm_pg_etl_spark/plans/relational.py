@@ -708,6 +708,40 @@ FROM seg GROUP BY user_id, island, seg
 """
 
 
+# --- HLL distinct sketch (engine-exact registers) -----------------------------
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via md5-register
+    HyperLogLog, alongside the exact count — the oracle recomputes the
+    identical sketch, so even the *approximation* is value-checked."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    h = sketch.hll_distinct(ev, "user_id", ["event_type"], p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (h.join(exact, "event_type")
+            .select("event_type", "n_exact", "hll_used",
+                    F.round("hll_estimate", 6).alias("hll_estimate")))
+
+
+def _sql_hll_users(p: int = 10) -> str:
+    from ..operators.sketch import hll_sql  # noqa: PLC0415
+
+    m = 1 << p
+    return f"""
+WITH {hll_sql("CAST(user_id AS VARCHAR)", "event_type", p).strip()},
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type)
+SELECT e.event_type, ex.n_exact, e.hll_used,
+       ROUND(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+             THEN {m} * ln({float(m)!r} / v) ELSE raw END, 6) AS hll_estimate
+FROM hest e JOIN ex USING (event_type)
+"""
+
+
 # --- S5 true mutable-table MERGE/DELETE (sources.mutable) ---------------------
 
 
@@ -760,6 +794,7 @@ FROM final GROUP BY o_orderstatus
 
 QUERIES = {
     "mutable_merge": q_mutable_merge,
+    "hll_users": q_hll_users,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
@@ -795,6 +830,7 @@ QUERIES = {
 
 ORACLES = {
     "mutable_merge": SQL_MUTABLE_MERGE,
+    "hll_users": _sql_hll_users(),
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
