@@ -504,6 +504,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within 10 minutes per user — the
+    stream-stream interval join run on its batch path (same plan shape the
+    streaming variant state-bounds with watermarks)."""
+    from ..streaming.actions import interval_join  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    return interval_join(ev.filter(F.col("event_type") == "click"),
+                         ev.filter(F.col("event_type") == "purchase"),
+                         within="10 minutes")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT a.user_id, a.ts AS l_ts, a.value AS l_value,
+       b.ts AS r_ts, b.value AS r_value,
+       CAST(epoch_us(b.ts) AS DOUBLE) / 1000000.0
+       - CAST(epoch_us(a.ts) AS DOUBLE) / 1000000.0 AS gap_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a hot key (l_returnflag: 3 values
     for 600k rows). Result is identical to the direct groupBy — the oracle
@@ -795,6 +820,7 @@ FROM final GROUP BY o_orderstatus
 QUERIES = {
     "mutable_merge": q_mutable_merge,
     "hll_users": q_hll_users,
+    "interval_join": q_interval_join,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
@@ -831,6 +857,7 @@ QUERIES = {
 ORACLES = {
     "mutable_merge": SQL_MUTABLE_MERGE,
     "hll_users": _sql_hll_users(),
+    "interval_join": SQL_INTERVAL_JOIN,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,

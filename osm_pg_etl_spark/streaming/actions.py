@@ -232,3 +232,45 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                  .alias("sum_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "sum_value"))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  key: str = "user_id", ts_col: str = "ts",
+                  within: str = "10 minutes",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream (or batch) event-time interval join: pair each left
+    event with every right event of the same ``key`` whose timestamp falls
+    in ``[left.ts, left.ts + within]`` — the attribution/funnel primitive
+    (click → purchase within 10 minutes).
+
+    Streaming inputs get watermarks on both sides plus the time-range
+    predicate, which is exactly what Structured Streaming needs to bound
+    the join state (each side's buffer is garbage-collected once the other
+    side's watermark passes the interval). On batch inputs the same
+    equi+range condition plans as a sort-merge join with the range as a
+    post-join filter — the J7 shape on timestamps.
+
+    Returns the left row's key/ts/value plus the matched right ts/value and
+    the gap in seconds.
+    """
+    n, unit = within.split()
+    delta = F.expr(f"INTERVAL {n} {unit}")
+    lt, rt = F.col(f"_l.{ts_col}"), F.col(f"_r.{ts_col}")
+    if left.isStreaming or right.isStreaming:
+        # watermarks demand TIMESTAMP (not NTZ); UTC session tz keeps the
+        # instant identical to the batch path
+        left = (left.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                .withWatermark(ts_col, watermark))
+        right = (right.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                 .withWatermark(ts_col, watermark))
+    cond = ((F.col(f"_l.{key}") == F.col(f"_r.{key}"))
+            & (rt >= lt) & (rt <= lt + delta))
+    joined = left.alias("_l").join(right.alias("_r"), cond)
+    # NTZ has no direct double cast; UTC session tz makes the epoch exact
+    lsec = lt.cast("timestamp").cast("double")
+    rsec = rt.cast("timestamp").cast("double")
+    return joined.select(
+        F.col(f"_l.{key}").alias(key),
+        lt.alias("l_ts"), F.col("_l.value").alias("l_value"),
+        rt.alias("r_ts"), F.col("_r.value").alias("r_value"),
+        (rsec - lsec).alias("gap_s"))

@@ -271,3 +271,55 @@ def test_capped_sessions_streaming_stateful(spark):
         # the 00:00 session (2 events, sum 3.0) was closed by the 01:00
         # event; the 01:00 session is still open in state -> not emitted
         assert got == [(1, "2026-01-01 00:00:00", 2, 3.0)]
+
+
+def test_interval_join_batch(spark):
+    from osm_pg_etl_spark.streaming.actions import interval_join
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+    clicks = mk([("2026-01-01 00:00:00", 1, 10.0),
+                 ("2026-01-01 01:00:00", 1, 11.0),
+                 ("2026-01-01 00:00:00", 2, 20.0)])
+    buys = mk([("2026-01-01 00:05:00", 1, 1.0),    # within 10m of click 1
+               ("2026-01-01 00:20:00", 1, 2.0),    # outside
+               ("2026-01-01 00:09:00", 3, 3.0)])   # other user
+    got = interval_join(clicks, buys, within="10 minutes").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["l_value"], r["r_value"], r["gap_s"]) \
+        == (1, 10.0, 1.0, 300.0)
+
+
+def test_interval_join_streaming_matches_batch(spark):
+    from osm_pg_etl_spark.streaming.actions import interval_join
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows_l = [("2026-01-01 00:00:00", 1, 1.0),
+                  ("2026-01-01 02:00:00", 1, 2.0),
+                  ("2026-01-01 02:00:00", 2, 3.0)]
+        rows_r = [("2026-01-01 00:04:00", 1, 9.0),
+                  ("2026-01-01 02:07:00", 1, 8.0),
+                  ("2026-01-01 02:30:00", 2, 7.0)]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+        left, right = mk(rows_l), mk(rows_r)
+        left.write.parquet(os.path.join(tmp, "l"))
+        right.write.parquet(os.path.join(tmp, "r"))
+        sl = spark.readStream.schema(left.schema).parquet(os.path.join(tmp, "l"))
+        sr = spark.readStream.schema(right.schema).parquet(os.path.join(tmp, "r"))
+        out = interval_join(sl, sr, within="10 minutes")
+        q = (out.writeStream.format("memory").queryName("ij")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        stream_got = {(r["user_id"], r["l_value"], r["r_value"], r["gap_s"])
+                      for r in spark.table("ij").collect()}
+        batch_got = {(r["user_id"], r["l_value"], r["r_value"], r["gap_s"])
+                     for r in interval_join(left, right,
+                                            within="10 minutes").collect()}
+        assert stream_got == batch_got == {(1, 1.0, 9.0, 240.0),
+                                           (1, 2.0, 8.0, 420.0)}
