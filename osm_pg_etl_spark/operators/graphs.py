@@ -109,21 +109,23 @@ def create_topology(edges: DataFrame, tolerance: float = 0.0001,
             .union(e.select(F.col("_dst_key").alias("k")))
             .distinct())
     # Global dense ids WITHOUT a single-partition window and WITHOUT leaving
-    # the JVM: range-partition the distinct keys (partition p holds smaller
-    # keys than p+1), row_number within each partition, then add broadcast
-    # cumulative partition offsets. Because keys are distinct, the ids equal
+    # the JVM: bucket the distinct keys into deterministic ordered ranges
+    # (data-derived boundaries, ``functions.partitioning`` — bucket p holds
+    # smaller keys than p+1 and is a pure function of the key, stable across
+    # re-evaluations), row_number within each bucket, then add broadcast
+    # cumulative bucket offsets. Because keys are distinct, the ids equal
     # DENSE_RANK() OVER (ORDER BY k), so the oracle is unchanged while every
     # per-row step stays inside whole-stage codegen. The offsets table has
-    # one row per shuffle partition — the only driver-sized piece.
-    ranged = (keys.repartitionByRange(F.col("k"))
-              .withColumn("_pid", F.spark_partition_id())
-              .cache())  # pin pid assignment: counts + ranks must agree
+    # one row per bucket — the only driver-sized piece.
+    from ..functions.partitioning import deterministic_buckets  # noqa: PLC0415
+
+    bucketed = keys.withColumn("_pid", deterministic_buckets(keys, "k"))
     w_local = Window.partitionBy("_pid").orderBy("k")
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"))
-    verts = (ranged.withColumn("_rn", F.row_number().over(w_local))
+    verts = (bucketed.withColumn("_rn", F.row_number().over(w_local))
              .join(F.broadcast(offsets), "_pid")
              .select("k", (F.col("_off") + F.col("_rn")).cast("int").alias("vid")))
     return (e.join(verts.withColumnRenamed("vid", "source"),

@@ -55,11 +55,12 @@ def weighted_median(df: DataFrame, x: str, w: str,
 
     Scale note: the grouped form shuffles on the group key and sorts within
     partitions. The ungrouped form does NOT plan a single-partition window:
-    it range-partitions by x, computes per-partition running sums, and adds
-    broadcast cumulative partition offsets (the same JVM-side prefix-sum
+    it buckets x into deterministic ordered ranges (pure function of the
+    data, ``functions.partitioning``), computes per-bucket running sums, and
+    adds broadcast cumulative bucket offsets (the same JVM-side prefix-sum
     construction as ``create_topology``'s dense ids). Exact because the
     decimal sums are associative; the only unpartitioned window runs over
-    the one-row-per-shuffle-partition offsets table.
+    the one-row-per-bucket offsets table.
     """
     gcols = group_cols or []
     # Exact decimal weight sums: the midpoint-straddle comparison below must
@@ -80,23 +81,25 @@ def weighted_median(df: DataFrame, x: str, w: str,
                            run.alias("_run"), prev.alias("_prev"),
                            total.alias("_tot"))
     else:
-        # distributed global prefix sum: partition p holds smaller x than
-        # p+1, so run = local running sum + sum of earlier partitions' totals
-        ranged = (df.select(F.col(x).cast("double").alias("_x"), cw.alias("_w"))
-                  .repartitionByRange(F.col("_x"))
-                  .withColumn("_pid", F.spark_partition_id())
-                  .cache())  # pin pid assignment: offsets + ranks must agree
+        # distributed global prefix sum: bucket p holds smaller x than p+1
+        # (deterministic data-derived boundaries, not runtime partition ids),
+        # so run = local running sum + sum of earlier buckets' totals
+        from ..functions.partitioning import deterministic_buckets  # noqa: PLC0415
+
+        base = df.select(F.col(x).cast("double").alias("_x"), cw.alias("_w"))
+        bucketed = base.withColumn(
+            "_pid", deterministic_buckets(base, "_x"))
         w_local = Window.partitionBy("_pid").orderBy("_x")
         w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
         zero = F.lit(0).cast("decimal(28,6)")
-        offs = (ranged.groupBy("_pid").agg(F.sum("_w").alias("_c"))
+        offs = (bucketed.groupBy("_pid").agg(F.sum("_w").alias("_c"))
                 .select("_pid",
                         F.coalesce(F.sum("_c").over(w_off), zero).alias("_off"),
                         F.sum("_c").over(Window.partitionBy()).alias("_tot")))
         local_run = F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
         local_prev = F.coalesce(
             F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, -1)), zero)
-        scored = (ranged.join(F.broadcast(offs), "_pid")
+        scored = (bucketed.join(F.broadcast(offs), "_pid")
                   .select("_x",
                           (local_run + F.col("_off")).alias("_run"),
                           (local_prev + F.col("_off")).alias("_prev"),

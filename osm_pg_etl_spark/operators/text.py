@@ -366,28 +366,32 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
 
     Scale shape: the global exclusive prefix sum over token counts uses the
     same construction as the distributed ``weighted_median`` /
-    ``create_topology`` — range-partition by id, per-partition running sum,
-    broadcast cumulative partition offsets. No single-partition window, no
-    Python; all integer arithmetic (``div``), exact at any corpus size.
+    ``create_topology`` — deterministic ordered id-buckets (pure function
+    of the data, ``functions.partitioning``), per-bucket running sum,
+    broadcast cumulative bucket offsets. No single-partition window, no
+    Python; all integer arithmetic (``div``), exact at any corpus size, and
+    stable across re-evaluations/partitionings (round-2 fix: the previous
+    cache-pinned ``spark_partition_id()`` bucket could shift if the range
+    exchange was recomputed).
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     n = F.col(token_col) if token_col else token_count(text_col)
     base = df.select(F.col(id_col), n.cast("long").alias("_n"))
-    ranged = (base.repartitionByRange(F.col(id_col))
-              .withColumn("_pid", F.spark_partition_id())
-              .cache())  # pin pid assignment: offsets + local sums must agree
     from pyspark.sql import Window  # noqa: PLC0415
 
+    from ..functions.partitioning import deterministic_buckets  # noqa: PLC0415
+
+    bucketed = base.withColumn("_pid", deterministic_buckets(base, id_col))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (ranged.groupBy("_pid").agg(F.sum("_n").alias("_c"))
+    offs = (bucketed.groupBy("_pid").agg(F.sum("_n").alias("_c"))
             .select("_pid", F.coalesce(F.sum("_c").over(w_off),
                                        F.lit(0)).alias("_off")))
     w_local = Window.partitionBy("_pid").orderBy(id_col)
     local_prev = F.coalesce(
         F.sum("_n").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
-    out = (ranged.join(F.broadcast(offs), "_pid")
+    out = (bucketed.join(F.broadcast(offs), "_pid")
            .select(id_col, "_n",
                    (local_prev + F.col("_off")).alias("start_pos")))
     last = F.col("start_pos") + F.greatest(F.col("_n"), F.lit(1)) - 1
