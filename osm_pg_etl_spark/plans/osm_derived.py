@@ -32,6 +32,7 @@ from ..operators.network import (
     with_mode_flags,
 )
 from ..operators.pois import pois_from_nodes
+from ..operators.relations import relation_route_summary
 from ..operators.topology import (
     merged_network,
     network_way_nodes,
@@ -1022,8 +1023,107 @@ FROM nodes_d
 """
 
 
+def derive_relations(customer: DataFrame,
+                     orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic ``relations``/``relation_members`` world
+    (``etl/pgsnapshot_schema_0.6.sql:57-80``): every 7th customer is a
+    relation (route when custkey % 3 != 0), its orders are ordered 'W'
+    members of the relation's ways, every 5th order contributes a 'N' stop
+    member. Mirrored verbatim by ``_RELS_SQL``/``_RMEMB_SQL``."""
+    ck = F.col("c_custkey")
+    rels = (customer.where(ck % 7 == 0)
+            .select(ck.alias("id"), _tags_map({
+                "type": F.when(ck % 3 == 0, F.lit("multipolygon"))
+                         .otherwise(F.lit("route")),
+                "route": _case_mod(ck, [(0, "road"), (1, "bicycle"),
+                                        (2, "hiking"), (3, "bus")], 4),
+                "ref": F.concat(F.lit("R"), ck.cast("string")),
+                "network": _case_mod(ck, [(0, "lcn"), (1, "rcn")], 5),
+            }).alias("tags")))
+    ok, cust = F.col("o_orderkey"), F.col("o_custkey")
+    sel = orders.where(cust % 7 == 0)
+    wm = sel.select(cust.alias("relation_id"), ok.alias("member_id"),
+                    F.lit("W").alias("member_type"),
+                    _case_mod(ok, [(0, ""), (1, "forward"), (2, "backward")],
+                              3).alias("member_role"))
+    nm = (sel.where(ok % 5 == 0)
+          .select(cust.alias("relation_id"),
+                  (ok % 2000 + 1).alias("member_id"),
+                  F.lit("N").alias("member_type"),
+                  F.lit("stop").alias("member_role")))
+    w = Window.partitionBy("relation_id").orderBy(F.desc("member_type"),
+                                                  "member_id")
+    members = (wm.unionByName(nm)
+               .withColumn("sequence_id",
+                           (F.row_number().over(w) - 1).cast("int")))
+    return rels, members
+
+
+_RELS_SQL = """
+rels AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'multipolygon' ELSE 'route' END AS rtype,
+         CASE c_custkey % 4 WHEN 0 THEN 'road' WHEN 1 THEN 'bicycle'
+                            WHEN 2 THEN 'hiking' WHEN 3 THEN 'bus' END AS route,
+         'R' || c_custkey AS ref
+  FROM customer WHERE c_custkey % 7 = 0)
+"""
+
+_RMEMB_SQL = """
+rmemb AS (
+  SELECT relation_id, member_id, member_type, member_role,
+         CAST(ROW_NUMBER() OVER (PARTITION BY relation_id
+              ORDER BY member_type DESC, member_id) - 1 AS INT) AS sequence_id
+  FROM (
+    SELECT o_custkey AS relation_id, o_orderkey AS member_id,
+           'W' AS member_type,
+           CASE o_orderkey % 3 WHEN 0 THEN '' WHEN 1 THEN 'forward'
+                               WHEN 2 THEN 'backward' END AS member_role
+    FROM orders WHERE o_custkey % 7 = 0
+    UNION ALL
+    SELECT o_custkey, o_orderkey % 2000 + 1, 'N', 'stop'
+    FROM orders WHERE o_custkey % 7 = 0 AND o_orderkey % 5 = 0))
+"""
+
+
+def q_osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the relations surface (VERDICT r2 'What's missing' #1):
+    route relations with ordered member ways joined end-to-end against the
+    real ``car_network`` operator output."""
+    d = derive_osm(spark, sf_dir)
+    rels, members = derive_relations(t(spark, sf_dir, "customer"),
+                                     t(spark, sf_dir, "orders"))
+    return relation_route_summary(rels, members, car_network(d["ways"]))
+
+
+SQL_OSM_RELATION_MEMBERS = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL, _RELS_SQL,
+                                _RMEMB_SQL) + """
+, per_rel AS (
+  SELECT relation_id,
+         COUNT(*) AS n_members,
+         SUM(CASE WHEN member_type = 'W' THEN 1 ELSE 0 END) AS n_way_members,
+         COUNT(DISTINCT CASE WHEN member_type = 'W'
+                              AND member_id IN (SELECT edge_id FROM cn)
+                             THEN member_id END) AS n_net_ways,
+         SUM(CASE WHEN member_role = 'forward' THEN 1 ELSE 0 END) AS n_forward,
+         COALESCE(string_agg(CASE WHEN member_type = 'W'
+                                  THEN CAST(member_id AS VARCHAR) END,
+                             ',' ORDER BY sequence_id), '') AS way_list
+  FROM rmemb GROUP BY relation_id)
+SELECT r.id AS relation_id, r.route, r.ref,
+       COALESCE(p.n_members, 0) AS n_members,
+       COALESCE(p.n_way_members, 0) AS n_way_members,
+       COALESCE(p.n_net_ways, 0) AS n_net_ways,
+       COALESCE(p.n_forward, 0) AS n_forward,
+       COALESCE(p.way_list, '') AS way_list
+FROM rels r LEFT JOIN per_rel p ON r.id = p.relation_id
+WHERE r.rtype = 'route'
+"""
+
+
 QUERIES = {
     "pbf_roundtrip": q_pbf_roundtrip,
+    "osm_relation_members": q_osm_relation_members,
     "osm_car_network": q_osm_car_network,
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
@@ -1046,6 +1146,7 @@ QUERIES = {
 
 ORACLES = {
     "pbf_roundtrip": SQL_PBF_ROUNDTRIP,
+    "osm_relation_members": SQL_OSM_RELATION_MEMBERS,
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
