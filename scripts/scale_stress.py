@@ -83,7 +83,36 @@ def run(k: int) -> None:
     spark.catalog.clearCache()
 
 
+def run_path(n: int) -> None:
+    """Star-contraction round-count stress on an n-node path — the
+    worst-case diameter graph. Alternating large/small-star (Kiveris et
+    al.) must converge in O(log² n) rounds; diameter-bound propagation
+    would need n-1. Ids are scrambled so component minima are scattered."""
+    import math
+
+    from osm_pg_etl_spark.operators.graph_algo import connected_components
+
+    spark = get_spark(app_name=f"path-stress-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    step = 1_000_003  # prime >> n: gcd(step, n) = 1 for n a power of two
+    ids = [(i * step) % n for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src long, dst long")
+    t0 = time.perf_counter()
+    comps, rounds = connected_components(edges, return_rounds=True)
+    n_comp = comps.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    bound = 2 * math.log2(n) ** 2
+    status = "OK" if (n_comp == 1 and rounds <= bound) else "FAIL"
+    print(f"{status}  path n={n:>8}  components={n_comp}  rounds={rounds}  "
+          f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
-    for k in ks:
-        run(k)
+    if len(sys.argv) > 1 and sys.argv[1] == "path":
+        for a in sys.argv[2:] or ["100000"]:
+            run_path(int(a))
+    else:
+        ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+        for k in ks:
+            run(k)

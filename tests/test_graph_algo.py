@@ -27,14 +27,30 @@ def test_connected_components_chain_and_island(spark):
 
 
 def test_connected_components_long_path_converges(spark):
-    # a 40-hop path exercises >1 doubling round (hash-min alone would need
-    # ~40 rounds; max_iter=50 would still pass, but doubling must not break
-    # correctness on deep paths)
+    # a 40-hop path: diameter-bound propagation would need ~40 rounds;
+    # star contraction must converge in O(log) and stay correct
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 41)], "src long, dst long")
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {i: 1 for i in range(1, 42)}
+
+
+def test_star_contraction_round_bound(spark):
+    # 2048-node path with ids scrambled (so min ids are scattered, the
+    # adversarial case for min-propagation): alternating large/small-star
+    # must converge well under the ~2·log² bound — and nowhere near the
+    # diameter (2047 rounds) plain label propagation would need.
+    import math
+
+    n = 2048
+    perm = [(i * 1117) % n for i in range(n)]  # gcd(1117, 2048) = 1
+    edges = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)], "src long, dst long")
+    comps, rounds = connected_components(edges, return_rounds=True)
+    assert comps.select("component").distinct().count() == 1
+    log2n = math.log2(n)
+    assert rounds <= 2 * log2n, f"{rounds} rounds for n={n} path"
 
 
 def test_shortest_paths_bounded_hops(spark):
