@@ -66,3 +66,19 @@ def register_osm_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
         if name not in ("car_network", "network_way_nodes"):  # already done
             df.createOrReplaceTempView(name)
     return views
+
+
+def register_tags_summary(spark: SparkSession, nodes: DataFrame,
+                          ways: DataFrame,
+                          relations: DataFrame | None = None,
+                          ) -> dict[str, DataFrame]:
+    """Register every ``tags_summary.*`` table of ``osm-explore.sql`` as a
+    temp view (``tags_summary.highway_values`` →
+    ``tags_summary_highway_values``, matching this module's dots→underscores
+    convention). Returns the name → DataFrame mapping (short names)."""
+    from .operators.tags import tags_summary_catalog
+
+    cat = tags_summary_catalog(nodes, ways, relations)
+    for name, df in cat.items():
+        df.createOrReplaceTempView(f"tags_summary_{name}")
+    return cat

@@ -24,14 +24,18 @@ DEFAULT_KEY_DENYLIST = ("created_by", "source")
 DEFAULT_KEY_SUBSTRING_DENYLIST = ("name", "source", "tiger", "gns")
 
 
-def tag_value_summary(entities: DataFrame, key: str) -> DataFrame:
+def tag_value_summary(entities: DataFrame, key: str,
+                      alias: str | None = None) -> DataFrame:
     """``CREATE TABLE ..._values AS SELECT tags->'k' AS value, count(*) ...
-    WHERE tags ? 'k' GROUP BY 1 ORDER BY count DESC`` (``osm-explore.sql:9-16``)."""
+    WHERE tags ? 'k' GROUP BY 1 ORDER BY count DESC`` (``osm-explore.sql:9-16``).
+    ``alias`` names the value column (the reference names it after the key,
+    e.g. ``highway``)."""
+    alias = alias or "value"
     return (entities
             .filter(tag_has("tags", key))
-            .groupBy(tag_get("tags", key).alias("value"))
+            .groupBy(tag_get("tags", key).alias(alias))
             .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "value"))
+            .orderBy(F.desc("count"), alias))
 
 
 def tag_key_summary(entities: DataFrame,
@@ -42,7 +46,7 @@ def tag_key_summary(entities: DataFrame,
     (``osm-explore.sql:42-56``): literal NOT IN (P7) plus
     ``position(x in tag) = 0`` substring exclusions (P6)."""
     keys = entities.select(F.explode(F.map_keys("tags")).alias("tag"))
-    cond = ~F.col("tag").isin(list(denylist))
+    cond = ~F.col("tag").isin(list(denylist)) if denylist else F.lit(True)
     for sub in substring_denylist:
         cond = cond & (F.instr(F.col("tag"), sub) == 0)
     return (keys.filter(cond)
@@ -50,20 +54,100 @@ def tag_key_summary(entities: DataFrame,
             .orderBy(F.desc("count"), "tag"))
 
 
-def tag_kv_summary(entities: DataFrame) -> DataFrame:
-    """(key, value) frequency over ``each(tags)`` (``osm-explore.sql:20-29``)."""
-    return (entities
-            .select(F.explode("tags").alias("tag", "value"))
+def tag_kv_summary(entities: DataFrame,
+                   denylist: tuple[str, ...] = (),
+                   substring_denylist: tuple[str, ...] = ()) -> DataFrame:
+    """(key, value) frequency over ``each(tags)`` (``osm-explore.sql:20-29``),
+    with the optional key exclusions of ``highway_tags_values``
+    (``osm-explore.sql:43-57``: literal NOT IN + substring ``position = 0``)."""
+    kv = entities.select(F.explode("tags").alias("tag", "value"))
+    cond = F.lit(True)
+    if denylist:
+        cond = ~F.col("tag").isin(list(denylist))
+    for sub in substring_denylist:
+        cond = cond & (F.instr(F.col("tag"), sub) == 0)
+    return (kv.filter(cond)
             .groupBy("tag", "value").agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), "tag", "value"))
 
 
-def tag_cross_summary(entities: DataFrame, key_a: str, key_b: str) -> DataFrame:
+def tag_cross_summary(entities: DataFrame, key_a: str, key_b: str,
+                      require_both: bool = False) -> DataFrame:
     """Two-key crosstab, e.g. ``GROUP BY highway, oneway``
-    (``osm-explore.sql:82-91``; ``osm-road-graphs.sql:33-40``)."""
+    (``osm-explore.sql:82-91``; ``osm-road-graphs.sql:33-40``).
+    ``require_both=True`` matches ``highway_oneway_values``, which filters
+    on *both* ``tags ? 'oneway'`` and ``tags ? 'highway'``."""
+    cond = tag_has("tags", key_a)
+    if require_both:
+        cond = cond & tag_has("tags", key_b)
     return (entities
-            .filter(tag_has("tags", key_a))
+            .filter(cond)
             .groupBy(tag_get("tags", key_a).alias(key_a),
                      tag_get("tags", key_b).alias(key_b))
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), key_a))
+
+
+def tag_value_where_summary(entities: DataFrame, select_key: str,
+                            where_key: str, where_value: str) -> DataFrame:
+    """``highway_service`` shape (``osm-explore.sql:32-40``): the values of
+    one tag over entities where another tag has a given value. NO presence
+    filter on ``select_key`` — entities without it contribute a NULL group,
+    exactly like the reference's ``tags -> 'service'`` projection."""
+    return (entities
+            .filter(tag_get("tags", where_key) == where_value)
+            .groupBy(tag_get("tags", select_key).alias("tag"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "tag"))
+
+
+# osm-explore.sql:52-56 — key exclusions of highway_tags_values
+HIGHWAY_TAGS_DENYLIST = ("created_by", "wikidata", "width", "wikipedia",
+                         "note", "old_ref", "length", "description")
+HIGHWAY_TAGS_SUBSTRING_DENYLIST = ("name", "source", "destination", "addr")
+
+# the POI keys each entity kind is summarized by (osm-explore.sql:96-247)
+POI_NODE_KEYS = ("amenity", "shop", "leisure", "craft", "sport", "tourism",
+                 "office")
+POI_WAY_KEYS = ("amenity", "sport", "leisure", "landuse")
+POI_RELATION_KEYS = ("amenity", "leisure", "sport", "landuse")
+
+
+def tags_summary_catalog(nodes: DataFrame, ways: DataFrame,
+                         relations: DataFrame | None = None,
+                         ) -> dict[str, DataFrame]:
+    """The complete ``tags_summary`` schema of ``osm-explore.sql:5-247`` in
+    one call: every named table, faithful to its exact filter/projection
+    (presence filters, the service NULL group, the two-key oneway filter,
+    the highway_tags_values denylists). Returns name → DataFrame in the
+    script's order; register with ``catalog.register_tags_summary`` or
+    materialize with ``sources.io.write_table`` (CTAS).
+
+    Relation tables are built only when ``relations`` is given (the script
+    assumes a full pgsnapshot load). All outputs are map-side-combinable
+    aggregations — the catalog is ~24 independent small shuffles, safe to
+    build in one job at any scale."""
+    hw_ways = ways.filter(tag_has("tags", "highway"))
+    cat: dict[str, DataFrame] = {
+        "highway_values": tag_value_summary(ways, "highway", alias="highway"),
+        "highway_other_tags": tag_key_summary(hw_ways, (), ()),
+        "highway_service": tag_value_where_summary(
+            ways, "service", "highway", "service"),
+        "highway_tags_values": tag_kv_summary(
+            hw_ways, HIGHWAY_TAGS_DENYLIST, HIGHWAY_TAGS_SUBSTRING_DENYLIST),
+        "railway_ways_values": tag_value_summary(
+            ways, "railway", alias="railway"),
+        "railway_nodes_values": tag_value_summary(
+            nodes, "railway", alias="railway"),
+        "highway_oneway_values": tag_cross_summary(
+            ways, "highway", "oneway", require_both=True),
+    }
+    for key in POI_NODE_KEYS:
+        cat[f"{key}_nodes_values"] = tag_value_summary(nodes, key, alias=key)
+    for key in POI_WAY_KEYS:
+        cat[f"{key}_ways_values"] = tag_value_summary(ways, key, alias=key)
+    if relations is not None:
+        for key in POI_RELATION_KEYS:
+            cat[f"{key}_relations_values"] = tag_value_summary(
+                relations, key, alias=key)
+    return cat

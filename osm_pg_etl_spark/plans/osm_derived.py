@@ -1086,6 +1086,66 @@ rmemb AS (
 """
 
 
+def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the ``tags_summary`` catalog (VERDICT r2 'What's missing'
+    #2): five representative tables from ``tags_summary_catalog`` — plain
+    value summary, the NULL-group service summary, the both-keys oneway
+    crosstab, the denylisted key/value explode, and a node POI summary —
+    unioned into one (tbl, tag, value, count) result."""
+    from ..operators.tags import tags_summary_catalog
+
+    d = derive_osm(spark, sf_dir)
+    cat = tags_summary_catalog(d["nodes"], d["ways"])
+    lit = F.lit
+
+    def shaped(name: str, tag_col, value_col) -> DataFrame:
+        return cat[name].select(
+            lit(name).alias("tbl"), tag_col.alias("tag"),
+            value_col.alias("value"), F.col("count"))
+
+    parts = [
+        shaped("highway_values", lit("highway"), F.col("highway")),
+        shaped("amenity_nodes_values", lit("amenity"), F.col("amenity")),
+        shaped("highway_service", lit("service"), F.col("tag")),
+        shaped("highway_oneway_values", F.col("highway"), F.col("oneway")),
+        shaped("highway_tags_values", F.col("tag"), F.col("value")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_OSM_EXPLORE_SUMMARY = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL) + """
+, w AS (  -- ways exist only where way_nodes exist (the Spark `ways` table)
+  SELECT * FROM wtags WHERE way_id IN (SELECT way_id FROM wn)),
+kv AS (
+  SELECT k AS tag, v AS value
+  FROM (UNPIVOT (SELECT way_id, highway, oneway, maxspeed, access, service,
+                        bicycle, foot, footway, motor_vehicle, bus, cycleway
+                 FROM w WHERE highway IS NOT NULL)
+        ON highway, oneway, maxspeed, access, service, bicycle, foot,
+           footway, motor_vehicle, bus, cycleway
+        INTO NAME k VALUE v))
+SELECT 'highway_values' AS tbl, 'highway' AS tag, highway AS value,
+       COUNT(*) AS count
+FROM w WHERE highway IS NOT NULL GROUP BY highway
+UNION ALL
+SELECT 'amenity_nodes_values', 'amenity', amenity, COUNT(*)
+FROM nodes_d WHERE amenity IS NOT NULL GROUP BY amenity
+UNION ALL
+SELECT 'highway_service', 'service', service, COUNT(*)
+FROM w WHERE highway = 'service' GROUP BY service
+UNION ALL
+SELECT 'highway_oneway_values', highway, oneway, COUNT(*)
+FROM w WHERE highway IS NOT NULL AND oneway IS NOT NULL
+GROUP BY highway, oneway
+UNION ALL
+SELECT 'highway_tags_values', tag, value, COUNT(*)
+FROM kv GROUP BY tag, value
+"""
+
+
 def q_osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for the relations surface (VERDICT r2 'What's missing' #1):
     route relations with ordered member ways joined end-to-end against the
@@ -1124,6 +1184,7 @@ WHERE r.rtype = 'route'
 QUERIES = {
     "pbf_roundtrip": q_pbf_roundtrip,
     "osm_relation_members": q_osm_relation_members,
+    "osm_explore_summary": q_osm_explore_summary,
     "osm_car_network": q_osm_car_network,
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
@@ -1147,6 +1208,7 @@ QUERIES = {
 ORACLES = {
     "pbf_roundtrip": SQL_PBF_ROUNDTRIP,
     "osm_relation_members": SQL_OSM_RELATION_MEMBERS,
+    "osm_explore_summary": SQL_OSM_EXPLORE_SUMMARY,
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
