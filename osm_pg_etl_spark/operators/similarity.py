@@ -139,6 +139,64 @@ def ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     return [(int(r[0]), [float(x) for x in r["v"]]) for r in rows]
 
 
+def ivf_refine(embeddings: DataFrame,
+               centroids: list[tuple[int, list[float]]],
+               iters: int = 1,
+               vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Lloyd k-means refinement — the offline "training" job the sampled
+    :func:`ivf_centroids` deliberately defers. Each iteration is one
+    distributed pass: assign every vector to its nearest centroid
+    (:func:`ivf_assign`, narrow) and recompute each cell's mean
+    (posexplode → groupBy(cell, dim) — a map-side-combinable agg whose
+    output is only ``cells × dim`` rows, collected to the driver like any
+    centroid table).
+
+    Deterministic by construction: per-dimension sums are exact
+    ``decimal(38,18)`` (associative — immune to partition/summation order),
+    and the mean is one correctly-rounded double division, so refined
+    centroids are a pure function of the data and remain oracle-checkable.
+    Lloyd monotonically lowers quantization cost; empty cells keep their
+    centroid. Returns the same ``(cid, vector)`` shape as
+    :func:`ivf_centroids`.
+    """
+    dim = len(centroids[0][1]) if centroids else 0
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, vec_col)
+        rows = (assigned
+                .select("ivf_cell",
+                        F.posexplode(_as_double_array(F.col(vec_col)))
+                        .alias("pos", "x"))
+                .groupBy("ivf_cell", "pos")
+                .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(int(r["ivf_cell"]), {})[int(r["pos"])] = \
+                float(r["s"]) / int(r["n"])
+        centroids = [
+            (cid, [means[cid][p] for p in range(dim)]) if cid in means
+            else (cid, cv)
+            for cid, cv in centroids]
+    return centroids
+
+
+def ivf_quantization_cost(embeddings: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          vec_col: str = "embedding") -> float:
+    """Mean (1 - cosine(vector, its centroid)) — the quantity Lloyd
+    iterations monotonically reduce; used by tests to prove refinement
+    helped."""
+    v = _as_double_array(F.col(vec_col))
+    best = F.array_max(F.array(*[
+        F.struct(cosine(v, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                 F.lit(-cid).cast("long").alias("nc"))
+        for cid, cv in centroids]))
+    row = (embeddings.select((1.0 - best["s"]).alias("c"))
+           .agg(F.avg("c").alias("cost")).first())
+    return float(row["cost"])
+
+
 def ivf_assign(embeddings: DataFrame,
                centroids: list[tuple[int, list[float]]],
                vec_col: str = "embedding") -> DataFrame:
@@ -161,13 +219,17 @@ def ivf_assign(embeddings: DataFrame,
 
 def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
              num_centroids: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             refine_iters: int = 0) -> DataFrame:
     """Approximate top-k via inverted-file probing: score the query against
     the centroid set driver-side, scan only rows whose cell is among the
     ``nprobe`` nearest centroids, brute-force cosine within. Reads ~nprobe/C
     of the data; the candidate scan stays a narrow filter + per-partition
-    top-k (TakeOrderedAndProject)."""
+    top-k (TakeOrderedAndProject). ``refine_iters`` Lloyd passes
+    (:func:`ivf_refine`) improve the coarse quantizer before probing."""
     centroids = ivf_centroids(embeddings, num_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        centroids = ivf_refine(embeddings, centroids, refine_iters, vec_col)
     nq = math.sqrt(sum(x * x for x in query))
     scored = []
     for cid, cv in centroids:

@@ -340,18 +340,25 @@ def _sql_dedup_clusters() -> str:
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: deterministic sampled centroids partition the vectors
-    into cells; the query probes its nprobe nearest cells only. Fully
-    oracle-checkable because training (centroid choice) is deterministic."""
+    """IVF-flat ANN with one Lloyd refinement pass: deterministic sampled
+    centroids, refined by an exact-decimal-mean k-means step
+    (``ivf_refine``), partition the vectors into cells; the query probes
+    its nprobe nearest cells only. Fully oracle-checkable because both the
+    init (lowest-id sample) and the refinement (associative decimal sums →
+    one correctly-rounded double division) are deterministic."""
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
-    return similarity.ivf_topk(emb, query, k=20, num_centroids=16, nprobe=4)
+    return similarity.ivf_topk(emb, query, k=20, num_centroids=16, nprobe=4,
+                               refine_iters=1)
 
 
 def _sql_ivf_topk(num_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
     # cosine with the exact same expression grouping as operators.similarity:
     # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — identical IEEE results.
+    # The Lloyd step mirrors ivf_refine bit-for-bit: DECIMAL(38,18) sums are
+    # exact, and decimal→double + the /n division are correctly rounded in
+    # both engines.
     def cos(a: str, b: str) -> str:
         return (f"CASE WHEN sqrt(list_dot_product({a}, {a})) "
                 f"* sqrt(list_dot_product({b}, {b})) > 0 "
@@ -360,8 +367,26 @@ def _sql_ivf_topk(num_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
 
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {num_centroids}),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {num_centroids}),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+asn0 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {cos('v', 'cv')} DESC, cid) AS rn
+  FROM e CROSS JOIN c0),
+ex AS (
+  SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+  FROM asn0 WHERE rn = 1),
+sums AS (
+  SELECT cid, pos, SUM(CAST(x AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+  FROM ex GROUP BY cid, pos),
+cm AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cv
+  FROM sums GROUP BY cid),
+c AS (
+  SELECT cid, cv FROM cm
+  UNION ALL
+  SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM cm)),
 asn AS (
   SELECT vec_id, v, cid,
          ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -242,6 +242,57 @@ def test_ivf_topk_probes_nearest_cells(emb):
     assert got[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ivf_refine_lowers_cost_and_recall(spark):
+    import random
+
+    from osm_pg_etl_spark.operators.similarity import (
+        ivf_quantization_cost, ivf_refine)
+
+    # 3 well-separated clusters in 8-dim; ids interleaved so the sampled
+    # (lowest-id) centroids are a poor quantizer
+    rng = random.Random(5)
+    centers = [[5.0 if i == c else 0.0 for i in range(8)] for c in range(3)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sampled = ivf_centroids(df, num_centroids=4)
+    refined = ivf_refine(df, sampled, iters=2)
+    assert [cid for cid, _ in refined] == [cid for cid, _ in sampled]
+    # Lloyd monotonically reduces quantization cost
+    c_s = ivf_quantization_cost(df, sampled)
+    c_r = ivf_quantization_cost(df, refined)
+    assert c_r <= c_s + 1e-12
+
+    # recall@10 vs brute force for a held-out query must not degrade
+    query = centers[2]
+    exact = {r["vec_id"] for r in brute_force_topk(df, query, k=10).collect()}
+
+    def recall(refine_iters):
+        got = {r["vec_id"] for r in
+               ivf_topk(df, query, k=10, num_centroids=4, nprobe=1,
+                        refine_iters=refine_iters).collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(2) >= recall(0)
+
+
+def test_ivf_refine_deterministic_across_partitionings(spark):
+    import random
+
+    from osm_pg_etl_spark.operators.similarity import ivf_refine
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(df, num_centroids=5)
+    a = ivf_refine(df, cents, iters=1)
+    b = ivf_refine(df.repartition(13), cents, iters=1)
+    assert a == b  # exact equality: decimal sums are order-independent
+
+
 def test_embedding_near_duplicates(emb):
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
              for r in embedding_near_duplicates(emb, threshold=0.9).collect()}
