@@ -111,6 +111,19 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
     delta and never closes, while the batch path would have sorted it into
     place. Feed per-key ordered streams (e.g. Kafka key-partitioned) or
     accept batch/streaming divergence on cross-batch late data.
+
+    Hot-key contract (a bot user at 100× median volume): per-key *state*
+    is O(1) — one open-session accumulator, never an event buffer. The
+    per-trigger transient cost for a key is ~16 bytes × its events in
+    that micro-batch: only the (ts, value) columns are extracted from the
+    Arrow chunks and sorted as primitive arrays; the full-width pandas
+    frame is never concatenated. The batch path is two sort-based windows
+    keyed on ``user_id`` — a skewed key sort-spills rather than OOMs. A
+    salted pre-split is deliberately NOT offered: gap-islands are a
+    sequential per-key computation, and salting would sever islands at
+    salt boundaries; if one key's per-trigger volume can exceed an
+    executor even at 16 B/event, cut sessions upstream on an accepted
+    boundary (e.g. per (user, day)) instead.
     """
     out_schema = ("user_id long, session_start timestamp_ntz, "
                   "n_events long, sum_value double")
@@ -139,6 +152,7 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
                              .cast("double"), 4).alias("sum_value"))
                 .select("user_id", "session_start", "n_events", "sum_value"))
 
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
@@ -157,9 +171,19 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
                 sessions.append(cur)
             state.remove()
         else:
-            rows = pd.concat(list(pdfs)).sort_values("ts")
-            for ts, val in zip(rows["ts"], rows["value"]):
-                e = ts.timestamp()
+            # hot-key bound: keep only the two primitive columns per chunk
+            # (16 B/event) — never a full-width concat of the micro-batch
+            ts_parts, val_parts = [], []
+            for chunk in pdfs:
+                ts_parts.append(chunk["ts"].to_numpy(dtype="datetime64[ns]")
+                                .astype("int64"))
+                val_parts.append(chunk["value"].to_numpy(dtype="float64"))
+            ts_ns = (np.concatenate(ts_parts) if ts_parts
+                     else np.empty(0, dtype="int64"))
+            vals = (np.concatenate(val_parts) if val_parts
+                    else np.empty(0, dtype="float64"))
+            for i in np.argsort(ts_ns, kind="stable"):
+                e, val = float(ts_ns[i]) / 1e9, vals[i]
                 if cur is None:
                     cur = [e, e, e, 0, 0.0]
                 elif e - cur[2] >= gap_s:
@@ -172,7 +196,8 @@ def capped_sessions(events: DataFrame, gap_minutes: int = 30,
                 cur[2] = e
                 cur[3] += 1
                 cur[4] += float(val)
-            state.update(tuple(cur))
+            if cur is not None:
+                state.update(tuple(cur))
             state.setTimeoutDuration(gap_s * 1000)
         return iter([pd.DataFrame({
             "user_id": [key[0]] * len(sessions),

@@ -220,6 +220,36 @@ def test_capped_sessions_batch_gap_splits(spark):
                    (2, "2026-01-01 00:00:00", 1, 4.0)]
 
 
+def test_capped_sessions_hot_key_100x(spark):
+    """Hot-key contract: one bot user at 100× the median per-key volume
+    must produce exactly the capped sessions the semantics dictate (one
+    gap-island cut into max_duration segments), alongside normal keys."""
+    from datetime import datetime, timedelta
+
+    from osm_pg_etl_spark.streaming.actions import capped_sessions
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # bot: 5000 events, 1/minute -> one island, cap=120min -> 42 sessions
+    for k in range(5000):
+        rows.append((999, str(t0 + timedelta(minutes=k)), 1.0))
+    # 10 normal users: 50 events each, 1/minute -> one 50-event session
+    for u in range(10):
+        for k in range(50):
+            rows.append((u, str(t0 + timedelta(minutes=k)), 1.0))
+    got = capped_sessions(_ev(spark, rows), gap_minutes=30,
+                          max_duration_minutes=120).collect()
+    bot = sorted((str(r["session_start"]), r["n_events"])
+                 for r in got if r["user_id"] == 999)
+    assert len(bot) == 42
+    assert [n for _, n in bot] == [120] * 41 + [80]
+    assert bot[0][0] == "2026-01-01 00:00:00"
+    assert bot[41][0] == str(t0 + timedelta(minutes=41 * 120))
+    normal = [(r["user_id"], r["n_events"])
+              for r in got if r["user_id"] != 999]
+    assert sorted(normal) == [(u, 50) for u in range(10)]
+
+
 def test_capped_sessions_streaming_stateful(spark):
     """applyInPandasWithState path: batch 2's late event closes batch 1's
     session, which is then emitted."""
