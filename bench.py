@@ -33,6 +33,9 @@ HEADLINE = [
     "tumbling_window",      # event-time window agg
     "sliding_window",       # overlapping event-time windows
     "dedup_events",         # stream-dedup batch equivalent
+    "pack_positions",       # distributed prefix-sum packing (r3 fix)
+    "osm_relation_members", # relations surface (r3)
+    "osm_explore_summary",  # tags_summary catalog (r3)
 ]
 
 

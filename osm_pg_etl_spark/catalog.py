@@ -68,6 +68,34 @@ def register_osm_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     return views
 
 
+def schema_info(spark: SparkSession) -> DataFrame:
+    """The one-row ``schema_info`` table
+    (``etl/pgsnapshot_schema_0.6.sql:18-21,84``)."""
+    from .schema import PGSNAPSHOT_SCHEMA_VERSION, SCHEMA_INFO
+
+    return spark.createDataFrame([(PGSNAPSHOT_SCHEMA_VERSION,)], SCHEMA_INFO)
+
+
+def users_table(*entities: DataFrame) -> DataFrame:
+    """The pgsnapshot ``users`` table
+    (``etl/pgsnapshot_schema_0.6.sql:24-28``) recovered from loaded entity
+    tables: the distinct ``user_id`` values across nodes/ways/relations.
+    ``name`` is NULL unless a source carried it (the in-engine PBF reader
+    decodes ``uid`` but not the string-table user names; Osmosis-converted
+    parquet may include both). One map-side-combinable distinct."""
+    from pyspark.sql import functions as F
+
+    parts = [e.select(F.col("user_id").cast("int").alias("id"),
+                      (F.col("user_name") if "user_name" in e.columns
+                       else F.lit(None).cast("string")).alias("name"))
+             for e in entities]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.where(F.col("id").isNotNull())
+            .groupBy("id").agg(F.max("name").alias("name")))
+
+
 def register_tags_summary(spark: SparkSession, nodes: DataFrame,
                           ways: DataFrame,
                           relations: DataFrame | None = None,

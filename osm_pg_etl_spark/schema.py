@@ -77,6 +77,13 @@ USERS = StructType([
     StructField("name", StringType(), False),
 ])
 
+# schema_info: etl/pgsnapshot_schema_0.6.sql:18-21 (version row inserted at
+# :84: INSERT INTO schema_info (version) VALUES (6))
+SCHEMA_INFO = StructType([
+    StructField("version", IntegerType(), False),
+])
+PGSNAPSHOT_SCHEMA_VERSION = 6
+
 # actions change feed: etl/pgsnapshot_schema_0.6_action.sql:8-12
 ACTIONS = StructType([
     StructField("data_type", StringType(), False),  # character(1): N/W/R
@@ -91,6 +98,7 @@ OSM_SCHEMAS: dict[str, StructType] = {
     "relations": RELATIONS,
     "relation_members": RELATION_MEMBERS,
     "users": USERS,
+    "schema_info": SCHEMA_INFO,
     "actions": ACTIONS,
 }
 

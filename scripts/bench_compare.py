@@ -6,11 +6,16 @@ no query timings): DuckDB is a strong single-node columnar engine, so
 matching it on a single box while every stage stays shuffle-partitioned is
 the "fast locally, scales horizontally" evidence.
 
-Usage: python scripts/bench_compare.py [sf_dir]
+Usage: python scripts/bench_compare.py [sf_dir] [out.json]
+
+Besides the table on stdout, results are persisted as a JSON artifact
+(default ``BENCHCMP.json``) so the ratio cited in round docs is
+reproducible from the repo instead of a transcript claim.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -45,6 +50,7 @@ def main() -> None:
             read_testdata(spark, sf_dir, t).count()  # warm both engines
 
     tot_s = tot_d = 0.0
+    per_query: dict[str, dict[str, float]] = {}
     print(f"{'query':<22}{'spark_s':>9}{'duckdb_s':>9}{'ratio':>7}")
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -55,8 +61,18 @@ def main() -> None:
         d = time.perf_counter() - t0
         tot_s += s
         tot_d += d
+        per_query[name] = {"spark_s": round(s, 3), "duckdb_s": round(d, 3),
+                           "ratio": round(s / d, 2)}
         print(f"{name:<22}{s:>9.2f}{d:>9.2f}{s / d:>7.1f}")
     print(f"{'TOTAL':<22}{tot_s:>9.2f}{tot_d:>9.2f}{tot_s / tot_d:>7.1f}")
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCHCMP.json"
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir,
+                   "total_spark_s": round(tot_s, 3),
+                   "total_duckdb_s": round(tot_d, 3),
+                   "ratio": round(tot_s / tot_d, 3),
+                   "queries": per_query}, f, indent=1)
+        f.write("\n")
 
 
 if __name__ == "__main__":

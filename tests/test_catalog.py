@@ -39,3 +39,17 @@ def test_topology_invariant_via_sql(spark, views):
         WHERE size(m.nodes) > size(w.nodes)
     """).first()["n"]
     assert bad == 0
+
+
+def test_schema_info_and_users(spark):
+    from osm_pg_etl_spark.catalog import schema_info, users_table
+
+    si = schema_info(spark).collect()
+    assert [(r["version"]) for r in si] == [6]
+
+    nodes = spark.createDataFrame(
+        [(1, 10, "alice"), (2, 10, "alice"), (3, 11, None), (4, None, None)],
+        "id long, user_id int, user_name string")
+    ways = spark.createDataFrame([(5, 12)], "id long, user_id int")
+    got = {r["id"]: r["name"] for r in users_table(nodes, ways).collect()}
+    assert got == {10: "alice", 11: None, 12: None}
