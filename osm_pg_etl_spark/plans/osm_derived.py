@@ -1095,6 +1095,9 @@ def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tags import tags_summary_catalog
 
     d = derive_osm(spark, sf_dir)
+    # measured: caching the shared ways-tags projection costs more (a
+    # materialization barrier) than letting the five branches recompute the
+    # column-pruned assembly from the cached way_nodes base — keep lazy
     cat = tags_summary_catalog(d["nodes"], d["ways"])
     lit = F.lit
 
