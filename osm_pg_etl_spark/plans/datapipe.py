@@ -871,6 +871,86 @@ FROM documents
 """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus membership: build the bit table from a
+    reference slice (doc_id % 3 == 0), probe every document. Reference
+    docs MUST flag true (no false negatives); the false-positive set is a
+    deterministic function of the md5 bit table, so the oracle re-derives
+    it exactly."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bloom = sketch.bloom_build(ref, "text", bits_log2=16, num_hashes=4)
+    return (sketch.bloom_might_contain(docs, "text", bloom,
+                                       bits_log2=16, num_hashes=4)
+            .select("doc_id", "might_contain"))
+
+
+def _sql_bloom_dedup(bits_log2: int = 16, num_hashes: int = 4) -> str:
+    from ..operators.sketch import bloom_sql  # noqa: PLC0415
+
+    m = 1 << bits_log2
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, ('0x' || substr(md5('{i}|' || text), 1, 8))::BIGINT "
+        f"% {m} AS pos FROM documents"
+        for i in range(1, num_hashes + 1))
+    ref = "(SELECT text FROM documents WHERE doc_id % 3 = 0)"
+    return f"""
+WITH {bloom_sql("text", ref, bits_log2, num_hashes).strip()}
+SELECT p.doc_id,
+       MIN((COALESCE(b.bits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT)))
+           = (1::BIGINT << CAST(p.pos % 32 AS INT))) AS might_contain
+FROM ({probes}) p LEFT JOIN bloom b ON p.pos // 32 = b.word
+GROUP BY p.doc_id
+"""
+
+
+def q_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min term frequencies: build the d×w sketch over all
+    whitespace tokens, estimate the 30 most frequent terms, report exact
+    vs estimate (estimate ≥ exact by construction; the oracle recomputes
+    the identical cells, so the approximation itself is value-checked)."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    tokens = (docs.select(F.explode(
+        F.split(F.lower(F.col("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != ""))
+    cms = sketch.cms_build(tokens, "term", depth=4, width=512)
+    top = (tokens.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.desc("n_exact"), "term").limit(30))
+    return (sketch.cms_estimate(top, "term", cms, depth=4, width=512)
+            .select("term", "n_exact", "cms_estimate"))
+
+
+def _sql_cms_terms(depth: int = 4, width: int = 512, k: int = 30) -> str:
+    from ..operators.sketch import cms_sql  # noqa: PLC0415
+
+    probes = " UNION ALL ".join(
+        f"SELECT term, {i} AS row, "
+        f"('0x' || substr(md5('{i}|' || term), 1, 8))::BIGINT % {width} AS col"
+        f" FROM top"
+        for i in range(1, depth + 1))
+    return f"""
+WITH toks AS (
+  SELECT t AS term
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)),
+{cms_sql("term", "toks", depth, width).strip()},
+top AS (
+  SELECT term, COUNT(*) AS n_exact FROM toks GROUP BY term
+  ORDER BY n_exact DESC, term LIMIT {k})
+SELECT p.term, MIN(t.n_exact) AS n_exact,
+       MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+FROM ({probes}) p
+JOIN top t ON p.term = t.term
+LEFT JOIN cms c ON p.row = c.row AND p.col = c.col
+GROUP BY p.term
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dupes": q_fingerprint_dupes,
@@ -897,6 +977,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
+    "bloom_dedup": q_bloom_dedup,
+    "cms_terms": q_cms_terms,
 }
 
 ORACLES = {
@@ -925,4 +1007,6 @@ ORACLES = {
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "bloom_dedup": _sql_bloom_dedup(),
+    "cms_terms": _sql_cms_terms(),
 }
