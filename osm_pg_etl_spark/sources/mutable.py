@@ -193,6 +193,52 @@ class MutableTable:
         return self._mutate(touched, rewrite)
 
 
+    def compact(self) -> "MutableTable":
+        """Rewrite every bucket into one fresh version — the lakehouse
+        ``OPTIMIZE`` analog. A long mutation history spreads bucket
+        ownership across versions, so a snapshot read unions one scan per
+        owning version; compaction collapses that back to a single scan
+        (and is the natural point to re-bucket or sort). Cost: one full
+        table rewrite, same as any OPTIMIZE."""
+        version = self.latest_version()
+        data = (self.read(version)
+                .withColumn(_BUCKET, self._bucket_of(F.col(self.key))))
+        self._write_buckets(data, version + 1)
+        self._commit(version + 1,
+                     {str(b): version + 1 for b in range(self.n_buckets)})
+        return self
+
+    def vacuum(self, retain_last: int = 1) -> list[int]:
+        """Drop version directories and manifests not reachable from the
+        newest ``retain_last`` manifests — the ``VACUUM`` analog that
+        reclaims copy-on-write storage. Time travel keeps working for
+        retained manifests (including older owner versions they still
+        reference); earlier versions become unreadable. Returns the
+        removed version numbers. Single-writer, like every commit."""
+        import shutil  # noqa: PLC0415
+
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        versions = self.versions()
+        retained = versions[-retain_last:]
+        keep_owners: set[int] = set()
+        for v in retained:
+            keep_owners.update(self._read_manifest(v).values())
+        for v in versions:
+            if v not in retained:
+                os.remove(self._manifest_path(v))
+        removed = []
+        data_dir = f"{self.path}/data"
+        for d in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+            if not d.startswith("v"):
+                continue
+            n = int(d[1:])
+            if n not in keep_owners:
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed.append(n)
+        return sorted(removed)
+
+
 def merge_statement(target: DataFrame, source: DataFrame,
                     key_cols: Sequence[str]) -> DataFrame:
     """Stateless MERGE (upsert) expression for callers that manage their own

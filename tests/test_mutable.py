@@ -98,3 +98,46 @@ def test_merge_statement(spark):
     got = {r["id"]: r["v"]
            for r in merge_statement(target, source, ["id"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_compact_collapses_to_single_version(table, spark):
+    src = spark.createDataFrame([(5, "five", 5.5), (200, "new", 1.0)],
+                                "id long, name string, amount double")
+    table.merge(src).delete(F.col("id") == 7)
+    before = rows(table.read())
+    table.compact()
+    manifest = table._read_manifest(table.latest_version())
+    assert set(manifest.values()) == {table.latest_version()}
+    assert rows(table.read()) == before
+
+
+def test_vacuum_reclaims_unreferenced_versions(table, spark):
+    src = spark.createDataFrame([(3, "x", 0.0)],
+                                "id long, name string, amount double")
+    table.merge(src).update(F.col("id") == 4, {"amount": F.lit(-4.0)})
+    latest = rows(table.read())
+    data_dir = os.path.join(table.path, "data")
+    assert len(os.listdir(data_dir)) == 3          # v0, v1, v2
+    removed = table.vacuum(retain_last=1)
+    # v0 still owns untouched buckets -> must survive; only manifests
+    # for v0/v1 are gone
+    assert table.versions() == [2]
+    assert rows(table.read()) == latest
+    surviving = {int(d[1:]) for d in os.listdir(data_dir)}
+    man = table._read_manifest(2)
+    assert surviving == set(man.values())
+    assert all(v not in surviving for v in removed)
+    with pytest.raises(FileNotFoundError):
+        table.read(0)
+
+
+def test_vacuum_after_compact_drops_history(table, spark):
+    src = spark.createDataFrame([(1, "one", 1.0)],
+                                "id long, name string, amount double")
+    table.merge(src).compact()
+    latest = rows(table.read())
+    removed = table.vacuum(retain_last=1)
+    assert removed == [0, 1]                       # everything pre-compact
+    data_dir = os.path.join(table.path, "data")
+    assert os.listdir(data_dir) == [f"v{table.latest_version()}"]
+    assert rows(table.read()) == latest
