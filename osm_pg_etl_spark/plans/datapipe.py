@@ -871,6 +871,42 @@ FROM documents
 """
 
 
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k: per-vector symmetric quantization
+    (floor(x*s + 0.5), s = 127/max|x|), integer dot products. Fully
+    oracle-checkable: the quantized values are exact integers on both
+    engines and every intermediate product fits a double exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.quantized_topk(emb, query, k=20)
+
+
+def _sql_quantized_topk(k: int = 20) -> str:
+    quant = ("CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
+             "THEN list_transform(v, x -> floor(x * (127.0 / "
+             "list_max(list_transform(v, y -> abs(y)))) + 0.5)) "
+             "ELSE list_transform(v, x -> 0.0) END")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qe AS (SELECT vec_id, {quant} AS q FROM e),
+qq AS (SELECT q AS query_q FROM qe WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(q, q))
+                   * sqrt(list_dot_product(query_q, query_q)) > 0
+              THEN list_dot_product(q, query_q)
+                   / (sqrt(list_dot_product(q, q))
+                      * sqrt(list_dot_product(query_q, query_q)))
+              ELSE 0.0 END AS s
+  FROM qe CROSS JOIN qq)
+SELECT vec_id, ROUND(s, 6) AS qcosine_sim
+FROM scored
+ORDER BY qcosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter corpus membership: build the bit table from a
     reference slice (doc_id % 3 == 0), probe every document. Reference
@@ -979,6 +1015,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "bloom_dedup": q_bloom_dedup,
     "cms_terms": q_cms_terms,
+    "similarity_quantized_topk": q_similarity_quantized_topk,
 }
 
 ORACLES = {
@@ -1009,4 +1046,5 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "bloom_dedup": _sql_bloom_dedup(),
     "cms_terms": _sql_cms_terms(),
+    "similarity_quantized_topk": _sql_quantized_topk(),
 }

@@ -415,3 +415,36 @@ def test_pack_positions(spark):
             got[4]["seq_end"]) == (2, 2, 2)
     with pytest.raises(ValueError):
         pack_positions(df, capacity=0)
+
+
+def test_quantized_topk_tracks_exact_cosine(spark):
+    import random
+
+    from osm_pg_etl_spark.operators.similarity import quantized_topk
+
+    rng = random.Random(21)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
+    rows.append((999, [0.0] * 16))  # zero vector must not divide by zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[3][1]
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in brute_force_topk(df, query, k=150).collect()}
+    got = quantized_topk(df, query, k=10).collect()
+    assert got[0]["vec_id"] == 3                       # self-match on top
+    assert got[0]["qcosine_sim"] == pytest.approx(1.0, abs=2e-2)
+    for r in got:
+        # int8 quantization error bound: within ~2/127 of the exact score
+        assert r["qcosine_sim"] == pytest.approx(
+            exact[r["vec_id"]], abs=2e-2)
+
+
+def test_quantize_embeddings_values(spark):
+    from osm_pg_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["qvec"]
+           for r in quantize_embeddings(df).collect()}
+    assert got[1] == [127, -63, 32]   # floor(x*127+0.5), scale 127/1.0
+    assert got[2] == [0, 0, 0]
