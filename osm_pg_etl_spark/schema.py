@@ -71,10 +71,12 @@ RELATION_MEMBERS = StructType([
     StructField("sequence_id", IntegerType(), False),
 ])
 
-# users: etl/pgsnapshot_schema_0.6.sql:24-28
+# users: etl/pgsnapshot_schema_0.6.sql:24-28. The DDL declares name NOT
+# NULL (Osmosis always writes one); name is nullable here because a PBF
+# written without user metadata yields uids with no name string.
 USERS = StructType([
     StructField("id", IntegerType(), False),
-    StructField("name", StringType(), False),
+    StructField("name", StringType(), True),
 ])
 
 # schema_info: etl/pgsnapshot_schema_0.6.sql:18-21 (version row inserted at

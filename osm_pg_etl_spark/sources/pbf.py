@@ -234,7 +234,8 @@ def _split_tag_ids(keys_vals: np.ndarray, n: int) -> tuple[list, list]:
 
 
 def _parse_info(buf, date_gran: int) -> dict:
-    out = {"version": None, "timestamp": None, "changeset": None, "uid": None}
+    out = {"version": None, "timestamp": None, "changeset": None,
+           "uid": None, "user_sid": None}
     for field, _, val in _iter_fields(bytes(buf)):
         if field == 1:
             out["version"] = val
@@ -244,6 +245,8 @@ def _parse_info(buf, date_gran: int) -> dict:
             out["changeset"] = val
         elif field == 4:
             out["uid"] = val
+        elif field == 5:
+            out["user_sid"] = val
     return out
 
 
@@ -343,12 +346,54 @@ def _decode_entity_rows(mv, blk: _Block, kind: str) -> dict:
 _GROUP_FIELD = {"nodes": 1, "ways": 3, "relations": 4}
 
 
+def _users_from_block(blk: _Block) -> pd.DataFrame:
+    """(id, name) pairs across every entity kind in the block — the
+    pgsnapshot ``users`` table Osmosis builds from uid/user_sid. uid 0 is
+    the anonymous sentinel and is skipped; string index 0 ('') means the
+    name was absent."""
+    pairs: set[tuple[int, str | None]] = set()
+    s = blk.strings
+
+    def add(uid, sid) -> None:
+        uid = int(uid)
+        if uid > 0:
+            name = s[int(sid)] if sid is not None and int(sid) > 0 else None
+            pairs.add((uid, name))
+
+    for grp in blk.groups:
+        for field, _, val in _iter_fields(bytes(grp)):
+            if field == 2:                                   # DenseNodes
+                info = {}
+                for f1, _, v1 in _iter_fields(bytes(val)):
+                    if f1 == 5:
+                        for f2, _, v2 in _iter_fields(bytes(v1)):
+                            info[f2] = v2
+                if 4 in info:
+                    uids = _unzigzag(_decode_packed_uint(info[4])).cumsum()
+                    sids = (_unzigzag(_decode_packed_uint(info[5])).cumsum()
+                            if 5 in info else [None] * len(uids))
+                    for u, sid in zip(uids, sids):
+                        add(u, sid)
+            elif field in (1, 3, 4):                # node / way / relation
+                for f1, _, v1 in _iter_fields(bytes(val)):
+                    if f1 == 4:
+                        inf = _parse_info(v1, blk.date_gran)
+                        if inf["uid"] is not None:
+                            add(inf["uid"], inf["user_sid"])
+    if not pairs:
+        return _empty("users")
+    return pd.DataFrame(sorted(pairs, key=lambda p: (p[0], p[1] or "")),
+                        columns=["id", "name"])
+
+
 def decode_block(data: bytes, entity: str) -> pd.DataFrame:
     """Uncompressed PrimitiveBlock bytes → pandas frame in pgsnapshot
     layout. ``entity`` ∈ nodes | ways | way_nodes | relations |
     relation_members (way/relation members come from the same messages as
     their parents, so each is one decode pass)."""
     blk = _Block(data)
+    if entity == "users":
+        return _users_from_block(blk)
     frames: list[pd.DataFrame] = []
     want = {"way_nodes": "ways", "relation_members": "relations"}.get(
         entity, entity)
@@ -428,7 +473,12 @@ def read_pbf(spark: SparkSession, path: str, entity: str = "nodes",
                     if len(out):
                         yield out
 
-    return spans_df.mapInPandas(decode, schema=out_schema)
+    out = spans_df.mapInPandas(decode, schema=out_schema)
+    if entity == "users":
+        # a user edits entities across many blocks: one map-side-combinable
+        # dedup, preferring a real name over an absent one
+        out = out.groupBy("id").agg(F.max("name").alias("name"))
+    return out
 
 
 def assemble_linestrings(ways: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -526,6 +576,8 @@ def _encode_info(e: dict, st: _StringTable, date_gran: int) -> bytes:
         out += _field(3, 0) + _varint(e["changeset_id"])
     if e.get("user_id") is not None:
         out += _field(4, 0) + _varint(e["user_id"])
+    if e.get("user_name") is not None:
+        out += _field(5, 0) + _varint(st.add(e["user_name"]))
     return out
 
 
@@ -569,7 +621,10 @@ def write_pbf(path: str, nodes: list[dict] = (), ways: list[dict] = (),
                 _packed(3, _delta([n.get("changeset_id") or 0
                                    for n in batch]), zigzag=True) +
                 _packed(4, _delta([n.get("user_id") or 0 for n in batch]),
-                        zigzag=True))
+                        zigzag=True) +
+                _packed(5, _delta([st.add(n["user_name"])
+                                   if n.get("user_name") is not None else 0
+                                   for n in batch]), zigzag=True))
         dense = (_packed(1, ids, zigzag=True) + _bytes_field(5, info) +
                  _packed(8, lats, zigzag=True) +
                  _packed(9, lons, zigzag=True) + _packed(10, kv))

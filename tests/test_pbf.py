@@ -174,3 +174,28 @@ def test_empty_file(spark, tmp_path):
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == [
         f.name for f in pbf.S.OSM_SCHEMAS["nodes"].fields]
+
+
+def test_users_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "users.osm.pbf")
+    named = [dict(n, user_name=f"user{n['user_id']}") for n in NODES]
+    ways = [dict(WAYS[0], user_name="mapper42"), dict(WAYS[1])]  # 1 unnamed
+    pbf.write_pbf(p, nodes=named, ways=ways, relations=RELATIONS,
+                  entities_per_block=2)
+    got = {r["id"]: r["name"]
+           for r in pbf.read_pbf(spark, p, "users").collect()}
+    # uid 42: named via nodes (user42) and ways (mapper42) -> max() wins;
+    # uid 7: named user7 via nodes; relation's uid 7 has no name
+    assert got[42] == "user42"
+    assert got[7] == "user7"
+    assert set(got) == {42, 7}
+
+
+def test_users_without_names(spark, pbf_file):
+    # the module fixture writes no user_name fields: uids survive with
+    # NULL names (pgsnapshot users.name is NOT NULL only when loaded by
+    # Osmosis with user data present)
+    got = {r["id"]: r["name"]
+           for r in pbf.read_pbf(spark, pbf_file, "users").collect()}
+    assert set(got) == {42, 7}
+    assert all(v is None for v in got.values())
