@@ -349,7 +349,8 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 
 def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
                    id_col: str = "doc_id",
-                   token_col: str | None = None) -> DataFrame:
+                   token_col: str | None = None,
+                   boundaries: list | None = None) -> DataFrame:
     """Concat-and-cut sequence-packing bookkeeping: documents are laid out
     end to end in ``id_col`` order and the token stream is cut into
     training sequences of ``capacity`` tokens (the standard GPT-style
@@ -373,6 +374,11 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
     stable across re-evaluations/partitionings (round-2 fix: the previous
     cache-pinned ``spark_partition_id()`` bucket could shift if the range
     exchange was recomputed).
+
+    ``boundaries`` (sorted id keys, e.g. a saved ``range_boundaries``
+    result) skips the two boundary-sampling scans — pass it when packing
+    repeatedly over the same corpus or when table statistics already
+    exist.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -380,9 +386,12 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
     base = df.select(F.col(id_col), n.cast("long").alias("_n"))
     from pyspark.sql import Window  # noqa: PLC0415
 
-    from ..functions.partitioning import deterministic_buckets  # noqa: PLC0415
+    from ..functions.partitioning import (  # noqa: PLC0415
+        bucket_of, range_boundaries)
 
-    bucketed = base.withColumn("_pid", deterministic_buckets(base, id_col))
+    if boundaries is None:
+        boundaries = range_boundaries(base, id_col)
+    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (bucketed.groupBy("_pid").agg(F.sum("_n").alias("_c"))
             .select("_pid", F.coalesce(F.sum("_c").over(w_off),
