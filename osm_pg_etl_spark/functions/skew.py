@@ -45,3 +45,28 @@ def salted_count_sum(df: DataFrame, key_cols: list[str], sum_col: str,
                  F.sum("_s").alias("_s2"))
             .select(*key_cols, "n_rows",
                     F.round(F.col("_s2").cast("double"), 4).alias("sum_value")))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                entropy_col: str, buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the hot-key salting AQE cannot apply: the big side
+    gets a deterministic salt from one of its own high-entropy columns,
+    the small side is replicated ``buckets`` times, and the join runs on
+    (key, salt) — no reducer sees more than ~1/B of a hot key's rows even
+    when ONE key dominates the whole table (AQE's skew split only kicks in
+    per sort-merge partition and cannot split a broadcast build side that
+    doesn't fit memory).
+
+    Result is row-identical to ``big.join(small, key, how)`` — the salt is
+    an internal partitioning detail (oracle-checked). ``how`` supports
+    inner/left. Cost: the small side shuffles B× larger, the price of
+    bounded reducers.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    salted = with_salt(big, entropy_col, buckets)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)])))
+    out = salted.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")

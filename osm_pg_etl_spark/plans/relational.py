@@ -548,6 +548,75 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted equi-join (big lineitem × small nation-sized dim):
+    the big side salts on its own row entropy, the small side replicates
+    B times, the join runs on (key, salt). Row-identical to the plain
+    join — the oracle is the unsalted join, so the equivalence IS the
+    check; the plan bounds each reducer to ~1/16 of any hot key."""
+    from ..functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    # a skewed dim key: l_linenumber has 7 values across 600k rows
+    dim = (t(spark, sf_dir, "nation")
+           .select((F.col("n_nationkey") % 7 + 1).alias("l_linenumber"),
+                   "n_name").distinct())
+    joined = salted_join(li, dim, key="l_linenumber",
+                         entropy_col="l_orderkey", buckets=16)
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_orderkey").alias("sum_keys")))
+
+
+SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT n_nationkey % 7 + 1 AS l_linenumber, n_name FROM nation)
+SELECT d.n_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l.l_orderkey) AS sum_keys
+FROM lineitem l JOIN dim d USING (l_linenumber)
+GROUP BY d.n_name
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel, each step strictly after
+    the previous and within 7 days of the first view. Greedy-earliest
+    chain per user, one min-agg + user-keyed join per step."""
+    from ..operators.funnel import funnel_steps
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        within_seconds=7 * 86400)
+
+
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_1
+    AND e.ts <= s1.t_1 + INTERVAL 604800 SECOND
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_3
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+    AND e.ts <= s1.t_1 + INTERVAL 604800 SECOND
+  GROUP BY e.user_id)
+SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+       CAST(1 + CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_completed
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dedup batch equivalent: first event per (user_id, event_type)
     by event time (streaming path uses dropDuplicatesWithinWatermark —
@@ -852,6 +921,8 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "dedup_events": q_dedup_events,
     "salted_group_count": q_salted_group_count,
+    "salted_join": q_salted_join,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLES = {
@@ -889,4 +960,6 @@ ORACLES = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "dedup_events": SQL_DEDUP_EVENTS,
     "salted_group_count": SQL_SALTED_GROUP_COUNT,
+    "salted_join": SQL_SALTED_JOIN,
+    "funnel_steps": SQL_FUNNEL_STEPS,
 }

@@ -1,0 +1,85 @@
+"""Conversion funnels (operators.funnel) + salted join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_greedy_chain(spark):
+    from osm_pg_etl_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # user 1 completes A->B->C in order
+        (1, "A", "2026-01-01 00:00:00"),
+        (1, "B", "2026-01-01 01:00:00"),
+        (1, "C", "2026-01-01 02:00:00"),
+        # user 2: B before A only -> stops after A
+        (2, "B", "2026-01-01 00:00:00"),
+        (2, "A", "2026-01-01 01:00:00"),
+        # user 3: A then C (no B) -> C must NOT count
+        (3, "A", "2026-01-01 00:00:00"),
+        (3, "C", "2026-01-01 01:00:00"),
+        # user 4 never does A -> absent
+        (4, "B", "2026-01-01 00:00:00"),
+        # user 5: ties — B at the same instant as A is NOT strictly after
+        (5, "A", "2026-01-01 00:00:00"),
+        (5, "B", "2026-01-01 00:00:00"),
+    ]
+    got = {r["user_id"]: r for r in funnel_steps(
+        _ev(spark, rows), ["A", "B", "C"]).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["steps_completed"] == 3
+    assert str(got[1]["t_3"]) == "2026-01-01 02:00:00"
+    assert got[2]["steps_completed"] == 1 and got[2]["t_2"] is None
+    assert got[3]["steps_completed"] == 1
+    assert got[5]["steps_completed"] == 1
+
+
+def test_funnel_within_window(spark):
+    from osm_pg_etl_spark.operators.funnel import funnel_steps
+
+    rows = [(1, "A", "2026-01-01 00:00:00"),
+            (1, "B", "2026-01-01 03:00:00")]   # 3h after first step
+    within_2h = funnel_steps(_ev(spark, rows), ["A", "B"],
+                             within_seconds=7200).collect()[0]
+    assert within_2h["steps_completed"] == 1
+    within_4h = funnel_steps(_ev(spark, rows), ["A", "B"],
+                             within_seconds=14400).collect()[0]
+    assert within_4h["steps_completed"] == 2
+
+
+def test_funnel_summary_dropoff(spark):
+    from osm_pg_etl_spark.operators.funnel import funnel_summary
+
+    rows = [(u, "A", "2026-01-01 00:00:00") for u in range(5)] + \
+           [(u, "B", "2026-01-01 01:00:00") for u in range(3)] + \
+           [(0, "C", "2026-01-01 02:00:00")]
+    got = {r["step"]: (r["event_type"], r["n_users"]) for r in
+           funnel_summary(_ev(spark, rows), ["A", "B", "C"]).collect()}
+    assert got == {1: ("A", 5), 2: ("B", 3), 3: ("C", 1)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from osm_pg_etl_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(1000)],
+        "k long, rid long, v double")
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (9, "nine")], "k long, name string")
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(
+        big, small, key="k", entropy_col="rid", buckets=8).collect())
+    assert salted == plain
+    # left join keeps unmatched big rows exactly once
+    pl = sorted(tuple(r) for r in big.join(small, "k", "left").collect())
+    sl = sorted(tuple(r) for r in salted_join(
+        big, small, key="k", entropy_col="rid", buckets=8,
+        how="left").collect())
+    assert sl == pl
