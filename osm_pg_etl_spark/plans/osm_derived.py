@@ -1086,6 +1086,48 @@ rmemb AS (
 """
 
 
+def q_osm_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed column statistics for way_nodes — the table whose
+    n_distinct the reference hand-sets from June-2013 folklore
+    (``pgsnapshot_schema_0.6.sql:146-170``). exact distincts so the
+    oracle matches value-for-value."""
+    from ..operators.profile import table_profile
+
+    d = derive_osm(spark, sf_dir)
+    return table_profile(d["way_nodes"], exact_distinct=True)
+
+
+SQL_OSM_TABLE_PROFILE = _cte(_WN_SQL) + """
+, n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM wn)
+SELECT col AS "column", n_rows, n_nulls,
+       ROUND(CAST(n_nulls AS DOUBLE) / n_rows, 6) AS null_frac,
+       n_distinct,
+       ROUND(-CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_ratio,
+       min_repr, max_repr
+FROM (
+  SELECT 'way_id' AS col, n_rows,
+         (SELECT CAST(COUNT(*) - COUNT(way_id) AS BIGINT) FROM wn) AS n_nulls,
+         (SELECT CAST(COUNT(DISTINCT way_id) AS BIGINT) FROM wn) AS n_distinct,
+         (SELECT MIN(CAST(way_id AS VARCHAR)) FROM wn) AS min_repr,
+         (SELECT MAX(CAST(way_id AS VARCHAR)) FROM wn) AS max_repr
+  FROM n
+  UNION ALL
+  SELECT 'node_id', n_rows,
+         (SELECT CAST(COUNT(*) - COUNT(node_id) AS BIGINT) FROM wn),
+         (SELECT CAST(COUNT(DISTINCT node_id) AS BIGINT) FROM wn),
+         (SELECT MIN(CAST(node_id AS VARCHAR)) FROM wn),
+         (SELECT MAX(CAST(node_id AS VARCHAR)) FROM wn)
+  FROM n
+  UNION ALL
+  SELECT 'sequence_id', n_rows,
+         (SELECT CAST(COUNT(*) - COUNT(sequence_id) AS BIGINT) FROM wn),
+         (SELECT CAST(COUNT(DISTINCT sequence_id) AS BIGINT) FROM wn),
+         (SELECT MIN(CAST(sequence_id AS VARCHAR)) FROM wn),
+         (SELECT MAX(CAST(sequence_id AS VARCHAR)) FROM wn)
+  FROM n)
+"""
+
+
 def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for the ``tags_summary`` catalog (VERDICT r2 'What's missing'
     #2): five representative tables from ``tags_summary_catalog`` — plain
@@ -1188,6 +1230,7 @@ QUERIES = {
     "pbf_roundtrip": q_pbf_roundtrip,
     "osm_relation_members": q_osm_relation_members,
     "osm_explore_summary": q_osm_explore_summary,
+    "osm_table_profile": q_osm_table_profile,
     "osm_car_network": q_osm_car_network,
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
@@ -1212,6 +1255,7 @@ ORACLES = {
     "pbf_roundtrip": SQL_PBF_ROUNDTRIP,
     "osm_relation_members": SQL_OSM_RELATION_MEMBERS,
     "osm_explore_summary": SQL_OSM_EXPLORE_SUMMARY,
+    "osm_table_profile": SQL_OSM_TABLE_PROFILE,
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,

@@ -617,6 +617,31 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis for a join key (exact distincts so the
+    skew_factor matches the oracle): the pre-flight check that tells you
+    whether salted_join/salted_count_sum is needed before a 100× run."""
+    from ..operators.profile import key_skew_report
+
+    li = t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_linenumber", top=5, exact_distinct=True)
+
+
+SQL_KEY_SKEW = """
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd
+  FROM lineitem)
+SELECT CAST(l_linenumber AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n, 6) AS share,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n * nd, 2) AS skew_factor
+FROM lineitem CROSS JOIN stats
+GROUP BY l_linenumber, n, nd
+ORDER BY count DESC, key LIMIT 5
+"""
+
+
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dedup batch equivalent: first event per (user_id, event_type)
     by event time (streaming path uses dropDuplicatesWithinWatermark —
@@ -923,6 +948,7 @@ QUERIES = {
     "salted_group_count": q_salted_group_count,
     "salted_join": q_salted_join,
     "funnel_steps": q_funnel_steps,
+    "key_skew": q_key_skew,
 }
 
 ORACLES = {
@@ -962,4 +988,5 @@ ORACLES = {
     "salted_group_count": SQL_SALTED_GROUP_COUNT,
     "salted_join": SQL_SALTED_JOIN,
     "funnel_steps": SQL_FUNNEL_STEPS,
+    "key_skew": SQL_KEY_SKEW,
 }

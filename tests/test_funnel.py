@@ -83,3 +83,31 @@ def test_salted_join_equals_plain_join(spark):
         big, small, key="k", entropy_col="rid", buckets=8,
         how="left").collect())
     assert sl == pl
+
+
+def test_table_profile(spark):
+    from osm_pg_etl_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], "k long, v string")
+    got = {r["column"]: r for r in
+           table_profile(df, exact_distinct=True).collect()}
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["n_nulls"] == 0
+    assert (got["k"]["min_repr"], got["k"]["max_repr"]) == ("1", "3")
+    assert got["v"]["n_nulls"] == 1
+    assert got["v"]["null_frac"] == 0.25
+    assert got["v"]["n_distinct"] == 2        # NULL excluded, like pg
+    assert got["k"]["distinct_ratio"] == -0.75
+
+
+def test_key_skew_report(spark):
+    from osm_pg_etl_spark.operators.profile import key_skew_report
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, "k", top=3, exact_distinct=True).collect()
+    assert got[0]["key"] == "hot"
+    assert got[0]["share"] == 0.9
+    assert got[0]["skew_factor"] == 9.9       # 0.9 * 11 distinct keys
