@@ -74,3 +74,34 @@ def funnel_summary(events: DataFrame, steps: Sequence[str],
             for i in range(1, len(steps) + 1)]
     return events.sparkSession.createDataFrame(
         rows, "step int, event_type string, n_users long")
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period: str = "week") -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of their
+    first event; each (cohort, period_offset) cell counts the cohort's
+    users active in that later period. Returns
+    ``(cohort, period_offset, n_users)``.
+
+    Two shuffles: first-activity min per user, then a distinct count per
+    (cohort, period) — both keyed small aggregations; the events table is
+    scanned once per side of one user-keyed broadcast-or-shuffle join.
+    ``period`` is any ``date_trunc`` unit (week/month/day).
+    """
+    first = (events.groupBy(user_col)
+             .agg(F.date_trunc(period, F.min(ts_col)).alias("_cohort")))
+    active = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("_period"))
+    div = {"day": 86400, "week": 7 * 86400}.get(period)
+    joined = active.join(first, user_col)
+    if div is not None:
+        off = (F.col("_period").cast("long")
+               - F.col("_cohort").cast("long")) / div
+    else:  # month and coarser are not fixed-width: count month steps
+        off = (F.months_between("_period", "_cohort"))
+    return (joined
+            .groupBy(F.col("_cohort").alias("cohort"),
+                     F.round(off).cast("int").alias("period_offset"))
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+            .orderBy("cohort", "period_offset"))

@@ -617,6 +617,30 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table: cohort =
+    week of first activity, cells = distinct cohort users active at each
+    week offset."""
+    from ..operators.funnel import retention_cohorts
+
+    return retention_cohorts(t(spark, sf_dir, "events"), period="week")
+
+
+SQL_RETENTION_COHORTS = """
+WITH fst AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT user_id, date_trunc('week', ts) AS period FROM events)
+SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+       CAST(ROUND((epoch(a.period) - epoch(f.cohort)) / 604800.0) AS INT)
+         AS period_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN fst f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter diagnosis for a join key (exact distincts so the
     skew_factor matches the oracle): the pre-flight check that tells you
@@ -949,6 +973,7 @@ QUERIES = {
     "salted_join": q_salted_join,
     "funnel_steps": q_funnel_steps,
     "key_skew": q_key_skew,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES = {
@@ -989,4 +1014,5 @@ ORACLES = {
     "salted_join": SQL_SALTED_JOIN,
     "funnel_steps": SQL_FUNNEL_STEPS,
     "key_skew": SQL_KEY_SKEW,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }

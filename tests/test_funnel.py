@@ -111,3 +111,19 @@ def test_key_skew_report(spark):
     assert got[0]["key"] == "hot"
     assert got[0]["share"] == 0.9
     assert got[0]["skew_factor"] == 9.9       # 0.9 * 11 distinct keys
+
+
+def test_retention_cohorts(spark):
+    from osm_pg_etl_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, "A", "2026-01-05 10:00:00"),   # week of Jan 5 (Mon)
+        (1, "A", "2026-01-13 10:00:00"),   # next week -> offset 1
+        (2, "B", "2026-01-06 10:00:00"),   # same cohort, week 0 only
+        (3, "A", "2026-01-14 10:00:00"),   # cohort Jan 12
+    ]
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(_ev(spark, rows)).collect()}
+    assert got == {("2026-01-05 00:00:00", 0): 2,
+                   ("2026-01-05 00:00:00", 1): 1,
+                   ("2026-01-12 00:00:00", 0): 1}
