@@ -617,6 +617,34 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z codes over two lineitem dimensions — the multi-column
+    layout key behind OPTIMIZE ZORDER file pruning. Pure bit arithmetic,
+    value-exact oracle."""
+    from ..functions.layout import z_value
+
+    li = t(spark, sf_dir, "lineitem")
+    pair = li.select(F.col("l_linenumber").cast("long").alias("a"),
+                     F.col("l_quantity").cast("long").alias("b"))
+    return (pair.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("zval", z_value([F.col("a"), F.col("b")], bits=6)))
+
+
+def _sql_zorder_values(bits: int = 6) -> str:
+    terms = " + ".join(
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * 2 + j})"
+        for i in range(bits) for j, c in enumerate(("a", "b")))
+    return f"""
+WITH pair AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS a, CAST(l_quantity AS BIGINT) AS b
+  FROM lineitem)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS count,
+       CAST({terms} AS BIGINT) AS zval
+FROM pair GROUP BY a, b
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events table: cohort =
     week of first activity, cells = distinct cohort users active at each
@@ -974,6 +1002,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "key_skew": q_key_skew,
     "retention_cohorts": q_retention_cohorts,
+    "zorder_values": q_zorder_values,
 }
 
 ORACLES = {
@@ -1015,4 +1044,5 @@ ORACLES = {
     "funnel_steps": SQL_FUNNEL_STEPS,
     "key_skew": SQL_KEY_SKEW,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "zorder_values": _sql_zorder_values(),
 }
