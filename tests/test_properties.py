@@ -127,3 +127,68 @@ def test_unnest_way_nodes_roundtrip(spark, osm):
     want = sorted((r["way_id"], r["node_id"], r["sequence_id"]) for r in
                   osm["way_nodes"].collect())
     assert got == want
+
+
+# --- deterministic bucket / Morton-code invariants (round 3) -----------------
+
+@given(st.lists(st.integers(-10**9, 10**9), min_size=0, max_size=60),
+       st.integers(-10**9, 10**9),
+       st.integers(-10**9, 10**9))
+@settings(max_examples=200, deadline=None)
+def test_bucket_of_monotone_for_any_boundaries(bounds, k1, k2):
+    """bucket_of must be monotone in the key for ANY boundary list — the
+    property the distributed prefix sums rely on. Pure-python mirror of
+    the Column expression (count of boundaries strictly below the key)."""
+    bounds = sorted(set(bounds))
+
+    def bucket(k):
+        return sum(1 for b in bounds if k > b)
+
+    lo, hi = min(k1, k2), max(k1, k2)
+    assert bucket(lo) <= bucket(hi)
+    assert 0 <= bucket(k1) <= len(bounds)
+
+
+@given(st.integers(0, 2**15 - 1), st.integers(0, 2**15 - 1),
+       st.integers(0, 2**15 - 1), st.integers(0, 2**15 - 1))
+@settings(max_examples=200, deadline=None)
+def test_morton_code_order_preserving_per_axis(a1, b1, a2, b2):
+    """Morton codes preserve dominance: if a1<=a2 and b1<=b2 then
+    z(a1,b1) <= z(a2,b2) — the property that makes Z-order ranges prune
+    rectangles. Also: codes are injective."""
+    def z(a, b, bits=15):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    if a1 <= a2 and b1 <= b2:
+        assert z(a1, b1) <= z(a2, b2)
+    if (a1, b1) != (a2, b2):
+        assert z(a1, b1) != z(a2, b2)
+
+
+@given(st.lists(st.tuples(st.integers(1, 10**6), st.text("ab", min_size=0,
+                                                         max_size=3)),
+                min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_bloom_membership_pure_python_no_false_negatives(items):
+    """Pure-python mirror of bloom_build/bloom_might_contain bit math: any
+    inserted value must probe true for any (bits_log2, num_hashes)."""
+    import hashlib
+
+    m, k = 1 << 10, 3
+    words: dict[int, int] = {}
+    vals = [f"{i}|{t}" for i, t in items]
+    for v in vals:
+        for s in range(1, k + 1):
+            pos = int(hashlib.md5(f"{s}|{v}".encode()).hexdigest()[:8],
+                      16) % m
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    for v in vals:
+        for s in range(1, k + 1):
+            pos = int(hashlib.md5(f"{s}|{v}".encode()).hexdigest()[:8],
+                      16) % m
+            mask = 1 << (pos % 32)
+            assert words.get(pos // 32, 0) & mask == mask
