@@ -1086,6 +1086,43 @@ rmemb AS (
 """
 
 
+def q_osm_cdc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's osmosisUpdate loop end-to-end: a deterministic
+    changeset (delete every 14th way, retag every other 7th way's
+    maxspeed) merges into the ways snapshot via ``apply_actions``, then a
+    ``tags_summary`` table re-derives from the updated snapshot — CDC
+    feed → MERGE → derived-table maintenance in one gate."""
+    from ..operators.tags import tag_cross_summary
+    from ..streaming.actions import apply_actions
+
+    ways = derive_osm(spark, sf_dir)["ways"]
+    wid = F.col("id")
+    touched = ways.where(wid % 7 == 0)
+    actions = touched.select(
+        F.lit("W").alias("data_type"),
+        F.when(wid % 14 == 0, F.lit("D")).otherwise(F.lit("M"))
+        .alias("action"),
+        wid.alias("id"))
+    changed = (touched.where(wid % 14 != 0)
+               .withColumn("tags", F.map_concat(
+                   F.map_filter("tags", lambda k, v: k != "maxspeed"),
+                   F.create_map(F.lit("maxspeed"), F.lit("70")))))
+    updated = apply_actions(ways, actions, changed, "W", id_col="id")
+    return tag_cross_summary(updated, "highway", "maxspeed")
+
+
+SQL_OSM_CDC_TAGS = _cte(_WTAGS_SQL, _WN_SQL) + """
+, w AS (SELECT * FROM wtags WHERE way_id IN (SELECT way_id FROM wn)),
+updated AS (
+  SELECT way_id, highway,
+         CASE WHEN way_id % 7 = 0 THEN '70' ELSE maxspeed END AS maxspeed
+  FROM w WHERE way_id % 14 != 0)
+SELECT highway, maxspeed, CAST(COUNT(*) AS BIGINT) AS count
+FROM updated WHERE highway IS NOT NULL
+GROUP BY highway, maxspeed
+"""
+
+
 def q_osm_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Computed column statistics for way_nodes — the table whose
     n_distinct the reference hand-sets from June-2013 folklore
@@ -1231,6 +1268,7 @@ QUERIES = {
     "osm_relation_members": q_osm_relation_members,
     "osm_explore_summary": q_osm_explore_summary,
     "osm_table_profile": q_osm_table_profile,
+    "osm_cdc_tags": q_osm_cdc_tags,
     "osm_car_network": q_osm_car_network,
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
@@ -1256,6 +1294,7 @@ ORACLES = {
     "osm_relation_members": SQL_OSM_RELATION_MEMBERS,
     "osm_explore_summary": SQL_OSM_EXPLORE_SUMMARY,
     "osm_table_profile": SQL_OSM_TABLE_PROFILE,
+    "osm_cdc_tags": SQL_OSM_CDC_TAGS,
     "osm_tag_keys": SQL_OSM_TAG_KEYS,
     "osm_spatial_pairs": SQL_OSM_SPATIAL_PAIRS,
     "osm_geometric_blades": SQL_OSM_GEOMETRIC_BLADES,
