@@ -141,6 +141,114 @@ def shortest_paths(edges: DataFrame, source: int, max_hops: int = 4,
     return dist
 
 
+def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
+                directed: bool = False,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Forward phase of Brandes' betweenness: per (source, node) the BFS
+    distance and the number of shortest paths (σ), for every node within
+    ``max_depth`` hops of any source. All sources advance in the same
+    level-synchronous rounds — one frontier join + anti-join + group-sum
+    per level, keyed on (s, node), so k sources cost the same shuffle
+    count as one. Integer-exact, hence hash-stable. Returns
+    (s, node, dist, sigma)."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    e = e.filter(F.col("u") != F.col("v")).distinct().cache()
+
+    spark = edges.sparkSession
+    srcs = spark.createDataFrame([(int(s),) for s in sources], "s long")
+    visited = srcs.select("s", F.col("s").alias("node"),
+                          F.lit(0).alias("dist"),
+                          F.lit(1).cast("long").alias("sigma"))
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        cand = (frontier.join(e, frontier["node"] == e["u"])
+                .select("s", F.col("v").alias("node"), "sigma"))
+        nxt = (cand.join(visited.select("s", "node"), ["s", "node"],
+                         "left_anti")
+               .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+               .select("s", "node", F.lit(d).alias("dist"), "sigma")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def betweenness(edges: DataFrame, sources: list[int], max_depth: int = 6,
+                directed: bool = False, src: str = "src", dst: str = "dst",
+                ) -> DataFrame:
+    """Betweenness centrality restricted to shortest paths that start at
+    one of ``sources`` and use at most ``max_depth`` edges — the
+    distributed stand-in for the reference's igraph centrality step
+    (``osm-pg-etl.md:31-105``: export edge list → igraph → centrality →
+    COPY back), which no longer fits one process at 100 TB.
+
+    Exact Brandes [Brandes 2001] on the sampled source set: with
+    ``sources`` = all nodes and ``max_depth`` ≥ diameter this IS exact
+    betweenness; with k sampled sources it is the Brandes-Pich estimator
+    (scale by n/k). The dependency accumulation runs level-synchronously
+    for all sources at once: after the σ forward phase, each BFS level L
+    (deepest first) does one join from level-L nodes back to their
+    level-(L-1) predecessors along shortest-path DAG edges, accumulating
+    δ(v) = Σ_w σ(v)/σ(w) · (1 + δ(w)). 2·depth bounded-size shuffles
+    total, keyed (s, node) throughout — no per-source driver loop.
+
+    Undirected graphs count each unordered pair once (igraph's
+    convention), i.e. the summed dependencies are halved. Returns
+    (node, betweenness) for every node on some counted shortest path;
+    isolated / never-intermediate nodes report 0 via the final left join.
+    """
+    vis = sigma_table(edges, sources, max_depth, directed, src, dst).cache()
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    e = e.filter(F.col("u") != F.col("v")).distinct().cache()
+
+    lmax = vis.agg(F.max("dist")).collect()[0][0] or 0
+    # delta rows exist for every visited node at levels >= the one being
+    # processed; start with 0 at the deepest level
+    delta = (vis.filter(F.col("dist") == lmax)
+             .select("s", "node", F.lit(0.0).alias("delta")))
+    acc = delta
+    for lev in range(lmax, 0, -1):
+        succ = (vis.filter(F.col("dist") == lev)
+                .join(delta, ["s", "node"])
+                .select("s", F.col("node").alias("w"),
+                        F.col("sigma").alias("sigma_w"), "delta"))
+        pred = (vis.filter(F.col("dist") == lev - 1)
+                .select("s", "node", "sigma"))
+        contrib = (pred.join(e, pred["node"] == e["u"])
+                   .join(succ, ["s"])
+                   .where(F.col("v") == F.col("w"))
+                   .groupBy("s", "node")
+                   .agg(F.sum(F.col("sigma") / F.col("sigma_w")
+                              * (F.lit(1.0) + F.col("delta")))
+                        .alias("_c")))
+        delta = (pred.join(contrib, ["s", "node"], "left")
+                 .select("s", "node",
+                         F.coalesce("_c", F.lit(0.0)).alias("delta"))
+                 .localCheckpoint())
+        acc = acc.unionByName(delta)
+    half = 1.0 if directed else 2.0
+    bc = (acc.filter(F.col("node") != F.col("s"))
+          .groupBy("node")
+          .agg((F.sum("delta") / half).alias("betweenness")))
+    nodes = vis.select("node").distinct()
+    vis.unpersist()
+    e.unpersist()
+    return (nodes.join(bc, "node", "left")
+            .select("node", F.coalesce("betweenness", F.lit(0.0))
+                    .alias("betweenness")))
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    pair_cols: tuple[str, str] = ("id_a", "id_b")) -> DataFrame:

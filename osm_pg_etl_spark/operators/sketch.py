@@ -260,5 +260,5 @@ def cms_sql(build_expr: str, build_from: str, depth: int = 4,
         for i in range(1, depth + 1))
     return f"""
 cms AS (
-  SELECT row, col, SUM(w) AS cnt FROM ({hashes}) GROUP BY row, col)
+  SELECT row, col, CAST(SUM(w) AS BIGINT) AS cnt FROM ({hashes}) GROUP BY row, col)
 """

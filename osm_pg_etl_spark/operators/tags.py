@@ -89,16 +89,20 @@ def tag_cross_summary(entities: DataFrame, key_a: str, key_b: str,
 
 
 def tag_value_where_summary(entities: DataFrame, select_key: str,
-                            where_key: str, where_value: str) -> DataFrame:
+                            where_key: str, where_value: str,
+                            alias: str | None = None) -> DataFrame:
     """``highway_service`` shape (``osm-explore.sql:32-40``): the values of
     one tag over entities where another tag has a given value. NO presence
     filter on ``select_key`` — entities without it contribute a NULL group,
-    exactly like the reference's ``tags -> 'service'`` projection."""
+    exactly like the reference's ``tags -> 'service'`` projection. The value
+    column is named after ``select_key`` (the reference names it
+    ``service``), matching every other catalog table's key-named column."""
+    alias = alias or select_key
     return (entities
             .filter(tag_get("tags", where_key) == where_value)
-            .groupBy(tag_get("tags", select_key).alias("tag"))
+            .groupBy(tag_get("tags", select_key).alias(alias))
             .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "tag"))
+            .orderBy(F.desc("count"), alias))
 
 
 # osm-explore.sql:52-56 — key exclusions of highway_tags_values

@@ -663,9 +663,9 @@ c AS (
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND 1 PRECEDING), 0) AS start_pos
   FROM w)
-SELECT doc_id, n AS n_tokens, start_pos,
+SELECT doc_id, n AS n_tokens, CAST(start_pos AS BIGINT) AS start_pos,
        CAST(start_pos // {capacity} AS BIGINT) AS seq_start,
-       start_pos % {capacity} AS seq_offset,
+       CAST(start_pos % {capacity} AS BIGINT) AS seq_offset,
        CAST((start_pos + greatest(n, 1) - 1) // {capacity} AS BIGINT)
            AS seq_end
 FROM c

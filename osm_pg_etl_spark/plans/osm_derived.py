@@ -1188,7 +1188,7 @@ def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         shaped("highway_values", lit("highway"), F.col("highway")),
         shaped("amenity_nodes_values", lit("amenity"), F.col("amenity")),
-        shaped("highway_service", lit("service"), F.col("tag")),
+        shaped("highway_service", lit("service"), F.col("service")),
         shaped("highway_oneway_values", F.col("highway"), F.col("oneway")),
         shaped("highway_tags_values", F.col("tag"), F.col("value")),
     ]
@@ -1243,11 +1243,13 @@ SQL_OSM_RELATION_MEMBERS = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL, _RELS_SQL,
 , per_rel AS (
   SELECT relation_id,
          COUNT(*) AS n_members,
-         SUM(CASE WHEN member_type = 'W' THEN 1 ELSE 0 END) AS n_way_members,
+         CAST(SUM(CASE WHEN member_type = 'W' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_way_members,
          COUNT(DISTINCT CASE WHEN member_type = 'W'
                               AND member_id IN (SELECT edge_id FROM cn)
                              THEN member_id END) AS n_net_ways,
-         SUM(CASE WHEN member_role = 'forward' THEN 1 ELSE 0 END) AS n_forward,
+         CAST(SUM(CASE WHEN member_role = 'forward' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_forward,
          COALESCE(string_agg(CASE WHEN member_type = 'W'
                                   THEN CAST(member_id AS VARCHAR) END,
                              ',' ORDER BY sequence_id), '') AS way_list

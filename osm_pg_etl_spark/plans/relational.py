@@ -572,7 +572,7 @@ SQL_SALTED_JOIN = """
 WITH dim AS (
   SELECT DISTINCT n_nationkey % 7 + 1 AS l_linenumber, n_name FROM nation)
 SELECT d.n_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       SUM(l.l_orderkey) AS sum_keys
+       CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_keys
 FROM lineitem l JOIN dim d USING (l_linenumber)
 GROUP BY d.n_name
 """

@@ -256,21 +256,23 @@ def _empty(entity: str) -> pd.DataFrame:
 
 
 def _decode_dense(mv, blk: _Block) -> pd.DataFrame:
-    ids = lats = lons = np.empty(0, np.int64)
-    keys_vals = np.empty(0, np.uint64)
-    info = {}
+    # Accumulate raw bytes per field before decoding: a writer may legally
+    # split a packed repeated field across multiple chunks of the same tag
+    # (our writer never does, but real protobuf encoders can).
+    raw: dict[int, bytes] = {}
+    info: dict[int, bytes] = {}
     for field, _, val in _iter_fields(bytes(mv)):
-        if field == 1:
-            ids = np.cumsum(_decode_packed_sint(val))
-        elif field == 5:
+        if field == 5:
             for f2, _, v2 in _iter_fields(bytes(val)):   # DenseInfo
-                info[f2] = v2
-        elif field == 8:
-            lats = np.cumsum(_decode_packed_sint(val))
-        elif field == 9:
-            lons = np.cumsum(_decode_packed_sint(val))
-        elif field == 10:
-            keys_vals = _decode_packed_uint(val)
+                info[f2] = info.get(f2, b"") + bytes(v2)
+        elif field in (1, 8, 9, 10):
+            raw[field] = raw.get(field, b"") + bytes(val)
+    empty = np.empty(0, np.int64)
+    ids = np.cumsum(_decode_packed_sint(raw[1])) if 1 in raw else empty
+    lats = np.cumsum(_decode_packed_sint(raw[8])) if 8 in raw else empty
+    lons = np.cumsum(_decode_packed_sint(raw[9])) if 9 in raw else empty
+    keys_vals = (_decode_packed_uint(raw[10]) if 10 in raw
+                 else np.empty(0, np.uint64))
     n = len(ids)
     ks, vs = _split_tag_ids(keys_vals, n)
     s = blk.strings
@@ -367,7 +369,8 @@ def _users_from_block(blk: _Block) -> pd.DataFrame:
                 for f1, _, v1 in _iter_fields(bytes(val)):
                     if f1 == 5:
                         for f2, _, v2 in _iter_fields(bytes(v1)):
-                            info[f2] = v2
+                            # accumulate: packed fields may be chunk-split
+                            info[f2] = info.get(f2, b"") + bytes(v2)
                 if 4 in info:
                     uids = _unzigzag(_decode_packed_uint(info[4])).cumsum()
                     sids = (_unzigzag(_decode_packed_uint(info[5])).cumsum()

@@ -47,6 +47,65 @@ def rows_to_multiset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def spark_dtype_canon(dt: str) -> str:
+    """Spark simpleString dtype -> canonical comparable form."""
+    dt = dt.strip().lower()
+    simple = {"tinyint": "int8", "smallint": "int16", "int": "int32",
+              "integer": "int32", "bigint": "int64", "long": "int64",
+              "float": "float32", "double": "float64", "string": "string",
+              "boolean": "bool", "date": "date", "binary": "binary"}
+    if dt in simple:
+        return simple[dt]
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("array<"):
+        return f"list<{spark_dtype_canon(dt[6:-1])}>"
+    return dt
+
+
+def arrow_type_canon(t) -> str:
+    """pyarrow DataType -> the same canonical form as spark_dtype_canon.
+
+    HUGEINT comes out of DuckDB's Arrow surface as decimal128(38,0), so an
+    un-cast integer SUM shows up here as ``decimal(38,0)`` vs Spark's
+    ``int64`` — exactly the driver-hash divergence that burned round 3."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_canon(t.value_type)}>"
+    return str(t)
+
+
+def dtype_problems(sdtypes, arrow_schema):
+    """Compare Spark dtypes vs DuckDB's Arrow schema column-by-column."""
+    smap = {c: spark_dtype_canon(d) for c, d in sdtypes}
+    out = []
+    for field in arrow_schema:
+        if field.name not in smap:
+            continue
+        oc, sc = arrow_type_canon(field.type), smap[field.name]
+        if oc != sc:
+            out.append(f"{field.name}: spark={sc} oracle={oc}")
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -67,6 +126,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL {name}: spark error")
@@ -79,15 +139,18 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = res.fetch_arrow_table()
+            ocols = otbl.column_names
+            orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             fail += 1
             continue
 
-        problems = []
+        problems = dtype_problems(sdtypes, otbl.schema)
+        if problems:
+            problems = ["dtype: " + ", ".join(problems)]
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

@@ -199,3 +199,43 @@ def test_users_without_names(spark, pbf_file):
            for r in pbf.read_pbf(spark, pbf_file, "users").collect()}
     assert set(got) == {42, 7}
     assert all(v is None for v in got.values())
+
+
+def test_chunk_split_packed_fields():
+    """A protobuf writer may legally split a packed repeated field across
+    several chunks with the same tag. Hand-frame a DenseNodes group whose
+    id/lat/lon and DenseInfo uid fields are all split into two chunks each
+    and verify the decoder stitches them back together."""
+    st = pbf._StringTable()
+    zz = pbf._zigzag
+    ids = [10, 11, 12, 13]
+    lats = [455000000, 455000001, 455000002, 455000003]
+    lons = [-736000000, -736000001, -736000002, -736000003]
+    uids = [42, 42, 7, 7]
+
+    def split_packed(num, values, at):
+        d = pbf._delta(values)
+        return (pbf._packed(num, [zz(v) for v in d[:at]])
+                + pbf._packed(num, [zz(v) for v in d[at:]]))
+
+    dense_info = (pbf._packed(1, [1] * 4)                       # version
+                  + split_packed(2, [0, 0, 0, 0], 2)            # timestamp
+                  + split_packed(3, [0, 0, 0, 0], 2)            # changeset
+                  + split_packed(4, uids, 2))                   # uid
+    dense = (split_packed(1, ids, 2)
+             + pbf._bytes_field(5, dense_info)
+             + split_packed(8, lats, 2)
+             + split_packed(9, lons, 2))
+    group = pbf._bytes_field(2, dense)
+    block = pbf._bytes_field(1, st.encode()) + pbf._bytes_field(2, group)
+
+    out = pbf.decode_block(block, "nodes")
+    assert out["id"].tolist() == ids
+    assert out["user_id"].tolist() == uids
+    assert [round(v, 7) for v in out["lat"]] == [
+        pytest.approx(x / 1e7) for x in lats]
+    assert [round(v, 7) for v in out["lon"]] == [
+        pytest.approx(x / 1e7) for x in lons]
+
+    users = pbf.decode_block(block, "users")
+    assert users["id"].tolist() == [7, 42]

@@ -63,7 +63,7 @@ def test_catalog_semantics(spark):
     assert hv == {"service": 2, "residential": 1}
 
     # service summary keeps the NULL group (way 11)
-    svc = {r["tag"]: r["count"] for r in cat["highway_service"].collect()}
+    svc = {r["service"]: r["count"] for r in cat["highway_service"].collect()}
     assert svc == {"alley": 1, None: 1}
 
     # oneway crosstab requires BOTH keys: way 14 (oneway, no highway) is out
