@@ -499,6 +499,90 @@ SELECT node, ROUND(MIN(dist), 6) AS dist_km FROM walk GROUP BY node
 """
 
 
+_BC_SOURCES, _BC_DEPTH = 6, 4
+
+
+def q_osm_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality of the undirected car graph from its k
+    smallest nodes at bounded depth — the centrality the reference computes
+    by exporting to igraph (``osm-pg-etl.md:31-105``), run natively as
+    level-synchronous multi-source Brandes (operators.graph_algo). Sources
+    are the k minimum node ids (deterministic); dependencies are halved
+    (undirected pairs counted once, igraph's convention)."""
+    from ..operators.graph_algo import betweenness, symmetric_edges
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    und = symmetric_edges(edges)
+    sources = [r["a"] for r in (und.select("a").distinct()
+                                .orderBy("a").limit(_BC_SOURCES).collect())]
+    bc = betweenness(edges, sources, max_depth=_BC_DEPTH)
+    return bc.select("node", F.round("betweenness", 4).alias("betweenness"))
+
+
+def _sql_osm_betweenness(k: int = _BC_SOURCES, depth: int = _BC_DEPTH) -> str:
+    """Unrolled Brandes in DuckDB: enumerate all ≤depth-hop walks from the
+    k min sources (a walk of minimal length is exactly a shortest path, so
+    σ = COUNT(*) at MIN(d)), then one CTE per level for the dependency
+    accumulation δ(v) = Σ σ(v)/σ(w)·(1+δ(w))."""
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + f""",
+edges AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 does not dedup a plain UNION in a
+  -- non-recursive CTE under WITH RECURSIVE, and σ counts paths, so
+  -- duplicate edges would inflate it
+  SELECT DISTINCT a, b FROM (
+    SELECT start_node AS a, end_node AS b FROM merged
+      WHERE start_node != end_node
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE start_node != end_node)),
+srcs AS (SELECT DISTINCT a AS s FROM edges ORDER BY a LIMIT {k}),
+walks AS (
+  SELECT s, s AS node, 0 AS d FROM srcs
+  UNION ALL
+  SELECT w.s, e.b, w.d + 1 FROM walks w JOIN edges e ON e.a = w.node
+  WHERE w.d < {depth}),
+sp AS (SELECT s, node, MIN(d) AS dist FROM walks GROUP BY s, node),
+sigma AS MATERIALIZED (
+  SELECT w.s, w.node, p.dist, CAST(COUNT(*) AS BIGINT) AS sigma
+  FROM walks w JOIN sp p ON w.s = p.s AND w.node = p.node AND w.d = p.dist
+  GROUP BY w.s, w.node, p.dist),
+delta{depth} AS (
+  SELECT s, node, CAST(0 AS DOUBLE) AS delta FROM sigma WHERE dist = {depth})"""
+    levels = []
+    for lev in range(depth - 1, -1, -1):
+        levels.append(f""",
+delta{lev} AS (
+  SELECT v.s, v.node, COALESCE(cb.c, CAST(0 AS DOUBLE)) AS delta
+  FROM (SELECT s, node FROM sigma WHERE dist = {lev}) v
+  LEFT JOIN (
+    SELECT p.s, p.node,
+           SUM(CAST(p.sigma AS DOUBLE) / w.sigma * (1 + w.delta)) AS c
+    FROM (SELECT s, node, sigma FROM sigma WHERE dist = {lev}) p
+    JOIN edges e ON e.a = p.node
+    JOIN (SELECT g.s, g.node, g.sigma, d.delta
+          FROM sigma g JOIN delta{lev + 1} d ON g.s = d.s AND g.node = d.node
+          WHERE g.dist = {lev + 1}) w
+      ON w.s = p.s AND w.node = e.b
+    GROUP BY p.s, p.node) cb
+  ON cb.s = v.s AND cb.node = v.node)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM delta{lev}" for lev in range(depth + 1))
+    return head + "".join(levels) + f"""
+SELECT n.node, ROUND(COALESCE(b.bc, 0.0), 4) AS betweenness
+FROM (SELECT DISTINCT node FROM sigma) n
+LEFT JOIN (
+  SELECT node, SUM(delta) / 2 AS bc
+  FROM ({union})
+  WHERE node != s GROUP BY node) b ON b.node = n.node
+"""
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -1278,6 +1362,7 @@ QUERIES = {
     "osm_directed_graph": q_osm_directed_graph,
     "osm_components": q_osm_components,
     "osm_shortest_hops": q_osm_shortest_hops,
+    "osm_betweenness": q_osm_betweenness,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1309,6 +1394,7 @@ ORACLES = {
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
+    "osm_betweenness": _sql_osm_betweenness(),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

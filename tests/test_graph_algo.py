@@ -80,3 +80,90 @@ def test_dedup_clusters_canonical_pick(spark):
            for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (4, True), 5: (5, True)}
+
+
+def _brandes_exact(adj, sources, max_depth, n_all=None):
+    """Reference Brandes (Algorithm 1, Brandes 2001) in pure Python,
+    restricted to the given sources and depth; undirected pair counted
+    once (halved)."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        stack, preds = [], {v: [] for v in adj}
+        sigma = {v: 0 for v in adj}
+        dist = {v: -1 for v in adj}
+        sigma[s], dist[s] = 1, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_depth:
+                continue
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        # nodes at exactly max_depth were never stacked; push them so
+        # their dependency flows to predecessors
+        tail = [v for v in adj if dist[v] == max_depth]
+        delta = {v: 0.0 for v in adj}
+        for w in sorted(stack + tail, key=lambda v: -dist[v]):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: b / 2.0 for v, b in bc.items()}
+
+
+def _bc_spark(spark, edge_list, sources, max_depth):
+    from osm_pg_etl_spark.operators.graph_algo import betweenness
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = betweenness(edges, sources, max_depth=max_depth)
+    return {r["node"]: r["betweenness"] for r in got.collect()}
+
+
+def _adj(edge_list):
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+@pytest.mark.parametrize("name,edge_list", [
+    ("path5", [(1, 2), (2, 3), (3, 4), (4, 5)]),
+    ("star", [(1, 2), (1, 3), (1, 4), (1, 5)]),
+    ("cycle6", [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)]),
+    ("diamond", [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]),
+])
+def test_betweenness_exact_all_sources(spark, name, edge_list):
+    nodes = sorted(_adj(edge_list))
+    want = _brandes_exact(_adj(edge_list), nodes, max_depth=10)
+    got = _bc_spark(spark, edge_list, nodes, max_depth=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), (name, v)
+
+
+def test_betweenness_path_known_values(spark):
+    # path 1-2-3-4-5: interior pair dependencies are 3, 4, 3
+    got = _bc_spark(spark, [(1, 2), (2, 3), (3, 4), (4, 5)],
+                    [1, 2, 3, 4, 5], max_depth=10)
+    assert got == pytest.approx({1: 0.0, 2: 3.0, 3: 4.0, 4: 3.0, 5: 0.0})
+
+
+def test_betweenness_sampled_sources_and_depth(spark):
+    # random-ish sparse graph; sampled sources + bounded depth must match
+    # the reference implementation under the same restriction
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (2, 8),
+                 (8, 9), (9, 4), (3, 10), (10, 6), (7, 1), (5, 9)]
+    sources = [1, 4, 9]
+    want = _brandes_exact(_adj(edge_list), sources, max_depth=3)
+    got = _bc_spark(spark, edge_list, sources, max_depth=3)
+    for v in want:
+        assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v
