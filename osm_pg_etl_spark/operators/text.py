@@ -99,12 +99,16 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                      F.explode(tokens(text_col)).alias("term")) \
              .select(id_col, F.lower("term").alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df_docs is vocabulary-sized — broadcast it back so the big tf table
+    # is never shuffled by term (the r3 sort-merge join was 4-5x slower);
+    # hot terms stay harmless: the groupBy's map-side combine collapses
+    # each partition to distinct terms before its shuffle
     dfreq = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df_docs")))   # docs containing term
     # corpus size as a broadcast one-row join, not a separate df.count()
     # action — the whole computation stays one job (empty docs still count)
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    scored = (tf.join(dfreq, "term")
+    scored = (tf.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
                           F.col("tf") * F.log(F.col("_n") / F.col("df_docs")))
