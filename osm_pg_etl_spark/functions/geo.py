@@ -8,9 +8,10 @@ reference loses when it reaches for the O(n²) spatial join
 (``osm-road-graphs-fix.sql:91``: "Does not work with large maps").
 
 Length semantics: the reference is internally inconsistent — planar meters in
-SRID 3347 at ``osm-road-graphs.sql:11`` vs geodesic km at ``:156``. We use
-geodesic (haversine) kilometers everywhere and document the choice, per
-SURVEY §2.8 F10.
+SRID 3347 at ``osm-road-graphs.sql:11`` vs geodesic km at ``:156``. Geodesic
+(haversine) kilometers is the default everywhere per SURVEY §2.8 F10;
+:func:`linestring_length_planar_m` provides the reference's Lambert
+(EPSG:3347) projected-meters path for bit-level parity with a reference run.
 """
 
 from __future__ import annotations
@@ -57,6 +58,80 @@ def linestring_length_km(line: Column | str) -> Column:
         F.slice(line, 1, F.greatest(F.size(line) - 1, F.lit(0))),
         F.slice(line, 2, F.greatest(F.size(line) - 1, F.lit(0))),
         lambda p, q: haversine_km(p["lon"], p["lat"], q["lon"], q["lat"]),
+    )
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+class LCCParams:
+    """Lambert conformal conic (2SP, ellipsoidal) projection constants.
+    The per-datum spherical-trig work stays per-row; everything that
+    depends only on the CRS (n, F, ρ0) is precomputed here in Python so
+    the Column expression is a handful of trig calls."""
+
+    def __init__(self, lat0: float, lon0: float, lat1: float, lat2: float,
+                 x0: float, y0: float,
+                 a: float = 6378137.0, inv_f: float = 298.257222101):
+        import math
+        self.lat0, self.lon0 = lat0, lon0
+        self.x0, self.y0, self.a = x0, y0, a
+        f = 1.0 / inv_f
+        self.e = math.sqrt(f * (2.0 - f))
+        e = self.e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+        def t(phi):
+            return (math.tan(math.pi / 4 - phi / 2)
+                    / ((1 - e * math.sin(phi))
+                       / (1 + e * math.sin(phi))) ** (e / 2))
+
+        p0, p1, p2 = map(math.radians, (lat0, lat1, lat2))
+        self.n = ((math.log(m(p1)) - math.log(m(p2)))
+                  / (math.log(t(p1)) - math.log(t(p2))))
+        self.F = m(p1) / (self.n * t(p1) ** self.n)
+        self.rho0 = a * self.F * t(p0) ** self.n
+
+
+# NAD83 / Statistics Canada Lambert — the planar CRS of the reference's
+# ST_Length(ST_Transform(way, 3347)) (osm-road-graphs.sql:11)
+EPSG_3347 = LCCParams(lat0=63.390675, lon0=-91.866666666666667,
+                      lat1=49.0, lat2=77.0, x0=6200000.0, y0=3000000.0)
+
+
+def lambert_xy(lon: Column | str, lat: Column | str,
+               params: LCCParams = EPSG_3347) -> Column:
+    """Forward Lambert conformal conic projection of a 4326 lon/lat pair →
+    ``struct<x:double, y:double>`` in projected meters — the Column-math
+    equivalent of ``ST_Transform(geom, 3347)`` (``osm-road-graphs.sql:11``).
+    Snyder (1987) eq. 15-1..15-9, ellipsoidal case."""
+    import math
+    lon, lat = _col(lon).cast("double"), _col(lat).cast("double")
+    phi = F.radians(lat)
+    esin = F.lit(params.e) * F.sin(phi)
+    t = (F.tan(F.lit(math.pi / 4) - phi / 2)
+         / F.pow((F.lit(1.0) - esin) / (F.lit(1.0) + esin),
+                 F.lit(params.e / 2)))
+    rho = F.lit(params.a * params.F) * F.pow(t, F.lit(params.n))
+    theta = F.lit(params.n) * (F.radians(lon) - F.lit(math.radians(params.lon0)))
+    return F.struct(
+        (F.lit(params.x0) + rho * F.sin(theta)).alias("x"),
+        (F.lit(params.y0 + params.rho0) - rho * F.cos(theta)).alias("y"))
+
+
+def linestring_length_planar_m(line: Column | str,
+                               params: LCCParams = EPSG_3347) -> Column:
+    """``ST_Length(ST_Transform(geom, 3347))`` — planar projected meters
+    (``osm-road-graphs.sql:11``), closing the reference's Lambert-meters
+    length path; geodesic km (:func:`linestring_length_km`) stays the
+    default per SURVEY §8. Same zip_with/aggregate shape as the geodesic
+    version — pure whole-stage-codegen Column math."""
+    line = _col(line)
+    xy = F.transform(line, lambda p: lambert_xy(p["lon"], p["lat"], params))
+    pairs = F.zip_with(
+        F.slice(xy, 1, F.greatest(F.size(xy) - 1, F.lit(0))),
+        F.slice(xy, 2, F.greatest(F.size(xy) - 1, F.lit(0))),
+        lambda p, q: F.sqrt((p["x"] - q["x"]) ** 2 + (p["y"] - q["y"]) ** 2),
     )
     return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 

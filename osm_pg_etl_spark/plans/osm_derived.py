@@ -583,6 +583,70 @@ LEFT JOIN (
 """
 
 
+def q_osm_planar_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-way length both ways the reference measures it: geodesic km
+    (``osm-road-graphs.sql:156``) and Lambert EPSG:3347 projected meters
+    (``osm-road-graphs.sql:11`` ``ST_Length(ST_Transform(way, 3347))``),
+    closing the planar-CRS deviation documented in SURVEY §8. Pure Column
+    math — the projection constants are precomputed per-CRS, so the per-row
+    work is a handful of trig calls inside whole-stage codegen."""
+    from ..functions.geo import (
+        linestring_length_km,
+        linestring_length_planar_m,
+    )
+
+    d = derive_osm(spark, sf_dir)
+    return d["ways"].select(
+        F.col("id").alias("way_id"),
+        F.round(linestring_length_km("linestring"), 4).alias("len_km"),
+        F.round(linestring_length_planar_m("linestring"), 4)
+        .alias("len_planar_m"))
+
+
+def _sql_osm_planar_length() -> str:
+    """Lambert forward projection with the SAME precomputed constants the
+    Column version interpolates (functions.geo.EPSG_3347), so both engines
+    evaluate the identical expression tree per point."""
+    from ..functions.geo import EPSG_3347 as p
+    import math
+    aF, lon0 = p.a * p.F, math.radians(p.lon0)
+    y0r = p.y0 + p.rho0
+
+    def proj(lon: str, lat: str) -> tuple[str, str]:
+        t = (f"(TAN(PI()/4 - RADIANS({lat})/2) / "
+             f"POW((1 - {p.e!r}*SIN(RADIANS({lat}))) / "
+             f"(1 + {p.e!r}*SIN(RADIANS({lat}))), {p.e / 2!r}))")
+        rho = f"({aF!r} * POW({t}, {p.n!r}))"
+        th = f"({p.n!r} * (RADIANS({lon}) - {lon0!r}))"
+        return (f"({p.x0!r} + {rho} * SIN({th}))",
+                f"({y0r!r} - {rho} * COS({th}))")
+
+    x, y = proj("lon", "lat")
+    px, py = proj("plon", "plat")
+    return _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL) + f""",
+waypts AS (
+  SELECT wn.way_id, wn.sequence_id, n.lon, n.lat,
+         LAG(n.lon) OVER (PARTITION BY wn.way_id ORDER BY wn.sequence_id) AS plon,
+         LAG(n.lat) OVER (PARTITION BY wn.way_id ORDER BY wn.sequence_id) AS plat
+  FROM wn JOIN nodes_d n ON wn.node_id = n.id),
+proj AS (
+  SELECT way_id,
+         2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+           SIN(RADIANS(lat - plat) / 2) * SIN(RADIANS(lat - plat) / 2)
+           + COS(RADIANS(plat)) * COS(RADIANS(lat))
+           * SIN(RADIANS(lon - plon) / 2) * SIN(RADIANS(lon - plon) / 2)))) AS seg_km,
+         SQRT(POW({x} - {px}, 2) + POW({y} - {py}, 2)) AS seg_m,
+         plon
+  FROM waypts)
+SELECT way_id,
+       ROUND(COALESCE(SUM(seg_km) FILTER (WHERE plon IS NOT NULL), 0.0), 4)
+           AS len_km,
+       ROUND(COALESCE(SUM(seg_m) FILTER (WHERE plon IS NOT NULL), 0.0), 4)
+           AS len_planar_m
+FROM proj GROUP BY way_id
+"""
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -1363,6 +1427,7 @@ QUERIES = {
     "osm_components": q_osm_components,
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_betweenness": q_osm_betweenness,
+    "osm_planar_length": q_osm_planar_length,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1395,6 +1460,7 @@ ORACLES = {
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_betweenness": _sql_osm_betweenness(),
+    "osm_planar_length": _sql_osm_planar_length(),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

@@ -116,3 +116,71 @@ def test_salted_count_sum_equals_direct(spark):
     n_buckets = (with_salt(df, "uid", 8).filter(F.col("k") == "hot")
                  .select("_salt").distinct().count())
     assert n_buckets == 8
+
+
+def test_lambert_false_origin_and_scale(spark):
+    from osm_pg_etl_spark.functions.geo import EPSG_3347, lambert_xy
+
+    p = EPSG_3347
+    rows = spark.range(1).select(
+        lambert_xy(F.lit(p.lon0), F.lit(p.lat0)).alias("o"),
+        # two points 0.001 deg apart along each standard parallel
+        lambert_xy(F.lit(-91.0), F.lit(49.0)).alias("a1"),
+        lambert_xy(F.lit(-90.999), F.lit(49.0)).alias("a2"),
+        lambert_xy(F.lit(-91.0), F.lit(77.0)).alias("b1"),
+        lambert_xy(F.lit(-90.999), F.lit(77.0)).alias("b2"),
+        lambert_xy(F.lit(-91.0), F.lit(63.0)).alias("c1"),
+        lambert_xy(F.lit(-90.999), F.lit(63.0)).alias("c2"),
+        lambert_xy(F.lit(-91.0), F.lit(40.0)).alias("d1"),
+        lambert_xy(F.lit(-90.999), F.lit(40.0)).alias("d2"),
+    ).collect()[0]
+    # the projection origin maps exactly to the false origin
+    assert rows["o"]["x"] == pytest.approx(6200000.0, abs=1e-6)
+    assert rows["o"]["y"] == pytest.approx(3000000.0, abs=1e-6)
+
+    def planar(u, v):
+        return math.hypot(u["x"] - v["x"], u["y"] - v["y"])
+
+    def parallel_arc(lat_deg, dlon_deg):
+        # ellipsoidal parallel arc: a*cos(phi)/sqrt(1-e^2 sin^2 phi) * dλ
+        phi = math.radians(lat_deg)
+        nu = p.a / math.sqrt(1 - (p.e * math.sin(phi)) ** 2)
+        return nu * math.cos(phi) * math.radians(dlon_deg)
+
+    # scale factor is exactly 1 on both standard parallels...
+    assert planar(rows["a1"], rows["a2"]) == pytest.approx(
+        parallel_arc(49.0, 0.001), rel=1e-6)
+    assert planar(rows["b1"], rows["b2"]) == pytest.approx(
+        parallel_arc(77.0, 0.001), rel=1e-6)
+    # ...below 1 between them, above 1 outside
+    assert planar(rows["c1"], rows["c2"]) < parallel_arc(63.0, 0.001)
+    assert planar(rows["d1"], rows["d2"]) > parallel_arc(40.0, 0.001)
+
+
+def test_planar_length_matches_pointwise_projection(spark):
+    from osm_pg_etl_spark.functions.geo import (
+        EPSG_3347,
+        lambert_xy,
+        linestring_length_planar_m,
+        linestring_length_km,
+    )
+
+    pts = [(-73.6, 45.5), (-73.59, 45.51), (-73.58, 45.505)]
+    df = spark.createDataFrame(
+        [(([{"lon": lo, "lat": la} for lo, la in pts]),)],
+        "line array<struct<lon:double,lat:double>>")
+    got = df.select(
+        linestring_length_planar_m("line").alias("m"),
+        linestring_length_km("line").alias("km"),
+        F.transform("line", lambda p: lambert_xy(p["lon"], p["lat"]))
+        .alias("xy")).collect()[0]
+    want = sum(
+        math.hypot(got["xy"][i]["x"] - got["xy"][i + 1]["x"],
+                   got["xy"][i]["y"] - got["xy"][i + 1]["y"])
+        for i in range(len(pts) - 1))
+    assert got["m"] == pytest.approx(want, rel=1e-12)
+    # Montreal (45.5N) is south of the 49N standard parallel, i.e. outside
+    # the parallels: planar meters come out slightly LONG of geodesic
+    # (scale factor > 1), within ~2%
+    ratio = got["m"] / (got["km"] * 1000.0)
+    assert 1.0 < ratio < 1.02
