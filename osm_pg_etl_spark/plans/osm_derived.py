@@ -1171,6 +1171,71 @@ FROM nodes_d
 """
 
 
+def q_pbf_roundtrip_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ingest for the non-dense entities: ways (delta-packed refs) and
+    relations (memids/types/roles) are encoded to a real ``.osm.pbf`` and
+    re-ingested with the distributed blob scan — the ways/relations halves
+    of ``_decode_entity_rows``/``write_pbf`` (sources/pbf.py:297,349) that
+    round 3 left pytest-only. One row per entity: ordered member/node
+    payload plus the canonicalized tag map, so a hash match proves ref
+    order, member triplets, and tags all survive the codec."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from ..sources.pbf import read_pbf, write_pbf
+
+    d = derive_osm(spark, sf_dir)
+    rels, members = derive_relations(t(spark, sf_dir, "customer"),
+                                     t(spark, sf_dir, "orders"))
+    way_rows = d["ways"].select("id", "nodes", "tags").collect()
+    rel_rows = rels.collect()
+    mm = defaultdict(list)
+    for r in members.collect():
+        mm[r["relation_id"]].append((r["sequence_id"], r["member_id"],
+                                     r["member_type"], r["member_role"]))
+    path = os.path.join(tempfile.mkdtemp(prefix="pbf_gate_"), "wr.osm.pbf")
+    write_pbf(
+        path,
+        ways=[{"id": r["id"], "nodes": list(r["nodes"]),
+               "tags": dict(r["tags"])} for r in way_rows],
+        relations=[{"id": r["id"], "tags": dict(r["tags"]),
+                    "members": [(mid, mt, role) for _, mid, mt, role
+                                in sorted(mm[r["id"]])]} for r in rel_rows])
+
+    def tags_kv(col: str):
+        return F.array_join(F.sort_array(F.transform(
+            F.map_entries(col),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))), "&")
+
+    wn_back = read_pbf(spark, path, "way_nodes")
+    ways_back = read_pbf(spark, path, "ways")
+    rels_back = read_pbf(spark, path, "relations")
+    rm_back = read_pbf(spark, path, "relation_members")
+
+    w_pay = (wn_back.groupBy("way_id")
+             .agg(F.array_join(F.transform(F.sort_array(F.collect_list(
+                 F.struct("sequence_id", "node_id"))),
+                 lambda s: s["node_id"].cast("string")), ",").alias("payload")))
+    w_sum = (ways_back.select("id", tags_kv("tags").alias("tags_kv"))
+             .join(w_pay, F.col("id") == F.col("way_id"))
+             .select(F.lit("W").alias("kind"), "id", "payload", "tags_kv"))
+    r_pay = (rm_back.groupBy("relation_id")
+             .agg(F.array_join(F.transform(F.sort_array(F.collect_list(
+                 F.struct("sequence_id", "member_type", "member_id",
+                          "member_role"))),
+                 lambda s: F.concat_ws(":", s["member_type"],
+                                       s["member_id"].cast("string"),
+                                       s["member_role"])), ",")
+                 .alias("payload")))
+    r_sum = (rels_back.select("id", tags_kv("tags").alias("tags_kv"))
+             .join(r_pay, F.col("id") == F.col("relation_id"), "left")
+             .select(F.lit("R").alias("kind"), "id",
+                     F.coalesce("payload", F.lit("")).alias("payload"),
+                     "tags_kv"))
+    return w_sum.unionByName(r_sum)
+
+
 def derive_relations(customer: DataFrame,
                      orders: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic ``relations``/``relation_members`` world
@@ -1232,6 +1297,43 @@ rmemb AS (
     SELECT o_custkey, o_orderkey % 2000 + 1, 'N', 'stop'
     FROM orders WHERE o_custkey % 7 = 0 AND o_orderkey % 5 = 0))
 """
+
+
+SQL_PBF_ROUNDTRIP_WAYS = _cte(_WTAGS_SQL, _WN_SQL, _RELS_SQL, _RMEMB_SQL) + """
+, w_pay AS (
+  SELECT way_id, string_agg(CAST(node_id AS VARCHAR), ','
+                            ORDER BY sequence_id) AS payload
+  FROM wn GROUP BY way_id),
+w_tags AS (
+  SELECT way_id,
+         COALESCE(list_aggr(list_sort(list_filter(
+           ['highway=' || highway, 'oneway=' || oneway,
+            'maxspeed=' || maxspeed, 'access=' || access,
+            'service=' || service, 'bicycle=' || bicycle,
+            'foot=' || foot, 'footway=' || footway,
+            'motor_vehicle=' || motor_vehicle, 'bus=' || bus,
+            'cycleway=' || cycleway],
+           x -> x IS NOT NULL)), 'string_agg', '&'), '') AS tags_kv
+  FROM wtags),
+r_pay AS (
+  SELECT relation_id,
+         string_agg(member_type || ':' || CAST(member_id AS VARCHAR)
+                    || ':' || member_role, ',' ORDER BY sequence_id) AS payload
+  FROM rmemb GROUP BY relation_id),
+r_tags AS (
+  SELECT id,
+         COALESCE(list_aggr(list_sort(list_filter(
+           ['type=' || rtype, 'route=' || route, 'ref=' || ref,
+            'network=' || CASE id % 5 WHEN 0 THEN 'lcn' WHEN 1 THEN 'rcn' END],
+           x -> x IS NOT NULL)), 'string_agg', '&'), '') AS tags_kv
+  FROM rels)
+SELECT 'W' AS kind, t.way_id AS id, p.payload, t.tags_kv
+FROM w_tags t JOIN w_pay p USING (way_id)
+UNION ALL
+SELECT 'R', r.id, COALESCE(p.payload, ''), r.tags_kv
+FROM r_tags r LEFT JOIN r_pay p ON p.relation_id = r.id
+"""
+
 
 
 def q_osm_cdc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,6 +1517,7 @@ WHERE r.rtype = 'route'
 
 QUERIES = {
     "pbf_roundtrip": q_pbf_roundtrip,
+    "pbf_roundtrip_ways": q_pbf_roundtrip_ways,
     "osm_relation_members": q_osm_relation_members,
     "osm_explore_summary": q_osm_explore_summary,
     "osm_table_profile": q_osm_table_profile,
@@ -1443,6 +1546,7 @@ QUERIES = {
 
 ORACLES = {
     "pbf_roundtrip": SQL_PBF_ROUNDTRIP,
+    "pbf_roundtrip_ways": SQL_PBF_ROUNDTRIP_WAYS,
     "osm_relation_members": SQL_OSM_RELATION_MEMBERS,
     "osm_explore_summary": SQL_OSM_EXPLORE_SUMMARY,
     "osm_table_profile": SQL_OSM_TABLE_PROFILE,
