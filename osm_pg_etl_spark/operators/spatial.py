@@ -217,6 +217,88 @@ def split_at_points(*cols):
     return _split_udf(*cols)
 
 
+def _collinear_overlap(ax, ay, bx, by) -> bool:
+    """True if any collinear segment pair shares a positive-length range —
+    dim(interior ∩ interior) = 1 in DE-9IM terms (PostGIS 'overlaps' /
+    contains family; the reference's Touches-OR-Crosses excludes it)."""
+    if len(ax) < 2 or len(bx) < 2:
+        return False
+    p1x, p1y = ax[:-1, None], ay[:-1, None]
+    p2x, p2y = ax[1:, None], ay[1:, None]
+    q1x, q1y = bx[None, :-1], by[None, :-1]
+    q2x, q2y = bx[None, 1:], by[None, 1:]
+
+    def cross(ox, oy, x1, y1, x2, y2):
+        return (x1 - ox) * (y2 - oy) - (y1 - oy) * (x2 - ox)
+
+    d1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+    coll = (d1 == 0) & (d2 == 0)
+    ovx = (np.maximum(np.minimum(p1x, p2x), np.minimum(q1x, q2x))
+           < np.minimum(np.maximum(p1x, p2x), np.maximum(q1x, q2x)))
+    ovy = (np.maximum(np.minimum(p1y, p2y), np.minimum(q1y, q2y))
+           < np.minimum(np.maximum(p1y, p2y), np.maximum(q1y, q2y)))
+    return bool(np.any(coll & (ovx | ovy)))
+
+
+def _pair_relation(ax, ay, bx, by) -> str | None:
+    """DE-9IM line/line classification over the point-array model —
+    the exact predicate split of ``osm-road-graphs-fix.sql:100-101``:
+
+    - ``'crosses'``: some intersection point interior to BOTH lines
+      (``ST_Crosses``: dim(int∩int) = 0)
+    - ``'touches'``: intersects, but only at line boundaries
+      (``ST_Touches``: int∩int = ∅)
+    - ``'overlap'``: collinear positive-length shared range (excluded by
+      the reference's filter, reported so callers can see it)
+    - ``None``: disjoint
+
+    Line boundary = first/last vertex (closed rings fall back to treating
+    that shared vertex as boundary — consistent in both engines, deviation
+    from the OGC empty-boundary rule documented here)."""
+    if _collinear_overlap(ax, ay, bx, by):
+        return "overlap"
+    pts = _pair_intersection_points(ax, ay, bx, by)
+    if not pts:
+        return None
+    bound_a = {(ax[0] + 0.0, ay[0] + 0.0), (ax[-1] + 0.0, ay[-1] + 0.0)}
+    bound_b = {(bx[0] + 0.0, by[0] + 0.0), (bx[-1] + 0.0, by[-1] + 0.0)}
+    for p in pts:
+        if p not in bound_a and p not in bound_b:
+            return "crosses"
+    return "touches"
+
+
+_pair_relation_udf = None
+
+
+def pair_relation(*cols):
+    global _pair_relation_udf
+    if _pair_relation_udf is None:
+        def fn(ax, ay, bx, by):
+            return pd.Series([
+                _pair_relation(
+                    np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64),
+                    np.asarray(c, dtype=np.float64), np.asarray(d, dtype=np.float64))
+                for a, b, c, d in zip(ax, ay, bx, by)])
+        _pair_relation_udf = pandas_udf(fn, "string")
+    return _pair_relation_udf(*cols)
+
+
+def classified_way_pairs(ways: DataFrame, id_col: str = "id",
+                         line_col: str = "linestring",
+                         cell_deg: float = 0.01) -> DataFrame:
+    """:func:`intersecting_way_pairs` plus the exact DE-9IM relation —
+    (id_a, id_b, relation ∈ crosses|touches|overlap). Filtering to
+    ``relation IN ('crosses','touches')`` reproduces the reference's
+    ``ST_Touches(a,b) OR ST_Crosses(a,b)`` predicate-exactly."""
+    pairs = _candidate_pair_geoms(ways, id_col, line_col, cell_deg)
+    return (pairs.withColumn("relation",
+                             pair_relation("ax", "ay", "bx", "by"))
+            .filter(F.col("relation").isNotNull())
+            .select("id_a", "id_b", "relation"))
+
+
 def intersecting_way_pairs(ways: DataFrame, id_col: str = "id",
                            line_col: str = "linestring",
                            cell_deg: float = 0.01) -> DataFrame:

@@ -865,13 +865,17 @@ WHERE CASE k WHEN 'leisure' THEN leisure WHEN 'sport' THEN sport
 def q_osm_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 grid-blocked spatial join over a deterministic way subset (the
     derived 'ways' are random jumps across the region, so a modest subset +
-    coarse cells keeps candidate counts road-network-realistic)."""
-    from ..operators.spatial import intersecting_way_pairs
+    coarse cells keeps candidate counts road-network-realistic). Each pair
+    carries its exact DE-9IM relation (crosses/touches/overlap), so
+    ``relation IN ('crosses','touches')`` is predicate-exact with the
+    reference's ``ST_Touches OR ST_Crosses``
+    (``osm-road-graphs-fix.sql:100-101``)."""
+    from ..operators.spatial import classified_way_pairs
 
     d = derive_osm(spark, sf_dir)
     sub = d["ways"].filter(F.col("id") % 97 == 0)
-    return intersecting_way_pairs(sub, id_col="id", line_col="linestring",
-                                  cell_deg=0.5)
+    return classified_way_pairs(sub, id_col="id", line_col="linestring",
+                                cell_deg=0.5)
 
 
 # Same blocking + same orientation-test arithmetic (identical expression
@@ -911,19 +915,8 @@ dvals AS (
   JOIN segs sb ON sb.id = c.id_b)
 """
 
-SQL_OSM_SPATIAL_PAIRS = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + """
-SELECT DISTINCT id_a, id_b FROM dvals
-WHERE (((d1 > 0) != (d2 > 0)) AND ((d3 > 0) != (d4 > 0))
-       AND d1 != 0 AND d2 != 0 AND d3 != 0 AND d4 != 0)
-   OR (d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
-              AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
-   OR (d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
-              AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
-   OR (d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
-              AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
-   OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
-              AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
-"""
+# NOTE: defined below _PTS0_SQL (it reuses the intersection-point CTE).
+SQL_OSM_SPATIAL_PAIRS = None  # assigned after _PTS0_SQL
 
 
 def q_osm_geometric_blades(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,6 +956,39 @@ pts0 AS (
   SELECT id_a, id_b, bx2, by2 FROM dvals
   WHERE d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
                AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+"""
+
+
+# DE-9IM classification shared with operators.spatial.pair_relation: a pair
+# 'overlap's when some collinear segment pair shares a positive-length
+# range, 'crosses' when some contact point is interior to BOTH lines
+# (line boundary = first/last vertex), else 'touches'.
+SQL_OSM_SPATIAL_PAIRS = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + _PTS0_SQL + """,
+ovl AS (
+  SELECT DISTINCT id_a, id_b FROM dvals
+  WHERE d1 = 0 AND d2 = 0
+    AND (GREATEST(LEAST(ax1, ax2), LEAST(bx1, bx2))
+         < LEAST(GREATEST(ax1, ax2), GREATEST(bx1, bx2))
+      OR GREATEST(LEAST(ay1, ay2), LEAST(by1, by2))
+         < LEAST(GREATEST(ay1, ay2), GREATEST(by1, by2)))),
+bnds AS (
+  SELECT id, xs[1] AS fx, ys[1] AS fy,
+         xs[len(xs)] AS lx, ys[len(ys)] AS ly
+  FROM geom),
+cls AS (
+  SELECT p.id_a, p.id_b,
+         MAX(CASE WHEN NOT ((p.px = a.fx AND p.py = a.fy)
+                         OR (p.px = a.lx AND p.py = a.ly))
+                   AND NOT ((p.px = b.fx AND p.py = b.fy)
+                         OR (p.px = b.lx AND p.py = b.ly))
+                  THEN 1 ELSE 0 END) AS int_int
+  FROM pts0 p JOIN bnds a ON a.id = p.id_a JOIN bnds b ON b.id = p.id_b
+  GROUP BY p.id_a, p.id_b)
+SELECT c.id_a, c.id_b,
+       CASE WHEN o.id_a IS NOT NULL THEN 'overlap'
+            WHEN c.int_int = 1 THEN 'crosses'
+            ELSE 'touches' END AS relation
+FROM cls c LEFT JOIN ovl o ON o.id_a = c.id_a AND o.id_b = c.id_b
 """
 
 SQL_OSM_GEOMETRIC_BLADES = _cte(_NODES_SQL, _WN_SQL) + _SPATIAL_CTES + _PTS0_SQL + """,

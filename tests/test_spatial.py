@@ -59,3 +59,35 @@ def test_intersecting_way_pairs(spark):
     got = sorted((r["id_a"], r["id_b"]) for r in
                  intersecting_way_pairs(ways, cell_deg=1.0).collect())
     assert got == [(1, 2), (1, 3)]
+
+
+def test_pair_relation_classification():
+    import numpy as np
+
+    from osm_pg_etl_spark.operators.spatial import _pair_relation
+
+    def rel(a, b):
+        ax, ay = np.array([p[0] for p in a], float), np.array([p[1] for p in a], float)
+        bx, by = np.array([p[0] for p in b], float), np.array([p[1] for p in b], float)
+        return _pair_relation(ax, ay, bx, by)
+
+    # X shape: proper interior crossing
+    assert rel([(0, 0), (2, 2)], [(0, 2), (2, 0)]) == "crosses"
+    # T shape: b's endpoint on a's interior -> touches (endpoint is
+    # boundary of b, so int(a)∩int(b) is empty)
+    assert rel([(0, 0), (2, 0)], [(1, 0), (1, 1)]) == "touches"
+    # shared endpoint only
+    assert rel([(0, 0), (1, 0)], [(1, 0), (2, 1)]) == "touches"
+    # collinear positive-length overlap
+    assert rel([(0, 0), (2, 0)], [(1, 0), (3, 0)]) == "overlap"
+    # collinear, meeting at a single point -> touches, not overlap
+    assert rel([(0, 0), (1, 0)], [(1, 0), (2, 0)]) == "touches"
+    # vertical collinear overlap (x-range is a point, y-range positive)
+    assert rel([(0, 0), (0, 2)], [(0, 1), (0, 3)]) == "overlap"
+    # disjoint
+    assert rel([(0, 0), (1, 0)], [(0, 1), (1, 1)]) is None
+    # crossing at an interior VERTEX of a (vertex is still interior)
+    assert rel([(0, 0), (1, 0), (2, 0)], [(1, -1), (1, 1)]) == "crosses"
+    # mid-segment pass-through of b across a's interior, plus a shared
+    # boundary endpoint elsewhere: crosses wins (int∩int nonempty)
+    assert rel([(0, 0), (4, 0)], [(0, 0), (2, -1), (2, 1)]) == "crosses"
