@@ -69,13 +69,33 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # Scaling signal: re-run the set at a 10x-smaller SF and report the
+    # per-query time ratio — a cheap proxy for "does cost scale with data
+    # or with fixed constants" (ratio ≈ 1 means job-floor-bound; ratio
+    # approaching 10 means data-bound) ahead of any 100x claim.
+    small_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if small_dir != sf_dir and os.path.isdir(small_dir) \
+            and os.environ.get("SPARK_GRAFT_NO_SCALING") != "1":
+        small: dict[str, float] = {}
+        for name in HEADLINE:
+            start = time.perf_counter()
+            queries[name](spark, small_dir) \
+                .write.format("noop").mode("overwrite").save()
+            small[name] = round(time.perf_counter() - start, 3)
+        out["sf_small"] = 0.01
+        out["queries_small"] = small
+        out["scaling_ratio"] = {
+            n: round(timings[n] / small[n], 2) if small[n] > 0 else None
+            for n in HEADLINE}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -180,6 +180,22 @@ def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
     return visited
 
 
+def harmonic_centrality(edges: DataFrame, sources: list[int],
+                        max_depth: int = 6, directed: bool = False,
+                        src: str = "src", dst: str = "dst") -> DataFrame:
+    """Harmonic closeness restricted to the sampled sources and depth:
+    H(v) = Σ_s 1/d(s, v) over sources with 0 < d ≤ max_depth — the
+    closeness-family metric from the reference's igraph step
+    (``osm-pg-etl.md:31-105``) in its unbounded-graph-safe harmonic form
+    (disconnected pairs contribute 0 instead of breaking the mean). One
+    aggregation over the multi-source BFS table; with sources = all nodes
+    and full depth this is exact harmonic centrality."""
+    vis = sigma_table(edges, sources, max_depth, directed, src, dst)
+    return (vis.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic")))
+
+
 def betweenness(edges: DataFrame, sources: list[int], max_depth: int = 6,
                 directed: bool = False, src: str = "src", dst: str = "dst",
                 ) -> DataFrame:

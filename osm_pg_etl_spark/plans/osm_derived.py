@@ -523,6 +523,35 @@ def q_osm_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select("node", F.round("betweenness", 4).alias("betweenness"))
 
 
+def q_osm_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source bounded-depth harmonic closeness over the undirected
+    car graph — same source set and depth as osm_betweenness, one
+    aggregation over the shared multi-source BFS sigma table."""
+    from ..operators.graph_algo import harmonic_centrality, symmetric_edges
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    und = symmetric_edges(edges)
+    sources = [r["a"] for r in (und.select("a").distinct()
+                                .orderBy("a").limit(_BC_SOURCES).collect())]
+    h = harmonic_centrality(edges, sources, max_depth=_BC_DEPTH)
+    return h.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _sql_osm_harmonic(k: int = _BC_SOURCES, depth: int = _BC_DEPTH) -> str:
+    """Reuses the walk-enumeration head of the betweenness oracle up to
+    ``sp`` (minimal-length walks = shortest paths), then one aggregation."""
+    full = _sql_osm_betweenness(k, depth)
+    head = full[:full.index("sigma AS MATERIALIZED")].rstrip().rstrip(",")
+    return head + """
+SELECT node, ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM sp WHERE dist > 0 GROUP BY node
+"""
+
+
 def _sql_osm_betweenness(k: int = _BC_SOURCES, depth: int = _BC_DEPTH) -> str:
     """Unrolled Brandes in DuckDB: enumerate all ≤depth-hop walks from the
     k min sources (a walk of minimal length is exactly a shortest path, so
@@ -1557,6 +1586,7 @@ QUERIES = {
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_betweenness": q_osm_betweenness,
     "osm_planar_length": q_osm_planar_length,
+    "osm_harmonic": q_osm_harmonic,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1591,6 +1621,7 @@ ORACLES = {
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_planar_length": _sql_osm_planar_length(),
+    "osm_harmonic": _sql_osm_harmonic(),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

@@ -167,3 +167,13 @@ def test_betweenness_sampled_sources_and_depth(spark):
     got = _bc_spark(spark, edge_list, sources, max_depth=3)
     for v in want:
         assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_harmonic_centrality_path(spark):
+    from osm_pg_etl_spark.operators.graph_algo import harmonic_centrality
+
+    # path 1-2-3-4: from sources {1,4}, H(2) = 1/1 + 1/2, H(3) = 1/2 + 1/1
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {r["node"]: r["harmonic"]
+           for r in harmonic_centrality(edges, [1, 4], max_depth=5).collect()}
+    assert got == pytest.approx({2: 1.5, 3: 1.5, 1: 1 / 3, 4: 1 / 3})
