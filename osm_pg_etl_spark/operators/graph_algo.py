@@ -265,6 +265,51 @@ def betweenness(edges: DataFrame, sources: list[int], max_depth: int = 6,
                     .alias("betweenness")))
 
 
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — the standard
+    graph-quality signal a web-scale training-data pipeline ranks documents
+    by (the reference's igraph step exposes the same metric;
+    ``osm-pg-etl.md:31-105``). Fixed ``n_iter`` synchronous iterations of
+
+        pr(v) ← (1-d)/n + d · (Σ_{u→v} pr(u)/outdeg(u) + dangling/n)
+
+    with the dangling mass redistributed uniformly, so total mass stays 1
+    and the result is partition-independent (each iteration is one
+    join + groupBy-sum keyed on node id; lineage truncated per round).
+    Returns (node, pagerank) over all nodes appearing in ``edges``."""
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .distinct().cache())
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+    out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = e.join(out, "u").select("u", "v", "outdeg").cache()
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (links.join(pr, links["u"] == pr["node"])
+                   .select(F.col("v").alias("node"),
+                           (F.col("pr") / F.col("outdeg")).alias("w")))
+        inflow = contrib.groupBy("node").agg(F.sum("w").alias("inflow"))
+        # dangling nodes (no out-edges) leak their mass; redistribute it
+        dangling = (pr.join(out.select(F.col("u").alias("node")),
+                            "node", "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+                    .collect()[0]["m"])
+        base = (1.0 - damping) / n + damping * dangling / n
+        pr = (nodes.join(inflow, "node", "left")
+              .select("node",
+                      (F.lit(base)
+                       + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
+                      .alias("pr"))
+              .localCheckpoint())
+    e.unpersist()
+    links.unpersist()
+    return pr.select("node", F.col("pr").alias("pagerank"))
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    pair_cols: tuple[str, str] = ("id_a", "id_b")) -> DataFrame:

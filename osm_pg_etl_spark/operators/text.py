@@ -414,3 +414,67 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
         (F.col("start_pos") % capacity).alias("seq_offset"),
         last.alias("_last")
     ).withColumn("seq_end", F.expr(f"_last div {capacity}")).drop("_last")
+
+
+def word_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct lowercased word n-grams of a document (docs shorter than
+    ``n`` tokens contribute their whole text as one gram, mirroring the
+    shingle convention in :mod:`.dedup`). Pure Column expression."""
+    w = F.transform(tokens(text), lambda t: F.lower(t))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "))
+    ).otherwise(F.array(F.array_join(w, " ")))
+    return F.array_distinct(grams)
+
+
+def contamination(train: DataFrame, eval_docs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in the
+    evaluation corpus — the decontamination pass every LLM data pipeline
+    runs before training (n-gram overlap against held-out benchmarks).
+
+    Scale shape: the eval corpus collapses to a distinct gram set, the
+    train side explodes to (doc, gram) and LEFT SEMI equi-joins on the
+    gram string — an inverted-index join bounded by gram frequency, never
+    all-pairs doc×doc. Returns (id_col, n_grams, n_matched,
+    contamination)."""
+    ev = (eval_docs.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+          .distinct())
+    tr = train.select(F.col(id_col),
+                      F.explode(word_ngrams(text_col, n)).alias("gram"))
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (tr.join(ev, "gram", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched")))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce("n_matched", F.lit(0)).alias("n_matched"))
+            .withColumn("contamination",
+                        F.round(F.col("n_matched").cast("double")
+                                / F.col("n_grams"), 6)))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-self unigram language-model score: mean log p(token) per
+    document, with p estimated from the corpus itself — the classic cheap
+    fluency/quality signal (documents of rare-token soup score low, plain
+    prose scores high). Two aggregations plus a broadcast vocabulary join,
+    the same inverted-index shape as tf·idf. Returns (id_col, n_tokens,
+    logprob)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term")) \
+             .select(id_col, F.lower("term").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_n"))
+    return (tf.join(F.broadcast(vocab), "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("tf")
+                               * F.log(F.col("cnt") / F.col("_n")))
+                         / F.sum("tf").cast("double"), 6).alias("logprob")))

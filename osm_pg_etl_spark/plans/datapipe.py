@@ -795,6 +795,63 @@ FROM r WHERE rn <= 3
 """
 
 
+_CONTAM_N = 4
+_EVAL_MOD = 101
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: word 4-gram overlap of every training doc
+    (doc_id % 101 != 0) against the deterministic eval slice
+    (doc_id % 101 == 0). Inverted-index semi-join on the gram string —
+    never doc x doc."""
+    docs = docs_t(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return text.contamination(train, ev, n=_CONTAM_N)
+
+
+SQL_CONTAMINATION = rf"""
+WITH {_TOKS_SQL.strip()},
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= {_CONTAM_N}
+         THEN list_transform(range(1, len(w) - {_CONTAM_N - 2}),
+                             i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))
+         ELSE [array_to_string(w, ' ')] END)) AS gram
+  FROM toks),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} != 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM tr GROUP BY doc_id),
+hit AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tr t JOIN ev USING (gram) GROUP BY t.doc_id)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_matched, 0) AS n_matched,
+       ROUND(CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / t.n_grams, 6)
+           AS contamination
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM fluency score per document."""
+    return text.unigram_logprob(docs_t(spark, sf_dir))
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH {_TOKS_SQL.strip()},
+tok2 AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok2 GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf * LN(cnt / tot.n)) / CAST(SUM(tf) AS DOUBLE), 6)
+           AS logprob
+FROM tf JOIN vocab USING (term) CROSS JOIN tot GROUP BY doc_id
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a deterministically-composed contact string (the
     synthetic documents contain no PII, so the string is built from
@@ -1012,6 +1069,8 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
+    "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
     "bloom_dedup": q_bloom_dedup,
     "cms_terms": q_cms_terms,
@@ -1043,6 +1102,8 @@ ORACLES = {
     "domain_mixture": _sql_domain_mixture(),
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "contamination": SQL_CONTAMINATION,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "bloom_dedup": _sql_bloom_dedup(),
     "cms_terms": _sql_cms_terms(),

@@ -676,6 +676,76 @@ FROM proj GROUP BY way_id
 """
 
 
+_PR_ITER, _PR_DAMPING = 5, 0.85
+
+
+def q_osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the directed car graph
+    (operators.graph_algo.pagerank) — the graph-quality ranking signal of
+    the reference's igraph step, run as n_iter join+sum rounds with the
+    dangling mass redistributed so total mass stays 1."""
+    from ..operators.graph_algo import pagerank
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    directed = directed_network(merged, minimal=True)
+    pr = pagerank(directed.select(F.col("start_node").alias("src"),
+                                  F.col("end_node").alias("dst")),
+                  n_iter=_PR_ITER, damping=_PR_DAMPING)
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
+
+
+def _sql_osm_pagerank(n_iter: int = _PR_ITER, d: float = _PR_DAMPING) -> str:
+    """Unrolled power iteration; every arithmetic expression mirrors the
+    Column/driver-side shape exactly ((1-d)/n first, then (d*m)/n, then
+    + d*inflow) so both engines run the same IEEE operation sequence."""
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + f""",
+dedges AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT start_node AS u, end_node AS v FROM merged
+      WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+    UNION ALL
+    SELECT start_node, end_node FROM merged
+      WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+    UNION ALL
+    SELECT end_node, start_node FROM merged WHERE oneway = '-1')),
+pnodes AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
+  -- _sql_osm_betweenness)
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM dedges UNION ALL SELECT v FROM dedges)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pnodes),
+odeg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM dedges GROUP BY u),
+links AS MATERIALIZED (
+  SELECT e.u, e.v, o.outdeg FROM dedges e JOIN odeg o ON o.u = e.u),
+pr0 AS MATERIALIZED (
+  SELECT node, 1.0 / nn.c AS pr FROM pnodes CROSS JOIN nn)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+dang{i} AS (
+  SELECT COALESCE(SUM(p.pr), 0.0) AS m
+  FROM pr{i - 1} p LEFT JOIN odeg o ON o.u = p.node WHERE o.u IS NULL),
+pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         ((1.0 - {d!r}) / nn.c + ({d!r} * dg.m) / nn.c)
+           + {d!r} * COALESCE(inf.s, 0.0) AS pr
+  FROM pnodes n CROSS JOIN nn CROSS JOIN dang{i} dg
+  LEFT JOIN (SELECT l.v AS node, SUM(p.pr / l.outdeg) AS s
+             FROM links l JOIN pr{i - 1} p ON p.node = l.u
+             GROUP BY l.v) inf ON inf.node = n.node)""")
+    return head + "".join(its) + f"""
+SELECT node, ROUND(pr, 9) AS pagerank FROM pr{n_iter}
+"""
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -1587,6 +1657,7 @@ QUERIES = {
     "osm_betweenness": q_osm_betweenness,
     "osm_planar_length": q_osm_planar_length,
     "osm_harmonic": q_osm_harmonic,
+    "osm_pagerank": q_osm_pagerank,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1622,6 +1693,7 @@ ORACLES = {
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_planar_length": _sql_osm_planar_length(),
     "osm_harmonic": _sql_osm_harmonic(),
+    "osm_pagerank": _sql_osm_pagerank(),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

@@ -448,3 +448,41 @@ def test_quantize_embeddings_values(spark):
            for r in quantize_embeddings(df).collect()}
     assert got[1] == [127, -63, 32]   # floor(x*127+0.5), scale 127/1.0
     assert got[2] == [0, 0, 0]
+
+
+def test_contamination_fractions(spark):
+    from osm_pg_etl_spark.operators.text import contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"),            # grams: abcd, bcde
+         (2, "x y z w q"),            # grams: xyzw, yzwq (no overlap)
+         (3, "a b c d")],             # single gram abcd (matched)
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "p q r a b c d s t")],  # contains abcd as a 4-gram window
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_matched"], r["contamination"])
+           for r in contamination(train, ev, n=4).collect()}
+    assert got[1] == (2, 1, 0.5)     # 'a b c d' matched, 'b c d e' not
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    import math
+
+    from osm_pg_etl_spark.operators.text import unigram_logprob
+
+    # 4 tokens total, each unique -> every p = 1/4, logprob = ln(0.25)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logprob"])
+           for r in unigram_logprob(docs).collect()}
+    assert got[1] == (2, round(math.log(0.25), 6))
+    assert got[2] == (2, round(math.log(0.25), 6))
+    # skewed: 'a a a b' -> doc scores mix ln(3/4) and ln(1/4)
+    docs2 = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["logprob"] for r in unigram_logprob(docs2).collect()}
+    assert got2[1] == round(math.log(4 / 5), 6)
+    assert got2[2] == round((math.log(4 / 5) + math.log(1 / 5)) / 2, 6)

@@ -177,3 +177,31 @@ def test_harmonic_centrality_path(spark):
     got = {r["node"]: r["harmonic"]
            for r in harmonic_centrality(edges, [1, 4], max_depth=5).collect()}
     assert got == pytest.approx({2: 1.5, 3: 1.5, 1: 1 / 3, 4: 1 / 3})
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from osm_pg_etl_spark.operators.graph_algo import pagerank
+
+    # small directed graph with a dangling node (4) and a cycle
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (5, 1)]
+    nodes = [1, 2, 3, 4, 5]
+    n, d = len(nodes), 0.85
+    out = {}
+    for u, v in edge_list:
+        out.setdefault(u, set()).add(v)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dangling = sum(p for v, p in pr.items() if v not in out)
+        base = (1.0 - d) / n + d * dangling / n
+        nxt = {v: 0.0 for v in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += pr[u] / len(vs)
+        pr = {v: base + d * nxt[v] for v in nodes}
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(edges, n_iter=10).collect()}
+    assert set(got) == set(pr)
+    for v in pr:
+        assert got[v] == pytest.approx(pr[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
