@@ -108,3 +108,41 @@ def domain_mixture_rates(df: DataFrame, weights: dict[str, float],
                     F.coalesce("target_weight", F.lit(0.0))
                     .alias("target_weight"),
                     "sample_rate", "n_sampled"))
+
+
+def training_order(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 13, num_buckets: int | None = None,
+                   ) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a dense
+    epoch position 0..n-1 ordered by ``(md5(seed|id), id)`` — the
+    reproducible corpus shuffle a training run needs (change ``seed`` for
+    a new epoch permutation; membership changes never reorder surviving
+    pairs' relative hash order).
+
+    Scale shape: a global ROW_NUMBER without the single-partition window —
+    deterministic range buckets on the hash key
+    (:mod:`..functions.partitioning`), a per-bucket window, and broadcast
+    cumulative bucket offsets; the driver holds only the bucket sizes.
+    Returns (id_col, epoch_pos)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.partitioning import bucket_of, range_boundaries
+
+    base = df.select(F.col(id_col), md5_long(id_col, seed).alias("_h"))
+    bounds = range_boundaries(base, "_h", num_buckets)
+    base = base.withColumn("_b", bucket_of("_h", bounds))
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
+    rn = base.withColumn("_rn", F.row_number().over(w).cast("long"))
+    sizes = {r["_b"]: r["c"] for r in
+             rn.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()] or [(0, 0)],
+        "_b int, _off long")
+    return (rn.join(F.broadcast(off), "_b")
+            .select(id_col,
+                    (F.col("_off") + F.col("_rn") - 1).alias("epoch_pos")))

@@ -795,6 +795,27 @@ FROM r WHERE rn <= 3
 """
 
 
+_ORDER_SEED = 13
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (dense 0..n-1 epoch
+    positions by hash rank), computed with range buckets + broadcast
+    offsets instead of a single-partition window."""
+    from ..operators.sampling import training_order
+
+    return training_order(docs_t(spark, sf_dir), seed=_ORDER_SEED)
+
+
+SQL_TRAINING_ORDER = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5('{_ORDER_SEED}|' || doc_id), 1, 8))::BIGINT,
+                  doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM documents
+"""
+
+
 _CONTAM_N = 4
 _EVAL_MOD = 101
 
@@ -1070,6 +1091,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
+    "training_order": q_training_order,
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
     "bloom_dedup": q_bloom_dedup,
@@ -1103,6 +1125,7 @@ ORACLES = {
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "contamination": SQL_CONTAMINATION,
+    "training_order": SQL_TRAINING_ORDER,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "bloom_dedup": _sql_bloom_dedup(),

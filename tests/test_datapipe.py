@@ -486,3 +486,22 @@ def test_unigram_logprob_uniform_corpus(spark):
     got2 = {r["doc_id"]: r["logprob"] for r in unigram_logprob(docs2).collect()}
     assert got2[1] == round(math.log(4 / 5), 6)
     assert got2[2] == round((math.log(4 / 5) + math.log(1 / 5)) / 2, 6)
+
+
+def test_training_order_dense_and_deterministic(spark):
+    from osm_pg_etl_spark.operators.sampling import training_order
+
+    docs = spark.createDataFrame([(i, "x") for i in range(1, 201)],
+                                 "doc_id long, text string")
+    a = {r["doc_id"]: r["epoch_pos"]
+         for r in training_order(docs, seed=13, num_buckets=8).collect()}
+    # dense permutation of 0..n-1
+    assert sorted(a.values()) == list(range(200))
+    # stable across runs and bucket counts (pure function of (id, seed))
+    b = {r["doc_id"]: r["epoch_pos"]
+         for r in training_order(docs, seed=13, num_buckets=3).collect()}
+    assert a == b
+    # a different seed gives a different permutation
+    c = {r["doc_id"]: r["epoch_pos"]
+         for r in training_order(docs, seed=14, num_buckets=8).collect()}
+    assert a != c
