@@ -913,6 +913,40 @@ FROM hest e JOIN ex USING (event_type)
 """
 
 
+def q_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event-time hour via the mergeable HLL sketch —
+    the windowed-rollup shape a streaming pipeline keeps as state (register
+    tables merge across windows/shards with groupBy-max), value-checked
+    against the identically-recomputed sketch AND the exact count."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id")
+    h = sketch.hll_distinct(ev, "user_id", ["hour"], p=10)
+    exact = ev.groupBy("hour").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (h.join(exact, "hour")
+            .select("hour", "n_exact", "hll_used",
+                    F.round("hll_estimate", 6).alias("hll_estimate")))
+
+
+def _sql_hll_windowed(p: int = 10) -> str:
+    from ..operators.sketch import hll_sql  # noqa: PLC0415
+
+    m = 1 << p
+    sub = "(SELECT date_trunc('hour', ts) AS hour, user_id FROM events)"
+    return f"""
+WITH {hll_sql("CAST(user_id AS VARCHAR)", "hour", p, table=sub).strip()},
+ex AS (
+  SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM {sub} GROUP BY hour)
+SELECT e.hour, ex.n_exact, e.hll_used,
+       ROUND(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+             THEN {m} * ln({float(m)!r} / v) ELSE raw END, 6) AS hll_estimate
+FROM hest e JOIN ex USING (hour)
+"""
+
+
 # --- S5 true mutable-table MERGE/DELETE (sources.mutable) ---------------------
 
 
@@ -963,9 +997,46 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_mutable_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC through the storage layer: apply the same MERGE+DELETE
+    as q_mutable_merge, then diff version 0 against the latest manifest.
+    The diff only scans buckets whose owning version changed; the oracle
+    re-derives the change set relationally from the batch definitions."""
+    import shutil  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
+    from ..sources.mutable import MutableTable  # noqa: PLC0415
+
+    orders = t(spark, sf_dir, "orders")
+    path = (Path(__file__).resolve().parents[2]
+            / "spark-warehouse" / "_mutable_diff_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    tab = MutableTable(spark, str(path), key="o_orderkey").create(orders)
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    tab.merge(upd.unionByName(ins))
+    tab.delete(F.col("o_orderkey") % 10 == 7)
+    return tab.snapshot_diff(0)
+
+
+SQL_MUTABLE_DIFF = """
+SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, 'update' FROM orders
+WHERE o_orderkey % 10 = 3 AND o_totalprice * 2 <> o_totalprice
+UNION ALL
+SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 10 = 7
+"""
+
+
+
 QUERIES = {
     "mutable_merge": q_mutable_merge,
+    "mutable_diff": q_mutable_diff,
     "hll_users": q_hll_users,
+    "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
@@ -1007,7 +1078,9 @@ QUERIES = {
 
 ORACLES = {
     "mutable_merge": SQL_MUTABLE_MERGE,
+    "mutable_diff": SQL_MUTABLE_DIFF,
     "hll_users": _sql_hll_users(),
+    "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,

@@ -104,11 +104,19 @@ class MutableTable:
         """The table as of ``version`` (default: latest). One parquet scan
         per distinct owning version, disk-partition-pruned to the buckets
         that version still owns."""
+        return self._read_buckets(version, None)
+
+    def _read_buckets(self, version: int | None,
+                      only: list[int] | None) -> DataFrame:
+        """``read`` restricted to a bucket subset (``only=None`` = all)."""
         version = self.latest_version() if version is None else version
         manifest = self._read_manifest(version)
         by_version: dict[int, list[int]] = {}
         for bucket, owner in manifest.items():
-            by_version.setdefault(owner, []).append(int(bucket))
+            if only is None or int(bucket) in only:
+                by_version.setdefault(owner, []).append(int(bucket))
+        if not by_version:
+            return self.read(version).limit(0)
         parts = []
         for owner, buckets in sorted(by_version.items()):
             scan = self.spark.read.parquet(f"{self.path}/data/v{owner}")
@@ -117,6 +125,31 @@ class MutableTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.drop(_BUCKET)
+
+    def snapshot_diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """CDC between two snapshots: one row per changed key with
+        ``change`` ∈ insert | update | delete. Manifest-pruned: a bucket
+        owned by the same data version in both manifests cannot differ and
+        is never scanned — a diff after a point mutation reads only the
+        rewritten buckets, not the table. The remaining buckets full-outer
+        join on the key and compare the whole row null-safely."""
+        v_to = self.latest_version() if v_to is None else v_to
+        mf = self._read_manifest(v_from)
+        mt = self._read_manifest(v_to)
+        changed = sorted(int(b) for b in set(mf) | set(mt)
+                         if mf.get(b) != mt.get(b))
+        old = self._read_buckets(v_from, changed)
+        new = self._read_buckets(v_to, changed)
+        value_cols = [c for c in old.columns if c != self.key]
+        o = old.select(self.key, F.struct(*value_cols).alias("_o"))
+        n = new.select(self.key, F.struct(*value_cols).alias("_n"))
+        j = o.join(n, self.key, "full_outer")
+        change = (F.when(F.col("_n").isNull(), F.lit("delete"))
+                  .when(F.col("_o").isNull(), F.lit("insert"))
+                  .when(~F.col("_o").eqNullSafe(F.col("_n")),
+                        F.lit("update")))
+        return (j.select(self.key, change.alias("change"))
+                .filter(F.col("change").isNotNull()))
 
     def _mutate(self, touched: DataFrame,
                 rewrite: Callable[[DataFrame], DataFrame]) -> "MutableTable":

@@ -141,3 +141,26 @@ def test_vacuum_after_compact_drops_history(table, spark):
     data_dir = os.path.join(table.path, "data")
     assert os.listdir(data_dir) == [f"v{table.latest_version()}"]
     assert rows(table.read()) == latest
+
+
+def test_snapshot_diff_prunes_and_classifies(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.sources.mutable import MutableTable
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(1, 21)],
+        "k long, s string, x long")
+    tab = MutableTable(spark, str(tmp_path / "t"), key="k",
+                       n_buckets=8).create(base)
+    # update k=3 (x changes), "update" k=5 to identical values (no-op),
+    # insert k=100, delete k=7
+    tab.merge(spark.createDataFrame(
+        [(3, "v3", 999), (5, "v5", 50), (100, "new", 0)],
+        "k long, s string, x long"))
+    tab.delete(F.col("k") == 7)
+    got = {r["k"]: r["change"] for r in tab.snapshot_diff(0).collect()}
+    assert got == {3: "update", 100: "insert", 7: "delete"}
+    # diff of identical versions is empty and scans nothing
+    assert tab.snapshot_diff(tab.latest_version(),
+                             tab.latest_version()).count() == 0
