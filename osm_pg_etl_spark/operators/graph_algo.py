@@ -293,15 +293,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
                    .select(F.col("v").alias("node"),
                            (F.col("pr") / F.col("outdeg")).alias("w")))
         inflow = contrib.groupBy("node").agg(F.sum("w").alias("inflow"))
-        # dangling nodes (no out-edges) leak their mass; redistribute it
-        dangling = (pr.join(out.select(F.col("u").alias("node")),
-                            "node", "left_anti")
-                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
-                    .collect()[0]["m"])
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling nodes (no out-edges) leak their mass; redistribute it.
+        # Computed as a broadcast one-row aggregate inside the plan — no
+        # driver action per iteration, the whole round stays one lazy DAG
+        dang = (pr.join(out.select(F.col("u").alias("node")),
+                        "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_m")))
+        base = (F.lit((1.0 - damping) / n)
+                + (F.lit(damping) * F.col("_m")) / F.lit(float(n)))
         pr = (nodes.join(inflow, "node", "left")
+              .crossJoin(F.broadcast(dang))
               .select("node",
-                      (F.lit(base)
+                      (base
                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
                       .alias("pr"))
               .localCheckpoint())

@@ -795,7 +795,72 @@ FROM r WHERE rn <= 3
 """
 
 
+_CONTAM_N = 4
+_EVAL_MOD = 101
 _ORDER_SEED = 13
+_E2E_MIN_TOK, _E2E_MAX_TOK = 10, 1000
+
+
+def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-data pipeline as one composed plan:
+    quality filter (token-count bounds) → exact dedup (keep the minimum
+    doc_id per content hash) → decontamination (drop train docs sharing
+    ≥50% of their word n-grams with the eval slice) → deterministic global
+    training order. Every stage is an operator gated elsewhere on its own;
+    this query checks their composition end to end — the artifact a real
+    data-curation run would ship."""
+    from ..operators.sampling import training_order
+
+    docs = docs_t(spark, sf_dir)
+    n_tok = text.token_count(F.col("text"))
+    q = docs.filter(n_tok.between(_E2E_MIN_TOK, _E2E_MAX_TOK))
+    keep = (q.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    qd = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    train = qd.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    cont = text.contamination(train, ev, n=_CONTAM_N)
+    clean = train.join(
+        cont.filter(F.col("contamination") < 0.5).select("doc_id"),
+        "doc_id", "left_semi")
+    ordered = training_order(clean, seed=_ORDER_SEED)
+    return (clean.select(
+        "doc_id", text.token_count(F.col("text")).cast("long")
+        .alias("n_tokens")).join(ordered, "doc_id"))
+
+
+SQL_DATAPIPE_E2E = rf"""
+WITH {_TOKS_SQL.strip()},
+tc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+q AS (SELECT d.doc_id, d.text FROM documents d JOIN tc USING (doc_id)
+      WHERE tc.n_tokens BETWEEN {_E2E_MIN_TOK} AND {_E2E_MAX_TOK}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+qd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+grams AS (
+  SELECT t.doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= {_CONTAM_N}
+         THEN list_transform(range(1, len(w) - {_CONTAM_N - 2}),
+                             i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))
+         ELSE [array_to_string(w, ' ')] END)) AS gram
+  FROM toks t),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT g.doc_id, g.gram FROM grams g JOIN qd USING (doc_id)
+       WHERE g.doc_id % {_EVAL_MOD} != 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM tr GROUP BY doc_id),
+hit AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tr t JOIN ev USING (gram) GROUP BY t.doc_id),
+clean AS (
+  SELECT t.doc_id FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+  WHERE ROUND(CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / t.n_grams, 6) < 0.5)
+SELECT c.doc_id, tc.n_tokens,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5('{_ORDER_SEED}|' || c.doc_id), 1, 8))::BIGINT,
+                  c.doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM clean c JOIN tc ON tc.doc_id = c.doc_id
+"""
+
+
 
 
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +881,6 @@ FROM documents
 """
 
 
-_CONTAM_N = 4
-_EVAL_MOD = 101
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,6 +1155,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "training_order": q_training_order,
+    "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
     "bloom_dedup": q_bloom_dedup,
@@ -1126,6 +1190,7 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "contamination": SQL_CONTAMINATION,
     "training_order": SQL_TRAINING_ORDER,
+    "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "bloom_dedup": _sql_bloom_dedup(),
