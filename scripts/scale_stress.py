@@ -108,10 +108,50 @@ def run_path(n: int) -> None:
           f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
 
 
+def run_centrality(k: int) -> None:
+    """Scale behavior of the k-source Brandes + PageRank stages on K
+    key-offset replicas. Sources per replica stay constant (6 global min
+    ids land in replica 0), so betweenness work grows with the edge list —
+    frontier joins and σ sums — not with source count; PageRank grows
+    linearly in edges per iteration."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        betweenness,
+        pagerank,
+        symmetric_edges,
+    )
+
+    spark = get_spark(app_name=f"centrality-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+    d = derive_osm_from(part, li)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst")).localCheckpoint()
+    n_edges = edges.count()
+    und = symmetric_edges(edges)
+    sources = [r["a"] for r in (und.select("a").distinct()
+                                .orderBy("a").limit(6).collect())]
+    t0 = time.perf_counter()
+    betweenness(edges, sources, max_depth=4) \
+        .write.format("noop").mode("overwrite").save()
+    t1 = time.perf_counter()
+    pagerank(edges, n_iter=5).write.format("noop").mode("overwrite").save()
+    t2 = time.perf_counter()
+    print(f"k={k:>2}  edges={n_edges:>8}  betweenness={t1 - t0:6.1f}s  "
+          f"pagerank={t2 - t1:6.1f}s", flush=True)
+    spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "path":
         for a in sys.argv[2:] or ["100000"]:
             run_path(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "centrality":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_centrality(int(a))
     else:
         ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
         for k in ks:
