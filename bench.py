@@ -61,6 +61,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else None
 
+    # One untimed pass over the whole set: the table warm-up above covers
+    # IO, but each query's first execution still pays whole-stage-codegen
+    # compilation + C2 JIT (~1.5s on an otherwise 0.3s aggregation, ~6s on
+    # the big topology plan). The timed pass below therefore measures the
+    # steady-state engine, not Janino. Recorded as "warm": true in the
+    # output so cross-round comparisons know the methodology.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+    # Drop the cached intermediates the warm pass built (derive_osm caches
+    # nodes/way_nodes): the timed pass must rebuild them inside the timed
+    # queries, exactly as previous rounds did — only the JIT stays warm.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -75,6 +89,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warm": True,
     }
 
     # Scaling signal: re-run the set at a 10x-smaller SF and report the
