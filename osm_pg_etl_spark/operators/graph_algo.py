@@ -265,6 +265,56 @@ def betweenness(edges: DataFrame, sources: list[int], max_depth: int = 6,
                     .alias("betweenness")))
 
 
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    ) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient —
+    the standard graph-structure signal (community density, spam/anomaly
+    detection on document-link graphs; igraph exposes it as transitivity).
+
+    Degree-oriented "compact-forward" counting [Latapy 2008; Suri &
+    Vassilvitskii 2011]: each undirected edge is oriented from the
+    (degree, id)-smaller endpoint to the larger, so every wedge is
+    enumerated at its lowest-degree apex — the join fan-out per node is
+    bounded by its *oriented* out-degree ≤ O(√m) on any graph, which is
+    what keeps the self-join from exploding on hub nodes at scale. Each
+    triangle {a,b,c} with a<b<c in the order is found exactly once as
+    wedge (a→b, a→c) closed by edge (b→c). Returns
+    (node, degree, n_triangles, clustering) for every node with degree
+    ≥ 1; clustering = 2T / (deg·(deg−1)), 0 when degree < 2."""
+    und = symmetric_edges(edges, src, dst).cache()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    e = (und.join(deg.select(F.col("a").alias("a"), F.col("d").alias("da")),
+                  "a")
+         .join(deg.select(F.col("a").alias("b"), F.col("d").alias("db")),
+               "b")
+         .filter(F.struct("da", "a") < F.struct("db", "b"))
+         .select("a", "b", "da", "db"))
+    e1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                  F.col("db").alias("dv"))
+    e2 = e.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                  F.col("db").alias("dw"))
+    wedges = (e1.join(e2, "u")
+              .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+              .select("u", "v", "w"))
+    closer = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tris = wedges.join(closer, ["v", "w"])
+    per_node = (tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (deg.select(F.col("a").alias("node"), F.col("d").alias("degree"))
+           .join(per_node, "node", "left")
+           .select("node", "degree",
+                   F.coalesce("n_triangles", F.lit(0)).cast("long")
+                   .alias("n_triangles")))
+    und.unpersist()
+    return out.withColumn(
+        "clustering",
+        F.when(F.col("degree") >= 2,
+               F.round(2.0 * F.col("n_triangles")
+                       / (F.col("degree") * (F.col("degree") - 1)), 6))
+        .otherwise(F.lit(0.0)))
+
+
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
              src: str = "src", dst: str = "dst") -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the standard

@@ -676,6 +676,61 @@ FROM proj GROUP BY way_id
 """
 
 
+def q_osm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected car graph (operators.graph_algo.triangle_counts —
+    degree-oriented compact-forward, hub fan-out bounded by oriented
+    out-degree)."""
+    from ..operators.graph_algo import triangle_counts
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    return triangle_counts(edges)
+
+
+SQL_OSM_TRIANGLES = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                         _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+                         _MERGED_SQL).replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """,
+und AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
+  -- _sql_osm_betweenness)
+  SELECT DISTINCT a, b FROM (
+    SELECT start_node AS a, end_node AS b FROM merged
+      WHERE start_node != end_node
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE start_node != end_node)),
+tdeg AS MATERIALIZED (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+ore AS MATERIALIZED (
+  SELECT u.a, u.b, da.d AS da, db.d AS db
+  FROM und u JOIN tdeg da ON da.a = u.a JOIN tdeg db ON db.a = u.b
+  WHERE (da.d, u.a) < (db.d, u.b)),
+wed AS (
+  SELECT e1.a AS nu, e1.b AS nv, e2.b AS nw
+  FROM ore e1 JOIN ore e2 ON e1.a = e2.a
+  WHERE (e1.db, e1.b) < (e2.db, e2.b)),
+tri AS (SELECT nu, nv, nw FROM wed
+        JOIN ore ON ore.a = wed.nv AND ore.b = wed.nw),
+pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT nu AS node FROM tri
+    UNION ALL SELECT nv FROM tri
+    UNION ALL SELECT nw FROM tri) GROUP BY node)
+SELECT d.a AS node, d.d AS degree,
+       CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN ROUND(2.0 * CAST(COALESCE(pn.n, 0) AS BIGINT)
+                       / (d.d * (d.d - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM tdeg d LEFT JOIN pn ON pn.node = d.a
+"""
+
+
 _PR_ITER, _PR_DAMPING = 5, 0.85
 
 
@@ -1658,6 +1713,7 @@ QUERIES = {
     "osm_planar_length": q_osm_planar_length,
     "osm_harmonic": q_osm_harmonic,
     "osm_pagerank": q_osm_pagerank,
+    "osm_triangles": q_osm_triangles,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1694,6 +1750,7 @@ ORACLES = {
     "osm_planar_length": _sql_osm_planar_length(),
     "osm_harmonic": _sql_osm_harmonic(),
     "osm_pagerank": _sql_osm_pagerank(),
+    "osm_triangles": SQL_OSM_TRIANGLES,
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

@@ -205,3 +205,31 @@ def test_pagerank_matches_reference_power_iteration(spark):
     for v in pr:
         assert got[v] == pytest.approx(pr[v], abs=1e-12), v
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from osm_pg_etl_spark.operators.graph_algo import triangle_counts
+
+    # K4: 4 triangles, every node in 3, clustering 1.0
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(
+               spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {v: (3, 3, 1.0) for v in range(1, 5)}
+
+    # triangle with a pendant: 5-1-2-3(-1), 1-2-3 form the triangle
+    g = [(1, 2), (2, 3), (3, 1), (1, 5)]
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(
+               spark.createDataFrame(g, "src long, dst long")).collect()}
+    assert got[1] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (2, 1, 1.0)
+    assert got[5] == (1, 0, 0.0)
+
+    # square (C4): no triangles anywhere
+    c4 = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(
+               spark.createDataFrame(c4, "src long, dst long")).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
