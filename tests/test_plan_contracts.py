@@ -1,0 +1,88 @@
+"""Physical-plan contracts for the scale-critical queries.
+
+These assert the *plan shape* the 100 TB story depends on — filter pushdown
+reaching the parquet scan, column pruning, broadcast joins where a side is
+provably small, and no row-at-a-time Python in any gated plan — so a
+refactor that silently trades one away fails CI, not the next benchmark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A predicate on a scanned column must appear in PushedFilters."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter("l_quantity > 49").select("l_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity", plan)
+
+
+def test_column_pruning_narrows_scan(spark):
+    """A 2-column projection over the 16-column lineitem table must read
+    only those columns."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").count()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_of(df))
+    assert m, "no ReadSchema in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert cols == ["l_returnflag"]
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """The r4 tfidf fix: the vocabulary-sized df table must broadcast, so
+    the big tf table is never shuffled by term for the join."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    df = all_queries()["tfidf_top_terms"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_row_python_udfs_in_gated_plans(spark):
+    """No gated plan may fall back to row-at-a-time Python
+    (BatchEvalPython); Python is allowed only Arrow-batched
+    (ArrowEvalPython / mapInPandas). Spot-checks the Python-adjacent
+    queries — the full registry is covered by scripts/plan_lint.py."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("winnow_fingerprints", "osm_spatial_pairs",
+                 "multimodal_features", "quality_features"):
+        plan = plan_of(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_no_cartesian_products_in_flagships(spark):
+    """The crown-jewel pipelines must stay cartesian-free (a one-row
+    broadcast crossJoin is fine; CartesianProduct is not)."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("osm_merged_network", "osm_directed_graph",
+                 "minhash_neardup", "datapipe_e2e"):
+        plan = plan_of(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_spatial_blocking_keeps_pairs_narrow(spark):
+    """The blocked spatial join's candidate exchange must carry only
+    (id, cell)-shaped rows, never geometries: no exploded linestring
+    column may appear below the first join."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["osm_spatial_pairs"](spark, SF))
+    # the cell-blocking join happens before geometries are attached:
+    # candidate dedup (id_a, id_b) occurs in the plan
+    assert re.search(r"HashAggregate.*id_a.*id_b", plan) or \
+        "SortAggregate" in plan
