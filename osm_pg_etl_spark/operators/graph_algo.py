@@ -328,16 +328,44 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     and the result is partition-independent (each iteration is one
     join + groupBy-sum keyed on node id; lineage truncated per round).
     Returns (node, pagerank) over all nodes appearing in ``edges``."""
+    return _power_iteration(edges, None, n_iter, damping, src, dst)
+
+
+def personalized_pagerank(edges: DataFrame, seeds: list[int],
+                          n_iter: int = 10, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst") -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to the
+    ``seeds`` instead of spreading uniformly, so scores measure proximity
+    to the trusted seed set — the seed-expansion ranking a curation
+    pipeline uses to grade documents by link-closeness to a known-good
+    core (the CommonCrawl-style "rank from Wikipedia seeds" recipe).
+    Same fixed-iteration synchronous machinery as :func:`pagerank`;
+    total mass stays 1 over the seeded surface."""
+    return _power_iteration(edges, [int(s) for s in seeds], n_iter,
+                            damping, src, dst)
+
+
+def _power_iteration(edges: DataFrame, seeds: list[int] | None,
+                     n_iter: int, damping: float,
+                     src: str, dst: str) -> DataFrame:
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .distinct().cache())
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
              .distinct().cache())
-    n = nodes.count()
+    n = nodes.count() if seeds is None else len(seeds)
     out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     links = e.join(out, "u").select("u", "v", "outdeg").cache()
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    if seeds is None:
+        is_seed = F.lit(True)
+        pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    else:
+        is_seed = F.col("node").isin(seeds)
+        pr = nodes.select(
+            "node",
+            F.when(is_seed, F.lit(1.0 / n)).otherwise(F.lit(0.0))
+            .alias("pr"))
     for _ in range(n_iter):
         contrib = (links.join(pr, links["u"] == pr["node"])
                    .select(F.col("v").alias("node"),
@@ -351,6 +379,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_m")))
         base = (F.lit((1.0 - damping) / n)
                 + (F.lit(damping) * F.col("_m")) / F.lit(float(n)))
+        # seeded runs teleport only to the seed set
+        base = base if seeds is None else \
+            F.when(is_seed, base).otherwise(F.lit(0.0))
         pr = (nodes.join(inflow, "node", "left")
               .crossJoin(F.broadcast(dang))
               .select("node",

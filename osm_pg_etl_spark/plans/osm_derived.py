@@ -751,7 +751,8 @@ def q_osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
-def _sql_osm_pagerank(n_iter: int = _PR_ITER, d: float = _PR_DAMPING) -> str:
+def _sql_osm_pagerank(n_iter: int = _PR_ITER, d: float = _PR_DAMPING,
+                      k_seeds: int | None = None) -> str:
     """Unrolled power iteration; every arithmetic expression mirrors the
     Column/driver-side shape exactly ((1-d)/n first, then (d*m)/n, then
     + d*inflow) so both engines run the same IEEE operation sequence."""
@@ -782,23 +783,67 @@ links AS MATERIALIZED (
   SELECT e.u, e.v, o.outdeg FROM dedges e JOIN odeg o ON o.u = e.u),
 pr0 AS MATERIALIZED (
   SELECT node, 1.0 / nn.c AS pr FROM pnodes CROSS JOIN nn)"""
+    if k_seeds:
+        head += f""",
+seeds AS (SELECT node FROM pnodes ORDER BY node LIMIT {k_seeds}),
+ppr0 AS MATERIALIZED (
+  SELECT p.node, CASE WHEN s.node IS NOT NULL
+                      THEN {1.0 / k_seeds!r} ELSE 0.0 END AS pr
+  FROM pnodes p LEFT JOIN seeds s ON s.node = p.node)"""
+    p0 = "ppr0" if k_seeds else "pr0"
+    if k_seeds:
+        kf = float(k_seeds)
+        base_expr = (f"(CASE WHEN sd.node IS NOT NULL THEN "
+                     f"(1.0 - {d!r}) / {kf!r} + ({d!r} * dg.m) / {kf!r} "
+                     f"ELSE 0.0 END)")
+        seed_join = "\n  LEFT JOIN seeds sd ON sd.node = n.node"
+    else:
+        base_expr = f"((1.0 - {d!r}) / nn.c + ({d!r} * dg.m) / nn.c)"
+        seed_join = ""
     its = []
     for i in range(1, n_iter + 1):
+        prev = p0 if i == 1 else f"pr{i - 1}"
         its.append(f""",
 dang{i} AS (
   SELECT COALESCE(SUM(p.pr), 0.0) AS m
-  FROM pr{i - 1} p LEFT JOIN odeg o ON o.u = p.node WHERE o.u IS NULL),
+  FROM {prev} p LEFT JOIN odeg o ON o.u = p.node WHERE o.u IS NULL),
 pr{i} AS MATERIALIZED (
   SELECT n.node,
-         ((1.0 - {d!r}) / nn.c + ({d!r} * dg.m) / nn.c)
+         {base_expr}
            + {d!r} * COALESCE(inf.s, 0.0) AS pr
-  FROM pnodes n CROSS JOIN nn CROSS JOIN dang{i} dg
+  FROM pnodes n CROSS JOIN nn CROSS JOIN dang{i} dg{seed_join}
   LEFT JOIN (SELECT l.v AS node, SUM(p.pr / l.outdeg) AS s
-             FROM links l JOIN pr{i - 1} p ON p.node = l.u
+             FROM links l JOIN {prev} p ON p.node = l.u
              GROUP BY l.v) inf ON inf.node = n.node)""")
     return head + "".join(its) + f"""
 SELECT node, ROUND(pr, 9) AS pagerank FROM pr{n_iter}
 """
+
+
+_PPR_SEEDS = 6
+
+
+def q_osm_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the k minimum node ids of the directed
+    car graph — the seed-expansion ranking a curation pipeline uses to
+    grade items by link-proximity to a trusted core
+    (operators.graph_algo.personalized_pagerank)."""
+    from ..operators.graph_algo import personalized_pagerank
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    directed = directed_network(merged, minimal=True)
+    edges = directed.select(F.col("start_node").alias("src"),
+                            F.col("end_node").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = [r["node"] for r in
+             nodes.orderBy("node").limit(_PPR_SEEDS).collect()]
+    pr = personalized_pagerank(edges, seeds, n_iter=_PR_ITER,
+                               damping=_PR_DAMPING)
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,6 +1759,7 @@ QUERIES = {
     "osm_harmonic": q_osm_harmonic,
     "osm_pagerank": q_osm_pagerank,
     "osm_triangles": q_osm_triangles,
+    "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
     "osm_complete_merged": q_osm_complete_merged,
@@ -1751,6 +1797,7 @@ ORACLES = {
     "osm_harmonic": _sql_osm_harmonic(),
     "osm_pagerank": _sql_osm_pagerank(),
     "osm_triangles": SQL_OSM_TRIANGLES,
+    "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),
     "osm_complete_merged": _sql_osm_complete_merged(),

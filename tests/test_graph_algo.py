@@ -233,3 +233,34 @@ def test_triangle_counts_known_graphs(spark):
            for r in triangle_counts(
                spark.createDataFrame(c4, "src long, dst long")).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_personalized_pagerank_reference(spark):
+    from osm_pg_etl_spark.operators.graph_algo import personalized_pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (5, 1)]
+    nodes = [1, 2, 3, 4, 5]
+    seeds, d = [1], 0.85
+    out = {}
+    for u, v in edge_list:
+        out.setdefault(u, set()).add(v)
+    pr = {v: (1.0 if v in seeds else 0.0) for v in nodes}
+    for _ in range(10):
+        dangling = sum(p for v, p in pr.items() if v not in out)
+        base = (1.0 - d) / 1 + d * dangling / 1
+        nxt = {v: 0.0 for v in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += pr[u] / len(vs)
+        pr = {v: (base if v in seeds else 0.0) + d * nxt[v] for v in nodes}
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["pagerank"]
+           for r in personalized_pagerank(edges, seeds, n_iter=10).collect()}
+    for v in pr:
+        assert got[v] == pytest.approx(pr[v], abs=1e-12), v
+    # mass conservation and seed dominance
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[1] == max(got.values())
+    # node 4 is a sink reachable only via 3; node 5 gets nothing (no
+    # in-edges, not a seed)
+    assert got[5] == 0.0
