@@ -309,3 +309,62 @@ def winnow_near_duplicates(df: DataFrame, text_col: str = "text",
                      / (F.col("_na") + F.col("_nb") - F.col("_common")))
                     .alias("winnow_jaccard"))
             .filter(F.col("winnow_jaccard") >= threshold))
+
+
+def positioned_ngrams(text: Column | str, n: int = 8) -> Column:
+    """Every n-token window of a document in order (duplicates kept,
+    positions implied by index) — the unit of exact *substring* dedup, vs
+    :func:`word_shingles`'s distinct set. Documents shorter than ``n``
+    tokens have no window."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(k >= n, grams).otherwise(
+        F.expr("CAST(array() AS array<string>)"))
+
+
+def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Exact substring-duplication signal per document: of a document's
+    ``n``-token windows, how many also appear verbatim in at least one
+    *other* document (the train-set memorization risk exact-substring dedup
+    removes).  Returns (id_col, n_windows, n_dup_windows, n_dup_grams,
+    dup_frac).
+
+    Scale shape — no self-join, no pair materialization:
+
+    1. explode positioned windows, key them by md5 (fixed-width shuffle key;
+       the gram text never shuffles);
+    2. collapse to the (gram, doc) grid with per-doc multiplicities — one
+       shuffle, map-side combinable;
+    3. a window count over the grid marks grams seen in ≥2 docs — the grid
+       is corpus-vocabulary-sized, far smaller than the exploded windows;
+    4. per-doc sums, left-joined back to every document (docs with no
+       duplicated window report 0).
+    """
+    grams = df.select(F.col(id_col),
+                      positioned_ngrams(text_col, n).alias("_g"))
+    per_doc = grams.select(id_col,
+                           F.size("_g").cast("long").alias("n_windows"))
+    grid = (grams.select(id_col, F.explode("_g").alias("_gram"))
+            .select(id_col, md5_hex("_gram").alias("gh"))
+            .groupBy("gh", id_col)
+            .agg(F.count(F.lit(1)).alias("mult")))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    dup = (grid.withColumn("_nd", n_docs)
+           .filter(F.col("_nd") > 1)
+           .groupBy(id_col)
+           .agg(F.sum("mult").alias("n_dup_windows"),
+                F.count(F.lit(1)).alias("n_dup_grams")))
+    return (per_doc.join(dup, id_col, "left")
+            .select(id_col, "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                    F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                    F.when(F.col("n_windows") > 0,
+                           F.round(F.coalesce("n_dup_windows", F.lit(0))
+                                   / F.col("n_windows"), 6))
+                    .otherwise(F.lit(0.0)).alias("dup_frac")))

@@ -141,3 +141,28 @@ def weighted_median_pandas(df: DataFrame, x: str, w: str,
         return pd.DataFrame(out)
 
     return df.groupBy(*group_cols).applyInPandas(one_group, schema=schema)
+
+
+def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
+                       qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                       scale: int = 4) -> DataFrame:
+    """Exact multi-quantile profile per group — PERCENTILE_CONT semantics
+    (rank ``q*(n-1)``, linear interpolation; NULLs excluded), one column per
+    requested quantile named ``p25``, ``p50``, ``p99``...
+
+    The n-quantile generalization of :func:`median_by_group` — the column
+    profile a data-quality dashboard or a length-filter threshold sweep
+    needs. One ``F.percentile(col, array(...))`` aggregate: Spark keeps a
+    value→count map per group, so memory is O(distinct values per group),
+    not O(rows), and partial aggregation still applies map-side. For
+    unbounded-cardinality columns at extreme scale, swap in
+    ``F.percentile_approx`` (KLL-like mergeable sketch) at the cost of
+    oracle exactness — same call shape.
+    """
+    col = F.col(value_col)
+    arr = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    names = [f"p{round(q * 100)}" for q in qs]
+    return (df.groupBy(*group_cols)
+            .agg(*[F.round(arr[i], scale).alias(n)
+                   for i, n in enumerate(names)],
+                 F.count(col).alias("n_values")))

@@ -1128,8 +1128,48 @@ GROUP BY p.term
 """
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal): per document, the
+    count and fraction of its 8-token windows that appear verbatim in
+    another document. No self-join — windows collapse to a (gram, doc) grid
+    keyed by md5, one window count marks cross-doc grams."""
+    docs = docs_t(spark, sf_dir)
+    return dedup.duplicate_ngram_spans(docs, n=8)
+
+
+SQL_DUP_NGRAM_SPANS = rf"""
+WITH {_TOKS_SQL.strip()},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+           THEN list_transform(range(1, len(w) - 6),
+                               i -> array_to_string(w[i:i+7], ' '))
+           ELSE [] END AS grams
+  FROM toks),
+grid AS (
+  SELECT doc_id, md5(gram) AS gh, CAST(COUNT(*) AS BIGINT) AS mult
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+  GROUP BY doc_id, gh),
+dup AS (
+  SELECT doc_id, CAST(SUM(mult) AS BIGINT) AS n_dup_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY gh) AS nd FROM grid)
+  WHERE nd > 1 GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN len(g.grams) > 0
+            THEN ROUND(CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
+                       / len(g.grams), 6)
+            ELSE 0.0 END AS dup_frac
+FROM g LEFT JOIN dup d USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "fingerprint_dupes": q_fingerprint_dupes,
     "minhash_neardup": q_minhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -1165,6 +1205,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
     "dedup_clusters": _sql_dedup_clusters(),

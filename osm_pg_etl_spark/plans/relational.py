@@ -529,6 +529,67 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile column profile per group (PERCENTILE_CONT
+    semantics both engines): the generalization of A3's median UDAF to the
+    p25/p50/p75/p90/p99 sweep a quality-threshold scan needs. One
+    map-side-combinable aggregate; memory O(distinct values per group)."""
+    from ..operators.stats import quantiles_by_group  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    return quantiles_by_group(li, ["l_returnflag"], "l_extendedprice")
+
+
+SQL_QUANTILE_PROFILE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n_values
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase gets the most recent prior-or-equal
+    click's (event_id, ts, value) per user — the feature-store backfill
+    primitive.  Union-trick plan: one exchange on user_id + one in-partition
+    sort, zero joins (``operators/asof.py``); the oracle replays the same
+    construction with LAST_VALUE IGNORE NULLS."""
+    from ..operators.asof import asof_join  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    return asof_join(ev.filter(F.col("event_type") == "purchase"),
+                     ev.filter(F.col("event_type") == "click"),
+                     on="user_id")
+
+
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id AS k, ts AS uts, 0 AS m, event_id AS ord,
+         event_id AS asof_event_id, ts AS asof_ts, value AS asof_value,
+         CAST(NULL AS BIGINT) AS lid, CAST(NULL AS TIMESTAMP) AS lts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, event_id,
+         NULL, NULL, NULL, event_id, ts
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT k, m, lid, lts,
+         LAST_VALUE(asof_event_id IGNORE NULLS) OVER win AS asof_event_id,
+         LAST_VALUE(asof_ts IGNORE NULLS) OVER win AS asof_ts,
+         LAST_VALUE(asof_value IGNORE NULLS) OVER win AS asof_value
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY uts, m, ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT k AS user_id, lid AS event_id, lts AS ts,
+       asof_event_id, asof_ts, asof_value
+FROM w WHERE m = 1
+"""
+
+
 def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a hot key (l_returnflag: 3 values
     for 600k rows). Result is identical to the direct groupBy — the oracle
@@ -1038,6 +1099,8 @@ QUERIES = {
     "hll_users": q_hll_users,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
+    "asof_join": q_asof_join,
+    "quantile_profile": q_quantile_profile,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
@@ -1082,6 +1145,8 @@ ORACLES = {
     "hll_users": _sql_hll_users(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "quantile_profile": SQL_QUANTILE_PROFILE,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
