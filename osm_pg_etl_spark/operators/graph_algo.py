@@ -409,3 +409,40 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                 F.coalesce("component", F.col(id_col)).alias("cluster_id"))
             .withColumn("is_canonical",
                         (F.col(id_col) == F.col("cluster_id")).cast("boolean")))
+
+
+def k_core(edges: DataFrame, k: int = 2, src: str = "src", dst: str = "dst",
+           max_rounds: int = 30, return_rounds: bool = False):
+    """Nodes of the ``k``-core — the maximal subgraph where every node has
+    degree ≥ k — with their within-core degree: (node, core_deg).
+
+    Simultaneous peeling: each round drops *every* node whose current
+    degree is < k (and its incident edges) at once, so a pendant path of
+    length L peels in L/2 rounds, not L; on a topology-merged road graph
+    (degree-2 chains already contracted) the fixpoint lands in a handful
+    of rounds.  Per round: one groupBy-count on the node key + two
+    semi-joins on the same key — no new shuffle keys, AQE coalesces the
+    shrinking tail.  ``localCheckpoint`` truncates lineage per round
+    (cluster jobs would use a checkpoint dir); convergence is an edge-count
+    fixpoint (the edge set only shrinks, so count equality IS stability —
+    no hash needed).
+    """
+    e = symmetric_edges(edges, src, dst).localCheckpoint()
+    n_prev = e.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        e2 = (e.join(keep, "a", "left_semi")
+              .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+              .select("a", "b").localCheckpoint())
+        n = e2.count()
+        e = e2
+        rounds += 1
+        if n == n_prev:
+            break
+        n_prev = n
+    out = (e.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
+           .filter(F.col("core_deg") >= k)
+           .select(F.col("a").alias("node"), "core_deg"))
+    return (out, rounds) if return_rounds else out

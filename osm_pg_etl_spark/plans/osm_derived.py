@@ -691,6 +691,54 @@ def q_osm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+_KCORE_K, _KCORE_ROUNDS = 2, 6
+
+
+def q_osm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the undirected car graph (operators.graph_algo.k_core):
+    simultaneous peel of degree<2 nodes to a fixpoint — the cyclic skeleton
+    igraph's coreness() gives the reference workflow, computed natively.
+    The peel early-exits on the edge-count fixpoint; the oracle unrolls
+    _KCORE_ROUNDS peels (idempotent once converged, so extra rounds are
+    harmless — a test asserts convergence margin)."""
+    from ..operators.graph_algo import k_core
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+def _sql_osm_kcore(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+und0 AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
+  -- _sql_osm_betweenness)
+  SELECT DISTINCT a, b FROM (
+    SELECT start_node AS a, end_node AS b FROM merged
+      WHERE start_node != end_node
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE start_node != end_node))"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"und{i - 1}"
+        its.append(f""",
+deg{i} AS (SELECT a, COUNT(*) AS d FROM {p} GROUP BY a),
+und{i} AS MATERIALIZED (
+  SELECT u.a, u.b FROM {p} u
+  JOIN deg{i} da ON da.a = u.a AND da.d >= {k}
+  JOIN deg{i} db ON db.a = u.b AND db.d >= {k})""")
+    return head + "".join(its) + f"""
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM und{rounds} GROUP BY a HAVING COUNT(*) >= {k}
+"""
+
+
 SQL_OSM_TRIANGLES = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
                          _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
                          _MERGED_SQL).replace(
@@ -1759,6 +1807,7 @@ QUERIES = {
     "osm_harmonic": q_osm_harmonic,
     "osm_pagerank": q_osm_pagerank,
     "osm_triangles": q_osm_triangles,
+    "osm_kcore": q_osm_kcore,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -1797,6 +1846,7 @@ ORACLES = {
     "osm_harmonic": _sql_osm_harmonic(),
     "osm_pagerank": _sql_osm_pagerank(),
     "osm_triangles": SQL_OSM_TRIANGLES,
+    "osm_kcore": _sql_osm_kcore(),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

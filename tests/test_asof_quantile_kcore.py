@@ -1,0 +1,112 @@
+"""Hand-verifiable cases for the round-4 operators: as-of join,
+multi-quantile profile, duplicate n-gram spans, k-core peel."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.operators.asof import asof_join
+from osm_pg_etl_spark.operators.dedup import duplicate_ngram_spans
+from osm_pg_etl_spark.operators.graph_algo import k_core
+from osm_pg_etl_spark.operators.stats import quantiles_by_group
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: clicks at t=10 (id 100), t=20 (id 101); purchases at
+        # t=5 (before any click), t=20 (tie -> inclusive), t=30
+        (1, 100, _ts(10), "click", 1.0),
+        (1, 101, _ts(20), "click", 2.0),
+        (1, 200, _ts(5), "purchase", 9.0),
+        (1, 201, _ts(20), "purchase", 9.0),
+        (1, 202, _ts(30), "purchase", 9.0),
+        # user 2: two clicks at the SAME ts -> deterministic tie-break to
+        # the greater event_id
+        (2, 110, _ts(10), "click", 5.0),
+        (2, 111, _ts(10), "click", 6.0),
+        (2, 210, _ts(15), "purchase", 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+
+def test_asof_backward_inclusive(spark, events):
+    out = asof_join(events.filter(F.col("event_type") == "purchase"),
+                    events.filter(F.col("event_type") == "click"),
+                    on="user_id")
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    assert got == {200: None,   # no prior click
+                   201: 101,    # same-ts click included
+                   202: 101,
+                   210: 111}    # same-ts right tie -> max event_id
+
+
+def test_asof_tolerance(spark, events):
+    out = asof_join(events.filter(F.col("event_type") == "purchase"),
+                    events.filter(F.col("event_type") == "click"),
+                    on="user_id", tolerance_s=5.0)
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    # purchase 202 at t=30: click 101 at t=20 is 10 s stale -> voided;
+    # purchase 210's click is exactly 5 s old -> kept (inclusive bound)
+    assert got[202] is None and got[210] == 111 and got[201] == 101
+
+
+def test_quantiles_by_group(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)] + [("b", 10.0), ("b", 20.0)],
+        "g string, x double")
+    out = {r["g"]: r for r in
+           quantiles_by_group(df, ["g"], "x",
+                              qs=(0.25, 0.5, 0.75)).collect()}
+    # group a = 1..5: PERCENTILE_CONT -> p25=2, p50=3, p75=4
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
+    # group b = {10,20}: interpolation -> 12.5, 15, 17.5
+    assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p75"]) == (12.5, 15.0, 17.5)
+    assert out["a"]["n_values"] == 5
+
+
+def test_duplicate_ngram_spans(spark):
+    shared = "one two three four"          # the only cross-doc 4-gram
+    docs = [
+        (1, shared + " five"),             # windows: 2, dup: 1
+        (2, "zero " + shared),             # windows: 2, dup: 1
+        (3, "all unique words here now"),  # windows: 2, dup: 0
+        (4, "short text"),                 # < n tokens -> 0 windows
+    ]
+    out = {r["doc_id"]: r for r in
+           duplicate_ngram_spans(
+               spark.createDataFrame(docs, "doc_id long, text string"),
+               n=4).collect()}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (2, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (2, 1)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (2, 0)
+    assert (out[4]["n_windows"], out[4]["dup_frac"]) == (0, 0.0)
+    assert out[1]["dup_frac"] == 0.5
+
+
+def test_k_core_peels_pendants(spark):
+    # triangle 1-2-3 with a pendant path 3-4-5 and an isolated edge 6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7)],
+        "src long, dst long")
+    out, rounds = k_core(edges, k=2, max_rounds=10, return_rounds=True)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 2}      # only the triangle survives
+    assert rounds <= 4                     # simultaneous peel, not 1-by-1
+
+
+def test_k_core_fixpoint_idempotent(spark):
+    # already a 2-core: square 1-2-3-4 -> nothing peels, 1 round
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    out, rounds = k_core(edges, k=2, max_rounds=10, return_rounds=True)
+    assert rounds == 1 and out.count() == 4
