@@ -98,7 +98,16 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("term")) \
              .select(id_col, F.lower("term").alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: tf feeds BOTH the broadcast df_docs subtree and the scored
+    # join — without it the tokenize+aggregate scan runs twice (once under
+    # the BroadcastExchange, once in the main stage). MEMORY_AND_DISK so a
+    # large tf spills instead of recomputing. The single-scan alternative —
+    # a count() window partitioned BY TERM — measured faster at toy scale
+    # but shuffles the whole tf table on the term key, putting every
+    # document's "the" row on one reducer: exactly the skew a large corpus
+    # can't survive. Broadcast keeps the big side term-shuffle-free.
+    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
     # df_docs is vocabulary-sized — broadcast it back so the big tf table
     # is never shuffled by term (the r3 sort-merge join was 4-5x slower);
     # hot terms stay harmless: the groupBy's map-side combine collapses
