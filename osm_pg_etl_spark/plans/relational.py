@@ -529,6 +529,76 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_rolling_time_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling sum/count — a RANGE frame over
+    event-time seconds (W2 variant: value-based frame, not row-based; tie
+    timestamps are peers, so the result is order-independent; second
+    truncation is integer floor on both engines — epoch_us // 1e6 in the
+    oracle, never float epoch()). The batch
+    equivalent of a sliding stream aggregate, and the only window feature
+    class (RANGE BETWEEN) the ROWS-frame gates don't cover."""
+    ev = t(spark, sf_dir, "events")
+    # NTZ has no direct long cast; UTC session tz makes the epoch exact
+    # (same pattern as streaming.actions.interval_join), and long-cast
+    # truncation matches the oracle's epoch_us // 1e6 integer floor
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(sec)
+         .rangeBetween(-3600, 0))
+    dec = F.col("value").cast("decimal(28,6)")
+    return ev.select(
+        "event_id",
+        F.round(F.sum(dec).over(w).cast("double"), 4).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"))
+
+
+SQL_ROLLING_TIME_SUMS = """
+SELECT event_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 4) AS hour_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp values to the group's [p05, p95]
+    (exact PERCENTILE_CONT thresholds, rounded to 6 dp so both engines
+    clamp against bit-identical bounds) and report raw vs winsorized means
+    — the outlier-robust scoring pass a quality pipeline runs before
+    thresholding. Thresholds are a tiny per-group table broadcast back onto
+    the fact scan; no second shuffle of the big side."""
+    from ..operators.stats import quantiles_by_group  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    qs = quantiles_by_group(ev, ["event_type"], "value",
+                            qs=(0.05, 0.95), scale=6)
+    clamped = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return (ev.join(F.broadcast(qs), "event_type")
+            .groupBy("event_type")
+            .agg(davg("value").alias("mean_raw"),
+                 davg(clamped).alias("mean_winsorized"),
+                 F.first("p5").alias("lo"),
+                 F.first("p95").alias("hi"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_WINSORIZED_STATS = f"""
+WITH q AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.05), 6) AS lo,
+         ROUND(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       {sql_davg('e.value')} AS mean_raw,
+       {sql_davg('LEAST(GREATEST(e.value, q.lo), q.hi)')} AS mean_winsorized,
+       FIRST(q.lo) AS lo, FIRST(q.hi) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-quantile column profile per group (PERCENTILE_CONT
     semantics both engines): the generalization of A3's median UDAF to the
@@ -1101,6 +1171,8 @@ QUERIES = {
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,
     "quantile_profile": q_quantile_profile,
+    "rolling_time_sums": q_rolling_time_sums,
+    "winsorized_stats": q_winsorized_stats,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
@@ -1147,6 +1219,8 @@ ORACLES = {
     "interval_join": SQL_INTERVAL_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "quantile_profile": SQL_QUANTILE_PROFILE,
+    "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
+    "winsorized_stats": SQL_WINSORIZED_STATS,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
