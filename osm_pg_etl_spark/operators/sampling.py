@@ -146,3 +146,25 @@ def training_order(df: DataFrame, id_col: str = "doc_id",
     return (rn.join(F.broadcast(off), "_b")
             .select(id_col,
                     (F.col("_off") + F.col("_rn") - 1).alias("epoch_pos")))
+
+
+def per_group_sample(df: DataFrame, k: int, group_col: str = "lang",
+                     id_col: str = "doc_id", seed: int = 11) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen by hashed-id rank
+    — a *deterministic reservoir*: membership depends only on (id, seed)
+    order within the group, so re-runs, repartitions, and appends of other
+    groups never change a group's picks (appending to the SAME group can —
+    that is inherent to exact-k semantics).
+
+    One shuffle on the group key; the rank window's sort is per-group.
+    Skewed giant groups: rank's per-partition sort handles millions of rows
+    per group; for pathological single-group corpora pre-aggregate a
+    hash-bucket top-k first (same trick as functions.skew).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_uniform(id_col, seed), F.col(id_col)))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))

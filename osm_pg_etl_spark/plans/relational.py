@@ -529,6 +529,56 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: exactly min(k, |group|) docs per language by
+    hashed-id rank (operators.sampling.per_group_sample) — the 'give me 5
+    examples of every stratum' audit query, reproducible across re-runs and
+    repartitions."""
+    from ..operators.sampling import per_group_sample  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    return per_group_sample(docs, k=5, group_col="lang")
+
+
+SQL_PER_GROUP_SAMPLE = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each purchase
+    event becomes a version row with [valid_from, valid_to) from
+    consecutive event times per user — LEAD over one user-keyed window,
+    NULL valid_to marking the current row. The warehouse-ETL staple for
+    turning a change log into an interval table."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"))
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       value AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_rolling_time_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling sum/count — a RANGE frame over
     event-time seconds (W2 variant: value-based frame, not row-based; tie
@@ -1172,6 +1222,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "quantile_profile": q_quantile_profile,
     "rolling_time_sums": q_rolling_time_sums,
+    "per_group_sample": q_per_group_sample,
+    "scd2_history": q_scd2_history,
     "winsorized_stats": q_winsorized_stats,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
@@ -1220,6 +1272,8 @@ ORACLES = {
     "asof_join": SQL_ASOF_JOIN,
     "quantile_profile": SQL_QUANTILE_PROFILE,
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
+    "per_group_sample": SQL_PER_GROUP_SAMPLE,
+    "scd2_history": SQL_SCD2_HISTORY,
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
