@@ -529,6 +529,104 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — (flag, status), (flag), grand total — with
+    GROUPING marker columns; subtotals come from the same single shuffle as
+    the leaf groups (partial aggregation feeds every level)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"),
+                 F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+SQL_ROLLUP_COUNTS = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "refund")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event counts into one column per event type, per user bucket —
+    explicit value list so the schema is static (the scalable form: a
+    dynamic pivot would need a driver-side distinct first). Compiles to one
+    groupBy with conditional aggregates — a single shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy((F.col("user_id") % 100).alias("bucket"))
+            .pivot("event_type", list(_PIVOT_TYPES))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, list(_PIVOT_TYPES)))
+
+
+SQL_PIVOT_COUNTS = """
+SELECT user_id % 100 AS bucket,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'refund') AS BIGINT) AS refund
+FROM events GROUP BY 1
+"""
+
+
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family over one sorted partition pass:
+    rank / dense_rank / percent_rank / cume_dist / ntile(4) per supplier
+    ordered by balance — all five share a single window sort."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"),
+                                                  "s_suppkey")
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+SQL_RANK_FAMILY = """
+SELECT s_suppkey, s_nationkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (the U1-U2 complement): customers with orders
+    vs the full customer list, tagged and unioned — Spark plans both as
+    aggregate-dedup + hash semi/anti joins on the same key."""
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ordered = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = cust.intersect(ordered).select(F.lit("both").alias("tag"), "k")
+    never = cust.subtract(ordered) \
+                .select(F.lit("never").alias("tag"), "k")
+    return both.unionByName(never)
+
+
+SQL_SET_OPS = """
+SELECT 'both' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer
+  INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'never', k FROM (
+  SELECT c_custkey AS k FROM customer
+  EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
 def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic reservoir: exactly min(k, |group|) docs per language by
     hashed-id rank (operators.sampling.per_group_sample) — the 'give me 5
@@ -1223,6 +1321,10 @@ QUERIES = {
     "quantile_profile": q_quantile_profile,
     "rolling_time_sums": q_rolling_time_sums,
     "per_group_sample": q_per_group_sample,
+    "rollup_counts": q_rollup_counts,
+    "pivot_counts": q_pivot_counts,
+    "rank_family": q_rank_family,
+    "set_ops": q_set_ops,
     "scd2_history": q_scd2_history,
     "winsorized_stats": q_winsorized_stats,
     "session_window": q_session_window,
@@ -1273,6 +1375,10 @@ ORACLES = {
     "quantile_profile": SQL_QUANTILE_PROFILE,
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
     "per_group_sample": SQL_PER_GROUP_SAMPLE,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "pivot_counts": SQL_PIVOT_COUNTS,
+    "rank_family": SQL_RANK_FAMILY,
+    "set_ops": SQL_SET_OPS,
     "scd2_history": SQL_SCD2_HISTORY,
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "session_window": SQL_SESSION_WINDOW,
