@@ -36,6 +36,10 @@ HEADLINE = [
     "pack_positions",       # distributed prefix-sum packing (r3 fix)
     "osm_relation_members", # relations surface (r3)
     "osm_explore_summary",  # tags_summary catalog (r3)
+    "asof_join",            # point-in-time union-trick join (r4)
+    "dup_ngram_spans",      # exact substring-dup profile (r4)
+    "quantile_profile",     # exact multi-quantile aggregate (r4)
+    "rollup_counts",        # ROLLUP grouping-sets aggregate (r4)
 ]
 
 

@@ -344,27 +344,31 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     4. per-doc sums, left-joined back to every document (docs with no
        duplicated window report 0).
     """
-    grams = df.select(F.col(id_col),
-                      positioned_ngrams(text_col, n).alias("_g"))
-    per_doc = grams.select(id_col,
-                           F.size("_g").cast("long").alias("n_windows"))
-    grid = (grams.select(id_col, F.explode("_g").alias("_gram"))
+    grid = (df.select(F.col(id_col),
+                      F.explode(positioned_ngrams(text_col, n)).alias("_gram"))
             .select(id_col, md5_hex("_gram").alias("gh"))
             .groupBy("gh", id_col)
             .agg(F.count(F.lit(1)).alias("mult")))
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # per-gh doc count + per-doc totals both come from the one grid — the
+    # expensive tokenize/gram/md5 scan of the corpus runs exactly once.
+    # n_windows = sum of a doc's multiplicities; short docs (no window)
+    # re-enter via the left join from the narrow id scan.
     n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    dup = (grid.withColumn("_nd", n_docs)
-           .filter(F.col("_nd") > 1)
-           .groupBy(id_col)
-           .agg(F.sum("mult").alias("n_dup_windows"),
-                F.count(F.lit(1)).alias("n_dup_grams")))
-    return (per_doc.join(dup, id_col, "left")
-            .select(id_col, "n_windows",
+    marked = grid.withColumn("_nd", n_docs)
+    per_doc = (marked.groupBy(id_col)
+               .agg(F.sum("mult").alias("n_windows"),
+                    F.sum(F.when(F.col("_nd") > 1, F.col("mult"))
+                          .otherwise(F.lit(0))).alias("n_dup_windows"),
+                    F.count(F.when(F.col("_nd") > 1, F.lit(1)))
+                    .alias("n_dup_grams")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
                     F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
                     F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
-                    F.when(F.col("n_windows") > 0,
+                    F.when(F.coalesce("n_windows", F.lit(0)) > 0,
                            F.round(F.coalesce("n_dup_windows", F.lit(0))
                                    / F.col("n_windows"), 6))
                     .otherwise(F.lit(0.0)).alias("dup_frac")))
