@@ -411,6 +411,43 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                         (F.col(id_col) == F.col("cluster_id")).cast("boolean")))
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation, determinized
+    — the native replacement for the reference workflow's igraph
+    ``community_label_propagation()`` step (``osm-pg-etl.md:31-105``
+    exports the edge list precisely for analyses like this).
+
+    Every node starts with its own id as its label; each round every node
+    simultaneously adopts the most frequent label among its neighbours,
+    ties broken by the smallest label (classic LPA is randomized — the
+    (count DESC, label ASC) tie-break makes the result a pure function of
+    the edge set, so it is stable under partitioning and retries and
+    oracle-checkable). Fixed ``n_iter`` rounds rather than a convergence
+    test: LPA on near-clique communities stabilizes in a few rounds, and a
+    fixed unroll keeps the DuckDB oracle expressible.
+
+    Per round: one equi-join of the label table to the symmetric edge list
+    on the source key + one (node, label) count + one max_by per node —
+    all shuffles keyed on node id, so AQE reuses one exchange layout;
+    nothing is collected to the driver. Returns (node, community).
+    """
+    e = symmetric_edges(edges, src, dst).localCheckpoint()
+    labels = (e.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(n_iter):
+        counts = (e.join(labels.withColumnRenamed("id", "a"), "a")
+                  .groupBy(F.col("b").alias("id"), "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        # max over (c, -label): highest count wins, then smallest label
+        labels = (counts.groupBy("id")
+                  .agg(F.max_by("label",
+                                F.struct(F.col("c"), -F.col("label")))
+                       .alias("label")))
+    return labels.select(F.col("id").alias("node"),
+                         F.col("label").alias("community"))
+
+
 def k_core(edges: DataFrame, k: int = 2, src: str = "src", dst: str = "dst",
            max_rounds: int = 30, return_rounds: bool = False):
     """Nodes of the ``k``-core — the maximal subgraph where every node has

@@ -739,6 +739,59 @@ FROM und{rounds} GROUP BY a HAVING COUNT(*) >= {k}
 """
 
 
+_LPA_ITER = 4
+
+
+def q_osm_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    undirected car graph (operators.graph_algo.label_propagation) — the
+    native replacement for the reference's igraph community-detection step
+    (osm-pg-etl.md:31-105 exports the edge list for exactly this)."""
+    from ..operators.graph_algo import label_propagation
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    return label_propagation(edges, n_iter=_LPA_ITER)
+
+
+def _sql_osm_communities(n_iter: int = _LPA_ITER) -> str:
+    """Unrolled synchronous LPA: each round re-derives (node, label) via
+    neighbour label counts with the same (count DESC, label ASC) tie-break
+    the Spark max_by-struct uses."""
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+lund AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
+  -- _sql_osm_betweenness)
+  SELECT DISTINCT a, b FROM (
+    SELECT start_node AS a, end_node AS b FROM merged
+      WHERE start_node != end_node
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE start_node != end_node)),
+lbl0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM lund)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"lbl{i - 1}"
+        its.append(f""",
+cnt{i} AS (
+  SELECT e.b AS id, l.label, COUNT(*) AS c
+  FROM lund e JOIN {p} l ON l.id = e.a GROUP BY 1, 2),
+lbl{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY c DESC, label) AS rn
+    FROM cnt{i}) WHERE rn = 1)""")
+    return head + "".join(its) + f"""
+SELECT id AS node, label AS community FROM lbl{n_iter}
+"""
+
+
 SQL_OSM_TRIANGLES = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
                          _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
                          _MERGED_SQL).replace(
@@ -1808,6 +1861,7 @@ QUERIES = {
     "osm_pagerank": q_osm_pagerank,
     "osm_triangles": q_osm_triangles,
     "osm_kcore": q_osm_kcore,
+    "osm_communities": q_osm_communities,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -1847,6 +1901,7 @@ ORACLES = {
     "osm_pagerank": _sql_osm_pagerank(),
     "osm_triangles": SQL_OSM_TRIANGLES,
     "osm_kcore": _sql_osm_kcore(),
+    "osm_communities": _sql_osm_communities(),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

@@ -264,3 +264,58 @@ def test_personalized_pagerank_reference(spark):
     # node 4 is a sink reachable only via 3; node 5 gets nothing (no
     # in-edges, not a seed)
     assert got[5] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    from osm_pg_etl_spark.operators.graph_algo import label_propagation
+
+    # two 4-cliques {1..4} and {10..13} joined by one bridge edge 4-10:
+    # LPA must settle each clique on its minimum label and keep the
+    # bridge endpoints with their own cliques
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from osm_pg_etl_spark.operators.graph_algo import label_propagation
+
+    # single edge: after round 1 both nodes swap labels (1<-2's label=2,
+    # 2<-1's label=1); determinism requires the same result every run
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    a = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_matches_reference_sync_lpa(spark):
+    from osm_pg_etl_spark.operators.graph_algo import label_propagation
+
+    # reference implementation in plain Python: synchronous update, most
+    # frequent neighbour label, tie -> smallest label
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (3, 7),
+                 (7, 8), (8, 9), (9, 7)]
+    n_iter = 4
+    adj: dict[int, list[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v, ns in adj.items():
+            freq: dict[int, int] = {}
+            for n in ns:
+                freq[labels[n]] = freq.get(labels[n], 0) + 1
+            nxt[v] = min(l for l, c in freq.items()
+                         if c == max(freq.values()))
+        labels = nxt
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=n_iter).collect()}
+    assert got == labels
