@@ -627,6 +627,112 @@ SELECT 'never', k FROM (
 """
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping levels
+    including the column-only marginals ROLLUP can't produce — with
+    GROUPING markers; like ROLLUP, every level is fed by one partial
+    aggregation, so the whole lattice costs a single shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"),
+                 F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+SQL_CUBE_COUNTS = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): line
+    items below 20% of their part's average quantity, revenue per brand.
+    The correlated ``(SELECT AVG(...) WHERE l_partkey = p_partkey)`` is the
+    row-at-a-time trap; the scalable plan is one per-part aggregate joined
+    back — both engines compare against the same rounded-decimal threshold
+    so the float boundary is engine-portable."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg(davg("l_quantity").alias("aq")))
+    return (li.join(avg_qty, "l_partkey")
+            .join(part.select(F.col("p_partkey").alias("l_partkey"),
+                              "p_brand"), "l_partkey")
+            .filter(F.col("l_quantity").cast("decimal(28,6)")
+                    < F.round(F.col("aq") * 0.2, 6).cast("decimal(28,6)"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_below"),
+                 dsum("l_extendedprice").alias("revenue")))
+
+
+SQL_SCALAR_SUBQUERY = f"""
+WITH aq AS (
+  SELECT l_partkey, {sql_davg('l_quantity')} AS aq
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_below,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem l
+JOIN aq ON aq.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(28,6))
+      < CAST(ROUND(aq.aq * 0.2, 6) AS DECIMAL(28,6))
+GROUP BY p_brand
+"""
+
+
+_GAP_BUCKETS = 50
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: hourly event counts per user
+    bucket with *every* hour of each bucket's [min, max] range present —
+    missing hours get count 0 and carry the last observed hourly mean value
+    forward (``last(..., ignorenulls)`` over an ordered window). The hour
+    scaffold is generated distributed (sequence + explode per bucket), not
+    driver-side; one join on (bucket, hour) + one window sort."""
+    ev = t(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    per_hour = (ev.groupBy((F.col("user_id") % _GAP_BUCKETS).alias("bucket"),
+                           hour.alias("hour"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     davg("value").alias("mean_value")))
+    scaffold = (per_hour.groupBy("bucket")
+                .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+                .select("bucket",
+                        F.explode(F.sequence("h0", "h1")).alias("hour")))
+    w = (Window.partitionBy("bucket").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scaffold.join(per_hour, ["bucket", "hour"], "left")
+            .select("bucket", "hour",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.last("mean_value", ignorenulls=True).over(w)
+                    .alias("filled_value")))
+
+
+SQL_GAP_FILL = f"""
+WITH per_hour AS (
+  SELECT user_id % {_GAP_BUCKETS} AS bucket,
+         CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n, {sql_davg('value')} AS mean_value
+  FROM events GROUP BY 1, 2),
+scaffold AS (
+  SELECT bucket, UNNEST(GENERATE_SERIES(h0, h1)) AS hour FROM (
+    SELECT bucket, MIN(hour) AS h0, MAX(hour) AS h1
+    FROM per_hour GROUP BY bucket))
+SELECT s.bucket, s.hour, COALESCE(p.n, 0) AS n,
+       LAST_VALUE(p.mean_value IGNORE NULLS) OVER (
+         PARTITION BY s.bucket ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM scaffold s LEFT JOIN per_hour p
+  ON p.bucket = s.bucket AND p.hour = s.hour
+"""
+
+
 def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic reservoir: exactly min(k, |group|) docs per language by
     hashed-id rank (operators.sampling.per_group_sample) — the 'give me 5
@@ -1322,6 +1428,9 @@ QUERIES = {
     "rolling_time_sums": q_rolling_time_sums,
     "per_group_sample": q_per_group_sample,
     "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
+    "scalar_subquery": q_scalar_subquery,
+    "gap_fill": q_gap_fill,
     "pivot_counts": q_pivot_counts,
     "rank_family": q_rank_family,
     "set_ops": q_set_ops,
@@ -1376,6 +1485,9 @@ ORACLES = {
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
     "per_group_sample": SQL_PER_GROUP_SAMPLE,
     "rollup_counts": SQL_ROLLUP_COUNTS,
+    "cube_counts": SQL_CUBE_COUNTS,
+    "scalar_subquery": SQL_SCALAR_SUBQUERY,
+    "gap_fill": SQL_GAP_FILL,
     "pivot_counts": SQL_PIVOT_COUNTS,
     "rank_family": SQL_RANK_FAMILY,
     "set_ops": SQL_SET_OPS,
