@@ -65,20 +65,21 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else None
 
-    # One untimed pass over the whole set: the table warm-up above covers
-    # IO, but each query's first execution still pays whole-stage-codegen
-    # compilation + C2 JIT (~1.5s on an otherwise 0.3s aggregation, ~6s on
-    # the big topology plan). The timed pass below therefore measures the
-    # steady-state engine, not Janino. Recorded as "warm": true in the
-    # output so cross-round comparisons know the methodology.
-    for name in HEADLINE:
-        queries[name](spark, sf_dir) \
-            .write.format("noop").mode("overwrite").save()
-    # Drop the cached intermediates the warm pass built (derive_osm caches
-    # nodes/way_nodes): the timed pass must rebuild them inside the timed
-    # queries, exactly as previous rounds did — only the JIT stays warm.
-    spark.catalog.clearCache()
-
+    # Two untimed passes over the whole set: the table warm-up above covers
+    # IO, but each query's first execution pays whole-stage-codegen
+    # compilation and the first couple of executions pay tiered C2 JIT
+    # (measured: big plans run 2-3x slower on their first post-warm
+    # execution than on the third). The timed pass below therefore measures
+    # the steady-state engine, not Janino/C2. Recorded as "warm": true in
+    # the output so cross-round comparisons know the methodology.
+    for _ in range(2):
+        for name in HEADLINE:
+            queries[name](spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    # (clearCache above after each pass: the timed queries must rebuild
+    # derive_osm's cached nodes/way_nodes themselves — only the JIT stays
+    # warm, exactly as previous rounds.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -49,17 +49,20 @@ FEATURE_SCHEMA = StructType([
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id", kind: str = "image") -> DataFrame:
     """Deterministically synthesize a binary payload + metadata from a text
     column so multimodal plumbing is testable in this container (no real
-    media libraries / files available)."""
+    media libraries / files available). ``kind="video"`` rows get a
+    deterministic ``duration_ms`` so frame-sampling is exercisable."""
     content = F.encode(F.col(text_col), "utf-8").cast(BinaryType())
+    duration = ((F.length(text_col) % 5000) + 1500).cast("int") \
+        if kind == "video" else F.lit(None).cast("int")
     meta = F.struct(
-        F.lit("image").alias("kind"),
+        F.lit(kind).alias("kind"),
         F.lit("application/x-fake").alias("mime"),
         (F.length(text_col) % 640 + 1).cast("int").alias("width"),
         (F.length(text_col) % 480 + 1).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
+        duration.alias("duration_ms"),
     )
     return df.select(F.col(id_col), content.alias("content"), meta.alias("media_meta"))
 

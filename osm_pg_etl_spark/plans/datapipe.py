@@ -1012,6 +1012,34 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over fake video payloads: every document
+    becomes a video with deterministic duration; sample_frames emits one
+    row per 1000 ms offset with an md5 digest of the payload slice at that
+    offset (the stub for the real frame decode). Value-exact oracle:
+    documents text is ASCII, so the byte slices the Arrow batches hash are
+    reproducible as VARCHAR slices in SQL."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs, kind="video")
+    return multimodal.sample_frames(media, every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH media AS (
+  SELECT doc_id, text,
+         CAST(len(text) % 5000 + 1500 AS INT) AS duration_ms
+  FROM documents),
+offs AS (
+  SELECT doc_id, text,
+         UNNEST(GENERATE_SERIES(0, duration_ms - 1, 1000)) AS frame_ms
+  FROM media)
+SELECT doc_id, CAST(frame_ms AS INT) AS frame_ms,
+       md5(substring(text, (frame_ms % GREATEST(len(text), 1)) + 1, 64))
+         AS frame_hash
+FROM offs
+"""
+
+
 def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized cosine top-k: per-vector symmetric quantization
     (floor(x*s + 0.5), s = 127/max|x|), integer dot products. Fully
@@ -1198,6 +1226,7 @@ QUERIES = {
     "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
     "cms_terms": q_cms_terms,
     "similarity_quantized_topk": q_similarity_quantized_topk,
@@ -1234,6 +1263,7 @@ ORACLES = {
     "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),
     "cms_terms": _sql_cms_terms(),
     "similarity_quantized_topk": _sql_quantized_topk(),

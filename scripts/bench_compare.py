@@ -49,14 +49,16 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
             read_testdata(spark, sf_dir, t).count()  # warm both engines
 
-    # Symmetric untimed warm pass (same methodology as bench.py): Spark's
-    # first execution pays codegen + C2 JIT, DuckDB's warms the buffer
-    # pool; the timed loop below compares steady-state engines. Spark's
-    # cached intermediates are dropped so the timed queries rebuild them.
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        con.execute(oracles[name]).fetchall()
-    spark.catalog.clearCache()
+    # Symmetric untimed warm passes (same methodology as bench.py): Spark's
+    # first executions pay codegen + tiered C2 JIT (2-3x on big plans),
+    # DuckDB's warm the buffer pool; the timed loop below compares
+    # steady-state engines. Spark's cached intermediates are dropped so the
+    # timed queries rebuild them.
+    for _ in range(2):
+        for name in HEADLINE:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            con.execute(oracles[name]).fetchall()
+        spark.catalog.clearCache()
 
     tot_s = tot_d = 0.0
     per_query: dict[str, dict[str, float]] = {}

@@ -40,3 +40,28 @@ def test_extract_features_schema_and_values(spark):
 def test_sample_frames_null_duration_yields_one_frame(spark):
     frames = sample_frames(_media(spark)).collect()
     assert {(f["doc_id"], f["frame_ms"]) for f in frames} == {(1, 0), (2, 0)}
+
+
+def test_attach_fake_video_duration_and_frame_schedule(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "x" * 500), (2, "short")],
+                                 "doc_id long, text string")
+    media = attach_fake_media(docs, kind="video")
+    metas = {r["doc_id"]: r["media_meta"] for r in media.collect()}
+    assert metas[1]["kind"] == "video"
+    assert metas[1]["duration_ms"] == 500 % 5000 + 1500
+    assert metas[2]["duration_ms"] == 5 % 5000 + 1500
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f["doc_id"], []).append(f)
+    # duration 2000 -> offsets 0,1000; duration 1505 -> offsets 0,1000
+    assert sorted(f["frame_ms"] for f in by_doc[1]) == [0, 1000]
+    assert sorted(f["frame_ms"] for f in by_doc[2]) == [0, 1000]
+    # digest is md5 of the payload slice at offset % len
+    payload = b"x" * 500
+    want = hashlib.md5(payload[0:64]).hexdigest()
+    got = next(f["frame_hash"] for f in by_doc[1] if f["frame_ms"] == 0)
+    assert got == want
