@@ -1416,10 +1416,82 @@ SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 10 = 7
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-status
+    (count, exact-decimal sum) aggregate is maintained from the mutable
+    table's change feed instead of a full rescan — retract the old row of
+    every update/delete, apply the new row of every update/insert, add the
+    deltas to the stored base aggregate. Decimal arithmetic makes the
+    refresh EXACTLY equal to recomputing from scratch (the oracle does the
+    recompute), and the change feed is manifest-pruned, so refresh cost
+    scales with the mutation, not the table."""
+    import shutil  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
+    from ..sources.mutable import MutableTable  # noqa: PLC0415
+
+    orders = t(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    path = (Path(__file__).resolve().parents[2]
+            / "spark-warehouse" / "_incr_agg_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    tab = MutableTable(spark, str(path), key="o_orderkey").create(orders)
+    # the maintained view, computed once at version 0 (exact decimal sum)
+    base = (tab.read(version=0)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec(F.col("o_totalprice"))).alias("s")))
+    # the same mutation batch as q_mutable_diff
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    tab.merge(upd.unionByName(ins))
+    tab.delete(F.col("o_orderkey") % 10 == 7)
+
+    ch = tab.snapshot_changes(0)
+    retract = (ch.filter(F.col("change").isin("update", "delete"))
+               .select(F.col("old.o_orderstatus").alias("o_orderstatus"),
+                       F.lit(-1).cast("long").alias("dn"),
+                       (-dec(F.col("old.o_totalprice"))).alias("ds")))
+    apply_ = (ch.filter(F.col("change").isin("update", "insert"))
+              .select(F.col("new.o_orderstatus").alias("o_orderstatus"),
+                      F.lit(1).cast("long").alias("dn"),
+                      dec(F.col("new.o_totalprice")).alias("ds")))
+    delta = (retract.unionByName(apply_)
+             .groupBy("o_orderstatus")
+             .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds")))
+    return (base.join(delta, "o_orderstatus", "full_outer")
+            .select("o_orderstatus",
+                    (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                    .alias("n_orders"),
+                    F.round((F.coalesce(F.col("s"), F.lit(0).cast(
+                        "decimal(28,6)"))
+                        + F.coalesce(F.col("ds"), F.lit(0).cast(
+                            "decimal(28,6)"))).cast("double"), 4)
+                    .alias("total_price"))
+            .filter(F.col("n_orders") > 0))
+
+
+SQL_INCREMENTAL_AGG = """
+WITH final AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice * 2
+  FROM orders WHERE o_orderkey % 10 = 3)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE), 4)
+         AS total_price
+FROM final GROUP BY o_orderstatus
+"""
+
 
 QUERIES = {
     "mutable_merge": q_mutable_merge,
     "mutable_diff": q_mutable_diff,
+    "incremental_agg": q_incremental_agg,
     "hll_users": q_hll_users,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
@@ -1477,6 +1549,7 @@ QUERIES = {
 ORACLES = {
     "mutable_merge": SQL_MUTABLE_MERGE,
     "mutable_diff": SQL_MUTABLE_DIFF,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     "hll_users": _sql_hll_users(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,

@@ -126,13 +126,17 @@ class MutableTable:
             out = out.unionByName(p)
         return out.drop(_BUCKET)
 
-    def snapshot_diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
-        """CDC between two snapshots: one row per changed key with
-        ``change`` ∈ insert | update | delete. Manifest-pruned: a bucket
-        owned by the same data version in both manifests cannot differ and
-        is never scanned — a diff after a point mutation reads only the
-        rewritten buckets, not the table. The remaining buckets full-outer
-        join on the key and compare the whole row null-safely."""
+    def snapshot_changes(self, v_from: int,
+                         v_to: int | None = None) -> DataFrame:
+        """CDC between two snapshots *with row payloads*: one row per
+        changed key with ``change`` ∈ insert | update | delete plus the
+        full ``old``/``new`` row structs — the retract/apply feed an
+        incremental view-maintenance pass consumes. Manifest-pruned: a
+        bucket owned by the same data version in both manifests cannot
+        differ and is never scanned — a diff after a point mutation reads
+        only the rewritten buckets, not the table. The remaining buckets
+        full-outer join on the key and compare the whole row
+        null-safely."""
         v_to = self.latest_version() if v_to is None else v_to
         mf = self._read_manifest(v_from)
         mt = self._read_manifest(v_to)
@@ -148,8 +152,13 @@ class MutableTable:
                   .when(F.col("_o").isNull(), F.lit("insert"))
                   .when(~F.col("_o").eqNullSafe(F.col("_n")),
                         F.lit("update")))
-        return (j.select(self.key, change.alias("change"))
+        return (j.select(self.key, change.alias("change"),
+                         F.col("_o").alias("old"), F.col("_n").alias("new"))
                 .filter(F.col("change").isNotNull()))
+
+    def snapshot_diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Key-level CDC: :meth:`snapshot_changes` without the payloads."""
+        return self.snapshot_changes(v_from, v_to).select(self.key, "change")
 
     def _mutate(self, touched: DataFrame,
                 rewrite: Callable[[DataFrame], DataFrame]) -> "MutableTable":

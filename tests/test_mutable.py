@@ -164,3 +164,29 @@ def test_snapshot_diff_prunes_and_classifies(spark, tmp_path):
     # diff of identical versions is empty and scans nothing
     assert tab.snapshot_diff(tab.latest_version(),
                              tab.latest_version()).count() == 0
+
+
+def test_snapshot_changes_carries_payloads(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.sources.mutable import MutableTable
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(1, 21)],
+        "k long, s string, x long")
+    tab = MutableTable(spark, str(tmp_path / "t"), key="k",
+                       n_buckets=8).create(base)
+    tab.merge(spark.createDataFrame(
+        [(3, "v3", 999), (100, "new", 0)], "k long, s string, x long"))
+    tab.delete(F.col("k") == 7)
+    ch = {r["k"]: r for r in tab.snapshot_changes(0).collect()}
+    assert set(ch) == {3, 100, 7}
+    upd = ch[3]
+    assert upd["change"] == "update"
+    assert upd["old"]["x"] == 30 and upd["new"]["x"] == 999
+    ins = ch[100]
+    assert ins["change"] == "insert" and ins["old"] is None
+    assert ins["new"]["s"] == "new"
+    dele = ch[7]
+    assert dele["change"] == "delete" and dele["new"] is None
+    assert dele["old"]["x"] == 70
