@@ -504,6 +504,29 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup on its batch path
+    (streaming.actions.enriched_window_counts): events join the broadcast
+    customer dimension, then tumbling hourly counts per market segment.
+    The streaming variant is stateless at the join (static side re-planned
+    per micro-batch) — the only state is the window agg."""
+    from ..streaming.actions import enriched_window_counts  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    return enriched_window_counts(ev, cust)
+
+
+SQL_STREAM_ENRICH = """
+SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution within 10 minutes per user — the
     stream-stream interval join run on its batch path (same plan shape the
@@ -1495,6 +1518,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
+    "stream_enrich": q_stream_enrich,
     "asof_join": q_asof_join,
     "quantile_profile": q_quantile_profile,
     "rolling_time_sums": q_rolling_time_sums,
@@ -1553,6 +1577,7 @@ ORACLES = {
     "hll_users": _sql_hll_users(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
+    "stream_enrich": SQL_STREAM_ENRICH,
     "asof_join": SQL_ASOF_JOIN,
     "quantile_profile": SQL_QUANTILE_PROFILE,
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,

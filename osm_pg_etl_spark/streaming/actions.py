@@ -259,6 +259,37 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "n_events", "sum_value"))
 
 
+def enriched_window_counts(events: DataFrame, dim: DataFrame,
+                           key: str = "user_id",
+                           dim_key: str = "c_custkey",
+                           attr: str = "c_mktsegment",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event joins a
+    *static* dimension table on ``key`` (the classic "enrich the click
+    stream with the customer segment" step), then tumbling event-time
+    counts per dimension attribute.
+
+    A stream-static equi-join is stateless in Structured Streaming — the
+    static side is simply re-planned into every micro-batch — and the
+    small dimension is broadcast, so the streaming side is never shuffled
+    by the join at all; the only stateful operator is the window aggregate
+    behind the watermark. Identical plan shape on batch inputs.
+    """
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    d = dim.select(F.col(dim_key).alias(key), attr)
+    joined = src.join(F.broadcast(d), key)
+    return (joined.groupBy(F.window("ts", window).alias("w"),
+                           attr)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(20,6)"))
+                         .cast("double"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), attr,
+                    "n_events", "sum_value"))
+
+
 def interval_join(left: DataFrame, right: DataFrame,
                   key: str = "user_id", ts_col: str = "ts",
                   within: str = "10 minutes",

@@ -353,3 +353,44 @@ def test_interval_join_streaming_matches_batch(spark):
                                             within="10 minutes").collect()}
         assert stream_got == batch_got == {(1, 1.0, 9.0, 240.0),
                                            (1, 2.0, 8.0, 420.0)}
+
+
+def test_enriched_window_counts_stream_matches_batch(spark):
+    import os
+    import tempfile
+
+    from osm_pg_etl_spark.streaming.actions import enriched_window_counts
+
+    events = spark.createDataFrame(
+        [("2026-01-01 00:10:00", 1, 1.0),
+         ("2026-01-01 00:20:00", 2, 2.0),
+         ("2026-01-01 01:10:00", 1, 4.0)],
+        "ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = spark.createDataFrame(
+        [(1, "MACHINERY"), (2, "HOUSEHOLD")],
+        "c_custkey long, c_mktsegment string")
+
+    batch = {(str(r["window_start"]), r["c_mktsegment"]):
+             (r["n_events"], r["sum_value"])
+             for r in enriched_window_counts(events, dim).collect()}
+    assert batch == {
+        ("2026-01-01 00:00:00", "MACHINERY"): (1, 1.0),
+        ("2026-01-01 00:00:00", "HOUSEHOLD"): (1, 2.0),
+        ("2026-01-01 01:00:00", "MACHINERY"): (1, 4.0),
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = enriched_window_counts(stream, dim)
+        q = (out.writeStream.format("memory").queryName("enrich")
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(str(r["window_start"]), r["c_mktsegment"]):
+               (r["n_events"], r["sum_value"])
+               for r in spark.table("enrich").collect()}
+        assert got == batch
