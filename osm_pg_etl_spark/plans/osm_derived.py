@@ -947,19 +947,27 @@ def q_osm_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
+def derive_ways_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-free (id, tags) projection of the ways table: tags are a
+    pure function of the way id, so consumers that never touch
+    nodes/linestring skip the whole array-assembly join — the column
+    pruning Catalyst cannot do through the collect_list aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    way_ids = li.select(F.col("l_orderkey").alias("id")).distinct()
+    key = F.col("o_orderkey")
+    return (orders.select(key.alias("id"),
+                          _tags_map(_way_tag_exprs(key)).alias("tags"))
+            .join(way_ids, "id", "left_semi"))
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
     assembly is pure column pruning the join would otherwise defeat)."""
     from ..functions.maps import tag_get
 
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    way_ids = li.select(F.col("l_orderkey").alias("id")).distinct()
-    key = F.col("o_orderkey")
-    ways_tags = (orders.select(key.alias("id"),
-                               _tags_map(_way_tag_exprs(key)).alias("tags"))
-                 .join(way_ids, "id", "left_semi"))
+    ways_tags = derive_ways_tags(spark, sf_dir)
     net = (ways_tags.filter(tag_get("tags", "highway").isNotNull())
            .select(F.col("id").alias("edge_id"), "tags",
                    tag_get("tags", "highway").alias("highway"),
@@ -1750,10 +1758,14 @@ def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tags import tags_summary_catalog
 
     d = derive_osm(spark, sf_dir)
-    # measured: caching the shared ways-tags projection costs more (a
-    # materialization barrier) than letting the five branches recompute the
-    # column-pruned assembly from the cached way_nodes base — keep lazy
-    cat = tags_summary_catalog(d["nodes"], d["ways"])
+    # the four ways branches only read tags, so feed the geometry-free
+    # (id, tags) projection — no collect_list assembly — and cache it: it
+    # is one (id, map) row per way (tiny vs the array-carrying ways table,
+    # whose cache measured as a net loss here), and the semi-join against
+    # way_nodes then runs once instead of once per branch (mirrors the
+    # oracle's wtags∩wn CTE)
+    cat = tags_summary_catalog(d["nodes"],
+                               derive_ways_tags(spark, sf_dir).cache())
     lit = F.lit
 
     def shaped(name: str, tag_col, value_col) -> DataFrame:
