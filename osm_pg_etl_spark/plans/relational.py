@@ -552,6 +552,39 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: first-order Markov transition matrix of the event
+    stream — per-user time-ordered lag pairs (prev_type → type), counted
+    globally with the mean inter-event gap. One window sort per user key +
+    one aggregation; the microsecond epoch diff is integer-exact in both
+    engines, so the decimal mean matches to the digit."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        ((us - F.lag(us).over(w)) / 1_000_000.0).alias("gap_s"))
+    return (pairs.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 davg("gap_s").alias("mean_gap_s")))
+
+
+SQL_EVENT_TRANSITIONS = f"""
+WITH pairs AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER w AS prev_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_davg('gap_s')} AS mean_gap_s
+FROM pairs WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals — (flag, status), (flag), grand total — with
     GROUPING marker columns; subtotals come from the same single shuffle as
@@ -1523,6 +1556,7 @@ QUERIES = {
     "quantile_profile": q_quantile_profile,
     "rolling_time_sums": q_rolling_time_sums,
     "per_group_sample": q_per_group_sample,
+    "event_transitions": q_event_transitions,
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
     "scalar_subquery": q_scalar_subquery,
@@ -1582,6 +1616,7 @@ ORACLES = {
     "quantile_profile": SQL_QUANTILE_PROFILE,
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
     "per_group_sample": SQL_PER_GROUP_SAMPLE,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "cube_counts": SQL_CUBE_COUNTS,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
