@@ -672,6 +672,43 @@ FROM c
 """
 
 
+_BATCH_BUDGET = 4096
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed fixed-shape batching (text.length_batches): docs in
+    power-of-two token-length buckets, each bucket cut in id order into
+    batches whose padded footprint fits the token budget — the padded-batch
+    layout for variable-length training, with the within-bucket rank built
+    on the skew-free range-chunk prefix sum (no per-bucket global
+    window)."""
+    docs = docs_t(spark, sf_dir)
+    return text.length_batches(docs, budget=_BATCH_BUDGET)
+
+
+def _sql_length_batches(budget: int = _BATCH_BUDGET) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(LOG2(GREATEST(n_tokens, 1))) AS INT) AS bucket
+  FROM w),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rnk,
+         GREATEST({budget} // (1 << (bucket + 1)), 1) AS docs_per_batch
+  FROM b)
+SELECT doc_id, n_tokens, bucket,
+       CAST(rnk // docs_per_batch AS BIGINT) AS batch_in_bucket,
+       CAST(docs_per_batch AS BIGINT) AS docs_per_batch
+FROM r
+"""
+
+
 _CHUNK, _CHUNK_STRIDE = 16, 12
 
 
@@ -1216,6 +1253,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "chunk_documents": q_chunk_documents,
     "pack_positions": q_pack_positions,
+    "length_batches": q_length_batches,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
@@ -1253,6 +1291,7 @@ ORACLES = {
     "repetition_signals": _sql_repetition(),
     "chunk_documents": _sql_chunk(),
     "pack_positions": _sql_pack(),
+    "length_batches": _sql_length_batches(),
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),

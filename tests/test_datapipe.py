@@ -505,3 +505,31 @@ def test_training_order_dense_and_deterministic(spark):
     c = {r["doc_id"]: r["epoch_pos"]
          for r in training_order(docs, seed=14, num_buckets=8).collect()}
     assert a != c
+
+
+def test_length_batches_budget_and_determinism(spark):
+    from osm_pg_etl_spark.operators.text import length_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([1, 2, 3, 5, 8, 9, 15, 16, 31, 33, 100, 120])],
+        "doc_id long, text string")
+    out = length_batches(docs, budget=64).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # bucket = floor(log2(n)); batch footprint docs_per_batch * 2^(b+1) <= budget
+    for r in out:
+        assert r["bucket"] == max(r["n_tokens"], 1).bit_length() - 1
+        assert r["docs_per_batch"] * (1 << (r["bucket"] + 1)) <= 64 \
+            or r["docs_per_batch"] == 1
+    # docs 8,9,15 share bucket 3 -> docs_per_batch = 64 // 16 = 4, one batch
+    b3 = [r for r in out if r["bucket"] == 3]
+    assert len(b3) == 3 and all(r["batch_in_bucket"] == 0 for r in b3)
+    assert all(r["docs_per_batch"] == 4 for r in b3)
+    # bucket 6 (100, 120): 64 // 128 = 0 -> clamped to 1 doc per batch
+    b6 = sorted((r["doc_id"], r["batch_in_bucket"]) for r in out
+                if r["bucket"] == 6)
+    assert [b for _, b in b6] == [0, 1]
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in length_batches(docs, budget=64).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == \
+        {k: tuple(v) for k, v in again.items()}
