@@ -372,3 +372,34 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                            F.round(F.coalesce("n_dup_windows", F.lit(0))
                                    / F.col("n_windows"), 6))
                     .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+def fuzzy_value_pairs(df: DataFrame, value_col: str,
+                      max_dist: int = 3) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join for entity resolution: the
+    near-matching pairs of *distinct* values of ``value_col``, with each
+    value's row support.
+
+    Scale shape: fuzzy matching runs on the distinct-value domain (the
+    vocabulary — usually orders of magnitude smaller than the row count),
+    never on rows; candidate pairs come from an equi-join on a blocking
+    key (the first whitespace token), so the quadratic Levenshtein stage
+    is confined to each block instead of all-pairs. This is the standard
+    blocking design of record-linkage systems; swap the block key for
+    phonetic/prefix keys as the domain requires.
+
+    Returns (name_a, name_b, dist, n_a, n_b) with name_a < name_b.
+    """
+    vals = (df.groupBy(F.col(value_col).alias("name"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("blk", F.split("name", " ")[0]))
+    a = vals.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"),
+                    "blk")
+    b = vals.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"),
+                    "blk")
+    return (a.join(b, "blk")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= max_dist)
+            .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"),
+                    "n_a", "n_b"))

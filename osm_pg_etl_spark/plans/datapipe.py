@@ -672,6 +672,28 @@ FROM c
 """
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution (dedup.fuzzy_value_pairs):
+    near-matching distinct part names with row support — fuzzy matching on
+    the vocabulary domain, candidates confined to first-token blocks."""
+    from ..operators.dedup import fuzzy_value_pairs
+
+    return fuzzy_value_pairs(t(spark, sf_dir, "part"), "p_name", max_dist=3)
+
+
+SQL_FUZZY_PAIRS = """
+WITH v AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+         string_split(p_name, ' ')[1] AS blk
+  FROM part GROUP BY p_name)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
 _BATCH_BUDGET = 4096
 
 
@@ -1254,6 +1276,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_positions": q_pack_positions,
     "length_batches": q_length_batches,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
@@ -1292,6 +1315,7 @@ ORACLES = {
     "chunk_documents": _sql_chunk(),
     "pack_positions": _sql_pack(),
     "length_batches": _sql_length_batches(),
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),
