@@ -116,6 +116,7 @@ def run_centrality(k: int) -> None:
     linearly in edges per iteration."""
     from osm_pg_etl_spark.operators.graph_algo import (
         betweenness,
+        label_propagation,
         pagerank,
         symmetric_edges,
     )
@@ -140,8 +141,11 @@ def run_centrality(k: int) -> None:
     t1 = time.perf_counter()
     pagerank(edges, n_iter=5).write.format("noop").mode("overwrite").save()
     t2 = time.perf_counter()
+    label_propagation(edges, n_iter=4) \
+        .write.format("noop").mode("overwrite").save()
+    t3 = time.perf_counter()
     print(f"k={k:>2}  edges={n_edges:>8}  betweenness={t1 - t0:6.1f}s  "
-          f"pagerank={t2 - t1:6.1f}s", flush=True)
+          f"pagerank={t2 - t1:6.1f}s  lpa={t3 - t2:6.1f}s", flush=True)
     spark.catalog.clearCache()
 
 
