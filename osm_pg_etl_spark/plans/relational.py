@@ -552,6 +552,80 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (the REGR_SLOPE/REGR_R2 family): fit
+    value ~ hours-since-epoch-start per event type from the five moment
+    sums (n, Σx, Σy, Σxy, Σx²) in ONE map-side-combinable aggregation —
+    no second pass, no collect. The moments are exact decimals, so slope /
+    intercept / r² match the oracle to the rounded digit."""
+    ev = t(spark, sf_dir, "events")
+    # x/y and their products are IEEE doubles (bit-identical across
+    # engines for the same op sequence); each product is cast to decimal
+    # ONLY for the sum, so aggregation order can't perturb the moments.
+    # x is rebased to hours since 2024-01-01 and the casts stay at scale 6
+    # (the repo's dsum convention): DuckDB's double->decimal cast goes
+    # through a double multiply by 10^scale, so value_digits + scale must
+    # stay well under double precision for the two engines to round alike.
+    x = ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.lit(1_704_067_200_000_000)) / F.lit(3_600_000_000.0))
+    y = F.col("value")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    agg = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("decimal(28,6)").alias("n"),
+                F.sum(dec(x)).alias("sx"), F.sum(dec(y)).alias("sy"),
+                F.sum(dec(x * y)).alias("sxy"),
+                F.sum(dec(x * x)).alias("sxx"),
+                F.sum(dec(y * y)).alias("syy")))
+    # every moment is an exact decimal; cast each to double ONCE and do
+    # the combining arithmetic in IEEE double with a fixed op order, so
+    # both engines execute the identical float sequence
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select("event_type",
+                      F.col("n").cast("long").alias("n"),
+                      F.round(slope, 6).alias("slope"),
+                      F.round(intercept, 6).alias("intercept"),
+                      F.round(r2, 6).alias("r2"))
+
+
+SQL_GROUP_REGRESSION = """
+WITH m0 AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(28,6)) AS n0,
+         SUM(CAST((epoch_us(ts) - 1704067200000000) / 3600000000.0
+                  AS DECIMAL(28,6))) AS sx0,
+         SUM(CAST(value AS DECIMAL(28,6))) AS sy0,
+         SUM(CAST(((epoch_us(ts) - 1704067200000000) / 3600000000.0) * value
+                  AS DECIMAL(28,6))) AS sxy0,
+         SUM(CAST(((epoch_us(ts) - 1704067200000000) / 3600000000.0)
+                  * ((epoch_us(ts) - 1704067200000000) / 3600000000.0)
+                  AS DECIMAL(28,6))) AS sxx0,
+         SUM(CAST(value * value AS DECIMAL(28,6))) AS syy0
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, n0,
+         CAST(n0 AS DOUBLE) AS n, CAST(sx0 AS DOUBLE) AS sx,
+         CAST(sy0 AS DOUBLE) AS sy, CAST(sxy0 AS DOUBLE) AS sxy,
+         CAST(sxx0 AS DOUBLE) AS sxx, CAST(syy0 AS DOUBLE) AS syy
+  FROM m0)
+SELECT event_type, CAST(n0 AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining: first-order Markov transition matrix of the event
     stream — per-user time-ordered lag pairs (prev_type → type), counted
@@ -1557,6 +1631,7 @@ QUERIES = {
     "rolling_time_sums": q_rolling_time_sums,
     "per_group_sample": q_per_group_sample,
     "event_transitions": q_event_transitions,
+    "group_regression": q_group_regression,
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
     "scalar_subquery": q_scalar_subquery,
@@ -1617,6 +1692,7 @@ ORACLES = {
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
     "per_group_sample": SQL_PER_GROUP_SAMPLE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "group_regression": SQL_GROUP_REGRESSION,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "cube_counts": SQL_CUBE_COUNTS,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
