@@ -40,6 +40,10 @@ HEADLINE = [
     "dup_ngram_spans",      # exact substring-dup profile (r4)
     "quantile_profile",     # exact multi-quantile aggregate (r4)
     "rollup_counts",        # ROLLUP grouping-sets aggregate (r4)
+    "osm_communities",      # label-propagation communities (r4)
+    "gap_fill",             # time-series gap fill + forward fill (r4)
+    "length_batches",       # length-bucketed batch assignment (r4)
+    "group_regression",     # one-pass per-group OLS moments (r4)
 ]
 
 

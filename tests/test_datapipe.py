@@ -533,3 +533,31 @@ def test_length_batches_budget_and_determinism(spark):
     again = {r["doc_id"]: r for r in length_batches(docs, budget=64).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == \
         {k: tuple(v) for k, v in again.items()}
+
+
+def test_gap_fill_scaffold_and_ffill(spark):
+    from osm_pg_etl_spark.plans.relational import q_gap_fill  # smoke import
+    from pyspark.sql import Window, functions as F
+
+    # direct mini-check of the construction: scaffold covers every hour in
+    # [min, max] per bucket, zeros for missing hours, forward-filled value
+    per_hour = spark.createDataFrame(
+        [(0, 100, 2, 1.5), (0, 103, 1, 9.0), (7, 200, 4, 2.0)],
+        "bucket long, hour long, n long, mean_value double")
+    scaffold = (per_hour.groupBy("bucket")
+                .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+                .select("bucket",
+                        F.explode(F.sequence("h0", "h1")).alias("hour")))
+    w = (Window.partitionBy("bucket").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (scaffold.join(per_hour, ["bucket", "hour"], "left")
+           .select("bucket", "hour",
+                   F.coalesce("n", F.lit(0)).alias("n"),
+                   F.last("mean_value", ignorenulls=True).over(w)
+                   .alias("filled")))
+    got = {(r["bucket"], r["hour"]): (r["n"], r["filled"])
+           for r in out.collect()}
+    assert got == {
+        (0, 100): (2, 1.5), (0, 101): (0, 1.5), (0, 102): (0, 1.5),
+        (0, 103): (1, 9.0), (7, 200): (4, 2.0),
+    }
