@@ -53,3 +53,35 @@ def test_oracle_has_no_hugeint_output(con, name, sql):
     assert not bad, (
         f"oracle {name!r} emits HUGEINT column(s) {bad}: wrap the integer "
         f"SUM in CAST(... AS BIGINT) so DuckDB matches Spark's int64")
+
+
+# --- high-scale decimal-cast lint (round 4) ---------------------------------
+#
+# DuckDB's double->decimal cast multiplies by 10^scale IN DOUBLE before
+# rounding, while Spark converts via exact BigDecimal; once |value|*10^scale
+# approaches 2^53 the engines round differently and value hashes diverge
+# (burned by group_regression's first draft at DECIMAL(38,12) over
+# hours-since-epoch ~4.7e5). Keep oracle decimal casts at the dsum
+# convention (scale <= 6) unless the cast input is exactly representable.
+_HIGH_SCALE_ALLOW = {
+    # float32-derived embedding components (24-bit mantissa, |x| <= ~1) and
+    # every consumer rounds before comparison — cast flips cannot surface
+    "similarity_ivf_topk",
+}
+
+
+@pytest.mark.parametrize("name,sql", _oracles(),
+                         ids=[n for n, _ in _oracles()])
+def test_oracle_decimal_casts_are_portable_scale(name, sql):
+    import re
+    if name in _HIGH_SCALE_ALLOW:
+        pytest.skip("documented exception (see _HIGH_SCALE_ALLOW)")
+    high = sorted({f"DECIMAL({p},{s})"
+                   for p, s in re.findall(r"DECIMAL\((\d+),\s*(\d+)\)",
+                                          sql, re.IGNORECASE)
+                   if int(s) >= 10})
+    assert not high, (
+        f"oracle {name!r} casts at non-portable decimal scale {high}: "
+        f"DuckDB's double->decimal goes through a 10^scale double multiply "
+        f"— rebase/shrink the value and cast at scale <= 6 (dsum "
+        f"convention), or add a documented exception")
