@@ -1294,6 +1294,50 @@ LIMIT 10
 """
 
 
+def q_join5_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region —
+    a 5-way join where the two facts (lineitem ⨝ orders) sort-merge on the
+    order key while every dimension (customer, supplier, nation⨝region)
+    broadcasts, including the Q5 signature predicate that the supplier and
+    the customer share a nation. One shuffle pair for the fact join + one
+    for the final aggregate; Catalyst pushes the region filter through the
+    nation join into the broadcast build sides."""
+    asia = (t(spark, sf_dir, "nation")
+            .join(t(spark, sf_dir, "region")
+                  .filter(F.col("r_name") == "ASIA"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+    cust = (t(spark, sf_dir, "customer")
+            .join(F.broadcast(asia),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_nationkey").alias("cn"), "n_name"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .filter(F.col("cn") == F.col("s_nationkey"))
+            .groupBy("n_name")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_JOIN5_REVENUE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
 # --- S9: change-feed batch MERGE (pgsnapshot actions semantics) --------------
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,6 +1688,7 @@ QUERIES = {
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
+    "join5_revenue": q_join5_revenue,
     "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
     "multi_group_count": q_multi_group_count,
@@ -1705,6 +1750,7 @@ ORACLES = {
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
+    "join5_revenue": SQL_JOIN5_REVENUE,
     "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,
     "multi_group_count": SQL_MULTI_GROUP_COUNT,
