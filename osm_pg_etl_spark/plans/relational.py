@@ -1338,6 +1338,35 @@ GROUP BY n_name
 """
 
 
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    including zero-order customers — LEFT OUTER join (so the COUNT(col)
+    null-skipping semantics matter) feeding two stacked aggregations.
+    Both aggs key small domains; the second input is already tiny."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+SQL_ORDER_COUNT_DIST = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
 # --- S9: change-feed batch MERGE (pgsnapshot actions semantics) --------------
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,6 +1718,7 @@ QUERIES = {
     "capped_sessions": q_capped_sessions,
     "join3_topk": q_join3_topk,
     "join5_revenue": q_join5_revenue,
+    "order_count_dist": q_order_count_dist,
     "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
     "multi_group_count": q_multi_group_count,
@@ -1751,6 +1781,7 @@ ORACLES = {
     "capped_sessions": SQL_CAPPED_SESSIONS,
     "join3_topk": SQL_JOIN3_TOPK,
     "join5_revenue": SQL_JOIN5_REVENUE,
+    "order_count_dist": SQL_ORDER_COUNT_DIST,
     "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,
     "multi_group_count": SQL_MULTI_GROUP_COUNT,
