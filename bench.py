@@ -44,6 +44,7 @@ HEADLINE = [
     "gap_fill",             # time-series gap fill + forward fill (r4)
     "length_batches",       # length-bucketed batch assignment (r4)
     "group_regression",     # one-pass per-group OLS moments (r4)
+    "join5_revenue",        # TPC-H Q5-shape 5-way join (r4)
 ]
 
 
