@@ -1367,6 +1367,95 @@ FROM per_cust GROUP BY c_count
 """
 
 
+_BANDS = ((0.0, 10.0, "low"), (10.0, 40.0, "mid"), (40.0, 75.0, "high"),
+          (75.0, 1e9, "extreme"))
+
+
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi banding join: events land in value bands via a broadcast
+    nested-loop join against a tiny in-memory band table — the class of
+    join (no equi key at all) that MUST keep its small side broadcast; the
+    big side streams through unshuffled and the aggregate is the only
+    exchange."""
+    ev = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(list(_BANDS), "lo double, hi double, band string")
+    return (ev.join(F.broadcast(bands),
+                    (F.col("value") >= F.col("lo"))
+                    & (F.col("value") < F.col("hi")))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 davg("value").alias("mean_value")))
+
+
+SQL_BAND_JOIN = f"""
+WITH bands(lo, hi, band) AS (VALUES
+  {", ".join(f"({lo!r}, {hi!r}, '{b}')" for lo, hi, b in _BANDS)})
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n, {sql_davg('value')} AS mean_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the four lineitem measures stacked into
+    (measure, value) rows, then per-measure stats — the wide→long
+    normalization every metrics store needs. Spark's ``stack`` expands
+    in-place (a narrow generate, no shuffle); the single aggregate is the
+    only exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.select(F.expr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount, 'tax', l_tax) AS (measure, value)"))
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total"),
+                 F.round(F.min("value"), 4).alias("min_value"),
+                 F.round(F.max("value"), 4).alias("max_value")))
+
+
+SQL_UNPIVOT_MEASURES = f"""
+WITH long AS (
+  SELECT measure, value FROM (
+    UNPIVOT (SELECT l_quantity AS quantity, l_extendedprice AS extendedprice,
+                    l_discount AS discount, l_tax AS tax FROM lineitem)
+    ON quantity, extendedprice, discount, tax
+    INTO NAME measure VALUE value))
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS total,
+       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+FROM long GROUP BY measure
+"""
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT): each nation's share of global
+    supplier balance — an aggregate plus an unpartitioned window total
+    over the already-tiny aggregate output (the window runs on ~25 rows,
+    never on the fact table). Exact decimal totals make the shares
+    engine-identical before rounding."""
+    s = t(spark, sf_dir, "supplier")
+    per_nation = (s.groupBy("s_nationkey")
+                  .agg(F.sum(F.col("s_acctbal").cast("decimal(28,6)"))
+                       .alias("bal")))
+    w = Window.partitionBy()
+    return (per_nation.select(
+        "s_nationkey",
+        F.round(F.col("bal").cast("double"), 4).alias("balance"),
+        F.round((F.col("bal").cast("double")
+                 / F.sum("bal").over(w).cast("double")), 6).alias("share")))
+
+
+SQL_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS bal
+  FROM supplier GROUP BY s_nationkey)
+SELECT s_nationkey, ROUND(CAST(bal AS DOUBLE), 4) AS balance,
+       ROUND(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE), 6)
+         AS share
+FROM per_nation
+"""
+
+
 # --- S9: change-feed batch MERGE (pgsnapshot actions semantics) --------------
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1808,9 @@ QUERIES = {
     "join3_topk": q_join3_topk,
     "join5_revenue": q_join5_revenue,
     "order_count_dist": q_order_count_dist,
+    "band_join": q_band_join,
+    "unpivot_measures": q_unpivot_measures,
+    "revenue_share": q_revenue_share,
     "cdc_apply": q_cdc_apply,
     "group_count": q_group_count,
     "multi_group_count": q_multi_group_count,
@@ -1782,6 +1874,9 @@ ORACLES = {
     "join3_topk": SQL_JOIN3_TOPK,
     "join5_revenue": SQL_JOIN5_REVENUE,
     "order_count_dist": SQL_ORDER_COUNT_DIST,
+    "band_join": SQL_BAND_JOIN,
+    "unpivot_measures": SQL_UNPIVOT_MEASURES,
+    "revenue_share": SQL_REVENUE_SHARE,
     "cdc_apply": SQL_CDC_APPLY,
     "group_count": SQL_GROUP_COUNT,
     "multi_group_count": SQL_MULTI_GROUP_COUNT,
