@@ -913,6 +913,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup: each click event joins the
+    purchase-history interval table on its user with
+    ``valid_from <= ts < valid_to`` (open current rows match everything
+    later) — the warehouse classic "fact resolves the dimension version
+    that was true at event time". Equi on user_id + interval residual, so
+    Catalyst plans a normal hash/SMJ join; per-user version lists are
+    small, the interval filter is a post-join predicate. Aggregated per
+    version count so the gate output is compact."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = purch.select(
+        F.col("user_id").alias("d_user"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+    j = (clicks.join(dim, (clicks["user_id"] == dim["d_user"])
+                     & (clicks["ts"] >= dim["valid_from"])
+                     & (clicks["ts"] < F.coalesce(
+                         dim["valid_to"],
+                         F.lit("9999-12-31 00:00:00").cast("timestamp")))))
+    return (j.groupBy("user_id", "version")
+            .agg(F.count(F.lit(1)).alias("n_clicks")))
+
+
+SQL_SCD2_LOOKUP = """
+WITH dim AS (
+  SELECT user_id AS d_user,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+         ts AS valid_from, LEAD(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e.user_id, d.version, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM events e
+JOIN dim d ON e.user_id = d.d_user
+          AND e.ts >= d.valid_from
+          AND e.ts < COALESCE(d.valid_to, TIMESTAMP '9999-12-31 00:00:00')
+WHERE e.event_type = 'click'
+GROUP BY e.user_id, d.version
+"""
+
+
 def q_rolling_time_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling sum/count — a RANGE frame over
     event-time seconds (W2 variant: value-based frame, not row-based; tie
@@ -1802,6 +1847,7 @@ QUERIES = {
     "rank_family": q_rank_family,
     "set_ops": q_set_ops,
     "scd2_history": q_scd2_history,
+    "scd2_lookup": q_scd2_lookup,
     "winsorized_stats": q_winsorized_stats,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
@@ -1868,6 +1914,7 @@ ORACLES = {
     "rank_family": SQL_RANK_FAMILY,
     "set_ops": SQL_SET_OPS,
     "scd2_history": SQL_SCD2_HISTORY,
+    "scd2_lookup": SQL_SCD2_LOOKUP,
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
