@@ -122,3 +122,26 @@ def test_deterministic_buckets_empty_and_null(spark):
     df2 = spark.createDataFrame([(None,), ("a",), ("b",)], "k string")
     got = df2.select(deterministic_buckets(df2, "k").alias("b")).collect()
     assert all(r["b"] is not None for r in got)
+
+
+def test_length_batches_stable_across_partitionings(spark, docs):
+    from osm_pg_etl_spark.operators.text import length_batches
+
+    cols = ["doc_id", "n_tokens", "bucket", "batch_in_bucket",
+            "docs_per_batch"]
+    a = _rows(length_batches(docs, budget=64), cols)
+    b = _rows(length_batches(docs.repartition(17), budget=64), cols)
+    c = _rows(length_batches(docs.coalesce(1), budget=64), cols)
+    assert a == b == c
+
+
+def test_label_propagation_stable_across_partitionings(spark):
+    from osm_pg_etl_spark.operators.graph_algo import label_propagation
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cols = ["node", "community"]
+    a = _rows(label_propagation(df, n_iter=4), cols)
+    b = _rows(label_propagation(df.repartition(23), n_iter=4), cols)
+    assert a == b
