@@ -1761,7 +1761,10 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas to the stored base aggregate. Decimal arithmetic makes the
     refresh EXACTLY equal to recomputing from scratch (the oracle does the
     recompute), and the change feed is manifest-pruned, so refresh cost
-    scales with the mutation, not the table."""
+    scales with the mutation, not the table. (plan_lint flags this gate's
+    wide scan: whole-row update detection in snapshot_changes must read
+    every column of the changed buckets — inherent to CDC semantics and
+    bounded by manifest pruning, not a missing projection.)"""
     import shutil  # noqa: PLC0415
     from pathlib import Path  # noqa: PLC0415
 
