@@ -428,22 +428,20 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
     fixed unroll keeps the DuckDB oracle expressible.
 
     Per round: one equi-join of the label table to the symmetric edge list
-    on the source key + one (node, label) count + one max_by per node —
-    all shuffles keyed on node id, so AQE reuses one exchange layout;
-    nothing is collected to the driver. Returns (node, community).
+    on the source key + ONE ``mode(label, deterministic=True)`` aggregate
+    per node (the deterministic mode breaks ties by the lowest value —
+    exactly this operator's contract — and its value→count map state is
+    bounded by node degree, partial-merged map-side). All shuffles are
+    keyed on node id; nothing is collected to the driver.
+    Returns (node, community).
     """
     e = symmetric_edges(edges, src, dst).localCheckpoint()
     labels = (e.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     for _ in range(n_iter):
-        counts = (e.join(labels.withColumnRenamed("id", "a"), "a")
-                  .groupBy(F.col("b").alias("id"), "label")
-                  .agg(F.count(F.lit(1)).alias("c")))
-        # max over (c, -label): highest count wins, then smallest label
-        labels = (counts.groupBy("id")
-                  .agg(F.max_by("label",
-                                F.struct(F.col("c"), -F.col("label")))
-                       .alias("label")))
+        labels = (e.join(labels.withColumnRenamed("id", "a"), "a")
+                  .groupBy(F.col("b").alias("id"))
+                  .agg(F.mode("label", True).alias("label")))
     return labels.select(F.col("id").alias("node"),
                          F.col("label").alias("community"))
 
