@@ -1,0 +1,65 @@
+"""JDBC partition-predicate builders (sources.jdbc).
+
+No PostgreSQL server exists in this container, so the read/write wrappers
+are exercised only up to option assembly; the scale-relevant logic — the
+partition predicates every task runs — is pure and fully tested here.
+"""
+
+import pytest
+
+from osm_pg_etl_spark.sources.jdbc import hash_predicates, stride_predicates
+
+
+def test_stride_predicates_cover_all_rows_without_overlap():
+    preds = stride_predicates("id", 0, 100, 4)
+    assert len(preds) == 4
+    # first partition captures NULLs and anything below lower
+    assert preds[0] == "id < 25 OR id IS NULL"
+    assert preds[1] == "id >= 25 AND id < 50"
+    assert preds[2] == "id >= 50 AND id < 75"
+    # last partition is open-ended above
+    assert preds[3] == "id >= 75"
+    # coverage check on a concrete domain: every value matches exactly one
+    for v in (-5, 0, 24, 25, 49, 50, 74, 75, 99, 100, 10**9):
+        matches = sum(
+            (("< " in p.split(" OR ")[0] and v < int(p.split("< ")[1].split(" OR ")[0]))
+             if p.startswith("id <") else
+             (v >= int(p.split(">= ")[1].split(" AND")[0])
+              and ("< " not in p or v < int(p.split("< ")[1]))))
+            for p in preds)
+        assert matches == 1, v
+
+
+def test_stride_predicates_degenerate_cases():
+    # single partition or inverted bounds -> one full-scan predicate
+    assert len(stride_predicates("k", 0, 100, 1)) == 1
+    assert len(stride_predicates("k", 100, 0, 8)) == 1
+    with pytest.raises(ValueError):
+        stride_predicates("k", 0, 10, 0)
+
+
+def test_stride_predicates_tiny_range_still_n_partitions():
+    # range smaller than partition count: stride clamps to 1, predicates
+    # stay disjoint (some empty server-side, none lost)
+    preds = stride_predicates("id", 0, 2, 4)
+    assert len(preds) == 4
+    assert preds[0] == "id < 1 OR id IS NULL"
+    assert preds[3] == "id >= 3"
+
+
+def test_hash_predicates_uniform_and_null_safe():
+    preds = hash_predicates("name", 8)
+    assert len(preds) == 8
+    assert all("mod(abs(hashtext(name::text)), 8)" in p for p in preds)
+    # NULLs are routed to exactly one partition
+    assert sum("name IS NULL" in p for p in preds) == 1
+    with pytest.raises(ValueError):
+        hash_predicates("name", -1)
+
+
+def test_read_jdbc_rejects_partition_col_without_bounds(spark):
+    from osm_pg_etl_spark.sources.jdbc import read_jdbc
+
+    with pytest.raises(ValueError, match="lower/upper"):
+        read_jdbc(spark, "jdbc:postgresql://h/db", "t",
+                  partition_col="id")
