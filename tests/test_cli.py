@@ -1,0 +1,57 @@
+"""End-to-end CLI workflow (python -m osm_pg_etl_spark): the reference's
+osmosis -> SQL scripts -> igraph chain as subcommands, driven on a
+generated spec-valid PBF."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from osm_pg_etl_spark.__main__ import main
+from osm_pg_etl_spark.sources import pbf
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _grid_pbf(path: str, n: int = 5) -> None:
+    def nid(r: int, c: int) -> int:
+        return r * 100 + c + 1
+
+    nodes = [{"id": nid(r, c), "lat": 45.0 + r * 0.01,
+              "lon": -73.0 + c * 0.01, "version": 1, "user_id": 1,
+              "changeset_id": 1, "tstamp": TS, "tags": {}}
+             for r in range(n) for c in range(n)]
+    ways = []
+    wid = 1000
+    for r in range(n):
+        wid += 1
+        ways.append({"id": wid, "nodes": [nid(r, c) for c in range(n)],
+                     "version": 1, "user_id": 1, "changeset_id": 1,
+                     "tstamp": TS,
+                     "tags": {"highway": "residential", "maxspeed": "50"}})
+    for c in range(n):
+        wid += 1
+        ways.append({"id": wid, "nodes": [nid(r, c) for r in range(n)],
+                     "version": 1, "user_id": 1, "changeset_id": 1,
+                     "tstamp": TS, "tags": {"highway": "residential"}})
+    pbf.write_pbf(path, nodes=nodes, ways=ways)
+
+
+def test_cli_workflow_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "grid.osm.pbf")
+    _grid_pbf(src)
+    osm, net, out = (str(tmp_path / d) for d in ("osm", "net", "out"))
+
+    main(["ingest", src, osm])
+    main(["network", osm, net, "--mode", "car", "--minimal"])
+    main(["analyze", net, out, "--algo", "components,communities"])
+    main(["export", net, str(tmp_path / "edges")])
+
+    merged = spark.read.parquet(f"{net}/merged.parquet")
+    # 5x5 grid: each of 10 ways splits at 3 interior intersections -> 4
+    # segments each
+    assert merged.count() == 40
+    comp = spark.read.parquet(f"{out}/components.parquet")
+    assert comp.select("component").distinct().count() == 1  # one grid
+    csv = spark.read.option("header", True).csv(str(tmp_path / "edges"))
+    directed = spark.read.parquet(f"{net}/directed.parquet")
+    assert csv.count() == directed.count() > 0
