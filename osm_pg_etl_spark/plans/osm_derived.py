@@ -757,10 +757,11 @@ def q_osm_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, n_iter=_LPA_ITER)
 
 
-def _sql_osm_communities(n_iter: int = _LPA_ITER) -> str:
-    """Unrolled synchronous LPA: each round re-derives (node, label) via
-    neighbour label counts with the same (count DESC, label ASC) tie-break
-    the Spark max_by-struct uses."""
+def _lpa_ctes(n_iter: int = _LPA_ITER) -> str:
+    """Shared CTE chain ending in ``lbl{n_iter}(id, label)`` — the unrolled
+    synchronous LPA: each round re-derives (node, label) via neighbour
+    label counts with the same (count DESC, label ASC) tie-break Spark's
+    deterministic ``mode`` uses."""
     head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
                 _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
         "WITH ", "WITH RECURSIVE ", 1) + """,
@@ -787,8 +788,81 @@ lbl{i} AS MATERIALIZED (
            ROW_NUMBER() OVER (PARTITION BY id
                               ORDER BY c DESC, label) AS rn
     FROM cnt{i}) WHERE rn = 1)""")
-    return head + "".join(its) + f"""
+    return head + "".join(its)
+
+
+def _sql_osm_communities(n_iter: int = _LPA_ITER) -> str:
+    return _lpa_ctes(n_iter) + f"""
 SELECT id AS node, label AS community FROM lbl{n_iter}
+"""
+
+
+def q_osm_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality score igraph
+    users read right after community detection. Q = intra/m − Σ_c
+    (D_c/2m)² over the undirected simple graph: every term is an exact
+    integer count (intra-community edges, per-community degree sums) until
+    two double divisions in fixed order, so the score is engine-identical
+    to 9 digits. One labels⋈edges join + two aggregations past the LPA."""
+    from ..operators.graph_algo import label_propagation, symmetric_edges
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    und = symmetric_edges(edges, "src", "dst").localCheckpoint()
+    la = labels.select(F.col("node").alias("a"),
+                       F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"),
+                       F.col("community").alias("cb"))
+    j = und.join(la, "a").join(lb, "b")
+    # und holds both directions: directed count = 2m; intra pairs double-
+    # counted the same way, so the ratios are exact
+    tot = j.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("intra2"))
+    deg = (j.groupBy("a", "ca").agg(F.count(F.lit(1)).alias("k"))
+           .groupBy("ca").agg(F.sum("k").alias("dc")))
+    sq = deg.crossJoin(tot).agg(
+        F.sum((F.col("dc").cast("double") / F.col("m2").cast("double"))
+              * (F.col("dc").cast("double") / F.col("m2").cast("double")))
+        .alias("sum_sq"))
+    n_comm = labels.select("community").distinct().count()
+    row = (tot.crossJoin(sq)
+           .select((F.col("intra2").cast("double")
+                    / F.col("m2").cast("double")
+                    - F.col("sum_sq")).alias("q")))
+    return row.select(
+        F.lit(n_comm).cast("long").alias("n_communities"),
+        F.round("q", 9).alias("modularity"))
+
+
+def _sql_osm_modularity(n_iter: int = _LPA_ITER) -> str:
+    return _lpa_ctes(n_iter) + f""",
+lj AS MATERIALIZED (
+  SELECT e.a, e.b, la.label AS ca, lb.label AS cb
+  FROM lund e JOIN lbl{n_iter} la ON la.id = e.a
+              JOIN lbl{n_iter} lb ON lb.id = e.b),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS intra2
+  FROM lj),
+degc AS (
+  SELECT ca, CAST(SUM(dc) AS BIGINT) AS dc FROM (
+    SELECT a, ca, CAST(COUNT(*) AS BIGINT) AS dc FROM lj GROUP BY a, ca)
+  GROUP BY ca),
+sq AS (
+  SELECT SUM((CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))
+             * (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))) AS sum_sq
+  FROM degc CROSS JOIN tot),
+nc AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities
+       FROM lbl{n_iter})
+SELECT nc.n_communities,
+       ROUND(CAST(intra2 AS DOUBLE) / CAST(m2 AS DOUBLE) - sum_sq, 9)
+         AS modularity
+FROM tot CROSS JOIN sq CROSS JOIN nc
 """
 
 
@@ -1874,6 +1948,7 @@ QUERIES = {
     "osm_triangles": q_osm_triangles,
     "osm_kcore": q_osm_kcore,
     "osm_communities": q_osm_communities,
+    "osm_modularity": q_osm_modularity,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -1914,6 +1989,7 @@ ORACLES = {
     "osm_triangles": SQL_OSM_TRIANGLES,
     "osm_kcore": _sql_osm_kcore(),
     "osm_communities": _sql_osm_communities(),
+    "osm_modularity": _sql_osm_modularity(),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

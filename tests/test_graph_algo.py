@@ -319,3 +319,46 @@ def test_label_propagation_matches_reference_sync_lpa(spark):
     got = {r["node"]: r["community"]
            for r in label_propagation(edges, n_iter=n_iter).collect()}
     assert got == labels
+
+
+def test_modularity_two_cliques_reference_value(spark):
+    """Plain-Python Newman modularity cross-check on the two-clique graph:
+    LPA finds the cliques, Q must match the hand-computed score."""
+    from osm_pg_etl_spark.plans.osm_derived import q_osm_modularity  # noqa: F401
+    from osm_pg_etl_spark.operators.graph_algo import (
+        label_propagation, symmetric_edges)
+    from pyspark.sql import functions as F
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edge_list = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = {r["node"]: r["community"]
+              for r in label_propagation(edges, n_iter=4).collect()}
+
+    # reference Q over the undirected simple graph
+    m = len(edge_list)
+    intra = sum(labels[u] == labels[v] for u, v in edge_list)
+    deg: dict[int, int] = {}
+    for u, v in edge_list:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dc: dict[int, int] = {}
+    for n, c in labels.items():
+        dc[c] = dc.get(c, 0) + deg[n]
+    want = intra / m - sum((d / (2 * m)) ** 2 for d in dc.values())
+
+    # engine-side computation (same construction as q_osm_modularity)
+    und = symmetric_edges(edges)
+    la = spark.createDataFrame(list(labels.items()), "a long, ca long")
+    lb = la.select(F.col("a").alias("b"), F.col("ca").alias("cb"))
+    j = und.join(la, "a").join(lb, "b")
+    tot = j.agg(F.count(F.lit(1)).alias("m2"),
+                F.sum((F.col("ca") == F.col("cb")).cast("long"))
+                .alias("intra2")).collect()[0]
+    degc = (j.groupBy("a", "ca").agg(F.count(F.lit(1)).alias("k"))
+            .groupBy("ca").agg(F.sum("k").alias("dc")).collect())
+    got = (tot["intra2"] / tot["m2"]
+           - sum((r["dc"] / tot["m2"]) ** 2 for r in degc))
+    assert abs(got - want) < 1e-12
+    assert want > 0.4  # two near-cliques -> strongly modular
+    assert abs(want - 0.42307692307692313) < 1e-12  # hand-checked value
