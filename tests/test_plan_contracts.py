@@ -86,3 +86,43 @@ def test_spatial_blocking_keeps_pairs_narrow(spark):
     # candidate dedup (id_a, id_b) occurs in the plan
     assert re.search(r"HashAggregate.*id_a.*id_b", plan) or \
         "SortAggregate" in plan
+
+
+def test_band_join_broadcasts_nested_loop(spark):
+    """The non-equi band join must broadcast the band table (nested loop
+    on a broadcast side); a shuffled or cartesian plan fails."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["band_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join5_broadcasts_every_dimension(spark):
+    """TPC-H Q5 shape: customer/supplier/nation-region must all broadcast;
+    at most the lineitem-orders fact join may sort-merge."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["join5_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_length_batches_no_single_partition_exchange(spark):
+    """The within-bucket rank must come from the range-chunk prefix sum —
+    no SinglePartition exchange (the skew the design exists to avoid)."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["length_batches"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_stream_enrich_broadcasts_dimension(spark):
+    """The stream-static enrichment join must broadcast the customer
+    dimension so the (streaming) fact side is never shuffled by the
+    join."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["stream_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
