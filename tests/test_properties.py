@@ -192,3 +192,81 @@ def test_bloom_membership_pure_python_no_false_negatives(items):
                       16) % m
             mask = 1 << (pos % 32)
             assert words.get(pos // 32, 0) & mask == mask
+
+
+@given(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6),
+       st.integers(1, 64), st.integers(-10**7, 10**7))
+def test_stride_predicates_partition_every_value(lower, upper, n, v):
+    """Every integer matches exactly one stride predicate — no row lost or
+    duplicated regardless of bounds, partition count, or out-of-range
+    values (the property a JDBC parallel read depends on)."""
+    from osm_pg_etl_spark.sources.jdbc import stride_predicates
+
+    preds = stride_predicates("id", lower, upper, n)
+
+    def matches(pred: str, val: int) -> bool:
+        # evaluate the SQL predicate in Python (id <op> literal forms only)
+        clauses = pred.split(" OR ")
+        ok = False
+        for c in clauses:
+            c = c.strip()
+            if c == "id IS NULL":
+                continue
+            if c == "id IS NOT NULL":
+                ok = True
+            elif " AND " in c:
+                lo_s, hi_s = c.split(" AND ")
+                ok = ok or (val >= int(lo_s.split(">= ")[1])
+                            and val < int(hi_s.split("< ")[1]))
+            elif c.startswith("id >= "):
+                ok = ok or val >= int(c.split(">= ")[1])
+            elif c.startswith("id < "):
+                ok = ok or val < int(c.split("< ")[1])
+        return ok
+
+    assert sum(matches(p, v) for p in preds) == 1
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
+                min_size=1, max_size=40),
+       st.integers(1, 5))
+def test_lpa_reference_parity_random_graphs(edge_list, n_iter):
+    """Synchronous LPA on arbitrary random graphs matches the plain-Python
+    reference (most-frequent neighbour label, ties to the smallest) after
+    any number of rounds — the distributed mode() aggregation implements
+    exactly that contract."""
+    edge_list = [(u, v) for u, v in edge_list if u != v]
+    if not edge_list:
+        return
+    adj: dict[int, list[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {x: x for x in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for x, ns in adj.items():
+            freq: dict[int, int] = {}
+            for nb in ns:
+                freq[labels[nb]] = freq.get(labels[nb], 0) + 1
+            best = max(freq.values())
+            nxt[x] = min(l for l, c in freq.items() if c == best)
+        labels = nxt
+    _LPA_CASES.append((edge_list, n_iter, labels))
+
+
+_LPA_CASES: list = []
+
+
+def test_lpa_reference_parity_spark_batch(spark):
+    """Run the hypothesis-generated LPA cases through the real operator in
+    one Spark session (per-case sessions would be minutes of overhead)."""
+    from osm_pg_etl_spark.operators.graph_algo import label_propagation
+
+    cases = _LPA_CASES[:8]  # bounded batch; cases vary per hypothesis run
+    assert cases, "hypothesis case collector ran first"
+    for edge_list, n_iter, want in cases:
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["community"]
+               for r in label_propagation(edges, n_iter=n_iter).collect()}
+        assert got == want, (edge_list, n_iter)
