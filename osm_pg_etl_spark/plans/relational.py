@@ -913,6 +913,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-split into two variants, conversion
+    = a purchase above the value threshold (so neither rate is degenerate
+    0 or 1); per-variant rates plus the pooled two-proportion
+    z statistic. Every input to the math is an exact integer count (one
+    distinct-user aggregation), and the z formula runs in fixed-order IEEE
+    double on both engines, so even the test statistic hash-matches."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(((F.col("event_type") == "purchase")
+                             & (F.col("value") > 90)).cast("int"))
+                     .alias("converted"))
+                .withColumn("variant",
+                            (F.col("user_id") % 2 == 0).cast("int")))
+    counts = (per_user.groupBy("variant")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("converted").cast("long").alias("conv")))
+    a = counts.filter(F.col("variant") == 0) \
+        .select(F.col("n").alias("n0"), F.col("conv").alias("c0"))
+    b = counts.filter(F.col("variant") == 1) \
+        .select(F.col("n").alias("n1"), F.col("conv").alias("c1"))
+    j = a.crossJoin(b)
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    return j.select("n0", "c0", "n1", "c1",
+                    F.round(p0, 6).alias("rate_a"),
+                    F.round(p1, 6).alias("rate_b"),
+                    F.round(z, 6).alias("z_score"))
+
+
+SQL_AB_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                  THEN 1 ELSE 0 END)
+           AS converted,
+         CAST(user_id % 2 = 0 AS INT) AS variant
+  FROM events GROUP BY user_id),
+counts AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY variant),
+j AS (
+  SELECT a.n AS n0, a.conv AS c0, b.n AS n1, b.conv AS c1
+  FROM (SELECT * FROM counts WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM counts WHERE variant = 1) b)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - CAST(c0 + c1 AS DOUBLE)
+                           / CAST(n0 + n1 AS DOUBLE))
+                    * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE))), 6)
+         AS z_score
+FROM j
+"""
+
+
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 dimension lookup: each click event joins the
     purchase-history interval table on its user with
@@ -1851,6 +1914,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "scd2_history": q_scd2_history,
     "scd2_lookup": q_scd2_lookup,
+    "ab_lift": q_ab_lift,
     "winsorized_stats": q_winsorized_stats,
     "session_window": q_session_window,
     "capped_sessions": q_capped_sessions,
@@ -1918,6 +1982,7 @@ ORACLES = {
     "set_ops": SQL_SET_OPS,
     "scd2_history": SQL_SCD2_HISTORY,
     "scd2_lookup": SQL_SCD2_LOOKUP,
+    "ab_lift": SQL_AB_LIFT,
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "session_window": SQL_SESSION_WINDOW,
     "capped_sessions": SQL_CAPPED_SESSIONS,
