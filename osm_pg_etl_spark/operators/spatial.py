@@ -401,3 +401,55 @@ def geometric_split(ways: DataFrame, id_col: str = "id",
             F.transform("_blade", lambda p: p["lon"]),
             F.transform("_blade", lambda p: p["lat"]))).alias("part_index", "geom"))
     return parts.select(F.col("_id").alias(id_col), "part_index", "geom")
+
+
+def nearest_neighbor_join(points: DataFrame, targets: DataFrame,
+                          cell_deg: float = 0.05,
+                          id_col: str = "id", tid_col: str = "target_id"
+                          ) -> DataFrame:
+    """Grid-blocked nearest-neighbour assignment: for every point the
+    closest target (haversine) among the 3×3 grid cells around it, ties
+    broken by the smallest target id — the "snap POI to nearest network
+    node" step of any map-matching/geocoding pipeline.
+
+    Scale shape: candidates come from an equi-join on (cell_x, cell_y) —
+    the points side is exploded into its 9 neighbouring cells (9× the
+    SMALL side), the target side is keyed by its own cell only — so the
+    pairwise distance work is confined per cell, never all-pairs. Points
+    with no target inside the 3×3 neighbourhood are dropped (they are
+    farther than ``cell_deg`` away from every target; widen the cell for
+    a larger search radius). Both inputs need (lon, lat) columns.
+
+    The per-point argmin is ``min_by`` over (distance, id): distances are
+    identical IEEE doubles for identical coordinate pairs, so the result
+    is deterministic even on symmetric lattices where distances tie
+    exactly.
+    """
+    from ..functions.geo import haversine_km
+
+    cells = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    pcx = F.floor(F.col("lon") / cell_deg).cast("int")
+    pcy = F.floor(F.col("lat") / cell_deg).cast("int")
+    pts = (points.select(F.col(id_col).alias("_pid"),
+                         F.col("lon").alias("_plon"),
+                         F.col("lat").alias("_plat"),
+                         pcx.alias("_cx0"), pcy.alias("_cy0"))
+           .withColumn("_o", F.explode(cells))
+           .select("_pid", "_plon", "_plat",
+                   (F.col("_cx0") + F.col("_o.dx")).alias("cx"),
+                   (F.col("_cy0") + F.col("_o.dy")).alias("cy")))
+    tg = targets.select(F.col(tid_col).alias("_tid"),
+                        F.col("lon").alias("_tlon"),
+                        F.col("lat").alias("_tlat"),
+                        pcx.alias("cx"), pcy.alias("cy"))
+    cand = pts.join(tg, ["cx", "cy"])
+    dist = haversine_km(F.col("_plon"), F.col("_plat"),
+                        F.col("_tlon"), F.col("_tlat"))
+    return (cand.select("_pid", "_tid", dist.alias("_d"))
+            .groupBy("_pid")
+            .agg(F.min_by(F.struct(F.col("_tid"), F.col("_d")),
+                          F.struct(F.col("_d"), F.col("_tid"))).alias("_b"))
+            .select(F.col("_pid").alias(id_col),
+                    F.col("_b._tid").alias("nearest_id"),
+                    F.round(F.col("_b._d"), 6).alias("dist_km")))

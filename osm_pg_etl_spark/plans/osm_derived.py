@@ -1534,6 +1534,60 @@ WHERE n.id IN (SELECT start_node FROM wayends WHERE way_id IN (SELECT edge_id FR
 """
 
 
+def q_osm_poi_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap every amenity POI to its nearest car-network endpoint
+    (operators.spatial.nearest_neighbor_join): grid-blocked haversine KNN
+    with a (distance, id) tie-break — the map-matching/geocoding step that
+    links the POI layer to the routable graph."""
+    from ..functions.maps import tag_get
+    from ..operators.spatial import nearest_neighbor_join
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    endpoints = (cn.select(F.col("start_node").alias("id"))
+                 .union(cn.select(F.col("end_node").alias("id")))
+                 .distinct())
+    netn = (d["nodes"].join(endpoints, "id", "left_semi")
+            .select("id", "lon", "lat"))
+    pois = (d["nodes"].filter(tag_get("tags", "amenity").isNotNull())
+            .select(F.col("id").alias("poi_id"), "lon", "lat"))
+    return nearest_neighbor_join(pois, netn, cell_deg=0.05,
+                                 id_col="poi_id", tid_col="id")
+
+
+SQL_OSM_POI_NEAREST = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                           _WAYENDS_SQL) + """
+, netn AS (
+  SELECT n.id, n.lon, n.lat FROM nodes_d n
+  WHERE n.id IN (SELECT start_node FROM wayends
+                 WHERE way_id IN (SELECT edge_id FROM cn)
+                 UNION
+                 SELECT end_node FROM wayends
+                 WHERE way_id IN (SELECT edge_id FROM cn))),
+pois AS (
+  SELECT id AS poi_id, lon, lat FROM nodes_d WHERE amenity IS NOT NULL),
+cand AS (
+  SELECT p.poi_id, t.id AS tid,
+         2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+           SIN(RADIANS(t.lat - p.lat) / 2) * SIN(RADIANS(t.lat - p.lat) / 2)
+           + COS(RADIANS(p.lat)) * COS(RADIANS(t.lat))
+           * SIN(RADIANS(t.lon - p.lon) / 2)
+           * SIN(RADIANS(t.lon - p.lon) / 2)))) AS d
+  FROM pois p JOIN netn t
+    ON CAST(FLOOR(t.lon / 0.05) AS INT)
+         BETWEEN CAST(FLOOR(p.lon / 0.05) AS INT) - 1
+             AND CAST(FLOOR(p.lon / 0.05) AS INT) + 1
+   AND CAST(FLOOR(t.lat / 0.05) AS INT)
+         BETWEEN CAST(FLOOR(p.lat / 0.05) AS INT) - 1
+             AND CAST(FLOOR(p.lat / 0.05) AS INT) + 1)
+SELECT poi_id, tid AS nearest_id, ROUND(d, 6) AS dist_km FROM (
+  SELECT poi_id, tid, d,
+         ROW_NUMBER() OVER (PARTITION BY poi_id ORDER BY d, tid) AS rn
+  FROM cand)
+WHERE rn = 1
+"""
+
+
 def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 in-engine PBF ingest, value-checked end-to-end: the derived nodes
     table is encoded to a real ``.osm.pbf`` (``write_pbf``: DenseNodes,
@@ -1955,6 +2009,7 @@ QUERIES = {
     "osm_complete_merged": q_osm_complete_merged,
     "osm_highway_maxspeed": q_osm_highway_maxspeed,
     "osm_pois": q_osm_pois,
+    "osm_poi_nearest": q_osm_poi_nearest,
     "osm_tag_keys": q_osm_tag_keys,
     "osm_network_nodes": q_osm_network_nodes,
     "osm_spatial_pairs": q_osm_spatial_pairs,
@@ -1996,5 +2051,6 @@ ORACLES = {
     "osm_complete_merged": _sql_osm_complete_merged(),
     "osm_highway_maxspeed": SQL_OSM_HIGHWAY_MAXSPEED,
     "osm_pois": SQL_OSM_POIS,
+    "osm_poi_nearest": SQL_OSM_POI_NEAREST,
     "osm_network_nodes": SQL_OSM_NETWORK_NODES,
 }

@@ -91,3 +91,24 @@ def test_pair_relation_classification():
     # mid-segment pass-through of b across a's interior, plus a shared
     # boundary endpoint elsewhere: crosses wins (int∩int nonempty)
     assert rel([(0, 0), (4, 0)], [(0, 0), (2, -1), (2, 1)]) == "crosses"
+
+
+def test_nearest_neighbor_join_picks_closest_with_tiebreak(spark):
+    from osm_pg_etl_spark.operators.spatial import nearest_neighbor_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.000, 0.000), (2, 0.030, 0.000), (3, 5.0, 5.0)],
+        "pid long, lon double, lat double")
+    # targets: 10 exactly at origin-adjacent ring; 20/21 equidistant from
+    # point 2 -> tie broken by smaller id; nothing near point 3
+    tg = spark.createDataFrame(
+        [(10, 0.001, 0.000), (20, 0.020, 0.000), (21, 0.040, 0.000)],
+        "tid long, lon double, lat double")
+    got = {r["pid"]: (r["nearest_id"], r["dist_km"])
+           for r in nearest_neighbor_join(
+               pts, tg, cell_deg=0.05, id_col="pid", tid_col="tid")
+           .collect()}
+    assert got[1][0] == 10
+    assert got[2][0] == 20          # 0.01 deg either way -> min id wins
+    assert 3 not in got             # no target within the 3x3 cells
+    assert got[1][1] < got[2][1]
