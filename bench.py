@@ -45,6 +45,7 @@ HEADLINE = [
     "length_batches",       # length-bucketed batch assignment (r4)
     "group_regression",     # one-pass per-group OLS moments (r4)
     "join5_revenue",        # TPC-H Q5-shape 5-way join (r4)
+    "osm_poi_nearest",      # grid-blocked nearest-neighbour snap (r4)
 ]
 
 
