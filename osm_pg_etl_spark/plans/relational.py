@@ -659,6 +659,32 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER event-time interval join: every click, with its purchase
+    within 10 minutes or NULLs — the "never converted" readout. The
+    streaming variant emits the NULL row only after the right watermark
+    proves no match can arrive; this gate checks the identical batch
+    plan."""
+    from ..streaming.actions import interval_join  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    return interval_join(ev.filter(F.col("event_type") == "click"),
+                         ev.filter(F.col("event_type") == "purchase"),
+                         within="10 minutes", how="left_outer")
+
+
+SQL_INTERVAL_JOIN_OUTER = """
+SELECT a.user_id, a.ts AS l_ts, a.value AS l_value,
+       b.ts AS r_ts, b.value AS r_value,
+       CAST(epoch_us(b.ts) AS DOUBLE) / 1000000.0
+       - CAST(epoch_us(a.ts) AS DOUBLE) / 1000000.0 AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals — (flag, status), (flag), grand total — with
     GROUPING marker columns; subtotals come from the same single shuffle as
@@ -1898,6 +1924,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
+    "interval_join_outer": q_interval_join_outer,
     "stream_enrich": q_stream_enrich,
     "asof_join": q_asof_join,
     "quantile_profile": q_quantile_profile,
@@ -1966,6 +1993,7 @@ ORACLES = {
     "hll_users": _sql_hll_users(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
+    "interval_join_outer": SQL_INTERVAL_JOIN_OUTER,
     "stream_enrich": SQL_STREAM_ENRICH,
     "asof_join": SQL_ASOF_JOIN,
     "quantile_profile": SQL_QUANTILE_PROFILE,

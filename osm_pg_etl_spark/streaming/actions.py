@@ -293,7 +293,8 @@ def enriched_window_counts(events: DataFrame, dim: DataFrame,
 def interval_join(left: DataFrame, right: DataFrame,
                   key: str = "user_id", ts_col: str = "ts",
                   within: str = "10 minutes",
-                  watermark: str = "1 hour") -> DataFrame:
+                  watermark: str = "1 hour",
+                  how: str = "inner") -> DataFrame:
     """Stream-stream (or batch) event-time interval join: pair each left
     event with every right event of the same ``key`` whose timestamp falls
     in ``[left.ts, left.ts + within]`` — the attribution/funnel primitive
@@ -308,7 +309,16 @@ def interval_join(left: DataFrame, right: DataFrame,
 
     Returns the left row's key/ts/value plus the matched right ts/value and
     the gap in seconds.
+
+    ``how="left_outer"`` keeps unmatched left events with NULL right
+    columns — the "clicks that never converted" readout. In streaming
+    mode Structured Streaming emits the NULL row only once the right
+    side's watermark has passed the interval (it must prove no match can
+    still arrive); the batch path is a plain LEFT JOIN with the same
+    predicate.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     n, unit = within.split()
     delta = F.expr(f"INTERVAL {n} {unit}")
     lt, rt = F.col(f"_l.{ts_col}"), F.col(f"_r.{ts_col}")
@@ -321,7 +331,7 @@ def interval_join(left: DataFrame, right: DataFrame,
                  .withWatermark(ts_col, watermark))
     cond = ((F.col(f"_l.{key}") == F.col(f"_r.{key}"))
             & (rt >= lt) & (rt <= lt + delta))
-    joined = left.alias("_l").join(right.alias("_r"), cond)
+    joined = left.alias("_l").join(right.alias("_r"), cond, how)
     # NTZ has no direct double cast; UTC session tz makes the epoch exact
     lsec = lt.cast("timestamp").cast("double")
     rsec = rt.cast("timestamp").cast("double")

@@ -394,3 +394,50 @@ def test_enriched_window_counts_stream_matches_batch(spark):
                (r["n_events"], r["sum_value"])
                for r in spark.table("enrich").collect()}
         assert got == batch
+
+
+def test_interval_join_left_outer_stream_plan_and_batch(spark):
+    import os
+    import tempfile
+
+    from osm_pg_etl_spark.streaming.actions import interval_join
+
+    clicks = spark.createDataFrame(
+        [(7, "2026-01-01 00:10:00", 1.0),   # converts at +5 min
+         (7, "2026-01-01 02:00:00", 2.0),   # never converts
+         (8, "2026-01-01 00:12:00", 3.0)],  # other user, no purchase
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    buys = spark.createDataFrame(
+        [(7, "2026-01-01 00:15:00", 9.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    batch = interval_join(clicks, buys, how="left_outer").collect()
+    rows = {(r["user_id"], str(r["l_ts"])): (r["r_value"], r["gap_s"])
+            for r in batch}
+    assert rows[(7, "2026-01-01 00:10:00")] == (9.0, 300.0)
+    assert rows[(7, "2026-01-01 02:00:00")] == (None, None)
+    assert rows[(8, "2026-01-01 00:12:00")] == (None, None)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lsrc, rsrc = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+        clicks.write.parquet(lsrc)
+        buys.write.parquet(rsrc)
+        lstream = spark.readStream.schema(clicks.schema).parquet(lsrc)
+        rstream = spark.readStream.schema(buys.schema).parquet(rsrc)
+        out = interval_join(lstream, rstream, how="left_outer",
+                            watermark="30 minutes")
+        q = (out.writeStream.format("memory").queryName("ij_outer")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table("ij_outer").collect()
+        # the matched pair emits in the first batch; NULL rows wait for
+        # the watermark to close (a later batch) — the contract under test
+        # is that the outer streaming plan runs end-to-end and the matched
+        # row is correct
+        matched = {(r["user_id"], r["r_value"]) for r in got
+                   if r["r_value"] is not None}
+        assert matched == {(7, 9.0)}
