@@ -9,7 +9,7 @@ list lambdas.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
@@ -672,6 +672,46 @@ FROM c
 """
 
 
+_TREND_K = 3
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per source: token counts grouped by (source, term),
+    top-k per source by count with an alphabetical tie-break — the
+    "what's hot in each slice" leaderboard. One explode + one aggregation
+    + one per-source rank window over the already-aggregated (small)
+    table; the fact-sized token stream is never window-sorted."""
+    docs = docs_t(spark, sf_dir)
+    toks = docs.select("source",
+                       F.explode(text.tokens("text")).alias("term")) \
+               .select("source", F.lower("term").alias("term"))
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "term")
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TREND_K)
+            .select("source", "term", "n",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+SQL_TRENDING_TERMS = rf"""
+WITH toks AS (
+  SELECT source, lower(t.term) AS term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS t(term)),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY source, term)
+SELECT source, term, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT source, term, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, term) AS rnk
+  FROM counts)
+WHERE rnk <= {_TREND_K}
+"""
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance entity resolution (dedup.fuzzy_value_pairs):
     near-matching distinct part names with row support — fuzzy matching on
@@ -1277,6 +1317,7 @@ QUERIES = {
     "pack_positions": q_pack_positions,
     "length_batches": q_length_batches,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "trending_terms": q_trending_terms,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
@@ -1316,6 +1357,7 @@ ORACLES = {
     "pack_positions": _sql_pack(),
     "length_batches": _sql_length_batches(),
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "trending_terms": SQL_TRENDING_TERMS,
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),
