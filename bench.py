@@ -121,7 +121,24 @@ def main() -> None:
         out["scaling_ratio"] = {
             n: round(timings[n] / small[n], 2) if small[n] > 0 else None
             for n in HEADLINE}
-    print(json.dumps(out))
+
+    # Full detail (incl. the scaling pass) goes to a sidecar file; the
+    # driver only captures the last ~2000 chars of stdout, so the FINAL
+    # printed line must stay compact (round-4's line outgrew the window
+    # and BENCH_r04 recorded "parsed": null). The last line keeps the
+    # required {metric,value,unit,queries,sf} shape, dropping the
+    # scaling extras; if even that would overflow the capture window it
+    # degrades to totals-only.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    compact = {k: out[k] for k in
+               ("metric", "value", "unit", "queries", "sf", "warm")}
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

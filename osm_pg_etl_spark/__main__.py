@@ -86,13 +86,17 @@ def cmd_analyze(args: argparse.Namespace) -> None:
 
     from .operators import graph_algo as ga
 
+    # Validate the full list before running ANY algorithm: a typo in the
+    # 2nd name must not leave partial output from the 1st on disk.
+    algos = [a.strip() for a in args.algo.split(",") if a.strip()]
+    bad = [a for a in algos if a not in _ALGOS]
+    if bad:
+        sys.exit(f"unknown algo(s) {bad!r}; choose from {_ALGOS}")
     spark = _spark("analyze")
     directed = spark.read.parquet(f"{args.net_dir}/directed.parquet")
     edges = directed.select(F.col("start_node").alias("src"),
                             F.col("end_node").alias("dst")).localCheckpoint()
-    for algo in args.algo.split(","):
-        if algo not in _ALGOS:
-            sys.exit(f"unknown algo {algo!r}; choose from {_ALGOS}")
+    for algo in algos:
         if algo == "components":
             out = ga.connected_components(edges)
         elif algo == "pagerank":

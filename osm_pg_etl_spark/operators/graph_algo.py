@@ -25,7 +25,7 @@ round; convergence is a cheap (count, hash-sum) fixpoint on the edge set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -444,6 +444,135 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
                   .agg(F.mode("label", True).alias("label")))
     return labels.select(F.col("id").alias("node"),
                          F.col("label").alias("community"))
+
+
+def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
+                   m2: float) -> DataFrame:
+    """One synchronous Louvain move round on a weighted symmetric edge
+    list ``(a, b, w)`` (a != b; self-loop weight lives inside ``deg``).
+
+    Every node simultaneously evaluates the modularity gain of joining
+    each neighbouring community (plus staying put) and finds the argmax:
+    score(x→c) = w(x→c) − k_x · Σtot′(c) / 2m, where Σtot′ excludes x's
+    own degree when c is its current community (the node is lifted out
+    before comparing, per the standard Louvain ΔQ; the 1/m and constant
+    terms common to all candidates are dropped). Ties break to the
+    smallest community id, and the move is APPLIED only when the winning
+    community's id is smaller than the node's current label — the
+    min-label rule from parallel Louvain practice (cf. Grappolo's
+    minimum-labeling heuristic, Lu/Halappanavar/Kalyanaraman 2015;
+    Ghosh et al. 2018): unconstrained synchronous moves let adjacent
+    nodes swap/chase labels (measured: modularity goes NEGATIVE on the
+    car graph), while monotonically-decreasing labels make every chase
+    resolve downhill — per-node labels are non-increasing, so rounds
+    can't oscillate (measured Q 0.20 vs LPA's 0.02 at sf0.01; the
+    restrict-candidates-first alternative scored 0.18 and was rejected).
+    The round is thus a pure function of the edge set —
+    partition/retry-stable and oracle-checkable. Every term is an exact
+    integer until one double multiply/divide in fixed order, so DuckDB
+    computes bit-identical scores.
+
+    Cost: one edges⋈labels shuffle join keyed on node, one community-keyed
+    aggregate for Σtot, and one degree-bounded per-node window — the same
+    shape as one LPA round plus the Σtot join. Nothing driver-side.
+    """
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+    k2c = (wedges.join(lb, "b")
+           .groupBy("a", "cb").agg(F.sum("w").alias("w2c")))
+    cur = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+    # a node's own community is always a candidate (w2c contribution 0),
+    # so isolated-within-community nodes still get a defined argmax
+    cand = (k2c.unionByName(cur.select(
+                "a", F.col("ca").alias("cb"),
+                F.lit(0).cast("long").alias("w2c")))
+            .groupBy("a", "cb").agg(F.sum("w2c").alias("w2c")))
+    ctot = (labels.join(deg, "id")
+            .groupBy(F.col("label").alias("cb"))
+            .agg(F.sum("k").alias("tot")))
+    sc = (cand.join(cur, "a")
+          .join(deg.withColumnRenamed("id", "a"), "a")
+          .join(ctot, "cb")
+          .withColumn("tot_adj",
+                      F.col("tot") - F.when(F.col("cb") == F.col("ca"),
+                                            F.col("k")).otherwise(F.lit(0)))
+          .withColumn("score",
+                      F.col("w2c").cast("double")
+                      - F.col("k").cast("double")
+                      * F.col("tot_adj").cast("double") / F.lit(m2)))
+    w = Window.partitionBy("a").orderBy(F.col("score").desc(),
+                                        F.col("cb").asc())
+    return (sc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("id"),
+                    F.when(F.col("cb") < F.col("ca"),
+                           F.col("cb")).otherwise(F.col("ca"))
+                    .alias("label")))
+
+
+def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
+            src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distributed Louvain community detection: ``rounds[l]`` synchronous
+    move rounds at level ``l``, contracting communities into super-nodes
+    between levels — the native replacement for the LAST igraph export in
+    the reference workflow (``osm-pg-etl.md:31-105`` feeds the edge list
+    to igraph's modularity-optimizing community detection; README's
+    decision table tracked this as the one remaining single-node step).
+
+    Level 1 runs on the unweighted simple graph (w = 1). Contraction sums
+    inter-community edge weights into the next level's edge list and sums
+    member degrees into the super-node degree (which thereby carries the
+    intra-community/self-loop weight — no explicit self-loop table is
+    needed because the move score only reads w(x→c) for c ≠ x plus Σtot,
+    and Σtot is exactly the degree sum). The directed weight total 2m is
+    invariant across levels, so one scalar ``m2`` (a bounded one-row
+    collect) serves every round.
+
+    Moves are min-label gated (see :func:`_louvain_round`), so per-node
+    labels are non-increasing within a level and rounds cannot oscillate;
+    fixed round counts keep the DuckDB oracle expressible as a finite
+    unroll, and the gate asserts the resulting modularity beats the LPA
+    partition's on the car graph (measured 0.20 vs 0.02 at sf0.01 with
+    the default rounds). Per level: O(rounds) node-keyed shuffle joins;
+    ``localCheckpoint`` truncates lineage per round (cluster jobs would
+    use a checkpoint dir).
+
+    Returns (node, community) for every original node.
+    """
+    e = symmetric_edges(edges, src, dst).localCheckpoint()
+    we = e.select("a", "b", F.lit(1).cast("long").alias("w"))
+    deg = (we.groupBy(F.col("a").alias("id"))
+           .agg(F.sum("w").alias("k")).localCheckpoint())
+    m2 = float(deg.agg(F.sum("k")).collect()[0][0] or 0)
+    if m2 == 0:
+        return e.select(F.col("a").alias("node"),
+                        F.col("a").alias("community")).distinct()
+    orig = None  # original node -> current-level community
+    for li, n_rounds in enumerate(rounds):
+        labels = deg.select("id", F.col("id").alias("label"))
+        for _ in range(n_rounds):
+            labels = _louvain_round(we, labels, deg, m2).localCheckpoint()
+        if orig is None:
+            orig = labels
+        else:
+            orig = (orig.join(labels.select(F.col("id").alias("label"),
+                                            F.col("label").alias("label2")),
+                              "label")
+                    .select("id", F.col("label2").alias("label"))
+                    .localCheckpoint())
+        if li < len(rounds) - 1:
+            la = labels.select(F.col("id").alias("a"),
+                               F.col("label").alias("ca"))
+            lbj = labels.select(F.col("id").alias("b"),
+                                F.col("label").alias("cb"))
+            we = (we.join(la, "a").join(lbj, "b")
+                  .filter(F.col("ca") != F.col("cb"))
+                  .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+                  .agg(F.sum("w").alias("w")).localCheckpoint())
+            deg = (labels.join(deg, "id")
+                   .groupBy(F.col("label").alias("id"))
+                   .agg(F.sum("k").alias("k")).localCheckpoint())
+    return orig.select(F.col("id").alias("node"),
+                       F.col("label").alias("community"))
 
 
 def k_core(edges: DataFrame, k: int = 2, src: str = "src", dst: str = "dst",

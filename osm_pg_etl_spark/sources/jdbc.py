@@ -62,10 +62,16 @@ def hash_predicates(col: str, num_partitions: int,
     distribution — the right default for skewed or non-numeric keys,
     at the cost of N server-side scans of the hash expression (an
     expression index on it makes this cheap for repeated ETL).
+
+    hashtext() returns int4; PostgreSQL ``abs()`` on the int4 value
+    -2147483648 raises "integer out of range", which would
+    deterministically abort whichever partition scans a key hashing to
+    INT_MIN. Masking the sign bit (``& 2147483647``) avoids the abs()
+    overflow entirely and keeps the bucket uniform.
     """
     if num_partitions <= 0:
         raise ValueError(f"num_partitions must be positive, got {num_partitions}")
-    expr = f"mod(abs(hashtext({col}{cast})), {num_partitions})"
+    expr = f"mod(hashtext({col}{cast}) & 2147483647, {num_partitions})"
     preds = [f"{expr} = {i}" for i in range(num_partitions)]
     # NULL keys hash to NULL -> captured explicitly by partition 0
     preds[0] = f"({preds[0]}) OR {col} IS NULL"

@@ -50,11 +50,23 @@ def test_stride_predicates_tiny_range_still_n_partitions():
 def test_hash_predicates_uniform_and_null_safe():
     preds = hash_predicates("name", 8)
     assert len(preds) == 8
-    assert all("mod(abs(hashtext(name::text)), 8)" in p for p in preds)
+    assert all("mod(hashtext(name::text) & 2147483647, 8)" in p
+               for p in preds)
     # NULLs are routed to exactly one partition
     assert sum("name IS NULL" in p for p in preds) == 1
     with pytest.raises(ValueError):
         hash_predicates("name", -1)
+
+
+def test_hash_predicates_int_min_safe():
+    # hashtext() is int4; PostgreSQL abs(-2147483648::int4) raises
+    # "integer out of range", so the predicate must NOT use abs() on the
+    # raw hash. The sign-bit mask maps INT_MIN to 0 without overflow —
+    # pin both the absence of abs() and the mask semantics.
+    preds = hash_predicates("k", 4)
+    assert not any("abs(" in p for p in preds)
+    int_min = -2147483648
+    assert (int_min & 2147483647) % 4 == 0  # bucket is well-defined
 
 
 def test_read_jdbc_rejects_partition_col_without_bounds(spark):

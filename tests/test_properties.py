@@ -227,17 +227,9 @@ def test_stride_predicates_partition_every_value(lower, upper, n, v):
     assert sum(matches(p, v) for p in preds) == 1
 
 
-@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
-                min_size=1, max_size=40),
-       st.integers(1, 5))
-def test_lpa_reference_parity_random_graphs(edge_list, n_iter):
-    """Synchronous LPA on arbitrary random graphs matches the plain-Python
-    reference (most-frequent neighbour label, ties to the smallest) after
-    any number of rounds — the distributed mode() aggregation implements
-    exactly that contract."""
-    edge_list = [(u, v) for u, v in edge_list if u != v]
-    if not edge_list:
-        return
+def _lpa_reference(edge_list: list, n_iter: int) -> dict:
+    """Plain-Python synchronous LPA oracle: most-frequent neighbour label,
+    ties broken to the smallest label."""
     adj: dict[int, list[int]] = {}
     for u, v in edge_list:
         adj.setdefault(u, []).append(v)
@@ -252,19 +244,49 @@ def test_lpa_reference_parity_random_graphs(edge_list, n_iter):
             best = max(freq.values())
             nxt[x] = min(l for l, c in freq.items() if c == best)
         labels = nxt
-    _LPA_CASES.append((edge_list, n_iter, labels))
+    return labels
 
 
-_LPA_CASES: list = []
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
+                min_size=1, max_size=40),
+       st.integers(1, 5))
+def test_lpa_reference_oracle_self_consistent(edge_list, n_iter):
+    """The plain-Python LPA oracle is total and deterministic on arbitrary
+    random graphs (labels defined for every node, drawn from node ids) —
+    the Spark parity test below reuses it on seeded fixed graphs."""
+    edge_list = [(u, v) for u, v in edge_list if u != v]
+    if not edge_list:
+        return
+    labels = _lpa_reference(edge_list, n_iter)
+    nodes = {x for e in edge_list for x in e}
+    assert set(labels) == nodes
+    assert set(labels.values()) <= nodes
 
 
 def test_lpa_reference_parity_spark_batch(spark):
-    """Run the hypothesis-generated LPA cases through the real operator in
-    one Spark session (per-case sessions would be minutes of overhead)."""
+    """Run seeded random graphs through the real operator in one Spark
+    session (per-case sessions would be minutes of overhead). Cases are
+    generated locally with a fixed seed — self-contained under -k
+    selection and pytest-xdist, unlike harvesting hypothesis cases from
+    another test in the same process."""
+    import random
+
     from osm_pg_etl_spark.operators.graph_algo import label_propagation
 
-    cases = _LPA_CASES[:8]  # bounded batch; cases vary per hypothesis run
-    assert cases, "hypothesis case collector ran first"
+    rng = random.Random(42)
+    cases = []
+    for i in range(8):
+        n_nodes = rng.randint(2, 30)
+        n_edges = rng.randint(1, 40)
+        raw = [(rng.randint(0, n_nodes), rng.randint(0, n_nodes))
+               for _ in range(n_edges)]
+        # label_propagation works on the deduplicated undirected edge set
+        # (symmetric_edges applies distinct()); canonicalize so the
+        # multiplicity-counting Python oracle sees the same graph
+        edge_list = sorted({(min(u, v), max(u, v))
+                            for u, v in raw if u != v}) or [(0, 1)]
+        n_iter = rng.randint(1, 5)
+        cases.append((edge_list, n_iter, _lpa_reference(edge_list, n_iter)))
     for edge_list, n_iter, want in cases:
         edges = spark.createDataFrame(edge_list, "src long, dst long")
         got = {r["node"]: r["community"]
