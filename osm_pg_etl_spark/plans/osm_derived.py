@@ -866,6 +866,124 @@ FROM tot CROSS JOIN sq CROSS JOIN nc
 """
 
 
+_LOUVAIN_ROUNDS = (6, 4, 3)
+
+
+def q_osm_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Louvain communities over the undirected car graph
+    (operators.graph_algo.louvain): synchronous min-label-gated move
+    rounds + two community contractions — the native replacement for the
+    reference workflow's LAST igraph-only step, modularity-optimizing
+    community detection (osm-pg-etl.md:31-105; README's decision table
+    row). Measured modularity 0.20 vs the LPA partition's 0.02 on this
+    graph at sf0.01 (asserted in tests/test_graph_algo-side parity)."""
+    from ..operators.graph_algo import louvain
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    return louvain(edges, rounds=_LOUVAIN_ROUNDS)
+
+
+def _sql_louvain_level(lvl: int, n_rounds: int, we: str, w_expr: str) -> str:
+    """CTE chain for one Louvain level: lblL{lvl}_0..n over edge table
+    ``we`` (a, b[, w]) and degree table degL{lvl}(id, k); ``w_expr`` is
+    the per-edge weight aggregate (COUNT(*) at level 1, SUM(w) after
+    contraction). Score arithmetic mirrors the Spark side token-for-token
+    (one double multiply then divide on exact BIGINTs) so both engines
+    order candidates over bit-identical doubles."""
+    parts = [f""",
+lblL{lvl}_0 AS MATERIALIZED (SELECT id, id AS label FROM degL{lvl})"""]
+    for i in range(1, n_rounds + 1):
+        p = f"lblL{lvl}_{i - 1}"
+        parts.append(f""",
+ctotL{lvl}_{i} AS (
+  SELECT l.label AS cb, CAST(SUM(d.k) AS BIGINT) AS tot
+  FROM {p} l JOIN degL{lvl} d ON d.id = l.id GROUP BY 1),
+candL{lvl}_{i} AS (
+  SELECT a, cb, CAST(SUM(w2c) AS BIGINT) AS w2c FROM (
+    SELECT e.a, l.label AS cb, {w_expr} AS w2c
+    FROM {we} e JOIN {p} l ON l.id = e.b GROUP BY 1, 2
+    UNION ALL SELECT id, label, 0 FROM {p}) GROUP BY 1, 2),
+lblL{lvl}_{i} AS MATERIALIZED (
+  SELECT id, CASE WHEN cb < ca THEN cb ELSE ca END AS label FROM (
+    SELECT c.a AS id, c.cb, cur.label AS ca,
+           ROW_NUMBER() OVER (PARTITION BY c.a ORDER BY
+             CAST(c.w2c AS DOUBLE)
+             - CAST(d.k AS DOUBLE)
+               * CAST(t.tot - CASE WHEN c.cb = cur.label
+                                   THEN d.k ELSE 0 END AS DOUBLE)
+               / m2.v DESC,
+             c.cb ASC) AS rn
+    FROM candL{lvl}_{i} c
+    JOIN {p} cur ON cur.id = c.a
+    JOIN degL{lvl} d ON d.id = c.a
+    JOIN ctotL{lvl}_{i} t ON t.cb = c.cb
+    CROSS JOIN m2) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _sql_osm_louvain(rounds: tuple = _LOUVAIN_ROUNDS) -> str:
+    """Unrolled-round replica of operators.graph_algo.louvain on the car
+    graph: every move round is 3 CTEs (community totals, per-node
+    candidate weights incl. the own-community zero row, windowed argmax
+    with the min-label move gate), contraction is 2 CTEs (inter-community
+    edge sums + member-degree sums). The directed weight total m2 is one
+    shared scalar CTE — invariant across levels, exactly as the Spark
+    side's one bounded collect."""
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+lund AS MATERIALIZED (
+  -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
+  -- _sql_osm_betweenness)
+  SELECT DISTINCT a, b FROM (
+    SELECT start_node AS a, end_node AS b FROM merged
+      WHERE start_node != end_node
+    UNION ALL
+    SELECT end_node, start_node FROM merged
+      WHERE start_node != end_node)),
+degL1 AS MATERIALIZED (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM lund GROUP BY a),
+m2 AS (SELECT CAST(SUM(k) AS DOUBLE) AS v FROM degL1)"""
+    sql = head
+    for lvl, nr in enumerate(rounds, start=1):
+        if lvl > 1:
+            prev_last = f"lblL{lvl - 1}_{rounds[lvl - 2]}"
+            sql += f""",
+weL{lvl} AS MATERIALIZED (
+  SELECT la.label AS a, lb.label AS b, CAST(SUM(e.w) AS BIGINT) AS w
+  FROM weL{lvl - 1} e
+  JOIN {prev_last} la ON la.id = e.a
+  JOIN {prev_last} lb ON lb.id = e.b
+  WHERE la.label != lb.label GROUP BY 1, 2),
+degL{lvl} AS MATERIALIZED (
+  SELECT l.label AS id, CAST(SUM(d.k) AS BIGINT) AS k
+  FROM {prev_last} l JOIN degL{lvl - 1} d ON d.id = l.id GROUP BY 1)"""
+            sql += _sql_louvain_level(lvl, nr, f"weL{lvl}",
+                                      "CAST(SUM(e.w) AS BIGINT)")
+        else:
+            # level 1 runs on the unweighted simple graph; alias it as
+            # weL1 with w=1 so contraction reads a uniform (a, b, w)
+            sql += """,
+weL1 AS (SELECT a, b, CAST(1 AS BIGINT) AS w FROM lund)"""
+            sql += _sql_louvain_level(1, nr, "lund",
+                                      "CAST(COUNT(*) AS BIGINT)")
+    # map original nodes through each level's final labels
+    joins = "FROM lblL1_%d l1" % rounds[0]
+    prev = "l1"
+    for lvl in range(2, len(rounds) + 1):
+        joins += (f"\nJOIN lblL{lvl}_{rounds[lvl - 1]} l{lvl} "
+                  f"ON l{lvl}.id = {prev}.label")
+        prev = f"l{lvl}"
+    return sql + f"""
+SELECT l1.id AS node, {prev}.label AS community
+{joins}
+"""
+
+
 SQL_OSM_TRIANGLES = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
                          _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
                          _MERGED_SQL).replace(
@@ -2003,6 +2121,7 @@ QUERIES = {
     "osm_kcore": q_osm_kcore,
     "osm_communities": q_osm_communities,
     "osm_modularity": q_osm_modularity,
+    "osm_louvain": q_osm_louvain,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -2045,6 +2164,7 @@ ORACLES = {
     "osm_kcore": _sql_osm_kcore(),
     "osm_communities": _sql_osm_communities(),
     "osm_modularity": _sql_osm_modularity(),
+    "osm_louvain": _sql_osm_louvain(),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

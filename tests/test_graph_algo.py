@@ -362,3 +362,138 @@ def test_modularity_two_cliques_reference_value(spark):
     assert abs(got - want) < 1e-12
     assert want > 0.4  # two near-cliques -> strongly modular
     assert abs(want - 0.42307692307692313) < 1e-12  # hand-checked value
+
+
+def _louvain_ref(edge_list, rounds):
+    """Plain-Python replica of the documented louvain contract: per round,
+    argmax over neighbour communities of w(x->c) - k_x*tot'(c)/2m with
+    (score DESC, community ASC) tie-break, move applied only when the
+    winner's id < current label; contraction sums inter-community weights
+    and member degrees between levels."""
+    from collections import Counter
+
+    und = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    wedges = Counter()
+    for u, v in und:
+        wedges[(u, v)] += 1
+        wedges[(v, u)] += 1
+    deg = Counter()
+    for (a, _b), wt in wedges.items():
+        deg[a] += wt
+    m2 = float(sum(deg.values()))
+
+    def move_rounds(wedges, deg, n_rounds):
+        labels = {x: x for x in deg}
+        for _ in range(n_rounds):
+            ctot = Counter()
+            for x, k in deg.items():
+                ctot[labels[x]] += k
+            k2c = {x: Counter() for x in deg}
+            for (a, b), wt in wedges.items():
+                k2c[a][labels[b]] += wt
+            nxt = {}
+            for x in deg:
+                cand = dict(k2c[x])
+                cand.setdefault(labels[x], 0)
+                def score(c):
+                    tot_adj = ctot[c] - (deg[x] if c == labels[x] else 0)
+                    return cand[c] - deg[x] * tot_adj / m2
+                cb = max(cand, key=lambda c: (score(c), -c))
+                nxt[x] = cb if cb < labels[x] else labels[x]
+            labels = nxt
+        return labels
+
+    orig = None
+    for li, nr in enumerate(rounds):
+        labels = move_rounds(wedges, deg, nr)
+        orig = labels if orig is None else {n: labels[c]
+                                            for n, c in orig.items()}
+        if li < len(rounds) - 1:
+            nw, nd = Counter(), Counter()
+            for (a, b), wt in wedges.items():
+                if labels[a] != labels[b]:
+                    nw[(labels[a], labels[b])] += wt
+            for x, k in deg.items():
+                nd[labels[x]] += k
+            wedges, deg = nw, nd
+    return orig
+
+
+def test_louvain_two_cliques(spark):
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in louvain(edges, rounds=(4, 2)).collect()}
+    # each clique collapses onto its minimum label; the bridge does not
+    # merge them (joining the other clique has negative gain)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_louvain_matches_reference_python(spark):
+    """Seeded random graphs through the real operator vs the plain-Python
+    reference — full multi-level parity including contraction."""
+    import random
+
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    rng = random.Random(7)
+    for case in range(4):
+        n_nodes = rng.randint(6, 25)
+        n_edges = rng.randint(n_nodes, 3 * n_nodes)
+        edge_list = sorted({(min(u, v), max(u, v)) for u, v in
+                            ((rng.randint(0, n_nodes),
+                              rng.randint(0, n_nodes))
+                             for _ in range(n_edges)) if u != v})
+        if not edge_list:
+            continue
+        rounds = (rng.randint(1, 4), rng.randint(1, 3))
+        want = _louvain_ref(edge_list, rounds)
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["community"]
+               for r in louvain(edges, rounds=rounds).collect()}
+        assert got == want, (edge_list, rounds)
+
+
+def test_louvain_modularity_beats_lpa(spark):
+    """The gate's quality claim: on a sparse random graph — the regime
+    where 4-iteration LPA leaves nearly everything in singleton
+    communities (Q ≈ 0, exactly what it scores on the car graph) —
+    Louvain's partition scores strictly higher Newman modularity. (On
+    easy benchmarks like a ring of cliques both find the ideal partition
+    and tie; the sparse regime is where the optimizer matters.)"""
+    import random
+
+    from osm_pg_etl_spark.operators.graph_algo import (
+        label_propagation, louvain)
+
+    rng = random.Random(11)
+    edge_list = sorted({(min(u, v), max(u, v)) for u, v in
+                        ((rng.randint(0, 299), rng.randint(0, 299))
+                         for _ in range(600)) if u != v})
+
+    def q_of(labels):
+        from collections import Counter
+        m = len(edge_list)
+        deg = Counter()
+        intra = 0
+        for u, v in edge_list:
+            deg[u] += 1
+            deg[v] += 1
+            intra += labels[u] == labels[v]
+        dc = Counter()
+        for n, c in labels.items():
+            dc[c] += deg[n]
+        return intra / m - sum((d / (2 * m)) ** 2 for d in dc.values())
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    lv = {r["node"]: r["community"]
+          for r in louvain(edges, rounds=(4, 2)).collect()}
+    lpa = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=4).collect()}
+    assert q_of(lv) > q_of(lpa) + 0.05
+    assert q_of(lv) > 0.2  # real structure found vs LPA's near-zero
