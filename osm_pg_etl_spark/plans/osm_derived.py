@@ -499,6 +499,68 @@ SELECT node, ROUND(MIN(dist), 6) AS dist_km FROM walk GROUP BY node
 """
 
 
+_SSSP_ORACLE_ROUNDS = 30  # measured fixpoint at sf0.001/sf0.01: 11 rounds
+
+
+def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted SSSP over the directed car graph from its minimum
+    node — Bellman-Ford relaxed to the fixpoint
+    (operators.graph_algo.shortest_paths_weighted), closing the gap the
+    bounded-hop gate leaves open: at sf0.01 the 4-hop distances are wrong
+    for 1269 of 1995 reached nodes (and miss 23 entirely), while road
+    networks routinely exceed any fixed hop bound. The reference reaches
+    for pgrouting/igraph here (etl/osm-load.sh:17, osm-pg-etl.md:31-62).
+    The oracle unrolls _SSSP_ORACLE_ROUNDS per-node-min relaxation rounds
+    — idempotent beyond the fixpoint (measured round 11 with a ~3x
+    margin; tests pin the margin), and per-round mins keep the DuckDB
+    side polynomial instead of enumerating paths."""
+    from ..operators.graph_algo import shortest_paths_weighted
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    directed = directed_network(merged, minimal=True).cache()
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    sp = shortest_paths_weighted(directed, source, src="start_node",
+                                 dst="end_node", weight="length")
+    return sp.select("node", F.round("dist", 6).alias("dist_km"))
+
+
+def _sql_osm_shortest_km(rounds: int = _SSSP_ORACLE_ROUNDS) -> str:
+    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+                _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+expanded AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: referenced by every unrolled round, and
+  -- DuckDB 1.0 inlines plain CTEs per reference (30x the merged chain)
+  SELECT start_node, end_node, length FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT end_node, start_node, length FROM merged
+    WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+  UNION ALL
+  SELECT start_node, end_node, length FROM merged
+    WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+  UNION ALL
+  SELECT end_node, start_node, length FROM merged
+    WHERE oneway = '-1'),
+sp0 AS (SELECT (SELECT MIN(start_node) FROM expanded) AS node,
+               CAST(0.0 AS DOUBLE) AS dist)"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"sp{i - 1}"
+        its.append(f""",
+sp{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {p}
+    UNION ALL
+    SELECT e.end_node, s.dist + e.length
+    FROM {p} s JOIN expanded e ON e.start_node = s.node) GROUP BY node)""")
+    return head + "".join(its) + f"""
+SELECT node, ROUND(dist, 6) AS dist_km FROM sp{rounds}
+"""
+
+
 _BC_SOURCES, _BC_DEPTH = 6, 4
 
 
@@ -2113,6 +2175,7 @@ QUERIES = {
     "osm_directed_graph": q_osm_directed_graph,
     "osm_components": q_osm_components,
     "osm_shortest_hops": q_osm_shortest_hops,
+    "osm_shortest_km": q_osm_shortest_km,
     "osm_betweenness": q_osm_betweenness,
     "osm_planar_length": q_osm_planar_length,
     "osm_harmonic": q_osm_harmonic,
@@ -2156,6 +2219,7 @@ ORACLES = {
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
+    "osm_shortest_km": _sql_osm_shortest_km(),
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_planar_length": _sql_osm_planar_length(),
     "osm_harmonic": _sql_osm_harmonic(),

@@ -108,6 +108,32 @@ def run_path(n: int) -> None:
           f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
 
 
+def run_sssp(n: int) -> None:
+    """Weighted-SSSP round-count stress on an n-node path — the worst
+    case for Bellman-Ford, which is diameter-bound (unlike components'
+    star contraction): rounds must equal exactly n-1 relaxations + 1
+    fixpoint-detection round, pinning both the convergence test's
+    exactness and the honest scaling story (road networks keep diameters
+    moderate after topology merge; a pathological path costs its
+    diameter, and this documents that, not hides it)."""
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
+
+    spark = get_spark(app_name=f"sssp-stress-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "src long, dst long, w double")
+    t0 = time.perf_counter()
+    dist, rounds = shortest_paths_weighted(edges, 0, max_rounds=2 * n,
+                                           return_rounds=True)
+    reached = dist.count()
+    dt = time.perf_counter() - t0
+    status = "OK" if (reached == n and rounds == n) else "FAIL"
+    print(f"{status}  sssp path n={n:>6}  reached={reached}  "
+          f"rounds={rounds} (expect n={n}: n-1 relax + 1 detect)  "
+          f"wall={dt:6.1f}s  per-round={dt / rounds:5.2f}s", flush=True)
+
+
 def run_centrality(k: int) -> None:
     """Scale behavior of the k-source Brandes + PageRank stages on K
     key-offset replicas. Sources per replica stay constant (6 global min
@@ -153,6 +179,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "path":
         for a in sys.argv[2:] or ["100000"]:
             run_path(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "sssp":
+        for a in sys.argv[2:] or ["100"]:
+            run_sssp(int(a))
     elif len(sys.argv) > 1 and sys.argv[1] == "centrality":
         for a in sys.argv[2:] or ["1", "5"]:
             run_centrality(int(a))

@@ -497,3 +497,62 @@ def test_louvain_modularity_beats_lpa(spark):
            for r in label_propagation(edges, n_iter=4).collect()}
     assert q_of(lv) > q_of(lpa) + 0.05
     assert q_of(lv) > 0.2  # real structure found vs LPA's near-zero
+
+
+def test_shortest_paths_weighted_beats_hop_bound(spark):
+    """Fixture where the 4-hop bound is provably wrong: a 7-edge cheap
+    chain (true distance 7.0) vs a direct expensive edge (10.0). Bounded
+    shortest_paths(max_hops=4) must return 10.0; the fixpoint operator
+    must return 7.0."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        shortest_paths, shortest_paths_weighted)
+
+    chain = [(i, i + 1, 1.0) for i in range(1, 8)]  # 1..8, 7 hops
+    edges = spark.createDataFrame(chain + [(1, 8, 10.0)],
+                                  "src long, dst long, w double")
+    bounded = {r["node"]: r["dist"] for r in
+               shortest_paths(edges, 1, max_hops=4).collect()}
+    exact, rounds = shortest_paths_weighted(edges, 1, return_rounds=True)
+    exact = {r["node"]: r["dist"] for r in exact.collect()}
+    assert bounded[8] == 10.0
+    assert exact[8] == 7.0
+    assert exact == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0, 5: 4.0, 6: 5.0,
+                     7: 6.0, 8: 7.0}
+    # path diameter 7 -> 7 improving rounds + 1 fixpoint-detection round
+    assert rounds == 8
+
+
+def test_shortest_paths_weighted_max_rounds_cap(spark):
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
+
+    chain = [(i, i + 1, 1.0) for i in range(1, 8)]
+    edges = spark.createDataFrame(chain, "src long, dst long, w double")
+    got, rounds = shortest_paths_weighted(edges, 1, max_rounds=3,
+                                          return_rounds=True)
+    assert rounds == 3           # capped before the fixpoint
+    assert got.count() == 4      # nodes within 3 hops only
+
+
+def test_shortest_km_oracle_round_margin(spark):
+    """The osm_shortest_km oracle unrolls a FIXED number of relaxation
+    rounds; the gate is only honest if the operator's measured fixpoint
+    stays well inside it. Pin a >=2x margin on the sf0.001 car graph
+    (measured: 11 rounds vs the 30-round unroll)."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
+    from osm_pg_etl_spark.operators.graphs import directed_network
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import merged_network
+    from osm_pg_etl_spark.plans.osm_derived import (
+        _SSSP_ORACLE_ROUNDS, derive_osm)
+
+    d = derive_osm(spark, "/root/testdata/sf0.001")
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    directed = directed_network(merged, minimal=True).cache()
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    _, rounds = shortest_paths_weighted(
+        directed, source, src="start_node", dst="end_node",
+        weight="length", return_rounds=True)
+    assert rounds * 2 <= _SSSP_ORACLE_ROUNDS, (rounds, _SSSP_ORACLE_ROUNDS)
