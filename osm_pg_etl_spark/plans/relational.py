@@ -1850,10 +1850,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas to the stored base aggregate. Decimal arithmetic makes the
     refresh EXACTLY equal to recomputing from scratch (the oracle does the
     recompute), and the change feed is manifest-pruned, so refresh cost
-    scales with the mutation, not the table. (plan_lint flags this gate's
-    wide scan: whole-row update detection in snapshot_changes must read
-    every column of the changed buckets — inherent to CDC semantics and
-    bounded by manifest pruning, not a missing projection.)"""
+    scales with the mutation, not the table. The aggregate declares its
+    tracked columns to snapshot_changes, so the CDC comparison and the
+    parquet scan read key + 2 columns instead of the whole 54-column row
+    (an update touching only untracked columns is a no-op for this view —
+    exactly right for view maintenance)."""
     import shutil  # noqa: PLC0415
     from pathlib import Path  # noqa: PLC0415
 
@@ -1877,7 +1878,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tab.merge(upd.unionByName(ins))
     tab.delete(F.col("o_orderkey") % 10 == 7)
 
-    ch = tab.snapshot_changes(0)
+    ch = tab.snapshot_changes(0, columns=["o_orderstatus", "o_totalprice"])
     retract = (ch.filter(F.col("change").isin("update", "delete"))
                .select(F.col("old.o_orderstatus").alias("o_orderstatus"),
                        F.lit(-1).cast("long").alias("dn"),

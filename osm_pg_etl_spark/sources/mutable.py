@@ -52,6 +52,19 @@ class MutableTable:
         self.path = path.rstrip("/")
         self.key = key
         self.n_buckets = n_buckets
+        self._schema = None
+
+    def _data_schema(self):
+        """Schema of the bucketed data files (incl. ``_bucket``), read
+        once from version 0 — which ``create`` always materializes in
+        full. Passing it explicitly to every scan means a version dir
+        whose rewrite produced ZERO rows (e.g. a delete emptying every
+        touched bucket — just _SUCCESS on disk) reads as an empty
+        DataFrame instead of failing schema inference."""
+        if self._schema is None:
+            self._schema = self.spark.read.parquet(
+                f"{self.path}/data/v0").schema
+        return self._schema
 
     # ---- snapshot bookkeeping -------------------------------------------
 
@@ -119,7 +132,8 @@ class MutableTable:
             return self.read(version).limit(0)
         parts = []
         for owner, buckets in sorted(by_version.items()):
-            scan = self.spark.read.parquet(f"{self.path}/data/v{owner}")
+            scan = (self.spark.read.schema(self._data_schema())
+                    .parquet(f"{self.path}/data/v{owner}"))
             parts.append(scan.filter(F.col(_BUCKET).isin(buckets)))
         out = parts[0]
         for p in parts[1:]:
@@ -127,16 +141,25 @@ class MutableTable:
         return out.drop(_BUCKET)
 
     def snapshot_changes(self, v_from: int,
-                         v_to: int | None = None) -> DataFrame:
+                         v_to: int | None = None,
+                         columns: list[str] | None = None) -> DataFrame:
         """CDC between two snapshots *with row payloads*: one row per
         changed key with ``change`` ∈ insert | update | delete plus the
-        full ``old``/``new`` row structs — the retract/apply feed an
+        ``old``/``new`` row structs — the retract/apply feed an
         incremental view-maintenance pass consumes. Manifest-pruned: a
         bucket owned by the same data version in both manifests cannot
         differ and is never scanned — a diff after a point mutation reads
         only the rewritten buckets, not the table. The remaining buckets
-        full-outer join on the key and compare the whole row
-        null-safely."""
+        full-outer join on the key and compare null-safely.
+
+        ``columns`` (optional) declares the tracked column set: when the
+        consumer is a maintained aggregate that only depends on a few
+        columns, passing them restricts BOTH the comparison and the
+        parquet scan to key + those columns (the projection lands before
+        the struct, so Spark pushes the pruning into the scan instead of
+        reading the whole row). An update that touches only untracked
+        columns is then — correctly, for that consumer — not a change.
+        ``None`` keeps full-row semantics."""
         v_to = self.latest_version() if v_to is None else v_to
         mf = self._read_manifest(v_from)
         mt = self._read_manifest(v_to)
@@ -145,6 +168,15 @@ class MutableTable:
         old = self._read_buckets(v_from, changed)
         new = self._read_buckets(v_to, changed)
         value_cols = [c for c in old.columns if c != self.key]
+        if columns is not None:
+            missing = sorted(set(columns) - set(value_cols))
+            if missing:
+                raise ValueError(
+                    f"tracked columns not in table (or are the key): "
+                    f"{missing}")
+            value_cols = [c for c in value_cols if c in set(columns)]
+            old = old.select(self.key, *value_cols)
+            new = new.select(self.key, *value_cols)
         o = old.select(self.key, F.struct(*value_cols).alias("_o"))
         n = new.select(self.key, F.struct(*value_cols).alias("_n"))
         j = o.join(n, self.key, "full_outer")

@@ -190,3 +190,37 @@ def test_snapshot_changes_carries_payloads(spark, tmp_path):
     dele = ch[7]
     assert dele["change"] == "delete" and dele["new"] is None
     assert dele["old"]["x"] == 70
+
+
+def test_snapshot_changes_tracked_columns(spark, tmp_path):
+    """Column-pruned CDC: tracked-column projection restricts both the
+    comparison (untracked-only updates are not changes) and the payload
+    structs; unknown columns are rejected up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.sources.mutable import MutableTable
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, "x"), (2, "b", 20, "y"), (3, "c", 30, "z")],
+        "id long, name string, val long, extra string")
+    tab = MutableTable(spark, str(tmp_path / "t"), key="id").create(df)
+    # touch val on key 1, extra (untracked) on key 2, delete key 3
+    tab.update(F.col("id") == 1, {"val": F.lit(11)})
+    tab.update(F.col("id") == 2, {"extra": F.lit("Y")})
+    tab.delete(F.col("id") == 3)
+
+    full = {r["id"]: r["change"]
+            for r in tab.snapshot_changes(0).collect()}
+    assert full == {1: "update", 2: "update", 3: "delete"}
+
+    pruned = tab.snapshot_changes(0, columns=["val"])
+    rows = {r["id"]: r for r in pruned.collect()}
+    # key 2's update only touched the untracked column -> not a change
+    assert {k: r["change"] for k, r in rows.items()} == {1: "update",
+                                                         3: "delete"}
+    assert rows[1]["new"].asDict() == {"val": 11}  # payload pruned too
+    with pytest.raises(ValueError, match="tracked columns"):
+        tab.snapshot_changes(0, columns=["nope"])
+    with pytest.raises(ValueError, match="tracked columns"):
+        tab.snapshot_changes(0, columns=["id"])  # the key is not a value col
