@@ -108,6 +108,56 @@ def run_path(n: int) -> None:
           f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
 
 
+def run_aggs(k: int) -> None:
+    """Scale behavior of the three data-bound aggregate gates (bench's
+    sf0.01->sf0.1 ratios 2.4-3.5, the only data-dominated ones): exact
+    multi-quantile profile, ROLLUP hierarchy, per-group OLS moments — on
+    K replicas of the sf0.1 inputs. Group count stays fixed while rows
+    grow K-fold, so this measures the map-side-combine + single-shuffle
+    claim directly (near-flat per-row wall = partial aggregation doing
+    its job; quantile state is O(distinct per group) and replicas reuse
+    values, so its growth here is a lower bound — the sf ratio in
+    bench.py covers the distinct-growth axis)."""
+    from osm_pg_etl_spark.operators.stats import quantiles_by_group
+
+    spark = get_spark(app_name=f"agg-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k).localCheckpoint()
+    ev = replicate(read_testdata(spark, SF_DIR, "events"),
+                   ["event_id"], k).localCheckpoint()
+    n_li, n_ev = li.count(), ev.count()
+
+    t0 = time.perf_counter()
+    quantiles_by_group(li, ["l_returnflag"], "l_extendedprice") \
+        .write.format("noop").mode("overwrite").save()
+    t1 = time.perf_counter()
+    (li.rollup("l_returnflag", "l_linestatus")
+       .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .alias("sum_qty"))
+       .write.format("noop").mode("overwrite").save())
+    t2 = time.perf_counter()
+    x = ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.lit(1_704_067_200_000_000)) / F.lit(3_600_000_000.0))
+    y = F.col("value")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    (ev.groupBy("event_type")
+       .agg(F.count(F.lit(1)).cast("decimal(28,6)").alias("n"),
+            F.sum(dec(x)).alias("sx"), F.sum(dec(y)).alias("sy"),
+            F.sum(dec(x * y)).alias("sxy"),
+            F.sum(dec(x * x)).alias("sxx"),
+            F.sum(dec(y * y)).alias("syy"))
+       .write.format("noop").mode("overwrite").save())
+    t3 = time.perf_counter()
+    print(f"k={k:>2}  lineitem={n_li:>9}  events={n_ev:>9}  "
+          f"quantile_profile={t1 - t0:6.1f}s  rollup={t2 - t1:6.1f}s  "
+          f"regression_moments={t3 - t2:6.1f}s", flush=True)
+    spark.catalog.clearCache()
+
+
 def run_sssp(n: int) -> None:
     """Weighted-SSSP round-count stress on an n-node path — the worst
     case for Bellman-Ford, which is diameter-bound (unlike components'
@@ -179,6 +229,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "path":
         for a in sys.argv[2:] or ["100000"]:
             run_path(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "aggs":
+        for a in sys.argv[2:] or ["1", "5", "10"]:
+            run_aggs(int(a))
     elif len(sys.argv) > 1 and sys.argv[1] == "sssp":
         for a in sys.argv[2:] or ["100"]:
             run_sssp(int(a))
