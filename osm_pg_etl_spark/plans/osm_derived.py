@@ -110,7 +110,15 @@ def derive_osm(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def derive_osm_from(part: DataFrame, li: DataFrame) -> dict[str, DataFrame]:
     """Build the OSM-shaped world (nodes/ways/way_nodes) from arbitrary
     part/lineitem-shaped DataFrames — shared by the sf_dir-based gate
-    queries and the key-offset scale-stress harness."""
+    queries and the key-offset scale-stress harness.
+
+    The sequence_id window leaves ``way_nodes`` hash-partitioned by
+    way_id, so every plan query passes ``pre_partitioned=True`` to
+    merged_network — the explicit repartition would be a second exchange
+    on an already-satisfied distribution (measured ~10% off the merged
+    gate at sf0.1; correctness is partitioning-independent, every
+    downstream stage is a keyed agg/join that would shuffle on its own
+    if the distribution weren't met)."""
     # coords span a ~4°×2° region: keeps haversine sums O(100 km) so the
     # round(…,4) applied before hashing sits far from any float boundary
     nodes = part.select(
@@ -368,9 +376,22 @@ SELECT way_id, bottom_limit, top_limit FROM lims
 
 
 def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology crown jewel. Measured floor analysis (r5, sf0.1, warm):
+    ~5.8 s vs DuckDB ~1.9 s. The stage budget: derive (parquet read +
+    sequence window + per-way array assembly) ~2.7 s, shared/limits chain
+    over the cached 173 k-row wn_net ~2.3 s, slice-assembly + geodesic
+    length ~1 s — i.e. ~8 shuffle-stage barriers at Spark's ~0.3-0.4 s
+    local job floor against DuckDB's single in-process pipeline. The
+    sf0.01→sf0.1 scaling ratio is 1.17 (BENCH_DETAIL), so the gap is
+    fixed per-stage overhead, not data work; at cluster scale the same
+    plan is the one you'd want — one way_id exchange (from the derive
+    window, reused via pre_partitioned=True) serves the length agg, the
+    limits window, and the assembly, with shared_nodes the only
+    node_id-keyed shuffle and the small dims broadcast. Same standard as
+    tfidf_top_terms' documented floor (text.py:101-115)."""
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     return merged.select("edge_id", "start_node", "end_node",
                          F.size("nodes").alias("n_nodes"),
                          F.round("length", 4).alias("length_km"),
@@ -392,7 +413,7 @@ def q_osm_directed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the median agg, the imputation join, the semi-join and the
     # assembly join — without this it is recomputed per consumer
     cn = impute_speed_limit(car_network(d["ways"]).cache())
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     out = directed_network(merged, minimal=True)
     return out.select("start_node", "end_node",
                       F.round("length", 4).alias("length_km"), "speed_limit")
@@ -434,7 +455,7 @@ def q_osm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return connected_components(edges)
@@ -465,7 +486,7 @@ def q_osm_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     sp = shortest_paths(directed, source, max_hops=4,
@@ -518,7 +539,7 @@ def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     sp = shortest_paths_weighted(directed, source, src="start_node",
@@ -575,7 +596,7 @@ def q_osm_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     und = symmetric_edges(edges)
@@ -593,7 +614,7 @@ def q_osm_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     und = symmetric_edges(edges)
@@ -747,7 +768,7 @@ def q_osm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return triangle_counts(edges)
@@ -767,7 +788,7 @@ def q_osm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
@@ -813,7 +834,7 @@ def q_osm_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return label_propagation(edges, n_iter=_LPA_ITER)
@@ -870,7 +891,7 @@ def q_osm_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     labels = label_propagation(edges, n_iter=_LPA_ITER)
@@ -943,7 +964,7 @@ def q_osm_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return louvain(edges, rounds=_LOUVAIN_ROUNDS)
@@ -1098,7 +1119,7 @@ def q_osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     directed = directed_network(merged, minimal=True)
     pr = pagerank(directed.select(F.col("start_node").alias("src"),
                                   F.col("end_node").alias("dst")),
@@ -1187,7 +1208,7 @@ def q_osm_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     directed = directed_network(merged, minimal=True)
     edges = directed.select(F.col("start_node").alias("src"),
                             F.col("end_node").alias("dst"))
@@ -1349,7 +1370,8 @@ def q_osm_complete_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     split UPDATE at ``:167-188`` — the multi-modal routing graph."""
     d = derive_osm(spark, sf_dir)
     comp = with_mode_flags(impute_speed_limit(complete_network(d["ways"]))).cache()
-    merged = merged_network(comp, d["way_nodes"], attrs=_COMPLETE_MERGE_ATTRS)
+    merged = merged_network(comp, d["way_nodes"], attrs=_COMPLETE_MERGE_ATTRS,
+                            pre_partitioned=True)
     return merged.select("edge_id", "start_node", "end_node",
                          F.size("nodes").alias("n_nodes"),
                          F.round("length", 4).alias("length_km"),
