@@ -152,12 +152,22 @@ def shortest_paths_weighted(edges: DataFrame, source: int,
     reference's pgrouting/igraph routing step (``etl/osm-load.sh:17``
     loads pgrouting; ``osm-pg-etl.md:31-62`` routes in igraph).
 
-    Each round is one frontier equi-join + a per-node min; convergence is
-    an EXACT set test — a left-anti join of the new (node, dist) table
-    against the previous one (distances only decrease and the node set
-    only grows, so "no new/changed row" IS the fixpoint; doubles compare
-    exactly because both sides compute the same left-to-right path sums).
-    One scalar count per round, same localCheckpoint lineage-truncation
+    Each round relaxes only from the FRONTIER — the nodes whose distance
+    improved in the previous round (a node whose distance is unchanged
+    already contributed its edges, with the same value, the round after
+    it last improved, and (min, +) only accumulates — so the per-round
+    distance tables are identical to full relaxation, round for round,
+    which keeps the unrolled full-relaxation oracle exact). Frontiers
+    shrink fast once the wave passes, so late rounds join a handful of
+    rows against the edge list instead of every settled node.
+
+    Convergence is an EXACT set test folded into the same aggregation:
+    existing rows carry their distance in a ``prev`` column (relaxation
+    candidates carry NULL), so after the per-node min the improved rows
+    are simply ``prev IS NULL OR dist < prev`` — one shuffle + one cheap
+    count on the checkpointed result per round, no separate anti-join
+    (doubles compare exactly because both engines compute the same
+    left-to-right path sums). Same localCheckpoint lineage-truncation
     pattern as ``k_core``. Worst case rounds = longest shortest path in
     edges (bounded by ``max_rounds``); on topology-merged road graphs the
     measured count is tens, not hundreds. Returns (node, dist) — plus the
@@ -170,16 +180,23 @@ def shortest_paths_weighted(edges: DataFrame, source: int,
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0.0)],
                                  "node long, dist double")
+    frontier = dist
     rounds = 0
     for _ in range(max_rounds):
-        relax = (e.join(dist, e["u"] == dist["node"])
+        relax = (e.join(frontier, e["u"] == frontier["node"])
                  .select(e["v"].alias("node"),
-                         (dist["dist"] + e["w"]).alias("dist")))
-        new = (dist.unionByName(relax)
-               .groupBy("node").agg(F.min("dist").alias("dist"))
+                         (frontier["dist"] + e["w"]).alias("dist"),
+                         F.lit(None).cast("double").alias("prev")))
+        cur = dist.select("node", "dist", F.col("dist").alias("prev"))
+        new = (cur.unionByName(relax)
+               .groupBy("node").agg(F.min("dist").alias("dist"),
+                                    F.min("prev").alias("prev"))
                .localCheckpoint())
-        changed = new.join(dist, ["node", "dist"], "left_anti").count()
-        dist = new
+        frontier = (new.filter(F.col("prev").isNull()
+                               | (F.col("dist") < F.col("prev")))
+                    .select("node", "dist"))
+        changed = frontier.count()
+        dist = new.select("node", "dist")
         rounds += 1
         if changed == 0:
             break
