@@ -25,23 +25,24 @@ DEFAULT_KEY_SUBSTRING_DENYLIST = ("name", "source", "tiger", "gns")
 
 
 def tag_value_summary(entities: DataFrame, key: str,
-                      alias: str | None = None) -> DataFrame:
+                      alias: str | None = None,
+                      ordered: bool = True) -> DataFrame:
     """``CREATE TABLE ..._values AS SELECT tags->'k' AS value, count(*) ...
     WHERE tags ? 'k' GROUP BY 1 ORDER BY count DESC`` (``osm-explore.sql:9-16``).
     ``alias`` names the value column (the reference names it after the key,
     e.g. ``highway``)."""
     alias = alias or "value"
-    return (entities
-            .filter(tag_has("tags", key))
-            .groupBy(tag_get("tags", key).alias(alias))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), alias))
+    out = (entities
+           .filter(tag_has("tags", key))
+           .groupBy(tag_get("tags", key).alias(alias))
+           .agg(F.count(F.lit(1)).alias("count")))
+    return out.orderBy(F.desc("count"), alias) if ordered else out
 
 
 def tag_key_summary(entities: DataFrame,
                     denylist: tuple[str, ...] = DEFAULT_KEY_DENYLIST,
                     substring_denylist: tuple[str, ...] = DEFAULT_KEY_SUBSTRING_DENYLIST,
-                    ) -> DataFrame:
+                    ordered: bool = True) -> DataFrame:
     """Key frequency over ``each(tags)`` with the reference's noise filters
     (``osm-explore.sql:42-56``): literal NOT IN (P7) plus
     ``position(x in tag) = 0`` substring exclusions (P6)."""
@@ -49,14 +50,15 @@ def tag_key_summary(entities: DataFrame,
     cond = ~F.col("tag").isin(list(denylist)) if denylist else F.lit(True)
     for sub in substring_denylist:
         cond = cond & (F.instr(F.col("tag"), sub) == 0)
-    return (keys.filter(cond)
-            .groupBy("tag").agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "tag"))
+    out = (keys.filter(cond)
+           .groupBy("tag").agg(F.count(F.lit(1)).alias("count")))
+    return out.orderBy(F.desc("count"), "tag") if ordered else out
 
 
 def tag_kv_summary(entities: DataFrame,
                    denylist: tuple[str, ...] = (),
-                   substring_denylist: tuple[str, ...] = ()) -> DataFrame:
+                   substring_denylist: tuple[str, ...] = (),
+                   ordered: bool = True) -> DataFrame:
     """(key, value) frequency over ``each(tags)`` (``osm-explore.sql:20-29``),
     with the optional key exclusions of ``highway_tags_values``
     (``osm-explore.sql:43-57``: literal NOT IN + substring ``position = 0``)."""
@@ -66,13 +68,14 @@ def tag_kv_summary(entities: DataFrame,
         cond = ~F.col("tag").isin(list(denylist))
     for sub in substring_denylist:
         cond = cond & (F.instr(F.col("tag"), sub) == 0)
-    return (kv.filter(cond)
-            .groupBy("tag", "value").agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "tag", "value"))
+    out = (kv.filter(cond)
+           .groupBy("tag", "value").agg(F.count(F.lit(1)).alias("count")))
+    return out.orderBy(F.desc("count"), "tag", "value") if ordered else out
 
 
 def tag_cross_summary(entities: DataFrame, key_a: str, key_b: str,
-                      require_both: bool = False) -> DataFrame:
+                      require_both: bool = False,
+                      ordered: bool = True) -> DataFrame:
     """Two-key crosstab, e.g. ``GROUP BY highway, oneway``
     (``osm-explore.sql:82-91``; ``osm-road-graphs.sql:33-40``).
     ``require_both=True`` matches ``highway_oneway_values``, which filters
@@ -80,17 +83,18 @@ def tag_cross_summary(entities: DataFrame, key_a: str, key_b: str,
     cond = tag_has("tags", key_a)
     if require_both:
         cond = cond & tag_has("tags", key_b)
-    return (entities
-            .filter(cond)
-            .groupBy(tag_get("tags", key_a).alias(key_a),
-                     tag_get("tags", key_b).alias(key_b))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), key_a))
+    out = (entities
+           .filter(cond)
+           .groupBy(tag_get("tags", key_a).alias(key_a),
+                    tag_get("tags", key_b).alias(key_b))
+           .agg(F.count(F.lit(1)).alias("count")))
+    return out.orderBy(F.desc("count"), key_a) if ordered else out
 
 
 def tag_value_where_summary(entities: DataFrame, select_key: str,
                             where_key: str, where_value: str,
-                            alias: str | None = None) -> DataFrame:
+                            alias: str | None = None,
+                            ordered: bool = True) -> DataFrame:
     """``highway_service`` shape (``osm-explore.sql:32-40``): the values of
     one tag over entities where another tag has a given value. NO presence
     filter on ``select_key`` — entities without it contribute a NULL group,
@@ -98,11 +102,11 @@ def tag_value_where_summary(entities: DataFrame, select_key: str,
     column is named after ``select_key`` (the reference names it
     ``service``), matching every other catalog table's key-named column."""
     alias = alias or select_key
-    return (entities
-            .filter(tag_get("tags", where_key) == where_value)
-            .groupBy(tag_get("tags", select_key).alias(alias))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), alias))
+    out = (entities
+           .filter(tag_get("tags", where_key) == where_value)
+           .groupBy(tag_get("tags", select_key).alias(alias))
+           .agg(F.count(F.lit(1)).alias("count")))
+    return out.orderBy(F.desc("count"), alias) if ordered else out
 
 
 # osm-explore.sql:52-56 — key exclusions of highway_tags_values
@@ -119,7 +123,7 @@ POI_RELATION_KEYS = ("amenity", "leisure", "sport", "landuse")
 
 def tags_summary_catalog(nodes: DataFrame, ways: DataFrame,
                          relations: DataFrame | None = None,
-                         ) -> dict[str, DataFrame]:
+                         ordered: bool = True) -> dict[str, DataFrame]:
     """The complete ``tags_summary`` schema of ``osm-explore.sql:5-247`` in
     one call: every named table, faithful to its exact filter/projection
     (presence filters, the service NULL group, the two-key oneway filter,
@@ -130,28 +134,39 @@ def tags_summary_catalog(nodes: DataFrame, ways: DataFrame,
     Relation tables are built only when ``relations`` is given (the script
     assumes a full pgsnapshot load). All outputs are map-side-combinable
     aggregations — the catalog is ~24 independent small shuffles, safe to
-    build in one job at any scale."""
+    build in one job at any scale.
+
+    ``ordered=False`` skips each table's count-DESC presentation sort:
+    every sort is a full extra stage barrier, pure waste when the consumer
+    re-sorts, unions, or hashes the result (CTAS materialization, the
+    explore-summary gate) — the reference's ORDER BY is presentation, not
+    semantics."""
     hw_ways = ways.filter(tag_has("tags", "highway"))
     cat: dict[str, DataFrame] = {
-        "highway_values": tag_value_summary(ways, "highway", alias="highway"),
-        "highway_other_tags": tag_key_summary(hw_ways, (), ()),
+        "highway_values": tag_value_summary(ways, "highway", alias="highway",
+                                            ordered=ordered),
+        "highway_other_tags": tag_key_summary(hw_ways, (), (),
+                                              ordered=ordered),
         "highway_service": tag_value_where_summary(
-            ways, "service", "highway", "service"),
+            ways, "service", "highway", "service", ordered=ordered),
         "highway_tags_values": tag_kv_summary(
-            hw_ways, HIGHWAY_TAGS_DENYLIST, HIGHWAY_TAGS_SUBSTRING_DENYLIST),
+            hw_ways, HIGHWAY_TAGS_DENYLIST, HIGHWAY_TAGS_SUBSTRING_DENYLIST,
+            ordered=ordered),
         "railway_ways_values": tag_value_summary(
-            ways, "railway", alias="railway"),
+            ways, "railway", alias="railway", ordered=ordered),
         "railway_nodes_values": tag_value_summary(
-            nodes, "railway", alias="railway"),
+            nodes, "railway", alias="railway", ordered=ordered),
         "highway_oneway_values": tag_cross_summary(
-            ways, "highway", "oneway", require_both=True),
+            ways, "highway", "oneway", require_both=True, ordered=ordered),
     }
     for key in POI_NODE_KEYS:
-        cat[f"{key}_nodes_values"] = tag_value_summary(nodes, key, alias=key)
+        cat[f"{key}_nodes_values"] = tag_value_summary(nodes, key, alias=key,
+                                                       ordered=ordered)
     for key in POI_WAY_KEYS:
-        cat[f"{key}_ways_values"] = tag_value_summary(ways, key, alias=key)
+        cat[f"{key}_ways_values"] = tag_value_summary(ways, key, alias=key,
+                                                      ordered=ordered)
     if relations is not None:
         for key in POI_RELATION_KEYS:
             cat[f"{key}_relations_values"] = tag_value_summary(
-                relations, key, alias=key)
+                relations, key, alias=key, ordered=ordered)
     return cat

@@ -2094,8 +2094,15 @@ def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose cache measured as a net loss here), and the semi-join against
     # way_nodes then runs once instead of once per branch (mirrors the
     # oracle's wtags∩wn CTE)
+    # ordered=False: the union + order-insensitive hash discards each
+    # branch's presentation sort — 5 whole stage barriers saved.
+    # localCheckpoint over cache: same 5-way reuse, but deserialized
+    # blocks skip the columnar-serialize step a map column pays in the
+    # InMemoryRelation (measured ~10% on this gate at sf0.1)
     cat = tags_summary_catalog(d["nodes"],
-                               derive_ways_tags(spark, sf_dir).cache())
+                               derive_ways_tags(spark, sf_dir)
+                               .localCheckpoint(),
+                               ordered=False)
     lit = F.lit
 
     def shaped(name: str, tag_col, value_col) -> DataFrame:
