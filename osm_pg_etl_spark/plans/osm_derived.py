@@ -1008,7 +1008,25 @@ lblL{lvl}_{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _sql_osm_louvain(rounds: tuple = _LOUVAIN_ROUNDS) -> str:
+def q_osm_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refinement of the Louvain partition
+    (operators.graph_algo.refine_connected): every community split into
+    its connected pieces, the well-connectedness guarantee of Traag et
+    al. 2019 — Q(refined) ≥ Q(louvain) by construction (asserted in
+    tests). Closes README's community-detection row end to end: optimizer
+    AND refinement both distributed."""
+    from ..operators.graph_algo import louvain, refine_connected
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst")).localCheckpoint()
+    return refine_connected(edges, louvain(edges, rounds=_LOUVAIN_ROUNDS))
+
+
+def _sql_osm_louvain(rounds: tuple = _LOUVAIN_ROUNDS,
+                     refined: bool = False) -> str:
     """Unrolled-round replica of operators.graph_algo.louvain on the car
     graph: every move round is 3 CTEs (community totals, per-node
     candidate weights incl. the own-community zero row, windowed argmax
@@ -1061,9 +1079,27 @@ weL1 AS (SELECT a, b, CAST(1 AS BIGINT) AS w FROM lund)"""
         joins += (f"\nJOIN lblL{lvl}_{rounds[lvl - 1]} l{lvl} "
                   f"ON l{lvl}.id = {prev}.label")
         prev = f"l{lvl}"
-    return sql + f"""
-SELECT l1.id AS node, {prev}.label AS community
-{joins}
+    final = f"SELECT l1.id AS node, {prev}.label AS community\n{joins}"
+    if not refined:
+        return sql + "\n" + final + "\n"
+    # Leiden-style refinement: min-label reachability over the
+    # intra-community edge subset (same recursion as SQL_OSM_COMPONENTS;
+    # set-semantics UNION keeps it polynomial), singletons fall back to
+    # their own id
+    return sql + f""",
+lvfinal AS MATERIALIZED ({final}),
+lvintra AS MATERIALIZED (
+  SELECT e.a, e.b FROM lund e
+  JOIN lvfinal fa ON fa.node = e.a
+  JOIN lvfinal fb ON fb.node = e.b
+  WHERE fa.community = fb.community),
+lvreach AS (
+  SELECT a AS node, a AS label FROM lvintra
+  UNION
+  SELECT e.a, r.label FROM lvreach r JOIN lvintra e ON e.b = r.node),
+lvpieces AS (SELECT node, MIN(label) AS piece FROM lvreach GROUP BY node)
+SELECT f.node, COALESCE(p.piece, f.node) AS community
+FROM lvfinal f LEFT JOIN lvpieces p ON p.node = f.node
 """
 
 
@@ -2214,6 +2250,7 @@ QUERIES = {
     "osm_communities": q_osm_communities,
     "osm_modularity": q_osm_modularity,
     "osm_louvain": q_osm_louvain,
+    "osm_louvain_refined": q_osm_louvain_refined,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -2258,6 +2295,7 @@ ORACLES = {
     "osm_communities": _sql_osm_communities(),
     "osm_modularity": _sql_osm_modularity(),
     "osm_louvain": _sql_osm_louvain(),
+    "osm_louvain_refined": _sql_osm_louvain(refined=True),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

@@ -556,3 +556,53 @@ def test_shortest_km_oracle_round_margin(spark):
         directed, source, src="start_node", dst="end_node",
         weight="length", return_rounds=True)
     assert rounds * 2 <= _SSSP_ORACLE_ROUNDS, (rounds, _SSSP_ORACLE_ROUNDS)
+
+
+def test_refine_connected_splits_disconnected_community(spark):
+    """Two triangles {1,2,3} and {7,8,9} with NO edge between them, both
+    hand-labelled community 1 (an internally disconnected community, the
+    defect Leiden fixes): refinement must split them into their pieces
+    and must strictly increase modularity."""
+    from osm_pg_etl_spark.operators.graph_algo import refine_connected
+
+    edge_list = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 7, 8, 9)], "node long, community long")
+    got = {r["node"]: r["community"]
+           for r in refine_connected(edges, labels).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+    def q_of(lab):
+        from collections import Counter
+        m = len(edge_list)
+        deg, dc, intra = Counter(), Counter(), 0
+        for u, v in edge_list:
+            deg[u] += 1
+            deg[v] += 1
+            intra += lab[u] == lab[v]
+        for n, c in lab.items():
+            dc[c] += deg[n]
+        return intra / m - sum((d / (2 * m)) ** 2 for d in dc.values())
+
+    before = q_of({n: 1 for n in (1, 2, 3, 7, 8, 9)})
+    assert q_of(got) > before
+
+
+def test_refine_connected_keeps_connected_communities(spark):
+    """Already-connected communities are untouched up to the canonical
+    min-member relabel; singletons with no intra edge keep their own id."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        louvain, refine_connected)
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (99, 1)],
+        "src long, dst long")
+    lv = louvain(edges, rounds=(4, 2))
+    refined = {r["node"]: r["community"]
+               for r in refine_connected(edges, lv).collect()}
+    base = {r["node"]: r["community"] for r in lv.collect()}
+    # louvain labels are already min-member ids here; refinement must be
+    # the identity (communities are connected: 99 hangs off node 1)
+    assert refined == base
