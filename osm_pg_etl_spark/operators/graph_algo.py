@@ -474,7 +474,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 4,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      checkpoint_every: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation, determinized
     — the native replacement for the reference workflow's igraph
     ``community_label_propagation()`` step (``osm-pg-etl.md:31-105``
@@ -500,10 +501,17 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
     e = symmetric_edges(edges, src, dst).localCheckpoint()
     labels = (e.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         labels = (e.join(labels.withColumnRenamed("id", "a"), "a")
                   .groupBy(F.col("b").alias("id"))
                   .agg(F.mode("label", True).alias("label")))
+        # mid-run lineage truncation only for LONG runs: each checkpoint
+        # is a full job barrier (~0.35 s locally), so short fixed unrolls
+        # (the 4-round gate) run as one multi-stage job, while plan depth
+        # stays bounded when callers iterate dozens of rounds
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < n_iter:
+            labels = labels.localCheckpoint()
     return labels.select(F.col("id").alias("node"),
                          F.col("label").alias("community"))
 
