@@ -473,6 +473,36 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                         (F.col(id_col) == F.col("cluster_id")).cast("boolean")))
 
 
+def dedup_canonical_by(docs: DataFrame, pairs: DataFrame, score_col: str,
+                       id_col: str = "doc_id",
+                       pair_cols: tuple[str, str] = ("id_a", "id_b")
+                       ) -> DataFrame:
+    """Quality-aware canonical selection: like :func:`dedup_clusters`, but
+    the kept document per near-dup cluster is the HIGHEST-``score_col``
+    one (ties to the smallest id) instead of the smallest id — what a
+    curation pipeline actually wants when duplicates differ in quality
+    (keep the longest / best-scored copy, not the first-crawled). One
+    ``max_by(id, struct(score, -id))`` per cluster past the components —
+    a single extra cluster-keyed aggregate. Returns
+    (doc_id, cluster_id, score_col, is_canonical)."""
+    comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
+    d = docs.select(F.col(id_col).cast("long").alias(id_col),
+                    F.col(score_col))
+    clustered = (d.join(comp, d[id_col] == comp["node"], "left")
+                 .select(id_col, score_col,
+                         F.coalesce("component", F.col(id_col))
+                         .alias("cluster_id")))
+    best = (clustered.groupBy("cluster_id")
+            .agg(F.max_by(F.col(id_col),
+                          F.struct(F.col(score_col),
+                                   (-F.col(id_col)).alias("_nid")))
+                 .alias("keep_id")))
+    return (clustered.join(best, "cluster_id")
+            .select(id_col, "cluster_id", score_col,
+                    (F.col(id_col) == F.col("keep_id")).cast("boolean")
+                    .alias("is_canonical")))
+
+
 def label_propagation(edges: DataFrame, n_iter: int = 4,
                       src: str = "src", dst: str = "dst",
                       checkpoint_every: int = 4) -> DataFrame:

@@ -339,6 +339,48 @@ def _sql_dedup_clusters() -> str:
                                               pairs="mh_pairs")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical pick over the same MinHash-LSH clusters:
+    keep the LONGEST copy (n_chars, ties to the smallest id) instead of
+    the smallest id — the keep-the-best-copy policy a curation pipeline
+    wants when near-duplicates differ in completeness
+    (operators.graph_algo.dedup_canonical_by)."""
+    from ..operators.graph_algo import dedup_canonical_by
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, n=3, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5)
+    return dedup_canonical_by(docs, pairs, "n_chars")
+
+
+def _sql_dedup_keep_best() -> str:
+    return """
+WITH RECURSIVE {ctes},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs),
+reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+best AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM clustered) WHERE rn = 1)
+SELECT c.doc_id, c.cluster_id, c.n_chars,
+       c.doc_id = b.keep_id AS is_canonical
+FROM clustered c JOIN best b ON b.cluster_id = c.cluster_id
+""".format(ctes=_minhash_ctes())
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with one Lloyd refinement pass: deterministic sampled
     centroids, refined by an exact-decimal-mean k-means step
@@ -1300,6 +1342,7 @@ QUERIES = {
     "fingerprint_dupes": q_fingerprint_dupes,
     "minhash_neardup": q_minhash_neardup,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1340,6 +1383,7 @@ ORACLES = {
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "simhash": _sql_simhash(),
     "simhash_neardup": _sql_simhash_neardup(),
     "similarity_lsh_topk": _sql_lsh_topk(),
