@@ -108,6 +108,34 @@ def run_path(n: int) -> None:
           f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
 
 
+def run_louvain(k: int) -> None:
+    """Louvain scale behavior on K key-offset replicas of the sf0.1 car
+    graph: each replica is a disjoint region, so community quality is
+    unchanged while edges grow K-fold — wall time should grow sublinearly
+    (fixed 13-round barrier cost amortizes; per-round joins are
+    node-keyed)."""
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    spark = get_spark(app_name=f"louvain-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+    d = derive_osm_from(part, li)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"])
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst")).localCheckpoint()
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    lv = louvain(edges)
+    n_comm = lv.select("community").distinct().count()
+    dt = time.perf_counter() - t0
+    print(f"k={k:>2}  edges={n_edges:>8}  communities={n_comm:>7}  "
+          f"louvain={dt:6.1f}s", flush=True)
+    spark.catalog.clearCache()
+
+
 def run_aggs(k: int) -> None:
     """Scale behavior of the three data-bound aggregate gates (bench's
     sf0.01->sf0.1 ratios 2.4-3.5, the only data-dominated ones): exact
@@ -229,6 +257,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "path":
         for a in sys.argv[2:] or ["100000"]:
             run_path(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "louvain":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_louvain(int(a))
     elif len(sys.argv) > 1 and sys.argv[1] == "aggs":
         for a in sys.argv[2:] or ["1", "5", "10"]:
             run_aggs(int(a))
