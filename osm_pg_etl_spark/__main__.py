@@ -78,7 +78,7 @@ def cmd_network(args: argparse.Namespace) -> None:
 
 
 _ALGOS = ("components", "pagerank", "communities", "betweenness",
-          "triangles", "kcore")
+          "triangles", "kcore", "louvain", "sssp")
 
 
 def cmd_analyze(args: argparse.Namespace) -> None:
@@ -110,6 +110,14 @@ def cmd_analyze(args: argparse.Namespace) -> None:
             out = ga.betweenness(edges, sources, max_depth=args.depth)
         elif algo == "triangles":
             out = ga.triangle_counts(edges)
+        elif algo == "louvain":
+            out = ga.refine_connected(edges, ga.louvain(edges))
+        elif algo == "sssp":
+            # exact weighted SSSP from the minimum node over edge lengths
+            src = directed.agg(F.min("start_node")).collect()[0][0]
+            out = ga.shortest_paths_weighted(
+                directed, src, src="start_node", dst="end_node",
+                weight="length")
         else:
             out = ga.k_core(edges, k=2)
         out.write.mode("overwrite").parquet(f"{args.out}/{algo}.parquet")

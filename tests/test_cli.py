@@ -43,7 +43,8 @@ def test_cli_workflow_end_to_end(spark, tmp_path):
 
     main(["ingest", src, osm])
     main(["network", osm, net, "--mode", "car", "--minimal"])
-    main(["analyze", net, out, "--algo", "components,communities"])
+    main(["analyze", net, out, "--algo",
+          "components,communities,louvain,sssp"])
     main(["export", net, str(tmp_path / "edges")])
 
     merged = spark.read.parquet(f"{net}/merged.parquet")
@@ -52,6 +53,10 @@ def test_cli_workflow_end_to_end(spark, tmp_path):
     assert merged.count() == 40
     comp = spark.read.parquet(f"{out}/components.parquet")
     assert comp.select("component").distinct().count() == 1  # one grid
+    lv = spark.read.parquet(f"{out}/louvain.parquet")
+    assert lv.count() == comp.count()  # every node labelled
+    sssp = spark.read.parquet(f"{out}/sssp.parquet")
+    assert sssp.count() == comp.count()  # grid fully reachable
     csv = spark.read.option("header", True).csv(str(tmp_path / "edges"))
     directed = spark.read.parquet(f"{net}/directed.parquet")
     assert csv.count() == directed.count() > 0
