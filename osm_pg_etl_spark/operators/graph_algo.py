@@ -610,7 +610,8 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
 
 
 def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
-            src: str = "src", dst: str = "dst") -> DataFrame:
+            src: str = "src", dst: str = "dst",
+            weight: str | None = None) -> DataFrame:
     """Distributed Louvain community detection: ``rounds[l]`` synchronous
     move rounds at level ``l``, contracting communities into super-nodes
     between levels — the native replacement for the LAST igraph export in
@@ -636,10 +637,27 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
     ``localCheckpoint`` truncates lineage per round (cluster jobs would
     use a checkpoint dir).
 
+    ``weight`` names an INTEGER edge-weight column (e.g. metres — cast
+    the float length with floor(km·10⁶) so every Σtot/k/w aggregate stays
+    an exact integer and the oracle hashes bit-identically); parallel
+    duplicate edges collapse to their MIN weight, mirroring the
+    unweighted path's distinct(). ``None`` keeps w = 1.
+
     Returns (node, community) for every original node.
     """
-    e = symmetric_edges(edges, src, dst).localCheckpoint()
-    we = e.select("a", "b", F.lit(1).cast("long").alias("w"))
+    if weight is None:
+        e = symmetric_edges(edges, src, dst).localCheckpoint()
+        we = e.select("a", "b", F.lit(1).cast("long").alias("w"))
+    else:
+        raw = edges.select(F.col(src).cast("long").alias("a"),
+                           F.col(dst).cast("long").alias("b"),
+                           F.col(weight).cast("long").alias("w"))
+        we = (raw.unionByName(raw.select(F.col("b").alias("a"),
+                                         F.col("a").alias("b"), "w"))
+              .filter(F.col("a") != F.col("b"))
+              .groupBy("a", "b").agg(F.min("w").alias("w"))
+              .localCheckpoint())
+        e = we
     deg = (we.groupBy(F.col("a").alias("id"))
            .agg(F.sum("w").alias("k")).localCheckpoint())
     m2 = float(deg.agg(F.sum("k")).collect()[0][0] or 0)

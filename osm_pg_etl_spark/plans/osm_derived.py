@@ -1025,8 +1025,28 @@ def q_osm_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refine_connected(edges, louvain(edges, rounds=_LOUVAIN_ROUNDS))
 
 
+def q_osm_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain on the LENGTH-WEIGHTED car graph — the weighting a road
+    analyst actually uses (communities of short internal hops). Weights
+    are floor(length_km·10⁶) integer micro-kilometres, so every Louvain
+    aggregate stays an exact integer and the unrolled oracle hashes
+    bit-identically (floor avoids the ROUND half-tie divergence between
+    engines; the haversine double itself is engine-identical)."""
+    from ..operators.graph_algo import louvain
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"),
+                          F.floor(F.col("length") * 1_000_000)
+                          .cast("long").alias("w_um"))
+    return louvain(edges, rounds=_LOUVAIN_ROUNDS, weight="w_um")
+
+
 def _sql_osm_louvain(rounds: tuple = _LOUVAIN_ROUNDS,
-                     refined: bool = False) -> str:
+                     refined: bool = False,
+                     weighted: bool = False) -> str:
     """Unrolled-round replica of operators.graph_algo.louvain on the car
     graph: every move round is 3 CTEs (community totals, per-node
     candidate weights incl. the own-community zero row, windowed argmax
@@ -1034,9 +1054,31 @@ def _sql_osm_louvain(rounds: tuple = _LOUVAIN_ROUNDS,
     edge sums + member-degree sums). The directed weight total m2 is one
     shared scalar CTE — invariant across levels, exactly as the Spark
     side's one bounded collect."""
-    head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
+    base = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
                 _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
-        "WITH ", "WITH RECURSIVE ", 1) + """,
+        "WITH ", "WITH RECURSIVE ", 1)
+    if weighted:
+        # integer micro-km weights; parallel duplicates collapse to MIN,
+        # mirroring the unweighted path's DISTINCT
+        head = base + """,
+lwboth AS (
+  SELECT start_node AS a, end_node AS b,
+         CAST(FLOOR(length * 1000000) AS BIGINT) AS w FROM merged
+    WHERE start_node != end_node
+  UNION ALL
+  SELECT end_node, start_node,
+         CAST(FLOOR(length * 1000000) AS BIGINT) FROM merged
+    WHERE start_node != end_node),
+lund AS MATERIALIZED (
+  SELECT a, b, MIN(w) AS w FROM lwboth GROUP BY a, b),
+degL1 AS MATERIALIZED (
+  SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM lund GROUP BY a),
+m2 AS (SELECT CAST(SUM(k) AS DOUBLE) AS v FROM degL1)"""
+        l1_wexpr = "CAST(SUM(e.w) AS BIGINT)"
+        l1_alias = """,
+weL1 AS (SELECT a, b, w FROM lund)"""
+    else:
+        head = base + """,
 lund AS MATERIALIZED (
   -- explicit DISTINCT: DuckDB 1.0 UNION under WITH RECURSIVE (see
   -- _sql_osm_betweenness)
@@ -1049,6 +1091,9 @@ lund AS MATERIALIZED (
 degL1 AS MATERIALIZED (
   SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM lund GROUP BY a),
 m2 AS (SELECT CAST(SUM(k) AS DOUBLE) AS v FROM degL1)"""
+        l1_wexpr = "CAST(COUNT(*) AS BIGINT)"
+        l1_alias = """,
+weL1 AS (SELECT a, b, CAST(1 AS BIGINT) AS w FROM lund)"""
     sql = head
     for lvl, nr in enumerate(rounds, start=1):
         if lvl > 1:
@@ -1066,12 +1111,10 @@ degL{lvl} AS MATERIALIZED (
             sql += _sql_louvain_level(lvl, nr, f"weL{lvl}",
                                       "CAST(SUM(e.w) AS BIGINT)")
         else:
-            # level 1 runs on the unweighted simple graph; alias it as
-            # weL1 with w=1 so contraction reads a uniform (a, b, w)
-            sql += """,
-weL1 AS (SELECT a, b, CAST(1 AS BIGINT) AS w FROM lund)"""
-            sql += _sql_louvain_level(1, nr, "lund",
-                                      "CAST(COUNT(*) AS BIGINT)")
+            # alias level 1 as weL1(a, b, w) so contraction reads a
+            # uniform shape whatever the weighting
+            sql += l1_alias
+            sql += _sql_louvain_level(1, nr, "lund", l1_wexpr)
     # map original nodes through each level's final labels
     joins = "FROM lblL1_%d l1" % rounds[0]
     prev = "l1"
@@ -2251,6 +2294,7 @@ QUERIES = {
     "osm_modularity": q_osm_modularity,
     "osm_louvain": q_osm_louvain,
     "osm_louvain_refined": q_osm_louvain_refined,
+    "osm_louvain_weighted": q_osm_louvain_weighted,
     "osm_ppr": q_osm_ppr,
     "osm_mode_flags": q_osm_mode_flags,
     "osm_complete_network": q_osm_complete_network,
@@ -2296,6 +2340,7 @@ ORACLES = {
     "osm_modularity": _sql_osm_modularity(),
     "osm_louvain": _sql_osm_louvain(),
     "osm_louvain_refined": _sql_osm_louvain(refined=True),
+    "osm_louvain_weighted": _sql_osm_louvain(weighted=True),
     "osm_ppr": _sql_osm_pagerank(k_seeds=_PPR_SEEDS),
     "osm_mode_flags": SQL_OSM_MODE_FLAGS,
     "osm_complete_network": _sql_osm_complete_network(),

@@ -622,3 +622,36 @@ def test_dedup_canonical_by_keeps_best(spark):
     # cluster {1,2,3}: scores 10,50,50 -> tie between 2 and 3 -> 2 wins
     assert got == {1: (1, False), 2: (1, True), 3: (1, False),
                    4: (4, True), 5: (5, True)}
+
+
+def test_louvain_weighted_prefers_heavy_edges(spark):
+    """Weighted Louvain: node 3 sits between cliquish pairs; a heavy edge
+    to the {1,2} side must pull it there even though topology alone ties.
+    Path 1-2-3-4-5 with w(2,3)=100, all else 1: {1,2,3} + {4,5}."""
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 100), (3, 4, 1), (4, 5, 1)],
+        "src long, dst long, w long")
+    got = {r["node"]: r["community"]
+           for r in louvain(edges, rounds=(4, 2), weight="w").collect()}
+    assert got[2] == got[3]  # the heavy edge binds 2-3
+    assert got[2] != got[4]
+    # unweighted on the same topology need not produce the same split
+    unw = {r["node"]: r["community"]
+           for r in louvain(edges, rounds=(4, 2)).collect()}
+    assert set(unw) == set(got)  # same node coverage either way
+
+
+def test_louvain_weighted_parallel_edges_min_collapse(spark):
+    """Parallel duplicate edges collapse to MIN weight (mirror of the
+    unweighted distinct): (1,2) listed with w=5 and w=9 behaves as w=5."""
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    a = spark.createDataFrame([(1, 2, 5), (1, 2, 9), (2, 3, 1)],
+                              "src long, dst long, w long")
+    b = spark.createDataFrame([(1, 2, 5), (2, 3, 1)],
+                              "src long, dst long, w long")
+    ra = sorted(map(tuple, louvain(a, rounds=(3, 2), weight="w").collect()))
+    rb = sorted(map(tuple, louvain(b, rounds=(3, 2), weight="w").collect()))
+    assert ra == rb
