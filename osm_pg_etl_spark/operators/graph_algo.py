@@ -141,7 +141,7 @@ def shortest_paths(edges: DataFrame, source: int, max_hops: int = 4,
     return dist
 
 
-def shortest_paths_weighted(edges: DataFrame, source: int,
+def shortest_paths_weighted(edges: DataFrame, source,
                             src: str = "src", dst: str = "dst",
                             weight: str = "w", max_rounds: int = 200,
                             return_rounds: bool = False):
@@ -170,36 +170,50 @@ def shortest_paths_weighted(edges: DataFrame, source: int,
     left-to-right path sums). Same localCheckpoint lineage-truncation
     pattern as ``k_core``. Worst case rounds = longest shortest path in
     edges (bounded by ``max_rounds``); on topology-merged road graphs the
-    measured count is tens, not hundreds. Returns (node, dist) — plus the
-    round count when ``return_rounds`` — with unreached nodes absent.
+    measured count is tens, not hundreds.
+
+    ``source`` may be a single node id (returns (node, dist)) or a LIST
+    of ids — multi-source mode keys everything on (s, node) so all waves
+    advance in the same rounds and k sources cost the same shuffle count
+    as one (the many-to-many accessibility primitive; returns
+    (s, node, dist)). Unreached nodes are absent either way; round count
+    returned when ``return_rounds``.
     """
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"),
                       F.col(weight).cast("double").alias("w"))
          .localCheckpoint())
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(int(source), 0.0)],
-                                 "node long, dist double")
+    sources = [int(source)] if isinstance(source, int) else \
+        [int(x) for x in source]
+    # multi-source: every wave advances in the SAME rounds keyed on
+    # (s, node) — k sources cost the same shuffle count as one (the
+    # sigma_table pattern), the many-to-many accessibility primitive
+    dist = spark.createDataFrame([(s, s, 0.0) for s in sources],
+                                 "s long, node long, dist double")
     frontier = dist
     rounds = 0
     for _ in range(max_rounds):
         relax = (e.join(frontier, e["u"] == frontier["node"])
-                 .select(e["v"].alias("node"),
+                 .select(frontier["s"], e["v"].alias("node"),
                          (frontier["dist"] + e["w"]).alias("dist"),
                          F.lit(None).cast("double").alias("prev")))
-        cur = dist.select("node", "dist", F.col("dist").alias("prev"))
+        cur = dist.select("s", "node", "dist",
+                          F.col("dist").alias("prev"))
         new = (cur.unionByName(relax)
-               .groupBy("node").agg(F.min("dist").alias("dist"),
-                                    F.min("prev").alias("prev"))
+               .groupBy("s", "node").agg(F.min("dist").alias("dist"),
+                                         F.min("prev").alias("prev"))
                .localCheckpoint())
         frontier = (new.filter(F.col("prev").isNull()
                                | (F.col("dist") < F.col("prev")))
-                    .select("node", "dist"))
+                    .select("s", "node", "dist"))
         changed = frontier.count()
-        dist = new.select("node", "dist")
+        dist = new.select("s", "node", "dist")
         rounds += 1
         if changed == 0:
             break
+    if isinstance(source, int):
+        dist = dist.select("node", "dist")
     return (dist, rounds) if return_rounds else dist
 
 

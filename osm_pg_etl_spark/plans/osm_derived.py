@@ -547,7 +547,33 @@ def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.select("node", F.round("dist", 6).alias("dist_km"))
 
 
-def _sql_osm_shortest_km(rounds: int = _SSSP_ORACLE_ROUNDS) -> str:
+_ACCESS_SOURCES = 3
+
+
+def q_osm_access_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source exact weighted distances — the many-to-many
+    accessibility table (distance from each of the k=3 smallest network
+    nodes to everywhere): all waves advance in the same Bellman-Ford
+    rounds keyed on (s, node), so k sources cost the same shuffle count
+    as one (operators.graph_algo.shortest_paths_weighted with a source
+    list). The reference reaches pgrouting/igraph for this."""
+    from ..operators.graph_algo import shortest_paths_weighted
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged, minimal=True).cache()
+    sources = [r["start_node"] for r in
+               (directed.select("start_node").distinct()
+                .orderBy("start_node").limit(_ACCESS_SOURCES).collect())]
+    sp = shortest_paths_weighted(directed, sources, src="start_node",
+                                 dst="end_node", weight="length")
+    return sp.select(F.col("s").alias("source"), "node",
+                     F.round("dist", 6).alias("dist_km"))
+
+
+def _sql_osm_shortest_km(rounds: int = _SSSP_ORACLE_ROUNDS,
+                         k_sources: int | None = None) -> str:
     head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
                 _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
         "WITH ", "WITH RECURSIVE ", 1) + """,
@@ -564,21 +590,41 @@ expanded AS MATERIALIZED (
     WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
   UNION ALL
   SELECT end_node, start_node, length FROM merged
-    WHERE oneway = '-1'),
+    WHERE oneway = '-1')"""
+    if k_sources is None:
+        head += """,
 sp0 AS (SELECT (SELECT MIN(start_node) FROM expanded) AS node,
                CAST(0.0 AS DOUBLE) AS dist)"""
+        key, proj = "node", "node"
+    else:
+        head += f""",
+srcs AS (SELECT DISTINCT start_node AS s FROM expanded
+         ORDER BY start_node LIMIT {k_sources}),
+sp0 AS (SELECT s, s AS node, CAST(0.0 AS DOUBLE) AS dist FROM srcs)"""
+        key, proj = "s, node", "sq.s, sq.node"
     its = []
     for i in range(1, rounds + 1):
         p = f"sp{i - 1}"
         its.append(f""",
+sp{i} AS MATERIALIZED (
+  SELECT {key}, MIN(dist) AS dist FROM (
+    SELECT {key}, dist FROM {p}
+    UNION ALL
+    SELECT {proj.replace('sq.node', 'e.end_node')}, sq.dist + e.length
+    FROM {p} sq JOIN expanded e ON e.start_node = sq.node) GROUP BY {key})"""
+                   if k_sources is not None else f""",
 sp{i} AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT node, dist FROM {p}
     UNION ALL
     SELECT e.end_node, s.dist + e.length
     FROM {p} s JOIN expanded e ON e.start_node = s.node) GROUP BY node)""")
-    return head + "".join(its) + f"""
+    if k_sources is None:
+        return head + "".join(its) + f"""
 SELECT node, ROUND(dist, 6) AS dist_km FROM sp{rounds}
+"""
+    return head + "".join(its) + f"""
+SELECT s AS source, node, ROUND(dist, 6) AS dist_km FROM sp{rounds}
 """
 
 
@@ -2284,6 +2330,7 @@ QUERIES = {
     "osm_components": q_osm_components,
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_shortest_km": q_osm_shortest_km,
+    "osm_access_km": q_osm_access_km,
     "osm_betweenness": q_osm_betweenness,
     "osm_planar_length": q_osm_planar_length,
     "osm_harmonic": q_osm_harmonic,
@@ -2330,6 +2377,7 @@ ORACLES = {
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_shortest_km": _sql_osm_shortest_km(),
+    "osm_access_km": _sql_osm_shortest_km(k_sources=_ACCESS_SOURCES),
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_planar_length": _sql_osm_planar_length(),
     "osm_harmonic": _sql_osm_harmonic(),

@@ -655,3 +655,21 @@ def test_louvain_weighted_parallel_edges_min_collapse(spark):
     ra = sorted(map(tuple, louvain(a, rounds=(3, 2), weight="w").collect()))
     rb = sorted(map(tuple, louvain(b, rounds=(3, 2), weight="w").collect()))
     assert ra == rb
+
+
+def test_shortest_paths_weighted_multi_source(spark):
+    """Multi-source mode: per-(s, node) distances equal the per-source
+    single runs, all advanced in the same rounds."""
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (10, 3, 0.5)],
+        "src long, dst long, w double")
+    multi = {(r["s"], r["node"]): r["dist"]
+             for r in shortest_paths_weighted(edges, [1, 10]).collect()}
+    for s in (1, 10):
+        single = {r["node"]: r["dist"]
+                  for r in shortest_paths_weighted(edges, s).collect()}
+        assert {n: d for (ss, n), d in multi.items() if ss == s} == single
+    assert multi[(1, 4)] == 3.0
+    assert multi[(10, 4)] == 1.5
