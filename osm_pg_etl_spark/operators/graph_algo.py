@@ -707,6 +707,38 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
                        F.col("label").alias("community"))
 
 
+def modularity_of(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of an arbitrary (node, community) partition over
+    the undirected simple graph: Q = intra/m − Σ_c (D_c/2m)². Every term
+    is an exact integer count until two double divisions in fixed order,
+    so the score is engine-identical to 9 digits (the q_osm_modularity
+    construction, generalized to any partition). Returns one row
+    (n_communities, modularity)."""
+    und = symmetric_edges(edges, "src", "dst").localCheckpoint()
+    la = labels.select(F.col("node").alias("a"),
+                       F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"),
+                       F.col("community").alias("cb"))
+    j = und.join(la, "a").join(lb, "b")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("intra2"))
+    deg = (j.groupBy("a", "ca").agg(F.count(F.lit(1)).alias("k"))
+           .groupBy("ca").agg(F.sum("k").alias("dc")))
+    sq = deg.crossJoin(tot).agg(
+        F.sum((F.col("dc").cast("double") / F.col("m2").cast("double"))
+              * (F.col("dc").cast("double") / F.col("m2").cast("double")))
+        .alias("sum_sq"))
+    n_comm = labels.select("community").distinct().count()
+    row = (tot.crossJoin(sq)
+           .select((F.col("intra2").cast("double")
+                    / F.col("m2").cast("double")
+                    - F.col("sum_sq")).alias("q")))
+    return row.select(
+        F.lit(n_comm).cast("long").alias("n_communities"),
+        F.round("q", 9).alias("modularity"))
+
+
 def refine_connected(edges: DataFrame, labels: DataFrame,
                      src: str = "src", dst: str = "dst") -> DataFrame:
     """Leiden-style refinement of a community partition: split every
