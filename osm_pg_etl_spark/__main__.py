@@ -115,6 +115,9 @@ def cmd_analyze(args: argparse.Namespace) -> None:
         elif algo == "sssp":
             # exact weighted SSSP from the minimum node over edge lengths
             src = directed.agg(F.min("start_node")).collect()[0][0]
+            if src is None:
+                sys.exit("analyze --algo sssp: the directed network is "
+                         "empty — no source node to route from")
             out = ga.shortest_paths_weighted(
                 directed, src, src="start_node", dst="end_node",
                 weight="length")

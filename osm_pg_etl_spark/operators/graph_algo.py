@@ -172,20 +172,33 @@ def shortest_paths_weighted(edges: DataFrame, source,
     edges (bounded by ``max_rounds``); on topology-merged road graphs the
     measured count is tens, not hundreds.
 
-    ``source`` may be a single node id (returns (node, dist)) or a LIST
-    of ids — multi-source mode keys everything on (s, node) so all waves
-    advance in the same rounds and k sources cost the same shuffle count
-    as one (the many-to-many accessibility primitive; returns
-    (s, node, dist)). Unreached nodes are absent either way; round count
-    returned when ``return_rounds``.
+    ``source`` may be a single node id (anything ``int()`` accepts that
+    is not a bool or an iterable — numpy scalars included; returns
+    (node, dist)) or a LIST of ids — multi-source mode keys everything
+    on (s, node) so all waves advance in the same rounds and k sources
+    cost the same shuffle count as one (the many-to-many accessibility
+    primitive; returns (s, node, dist)). Unreached nodes are absent
+    either way; round count returned when ``return_rounds``.
+
+    If ``max_rounds`` is exhausted before the fixpoint the distances are
+    TRUNCATED (a high-diameter graph would otherwise return incomplete
+    output indistinguishable from a converged result), so a
+    ``RuntimeWarning`` is emitted; callers that need a hard guarantee
+    pass ``return_rounds=True`` and assert ``rounds < max_rounds``.
     """
+    import warnings
+    from collections.abc import Iterable
+
+    if isinstance(source, bool):
+        raise TypeError("source must be a node id or a list of node ids, "
+                        "not a bool")
+    single = not isinstance(source, Iterable)
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"),
                       F.col(weight).cast("double").alias("w"))
          .localCheckpoint())
     spark = edges.sparkSession
-    sources = [int(source)] if isinstance(source, int) else \
-        [int(x) for x in source]
+    sources = [int(source)] if single else [int(x) for x in source]
     # multi-source: every wave advances in the SAME rounds keyed on
     # (s, node) — k sources cost the same shuffle count as one (the
     # sigma_table pattern), the many-to-many accessibility primitive
@@ -212,7 +225,13 @@ def shortest_paths_weighted(edges: DataFrame, source,
         rounds += 1
         if changed == 0:
             break
-    if isinstance(source, int):
+    else:
+        warnings.warn(
+            f"shortest_paths_weighted stopped at max_rounds={max_rounds} "
+            f"before the fixpoint ({changed} distances still improving); "
+            "returned distances are truncated", RuntimeWarning,
+            stacklevel=2)
+    if single:
         dist = dist.select("node", "dist")
     return (dist, rounds) if return_rounds else dist
 
@@ -707,14 +726,32 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
                        F.col("label").alias("community"))
 
 
-def modularity_of(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity_of(edges: DataFrame, labels: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  strict: bool = True) -> DataFrame:
     """Newman modularity of an arbitrary (node, community) partition over
     the undirected simple graph: Q = intra/m − Σ_c (D_c/2m)². Every term
     is an exact integer count until two double divisions in fixed order,
     so the score is engine-identical to 9 digits (the q_osm_modularity
     construction, generalized to any partition). Returns one row
-    (n_communities, modularity)."""
-    und = symmetric_edges(edges, "src", "dst").localCheckpoint()
+    (n_communities, modularity).
+
+    ``labels`` must cover EVERY node appearing in ``edges`` — the
+    edge⋈label join is inner, so a missing endpoint would silently drop
+    its edges, shrinking 2m and skewing Q. ``strict`` (default) verifies
+    the contract with one small anti-join count and raises on violation;
+    pass ``strict=False`` only when coverage is guaranteed by
+    construction (e.g. labels came from an algorithm run on the same
+    edge list)."""
+    und = symmetric_edges(edges, src, dst).localCheckpoint()
+    if strict:
+        missing = (und.select(F.col("a").alias("node")).distinct()
+                   .join(labels.select("node"), "node", "left_anti")
+                   .count())
+        if missing:
+            raise ValueError(
+                f"modularity_of: {missing} edge endpoint(s) missing from "
+                "labels — the partition must cover every node in edges")
     la = labels.select(F.col("node").alias("a"),
                        F.col("community").alias("ca"))
     lb = labels.select(F.col("node").alias("b"),

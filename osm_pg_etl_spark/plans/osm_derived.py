@@ -533,8 +533,10 @@ def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pgrouting/igraph here (etl/osm-load.sh:17, osm-pg-etl.md:31-62).
     The oracle unrolls _SSSP_ORACLE_ROUNDS per-node-min relaxation rounds
     — idempotent beyond the fixpoint (measured round 11 with a ~3x
-    margin; tests pin the margin), and per-round mins keep the DuckDB
-    side polynomial instead of enumerating paths."""
+    margin; tests pin the margin at sf0.001 AND the gate itself asserts
+    convergence within the unroll at whatever sf it runs, so a larger
+    network whose diameter outgrows the margin fails loudly instead of
+    silently comparing two different truncations)."""
     from ..operators.graph_algo import shortest_paths_weighted
 
     d = derive_osm(spark, sf_dir)
@@ -542,8 +544,14 @@ def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
-    sp = shortest_paths_weighted(directed, source, src="start_node",
-                                 dst="end_node", weight="length")
+    sp, rounds = shortest_paths_weighted(directed, source, src="start_node",
+                                         dst="end_node", weight="length",
+                                         return_rounds=True)
+    if rounds > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"osm_shortest_km: fixpoint took {rounds} rounds > the "
+            f"{_SSSP_ORACLE_ROUNDS}-round oracle unroll — raise "
+            "_SSSP_ORACLE_ROUNDS or the oracle comparison is meaningless")
     return sp.select("node", F.round("dist", 6).alias("dist_km"))
 
 
@@ -566,8 +574,14 @@ def q_osm_access_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [r["start_node"] for r in
                (directed.select("start_node").distinct()
                 .orderBy("start_node").limit(_ACCESS_SOURCES).collect())]
-    sp = shortest_paths_weighted(directed, sources, src="start_node",
-                                 dst="end_node", weight="length")
+    sp, rounds = shortest_paths_weighted(directed, sources,
+                                         src="start_node", dst="end_node",
+                                         weight="length",
+                                         return_rounds=True)
+    if rounds > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"osm_access_km: fixpoint took {rounds} rounds > the "
+            f"{_SSSP_ORACLE_ROUNDS}-round oracle unroll")
     return sp.select(F.col("s").alias("source"), "node",
                      F.round("dist", 6).alias("dist_km"))
 

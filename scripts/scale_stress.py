@@ -29,6 +29,11 @@ from osm_pg_etl_spark.plans.osm_derived import derive_osm_from
 
 SF_DIR = "/root/testdata/sf0.1"
 
+# invariant-check failures collected here; main() exits 1 if any — a
+# regression in a convergence/round-count invariant must fail automated
+# invocations, not just print FAIL
+_FAILURES: list[str] = []
+
 
 def replicate(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     """k disjoint copies: every key column shifted by i * (global max + 1)."""
@@ -104,6 +109,8 @@ def run_path(n: int) -> None:
     dt = time.perf_counter() - t0
     bound = 2 * math.log2(n) ** 2
     status = "OK" if (n_comp == 1 and rounds <= bound) else "FAIL"
+    if status == "FAIL":
+        _FAILURES.append(f"path n={n}")
     print(f"{status}  path n={n:>8}  components={n_comp}  rounds={rounds}  "
           f"bound(2·log²)={bound:.0f}  wall={dt:6.1f}s", flush=True)
 
@@ -207,6 +214,8 @@ def run_sssp(n: int) -> None:
     reached = dist.count()
     dt = time.perf_counter() - t0
     status = "OK" if (reached == n and rounds == n) else "FAIL"
+    if status == "FAIL":
+        _FAILURES.append(f"sssp n={n}")
     print(f"{status}  sssp path n={n:>6}  reached={reached}  "
           f"rounds={rounds} (expect n={n}: n-1 relax + 1 detect)  "
           f"wall={dt:6.1f}s  per-round={dt / rounds:5.2f}s", flush=True)
@@ -273,3 +282,6 @@ if __name__ == "__main__":
         ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
         for k in ks:
             run(k)
+    if _FAILURES:
+        print(f"FAILED invariants: {_FAILURES}", file=sys.stderr)
+        sys.exit(1)

@@ -523,14 +523,40 @@ def test_shortest_paths_weighted_beats_hop_bound(spark):
 
 
 def test_shortest_paths_weighted_max_rounds_cap(spark):
+    """Exhausting max_rounds before the fixpoint yields truncated
+    distances — which must be LOUD (RuntimeWarning), not silently
+    indistinguishable from a converged result."""
+    import pytest
+
     from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
 
     chain = [(i, i + 1, 1.0) for i in range(1, 8)]
     edges = spark.createDataFrame(chain, "src long, dst long, w double")
-    got, rounds = shortest_paths_weighted(edges, 1, max_rounds=3,
-                                          return_rounds=True)
+    with pytest.warns(RuntimeWarning, match="truncated"):
+        got, rounds = shortest_paths_weighted(edges, 1, max_rounds=3,
+                                              return_rounds=True)
     assert rounds == 3           # capped before the fixpoint
     assert got.count() == 4      # nodes within 3 hops only
+
+
+def test_shortest_paths_weighted_source_dispatch(spark):
+    """bool is not a node id; numpy integer scalars are; a converged run
+    emits no truncation warning."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_weighted
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    with pytest.raises(TypeError, match="bool"):
+        shortest_paths_weighted(edges, True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {r["node"]: r["dist"]
+               for r in shortest_paths_weighted(edges, np.int64(1)).collect()}
+    assert got == {1: 0.0, 2: 1.0}
 
 
 def test_shortest_km_oracle_round_margin(spark):
@@ -673,3 +699,25 @@ def test_shortest_paths_weighted_multi_source(spark):
         assert {n: d for (ss, n), d in multi.items() if ss == s} == single
     assert multi[(1, 4)] == 3.0
     assert multi[(10, 4)] == 1.5
+
+
+def test_modularity_of_strict_coverage_and_params(spark):
+    """An edge endpoint missing from the partition must raise under the
+    default strict contract (an inner join would silently drop the edge
+    and skew Q); custom src/dst column names are accepted like every
+    sibling operator."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.graph_algo import modularity_of
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    full = spark.createDataFrame([(1, 1), (2, 1), (3, 3)],
+                                 "node long, community long")
+    row = modularity_of(edges, full, src="u", dst="v").collect()[0]
+    assert row["n_communities"] == 2
+    partial = full.filter("node != 3")
+    with pytest.raises(ValueError, match="missing from labels"):
+        modularity_of(edges, partial, src="u", dst="v")
+    # non-strict keeps the old inner-join behavior for by-construction
+    # coverage (and for callers that deliberately score a subgraph)
+    modularity_of(edges, partial, src="u", dst="v", strict=False).collect()
