@@ -236,6 +236,82 @@ def shortest_paths_weighted(edges: DataFrame, source,
     return (dist, rounds) if return_rounds else dist
 
 
+def shortest_paths_radius(edges: DataFrame, source,
+                          delta: float,
+                          src: str = "src", dst: str = "dst",
+                          weight: str = "w", max_rounds: int = 200,
+                          max_shortcut_rounds: int = 20,
+                          return_rounds: bool = False):
+    """Exact weighted SSSP whose round count is bounded by DISTANCE
+    BUCKETS, not graph hop diameter — the scale path past
+    :func:`shortest_paths_weighted`, whose synchronous Bellman-Ford pays
+    one Spark job per hop of the shortest-path tree (exactly N rounds on
+    an N-node path per ``scale_stress.py sssp``; a continent road graph —
+    the reference's real routing target, ``etl/osm-load.sh:17`` loads
+    pgrouting for it — has hop diameters in the thousands).
+
+    Radius stepping [Blelloch, Gu, Sun & Tangwongsan, "Parallel Shortest
+    Paths Using Radius Stepping", SPAA 2016]: first augment the edge list
+    with SHORTCUTS — the min-plus closure of all sub-``delta`` paths,
+    built by log-doubling (square the shortcut set, keep sums < Δ, stop
+    at a (count, hash) fixpoint — ≤ log₂(hops-within-Δ) rounds) — then
+    run the ordinary frontier Bellman-Ford on the augmented list. Every
+    shortcut carries a real path length, so augmented distances equal
+    original distances EXACTLY; but with all sub-Δ hops collapsed to one
+    edge, any two consecutive frontier rounds advance the wave ≥ Δ
+    (standard radius-stepping argument), so relaxation rounds ≤
+    2·max_dist/Δ + heavy-edge hops. Total Spark-job rounds =
+    shortcut-doubling + relaxation: on the N-path with Δ=64 that is
+    ~6 + N/32 instead of N.
+
+    Cost model for choosing Δ: shortcut storage is Σ_u |ball(u, Δ)| —
+    pick Δ so the average Δ-ball holds O(k) nodes (road networks: Δ of a
+    few km ⇒ tens of neighbors) and both the doubling join and the
+    per-round frontier fan-out stay k-bounded. ``max_shortcut_rounds``
+    caps the doubling; truncation is SAFE (fewer shortcuts only means
+    more relaxation rounds, never wrong distances). Weights must be
+    non-negative. Same source/dispatch/return contract as
+    :func:`shortest_paths_weighted`.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"),
+                      F.col(weight).cast("double").alias("w"))
+         .localCheckpoint())
+    sc = (e.filter((F.col("w") < F.lit(float(delta))) & (F.col("u") != F.col("v")))
+          .groupBy("u", "v").agg(F.min("w").alias("w"))
+          .localCheckpoint())
+    sig = None
+    sc_rounds = 0
+    for _ in range(max_shortcut_rounds):
+        sc_rounds += 1
+        hop = (sc.alias("x").join(sc.alias("y"),
+                                  F.col("x.v") == F.col("y.u"))
+               .select(F.col("x.u").alias("u"), F.col("y.v").alias("v"),
+                       (F.col("x.w") + F.col("y.w")).alias("w"))
+               .filter((F.col("w") < F.lit(float(delta)))
+                       & (F.col("u") != F.col("v"))))
+        sc = (sc.unionByName(hop)
+              .groupBy("u", "v").agg(F.min("w").alias("w"))
+              .localCheckpoint())
+        row = sc.agg(F.count(F.lit(1)).alias("c"),
+                     F.coalesce(F.sum(F.xxhash64("u", "v")
+                                      .cast("decimal(38,0)")), F.lit(0))
+                     .alias("h")).collect()[0]
+        if (row["c"], row["h"]) == sig:
+            break
+        sig = (row["c"], row["h"])
+    aug = (e.unionByName(sc)
+           .groupBy("u", "v").agg(F.min("w").alias("w"))
+           .localCheckpoint())
+    out = shortest_paths_weighted(aug, source, src="u", dst="v",
+                                  weight="w", max_rounds=max_rounds,
+                                  return_rounds=return_rounds)
+    if return_rounds:
+        dist, bf_rounds = out
+        return dist, sc_rounds + bf_rounds
+    return out
+
+
 def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
                 directed: bool = False,
                 src: str = "src", dst: str = "dst") -> DataFrame:
@@ -644,7 +720,9 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
 
 def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
             src: str = "src", dst: str = "dst",
-            weight: str | None = None) -> DataFrame:
+            weight: str | None = None,
+            early_stop: bool = True,
+            return_rounds: bool = False):
     """Distributed Louvain community detection: ``rounds[l]`` synchronous
     move rounds at level ``l``, contracting communities into super-nodes
     between levels — the native replacement for the LAST igraph export in
@@ -676,6 +754,17 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
     duplicate edges collapse to their MIN weight, mirroring the
     unweighted path's distinct(). ``None`` keeps w = 1.
 
+    ``rounds`` is a BUDGET, not a fixed cost: with ``early_stop``
+    (default) each level stops as soon as the label table reaches a
+    fixpoint — detected by the same (count, xxhash-sum) scalar the
+    components loop uses, folded onto the already-checkpointed labels —
+    because min-label-gated moves are idempotent at the fixpoint, the
+    result is IDENTICAL to running the full budget (the fixed-unroll
+    DuckDB oracles stay valid), while converged cluster runs skip the
+    dead barrier rounds. ``return_rounds=True`` additionally returns the
+    per-level executed round counts (telemetry for
+    ``scale_stress.py louvain``).
+
     Returns (node, community) for every original node.
     """
     if weight is None:
@@ -695,13 +784,28 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
            .agg(F.sum("w").alias("k")).localCheckpoint())
     m2 = float(deg.agg(F.sum("k")).collect()[0][0] or 0)
     if m2 == 0:
-        return e.select(F.col("a").alias("node"),
-                        F.col("a").alias("community")).distinct()
+        out = e.select(F.col("a").alias("node"),
+                       F.col("a").alias("community")).distinct()
+        return (out, [0] * len(rounds)) if return_rounds else out
     orig = None  # original node -> current-level community
+    executed: list[int] = []
     for li, n_rounds in enumerate(rounds):
         labels = deg.select("id", F.col("id").alias("label"))
+        sig = None
+        done = 0
         for _ in range(n_rounds):
             labels = _louvain_round(we, labels, deg, m2).localCheckpoint()
+            done += 1
+            if early_stop:
+                row = labels.agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.coalesce(F.sum(F.xxhash64("id", "label")
+                                     .cast("decimal(38,0)")), F.lit(0))
+                    .alias("h")).collect()[0]
+                if (row["c"], row["h"]) == sig:
+                    break
+                sig = (row["c"], row["h"])
+        executed.append(done)
         if orig is None:
             orig = labels
         else:
@@ -722,8 +826,9 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
             deg = (labels.join(deg, "id")
                    .groupBy(F.col("label").alias("id"))
                    .agg(F.sum("k").alias("k")).localCheckpoint())
-    return orig.select(F.col("id").alias("node"),
-                       F.col("label").alias("community"))
+    out = orig.select(F.col("id").alias("node"),
+                      F.col("label").alias("community"))
+    return (out, executed) if return_rounds else out
 
 
 def modularity_of(edges: DataFrame, labels: DataFrame,

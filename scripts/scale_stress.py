@@ -135,11 +135,14 @@ def run_louvain(k: int) -> None:
                           F.col("end_node").alias("dst")).localCheckpoint()
     n_edges = edges.count()
     t0 = time.perf_counter()
-    lv = louvain(edges)
+    lv, executed = louvain(edges, return_rounds=True)
     n_comm = lv.select("community").distinct().count()
     dt = time.perf_counter() - t0
+    budget = (6, 4, 3)
+    saved = sum(budget) - sum(executed)
     print(f"k={k:>2}  edges={n_edges:>8}  communities={n_comm:>7}  "
-          f"louvain={dt:6.1f}s", flush=True)
+          f"louvain={dt:6.1f}s  rounds/level={executed} "
+          f"(budget {list(budget)}, early-stop saved {saved})", flush=True)
     spark.catalog.clearCache()
 
 
@@ -219,6 +222,29 @@ def run_sssp(n: int) -> None:
     print(f"{status}  sssp path n={n:>6}  reached={reached}  "
           f"rounds={rounds} (expect n={n}: n-1 relax + 1 detect)  "
           f"wall={dt:6.1f}s  per-round={dt / rounds:5.2f}s", flush=True)
+
+    # radius stepping on the SAME worst-case path: shortcut doubling
+    # (≈log2 Δ rounds) + Δ-bucketed relaxation (≈2n/Δ rounds) must land
+    # FAR under the diameter-bound n — the scale story for continent
+    # road graphs whose hop diameters are in the thousands
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_radius
+
+    delta = 16.0
+    t0 = time.perf_counter()
+    dist_r, rounds_r = shortest_paths_radius(edges, 0, delta=delta,
+                                             max_rounds=2 * n,
+                                             return_rounds=True)
+    ok_vals = (dist_r.agg(F.sum("dist")).collect()[0][0]
+               == n * (n - 1) / 2)            # exact unit-path distances
+    reached_r = dist_r.count()
+    dt = time.perf_counter() - t0
+    status = "OK" if (reached_r == n and ok_vals
+                      and rounds_r <= max(n // 4, 16)) else "FAIL"
+    if status == "FAIL":
+        _FAILURES.append(f"sssp-radius n={n}")
+    print(f"{status}  sssp radius-stepping n={n:>6}  delta={delta:.0f}  "
+          f"reached={reached_r}  rounds={rounds_r} (vs diameter-bound "
+          f"{n})  wall={dt:6.1f}s", flush=True)
 
 
 def run_centrality(k: int) -> None:

@@ -721,3 +721,65 @@ def test_modularity_of_strict_coverage_and_params(spark):
     # non-strict keeps the old inner-join behavior for by-construction
     # coverage (and for callers that deliberately score a subgraph)
     modularity_of(edges, partial, src="u", dst="v", strict=False).collect()
+
+
+def test_shortest_paths_radius_exact_and_fewer_rounds(spark):
+    """48-node unit-weight path: radius stepping with Δ=8 must return the
+    exact Bellman-Ford distances while spending FAR fewer total rounds
+    than the hop-diameter 48 the plain fixpoint operator pays (shortcut
+    doubling ~log2(8)+1 plus ~2·47/8 relaxation rounds)."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        shortest_paths_radius, shortest_paths_weighted)
+
+    n = 48
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, w double")
+    want, bf_rounds = shortest_paths_weighted(edges, 0, return_rounds=True)
+    want = {r["node"]: r["dist"] for r in want.collect()}
+    got, rounds = shortest_paths_radius(edges, 0, delta=8.0,
+                                        return_rounds=True)
+    got = {r["node"]: r["dist"] for r in got.collect()}
+    assert got == want
+    assert bf_rounds == n  # the baseline really is diameter-bound
+    assert rounds <= n // 2, (rounds, bf_rounds)
+
+
+def test_shortest_paths_radius_heavy_edges_and_multi_source(spark):
+    """Edges ≥ Δ never enter the shortcut closure but still relax
+    correctly; multi-source dispatch mirrors shortest_paths_weighted."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        shortest_paths_radius, shortest_paths_weighted)
+
+    edge_list = [(1, 2, 0.5), (2, 3, 0.5), (3, 4, 10.0), (4, 5, 0.5),
+                 (1, 4, 12.0), (9, 4, 0.25)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w double")
+    for source in (1, [1, 9]):
+        want = sorted(map(tuple,
+                          shortest_paths_weighted(edges, source).collect()))
+        got = sorted(map(tuple,
+                         shortest_paths_radius(edges, source,
+                                               delta=1.0).collect()))
+        assert got == want
+    single = {r["node"]: r["dist"]
+              for r in shortest_paths_radius(edges, 1, delta=1.0).collect()}
+    assert single[5] == 11.5  # 0.5+0.5+10.0+0.5 beats 12.0+0.5
+
+
+def test_louvain_early_stop_identical_and_saves_rounds(spark):
+    """Early stop fires only at the label fixpoint, where further
+    min-label-gated rounds are idempotent — so the partition must be
+    IDENTICAL to the full fixed unroll, with fewer executed rounds on a
+    fast-converging graph (two 4-cliques joined by one bridge settle in
+    ~2 rounds against a 6-round budget)."""
+    from osm_pg_etl_spark.operators.graph_algo import louvain
+
+    cliq = [(a, b) for grp in ([1, 2, 3, 4], [11, 12, 13, 14])
+            for i, a in enumerate(grp) for b in grp[i + 1:]]
+    edges = spark.createDataFrame(cliq + [(4, 11)], "src long, dst long")
+    budget = (6, 4)
+    full = sorted(map(tuple, louvain(edges, rounds=budget,
+                                     early_stop=False).collect()))
+    fast, executed = louvain(edges, rounds=budget, return_rounds=True)
+    assert sorted(map(tuple, fast.collect())) == full
+    assert len(executed) == len(budget)
+    assert sum(executed) < sum(budget), executed
