@@ -86,12 +86,30 @@ def main() -> None:
     # (clearCache above after each pass: the timed queries must rebuild
     # derive_osm's cached nodes/way_nodes themselves — only the JIT stays
     # warm, exactly as previous rounds.)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # MEDIAN-OF-R timed passes (default 3): single-shot run-to-run spread
+    # reached 50% on sub-2 s queries (r5 verdict: quantile_profile 1.25 vs
+    # 1.85 s same-code), drowning real round-over-round deltas. Each pass
+    # replays the whole set after a clearCache so intra-pass cache sharing
+    # matches the historical single-pass methodology; the per-query median
+    # across passes is the reported number, max-min the recorded spread.
+    import statistics
+
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    passes: list[dict[str, float]] = []
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        one: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            one[name] = time.perf_counter() - start
+        passes.append(one)
+    timings = {n: round(statistics.median(p[n] for p in passes), 3)
+               for n in HEADLINE}
+    spread = {n: round(max(p[n] for p in passes)
+                       - min(p[n] for p in passes), 3)
+              for n in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -101,6 +119,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "warm": True,
+        "repeats": repeats,
+        "spread": spread,
     }
 
     # Scaling signal: re-run the set at a 10x-smaller SF and report the

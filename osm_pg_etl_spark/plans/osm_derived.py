@@ -698,6 +698,62 @@ def q_osm_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select("node", F.round("betweenness", 4).alias("betweenness"))
 
 
+_EXACT_BC_MOD, _EXACT_BC_LIMIT, _EXACT_BC_DEPTH = 60, 90, 10
+
+
+def _exact_bc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small graph for the EXACT-betweenness gate: the
+    first 90 orders by o_orderkey, edge (o_orderkey, o_custkey) mod 60 —
+    60 nodes, ~170 directed pairs, measured diameter 8-9 at
+    sf0.01/sf0.001 (inside the 10-level oracle unroll; the gate asserts
+    this instead of trusting it)."""
+    orders = t(spark, sf_dir, "orders")
+    return (orders.orderBy("o_orderkey").limit(_EXACT_BC_LIMIT)
+            .select((F.col("o_orderkey") % _EXACT_BC_MOD).alias("src"),
+                    (F.col("o_custkey") % _EXACT_BC_MOD).alias("dst")))
+
+
+def q_osm_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-source betweenness in source waves
+    (operators.graph_algo.betweenness_exact): every node a Brandes
+    source, ceil(V/wave_size) = ceil(60/20) = 3 waves over the shared
+    σ/δ machinery, per-node dependencies summed across waves. This
+    shrinks the README decision table's "exotic analyses → igraph" row
+    to all-pairs distance matrices only — the reference exports to
+    igraph for exactly this centrality (osm-pg-etl.md:31-105). The
+    oracle unrolls _EXACT_BC_DEPTH walk levels from ALL sources, so the
+    gate first asserts the graph's eccentricity is strictly inside that
+    unroll — a testdata regen that deepens the graph fails loudly
+    instead of comparing two different truncations."""
+    from ..operators.graph_algo import (
+        betweenness_exact, sigma_table, symmetric_edges)
+
+    edges = _exact_bc_edges(spark, sf_dir)
+    und = symmetric_edges(edges)
+    nodes = sorted(r["a"] for r in und.select("a").distinct().collect())
+    ecc = (sigma_table(edges, nodes, max_depth=_EXACT_BC_DEPTH)
+           .agg(F.max("dist")).collect()[0][0])
+    if ecc >= _EXACT_BC_DEPTH:
+        raise RuntimeError(
+            f"osm_betweenness_exact: eccentricity {ecc} >= the "
+            f"{_EXACT_BC_DEPTH}-level oracle unroll — deepen "
+            "_EXACT_BC_DEPTH or the comparison is meaningless")
+    bc = betweenness_exact(edges, wave_size=20, max_depth=_EXACT_BC_DEPTH)
+    return bc.select("node", F.round("betweenness", 4).alias("betweenness"))
+
+
+def _sql_osm_betweenness_exact(depth: int = _EXACT_BC_DEPTH) -> str:
+    head = f"""WITH RECURSIVE eraw AS (
+  SELECT o_orderkey % {_EXACT_BC_MOD} AS a, o_custkey % {_EXACT_BC_MOD} AS b
+  FROM orders ORDER BY o_orderkey LIMIT {_EXACT_BC_LIMIT}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM eraw WHERE a != b
+    UNION ALL
+    SELECT b, a FROM eraw WHERE a != b))"""
+    return _sql_brandes(head, "SELECT DISTINCT a AS s FROM edges", depth)
+
+
 def q_osm_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source bounded-depth harmonic closeness over the undirected
     car graph — same source set and depth as osm_betweenness, one
@@ -728,13 +784,11 @@ FROM sp WHERE dist > 0 GROUP BY node
 
 
 def _sql_osm_betweenness(k: int = _BC_SOURCES, depth: int = _BC_DEPTH) -> str:
-    """Unrolled Brandes in DuckDB: enumerate all ≤depth-hop walks from the
-    k min sources (a walk of minimal length is exactly a shortest path, so
-    σ = COUNT(*) at MIN(d)), then one CTE per level for the dependency
-    accumulation δ(v) = Σ σ(v)/σ(w)·(1+δ(w))."""
+    """Unrolled Brandes in DuckDB over the merged car graph: the k min
+    sources at bounded depth (Brandes-Pich sampling)."""
     head = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL, _WAYLEN_SQL,
                 _WAYENDS_SQL, _TOPOLOGY_SQL, _MERGED_SQL).replace(
-        "WITH ", "WITH RECURSIVE ", 1) + f""",
+        "WITH ", "WITH RECURSIVE ", 1) + """,
 edges AS MATERIALIZED (
   -- explicit DISTINCT: DuckDB 1.0 does not dedup a plain UNION in a
   -- non-recursive CTE under WITH RECURSIVE, and σ counts paths, so
@@ -744,8 +798,20 @@ edges AS MATERIALIZED (
       WHERE start_node != end_node
     UNION ALL
     SELECT end_node, start_node FROM merged
-      WHERE start_node != end_node)),
-srcs AS (SELECT DISTINCT a AS s FROM edges ORDER BY a LIMIT {k}),
+      WHERE start_node != end_node))"""
+    return _sql_brandes(
+        head, f"SELECT DISTINCT a AS s FROM edges ORDER BY a LIMIT {k}",
+        depth)
+
+
+def _sql_brandes(head: str, srcs_sql: str, depth: int) -> str:
+    """Shared unrolled-Brandes tail: enumerate all ≤depth-hop walks from
+    ``srcs`` over the ``edges`` CTE that ``head`` must define (a walk of
+    minimal length is exactly a shortest path, so σ = COUNT(*) at
+    MIN(d)), then one CTE per level for the dependency accumulation
+    δ(v) = Σ σ(v)/σ(w)·(1+δ(w)); undirected pairs halved."""
+    head = head + f""",
+srcs AS ({srcs_sql}),
 walks AS (
   SELECT s, s AS node, 0 AS d FROM srcs
   UNION ALL
@@ -2400,6 +2466,7 @@ QUERIES = {
     "osm_shortest_km_radius": q_osm_shortest_km_radius,
     "osm_access_km": q_osm_access_km,
     "osm_betweenness": q_osm_betweenness,
+    "osm_betweenness_exact": q_osm_betweenness_exact,
     "osm_planar_length": q_osm_planar_length,
     "osm_harmonic": q_osm_harmonic,
     "osm_pagerank": q_osm_pagerank,
@@ -2449,6 +2516,7 @@ ORACLES = {
     "osm_shortest_km_radius": _sql_osm_shortest_km(),
     "osm_access_km": _sql_osm_shortest_km(k_sources=_ACCESS_SOURCES),
     "osm_betweenness": _sql_osm_betweenness(),
+    "osm_betweenness_exact": _sql_osm_betweenness_exact(),
     "osm_planar_length": _sql_osm_planar_length(),
     "osm_harmonic": _sql_osm_harmonic(),
     "osm_pagerank": _sql_osm_pagerank(),

@@ -783,3 +783,23 @@ def test_louvain_early_stop_identical_and_saves_rounds(spark):
     assert sorted(map(tuple, fast.collect())) == full
     assert len(executed) == len(budget)
     assert sum(executed) < sum(budget), executed
+
+
+def test_betweenness_exact_waves_match_reference(spark):
+    """betweenness_exact over ALL nodes in small waves must equal the
+    pure-Python all-source Brandes — the waves partition the source set
+    and dependencies are additive over sources."""
+    from osm_pg_etl_spark.operators.graph_algo import betweenness_exact
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (2, 8),
+                 (8, 9), (9, 4), (3, 10), (10, 6), (7, 1), (5, 9)]
+    nodes = sorted(_adj(edge_list))
+    want = _brandes_exact(_adj(edge_list), nodes, max_depth=20)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got_df, waves = betweenness_exact(edges, wave_size=3, max_depth=20,
+                                      return_waves=True)
+    got = {r["node"]: r["betweenness"] for r in got_df.collect()}
+    assert waves == [3, 3, 3, 1]  # ceil(10/3) waves partitioning sources
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
