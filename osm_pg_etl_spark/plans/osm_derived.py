@@ -1845,9 +1845,10 @@ FROM pts GROUP BY id
 
 
 def q_osm_geometric_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15: ST_Split at blades (rows-only: the split itself is verified by
-    unit goldens in tests/test_geometric_split.py; blades are
-    oracle-checked by osm_geometric_blades)."""
+    """F15: ST_Split at blades — full value-hash oracle since r5 (the SQL
+    emulates the projection/clamp/merge steps IEEE-identically; unit
+    goldens in tests/test_geometric_split.py cover the geometry cases,
+    and osm_geometric_blades oracle-checks the blade points)."""
     from ..operators.spatial import geometric_split
 
     d = derive_osm(spark, sf_dir)

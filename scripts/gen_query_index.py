@@ -95,11 +95,14 @@ def first_line(fn) -> str:
 
 def main() -> None:
     qs, os_ = all_queries(), all_oracles()
+    n_rows_only = len(qs) - len(os_)
+    cov = (f"{len(os_)} with value-hash DuckDB oracles, "
+           f"{n_rows_only} rows-only" if n_rows_only else
+           "every one with a value-hash DuckDB oracle")
     lines = [
         "# Query registry",
         "",
-        f"{len(qs)} gate queries, {len(os_)} with value-hash DuckDB oracles "
-        "(the rest are rows-only checks). Regenerate with "
+        f"{len(qs)} gate queries, {cov}. Regenerate with "
         "`python scripts/gen_query_index.py`.",
         "",
         "| query | module | oracle | what it checks |",
