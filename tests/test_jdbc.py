@@ -101,6 +101,43 @@ def test_stride_predicates_execute_on_duckdb():
         f"SELECT COUNT(*) FROM t WHERE ({union}) <> 1").fetchone()[0] == 0
 
 
+def test_hash_predicates_execute_on_duckdb_with_hashtext_shim():
+    """Execute the hash-family predicates VERBATIM on DuckDB (whose SQL
+    dialect matches PostgreSQL for every construct they use: ``::text``
+    casts, ``&`` bitwise and, ``mod``) with ``hashtext`` registered as a
+    scalar UDF. The shim doesn't reproduce PostgreSQL's hash VALUES — it
+    doesn't need to: the partition contract (every row in exactly one
+    bucket, NULLs routed to bucket 0, no abs() overflow) must hold for
+    ANY int4-valued hash, so the shim deliberately returns the
+    adversarial values — negatives and INT_MIN itself, the value whose
+    abs() aborts a real PostgreSQL scan (commit a85348d's sign-bit
+    mask). The live round-trip below covers the real-server leg."""
+    import duckdb
+
+    def hashtext(s):
+        if s is None:                    # PG: hashtext(NULL) IS NULL
+            return None
+        if s == "k13":                   # force the INT_MIN edge
+            return -(2 ** 31)
+        return (hash(s) % (2 ** 32)) - 2 ** 31   # full int4 range
+
+    con = duckdb.connect()
+    con.create_function("hashtext", hashtext, [str], int)
+    con.execute("CREATE TABLE t AS SELECT CASE WHEN i % 11 = 0 THEN NULL "
+                "ELSE 'k' || i END AS name, i AS payload "
+                "FROM range(0, 1000) r(i)")
+    preds = hash_predicates("name", 8)
+    counts = [con.execute(f"SELECT COUNT(*) FROM t WHERE {p}").fetchone()[0]
+              for p in preds]
+    assert sum(counts) == 1000
+    union = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in preds)
+    assert con.execute(
+        f"SELECT COUNT(*) FROM t WHERE ({union}) <> 1").fetchone()[0] == 0
+    # NULL keys and the INT_MIN-hashing key both landed somewhere
+    assert con.execute(f"SELECT COUNT(*) FROM t WHERE {preds[0]}"
+                       ).fetchone()[0] >= 91   # the 91 NULL-name rows
+
+
 @pytest.mark.skipif(not os.environ.get("OSM_PG_TEST_URL"),
                     reason="no live PostgreSQL (set OSM_PG_TEST_URL, e.g. "
                            "jdbc:postgresql://localhost:5432/test)")
