@@ -122,6 +122,61 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
             .limit(k))
 
 
+def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
+             dim: int = 64, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             exact: bool = False) -> DataFrame:
+    """Self-KNN join: for EVERY vector its k most-cosine-similar other
+    vectors — the graph-construction primitive behind embedding-space
+    dedup, diversity sampling, and semantic-cluster seeding (every
+    "build a similarity graph then cluster/prune" recipe starts here;
+    the per-query :func:`lsh_topk` answers one query, this materializes
+    all of them at once).
+
+    Default path is LSH-bucketed: candidate pairs are vectors sharing a
+    hyperplane-signature bucket — ONE equi-join on the bucket key, so
+    quadratic work is confined per bucket (b planes ⇒ expected bucket
+    fraction 2^-b of the corpus; raise ``num_planes`` as the corpus
+    grows to cap bucket width, the SCALING.md no-all-pairs contract),
+    then exact cosine on candidates and one degree-bounded per-vector
+    window for the top-k. Rank order (cosine DESC, neighbor id ASC) is
+    deterministic, so the whole operator is oracle-checkable.
+    Vectors sharing a bucket with fewer than k others return fewer
+    rows — approximate-by-construction, like every LSH index.
+
+    ``exact=True`` is the all-pairs O(n²) baseline (explicit opt-in,
+    never a default path — gate it to a slice). Returns
+    (id_col, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    if exact:
+        a = embeddings.select(F.col(id_col).alias("_ida"),
+                              _as_double_array(F.col(vec_col)).alias("_va"))
+        b = embeddings.select(F.col(id_col).alias("_idb"),
+                              _as_double_array(F.col(vec_col)).alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("_ida") != F.col("_idb"))
+    else:
+        idx = lsh_index(embeddings, num_planes, dim, vec_col, seed)
+        a = idx.select(F.col(id_col).alias("_ida"),
+                       _as_double_array(F.col(vec_col)).alias("_va"),
+                       "lsh_bucket")
+        b = idx.select(F.col(id_col).alias("_idb"),
+                       _as_double_array(F.col(vec_col)).alias("_vb"),
+                       "lsh_bucket")
+        pairs = a.join(b, "lsh_bucket").filter(F.col("_ida") != F.col("_idb"))
+    sims = pairs.select(
+        "_ida", "_idb",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"))
+    w = Window.partitionBy("_ida").orderBy(F.desc("cosine_sim"),
+                                           F.col("_idb"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_ida").alias(id_col),
+                    F.col("_idb").alias("neighbor_id"), "cosine_sim",
+                    "rank"))
+
+
 def ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[tuple[int, list[float]]]:

@@ -71,16 +71,17 @@ def hll_registers(df: DataFrame, value_col: str,
             .groupBy(*group_cols, "_reg").agg(F.max("_r").alias("_rank")))
 
 
-def hll_distinct(df: DataFrame, value_col: str,
-                 group_cols: Sequence[str] = (), p: int = 10) -> DataFrame:
-    """Approximate COUNT(DISTINCT value) per group via HyperLogLog, with
-    the standard small-range linear-counting correction. Returns
-    ``(group_cols…, hll_used, hll_estimate)`` where ``hll_used`` is the
-    number of touched registers."""
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: Sequence[str] = (),
+                                p: int = 10) -> DataFrame:
+    """Estimate from an (already merged) register table — the
+    merge-then-estimate path: shards/streams union their register tables,
+    ``groupBy(_reg).agg(max(_rank))``, then this. Same small-range
+    linear-counting correction as :func:`hll_distinct` (which delegates
+    here)."""
     m = 1 << p
     maxbits = 32 - p
     scale = 1 << (maxbits + 1)
-    regs = hll_registers(df, value_col, group_cols, p)
     # Σ 2^(maxbits+1-rank): exact integer harmonic sum (rank ≤ maxbits+1)
     term = F.pow(F.lit(2.0), F.lit(maxbits + 1) - F.col("_rank")) \
             .cast("long")
@@ -94,6 +95,51 @@ def hll_distinct(df: DataFrame, value_col: str,
     est = F.when((raw <= 2.5 * m) & (v > 0),
                  m * F.log(F.lit(float(m)) / v)).otherwise(raw)
     return agg.select(*group_cols, "hll_used", est.alias("hll_estimate"))
+
+
+def hll_distinct(df: DataFrame, value_col: str,
+                 group_cols: Sequence[str] = (), p: int = 10) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via HyperLogLog, with
+    the standard small-range linear-counting correction. Returns
+    ``(group_cols…, hll_used, hll_estimate)`` where ``hll_used`` is the
+    number of touched registers."""
+    regs = hll_registers(df, value_col, group_cols, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
+                           p: int = 10) -> DataFrame:
+    """|A∩B| by inclusion–exclusion over MERGEABLE HLL sketches:
+    est(A) + est(B) − est(A∪B), where the union sketch is the
+    per-register MAX of the two register tables (the HLL merge law) —
+    no rescan of either input, which is the whole point at scale: two
+    100 TB event slices intersect via two m-register tables and one
+    m-row merge. Returns one row (est_a, est_b, est_union,
+    est_intersection). Error: each term carries the standard
+    ~1.04/√m relative error, and the DIFFERENCE inflates the relative
+    error of a small intersection (classic inclusion–exclusion caveat —
+    for tiny overlaps use an exact semi-join instead; this operator is
+    for dashboard-grade overlap of large sets). Deterministic: register
+    math is integer-exact, estimates are fixed-order double ops, so the
+    result is engine-identical and oracle-checkable."""
+    ra = hll_registers(a, value_col, (), p)
+    rb = hll_registers(b, value_col, (), p)
+    ru = (ra.unionByName(rb)
+          .groupBy("_reg").agg(F.max("_rank").alias("_rank")))
+    ea = hll_estimate_from_registers(ra, (), p) \
+        .select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate_from_registers(rb, (), p) \
+        .select(F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate_from_registers(ru, (), p) \
+        .select(F.col("hll_estimate").alias("est_union"))
+    # three 1-row frames — the bounded crossJoin pattern (scalar totals)
+    return (ea.crossJoin(eb).crossJoin(eu)
+            .select(F.round("est_a", 6).alias("est_a"),
+                    F.round("est_b", 6).alias("est_b"),
+                    F.round("est_union", 6).alias("est_union"),
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 6)
+                    .alias("est_intersection")))
 
 
 def hll_sql(value_expr: str, group_by: str = "", p: int = 10,

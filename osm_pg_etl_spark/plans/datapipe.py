@@ -302,6 +302,70 @@ LIMIT {k}
 """
 
 
+_KNN_K, _KNN_PLANES = 3, 6
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed self-KNN join (similarity.knn_join): every vector's
+    k nearest bucket-mates by cosine — one equi-join on the 2^6-bucket
+    signature key + a per-vector window; no all-pairs anywhere."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, k=_KNN_K, num_planes=_KNN_PLANES)
+
+
+def _sql_knn_join(dim: int = 64, num_planes: int = _KNN_PLANES,
+                  k: int = _KNN_K) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed=42)
+    plane_lits = [("[" + ", ".join(repr(x) for x in p) + "]")
+                  for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, lit in enumerate(plane_lits))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS s FROM e),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND({_COS_AB_SQL}, 6) AS cosine_sim
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id != b.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM cand)
+SELECT vec_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact KNN baseline on a deterministic 1/5 slice of the
+    corpus (explicit exact=True opt-in — the O(n²) path is never a
+    default; the slice keeps the oracle quadratic in 1/25 of the rows).
+    Recall of the LSH gate is measured against this in tests."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return similarity.knn_join(emb, k=_KNN_K, exact=True)
+
+
+SQL_KNN_JOIN_EXACT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 5 = 0),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND({_COS_AB_SQL}, 6) AS cosine_sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM cand)
+SELECT vec_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clustering*: MinHash-LSH pairs are edges; connected
     components pick one canonical doc (min id) per group — the step a real
@@ -1350,6 +1414,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "knn_join": q_knn_join,
+    "knn_join_exact": q_knn_join_exact,
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
@@ -1388,6 +1454,8 @@ ORACLES = {
     "simhash_neardup": _sql_simhash_neardup(),
     "similarity_lsh_topk": _sql_lsh_topk(),
     "similarity_ivf_topk": _sql_ivf_topk(),
+    "knn_join": _sql_knn_join(),
+    "knn_join_exact": SQL_KNN_JOIN_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -1724,6 +1724,74 @@ FROM hest e JOIN ex USING (event_type)
 """
 
 
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimate (|clickers ∩ purchasers|) by
+    inclusion–exclusion over MERGEABLE HLL sketches
+    (sketch.hll_intersect_estimate): the union sketch is the
+    per-register MAX merge — no rescan of either slice — alongside the
+    exact semi-join count the oracle also recomputes. The approximation
+    itself is value-checked: both engines build the identical register
+    tables and apply the identical fixed-order estimate arithmetic."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    est = sketch.hll_intersect_estimate(a, b, "user_id", p=10)
+    exact = (a.select("user_id").distinct()
+             .join(b.select("user_id").distinct(), "user_id", "left_semi")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    return est.crossJoin(exact)
+
+
+def _sql_hll_intersect(p: int = 10) -> str:
+    from ..operators.sketch import _alpha, hll_sql  # noqa: PLC0415
+
+    m, maxbits = 1 << p, 32 - p
+    scale = 1 << (maxbits + 1)
+    numer = _alpha(m) * m * m * scale
+
+    def chunk(tag: str, cond: str) -> str:
+        sub = f"(SELECT user_id FROM events WHERE event_type = '{cond}')"
+        return (hll_sql("CAST(user_id AS VARCHAR)", "", p, table=sub)
+                .strip()
+                .replace("regs", f"regs_{tag}")
+                .replace("hagg", f"hagg_{tag}")
+                .replace("hest", f"hest_{tag}"))
+
+    est = (f"CASE WHEN raw <= {2.5 * m!r} AND v > 0 "
+           f"THEN {m} * ln({float(m)!r} / v) ELSE raw END")
+    return f"""
+WITH {chunk('a', 'click')},
+{chunk('b', 'purchase')},
+regs_u AS (
+  SELECT reg, MAX(rank) AS rank FROM (
+    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b) GROUP BY reg),
+hagg_u AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hll_used,
+         SUM(CAST(pow(2, {maxbits + 1} - rank) AS BIGINT)) AS s
+  FROM regs_u),
+hest_u AS (
+  SELECT hll_used,
+         {numer!r} / CAST(s + ({m} - hll_used) * {scale} AS DOUBLE) AS raw,
+         {m} - hll_used AS v
+  FROM hagg_u),
+fin AS (
+  SELECT (SELECT {est} FROM hest_a) AS ea,
+         (SELECT {est} FROM hest_b) AS eb,
+         (SELECT {est} FROM hest_u) AS eu),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+SELECT ROUND(ea, 6) AS est_a, ROUND(eb, 6) AS est_b,
+       ROUND(eu, 6) AS est_union, ROUND(ea + eb - eu, 6) AS est_intersection,
+       ex.n_exact
+FROM fin, ex
+"""
+
+
 def q_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event-time hour via the mergeable HLL sketch —
     the windowed-rollup shape a streaming pipeline keeps as state (register
@@ -1923,6 +1991,7 @@ QUERIES = {
     "mutable_diff": q_mutable_diff,
     "incremental_agg": q_incremental_agg,
     "hll_users": q_hll_users,
+    "hll_intersect": q_hll_intersect,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
     "interval_join_outer": q_interval_join_outer,
@@ -1992,6 +2061,7 @@ ORACLES = {
     "mutable_diff": SQL_MUTABLE_DIFF,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "hll_users": _sql_hll_users(),
+    "hll_intersect": _sql_hll_intersect(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
     "interval_join_outer": SQL_INTERVAL_JOIN_OUTER,

@@ -561,3 +561,46 @@ def test_gap_fill_scaffold_and_ffill(spark):
         (0, 100): (2, 1.5), (0, 101): (0, 1.5), (0, 102): (0, 1.5),
         (0, 103): (1, 9.0), (7, 200): (4, 2.0),
     }
+
+
+def test_knn_join_exact_small_graph(emb):
+    """All-pairs exact self-KNN on the 5-vector fixture: vector 1's
+    nearest is 2 (cos≈0.994), then the orthogonals (0.0) rank by id,
+    with the antipode 5 (-1.0) last; rank is dense per vector."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+           for r in knn_join(emb, k=4, exact=True).collect()}
+    assert got[(1, 1)][0] == 2
+    assert got[(1, 1)][1] == pytest.approx(0.993884, abs=1e-6)
+    assert got[(1, 2)] == (3, 0.0)    # tie on 0.0 -> smallest id first
+    assert got[(1, 3)] == (4, 0.0)
+    assert got[(1, 4)] == (5, -1.0)
+    assert got[(5, 4)][0] == 1        # antipodes are mutually last
+
+
+def test_knn_join_lsh_recall_against_exact(spark):
+    """On a clustered corpus (3 tight clusters in 8-d), the LSH-bucketed
+    self-KNN must (a) only ever report cosine values that agree with the
+    exact computation and (b) recover most within-cluster neighbors —
+    cluster-mates nearly always share the hyperplane signature."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    rows = []
+    base = {0: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]}
+    for i in range(30):
+        c = i % 3
+        vec = [x + 0.01 * ((i * 7 + j) % 5) for j, x in enumerate(base[c])]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_id"], r["neighbor_id"]): r["cosine_sim"]
+             for r in knn_join(emb, k=5, exact=True).collect()}
+    lsh = [(r["vec_id"], r["neighbor_id"], r["cosine_sim"])
+           for r in knn_join(emb, k=5, num_planes=4, dim=8).collect()]
+    assert lsh, "LSH buckets produced no candidate pairs"
+    for vid, nid, sim in lsh:
+        assert sim == pytest.approx(exact[(vid, nid)], abs=1e-6)
+    hits = sum(1 for vid, nid, _ in lsh if vid % 3 == nid % 3)
+    assert hits / len(lsh) > 0.9      # bucket-mates are cluster-mates

@@ -116,3 +116,30 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r["row"], r["col"], r["cnt"]) for r in cms.collect()}
     assert {(r["row"], r["col"], r["cnt"])
             for r in merged.collect()} == whole
+
+
+def test_hll_intersect_estimate_merge_law_and_accuracy(spark):
+    """The union sketch must equal the sketch of the concatenated input
+    (the HLL merge law, register-exact), and the inclusion–exclusion
+    intersection estimate must land within HLL tolerance of the true
+    overlap (sets of 600/600 with 200 shared -> ~5% rel error at
+    m=1024 per term)."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.sketch import (
+        hll_distinct, hll_intersect_estimate, hll_registers)
+
+    a = spark.range(0, 600).select(F.col("id").alias("v"))          # 0..599
+    b = spark.range(400, 1000).select(F.col("id").alias("v"))       # 400..999
+    # merge law: max-merged registers == registers of A ++ B
+    ra, rb = hll_registers(a, "v"), hll_registers(b, "v")
+    merged = sorted(map(tuple, ra.unionByName(rb).groupBy("_reg")
+                        .agg(F.max("_rank").alias("_rank")).collect()))
+    direct = sorted(map(tuple,
+                        hll_registers(a.unionByName(b), "v").collect()))
+    assert merged == direct
+    row = hll_intersect_estimate(a, b, "v").collect()[0]
+    exact_u = hll_distinct(a.unionByName(b), "v").collect()[0]["hll_estimate"]
+    assert row["est_union"] == round(exact_u, 6)
+    assert abs(row["est_intersection"] - 200) / 200 < 0.25
+    assert abs(row["est_a"] - 600) / 600 < 0.1
