@@ -60,3 +60,16 @@ def test_cli_workflow_end_to_end(spark, tmp_path):
     csv = spark.read.option("header", True).csv(str(tmp_path / "edges"))
     directed = spark.read.parquet(f"{net}/directed.parquet")
     assert csv.count() == directed.count() > 0
+
+
+def test_cli_analyze_sssp_empty_network(spark, tmp_path):
+    """analyze --algo sssp on an empty directed network must exit with a
+    clear message, not an opaque TypeError from int(None)."""
+    import pytest
+
+    net = str(tmp_path / "net")
+    empty = spark.createDataFrame(
+        [], "start_node long, end_node long, length double")
+    empty.write.parquet(f"{net}/directed.parquet")
+    with pytest.raises(SystemExit, match="empty"):
+        main(["analyze", net, str(tmp_path / "out"), "--algo", "sssp"])
