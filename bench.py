@@ -46,6 +46,8 @@ HEADLINE = [
     "group_regression",     # one-pass per-group OLS moments (r4)
     "join5_revenue",        # TPC-H Q5-shape 5-way join (r4)
     "osm_poi_nearest",      # grid-blocked nearest-neighbour snap (r4)
+    "knn_join",             # LSH-bucketed self-KNN similarity graph (r6)
+    "hll_intersect",        # mergeable-sketch audience overlap (r6)
 ]
 
 
