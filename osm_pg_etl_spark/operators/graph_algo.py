@@ -312,6 +312,125 @@ def shortest_paths_radius(edges: DataFrame, source,
     return out
 
 
+def line_graph_transitions(directed: DataFrame,
+                           src: str = "start_node", dst: str = "end_node",
+                           weight: str = "length",
+                           restrictions: DataFrame | None = None,
+                           forbid_uturn: bool = True) -> DataFrame:
+    """Edge-based (line-graph) expansion for turn-aware routing — the
+    pgrouting capability the reference installs beyond plain SSSP
+    (``etl/osm-load.sh:17`` loads pgrouting, whose edge-based routing /
+    turn-restriction support is its point over a naive Dijkstra; cf.
+    Winter 2002, "Modeling costs of turns in route planning").
+
+    L-nodes are the directed edges (u, v) — parallel duplicates collapse
+    to their MIN weight, which is the edge routing would pick anyway —
+    and each output row is one PERMITTED transition
+    (from_u, via, to_v, w): traveling edge (from_u → via) may continue
+    onto edge (via → to_v), paying that edge's weight ``w``.
+    ``forbid_uturn`` drops immediate reversals (to_v = from_u, the
+    default every router ships); ``restrictions`` is an optional
+    (from_u, via, to_v) table of banned turns removed by one left-anti
+    join. One equi-join on the shared node key builds the whole
+    expansion — transitions per node are deg_in·deg_out, the classic
+    line-graph blowup, confined per node exactly like a bucketed join.
+    """
+    e = (directed.select(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v"),
+                         F.col(weight).cast("double").alias("w"))
+         .filter(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("w").alias("w")))
+    a = e.select(F.col("u").alias("from_u"), F.col("v").alias("via"))
+    b = e.select(F.col("u").alias("via"), F.col("v").alias("to_v"),
+                 F.col("w"))
+    trans = a.join(b, "via")
+    if forbid_uturn:
+        trans = trans.filter(F.col("to_v") != F.col("from_u"))
+    if restrictions is not None:
+        trans = trans.join(
+            restrictions.select("from_u", "via", "to_v"),
+            ["from_u", "via", "to_v"], "left_anti")
+    return trans.select("from_u", "via", "to_v", "w")
+
+
+def turn_restricted_distances(directed: DataFrame, source: int,
+                              src: str = "start_node",
+                              dst: str = "end_node",
+                              weight: str = "length",
+                              restrictions: DataFrame | None = None,
+                              forbid_uturn: bool = True,
+                              max_rounds: int = 200,
+                              return_rounds: bool = False):
+    """Turn-aware single-source shortest distances: Bellman-Ford over
+    the LINE GRAPH (:func:`line_graph_transitions`), where state is
+    "cheapest way to arrive at node v having just traversed edge
+    (u, v)" — the edge-based routing formulation that makes banned
+    turns and U-turn prohibitions expressible at all (node-keyed
+    distances cannot represent "you may be at v, but not if you came
+    from u"). The reference delegates exactly this to pgrouting.
+
+    Same frontier + prev-NULL fixpoint machinery as
+    :func:`shortest_paths_weighted`, keyed on the edge pair (u, v):
+    initial state is every edge leaving ``source`` at its own weight;
+    each round relaxes permitted transitions from the frontier. Returns
+    (node, dist) — the min over all permitted arriving edges, with the
+    source itself at 0.0; nodes unreachable under the restriction set
+    are absent. Worst-case rounds = longest shortest edge-path
+    (``max_rounds``-bounded, truncation warns like the node-keyed
+    operator).
+    """
+    import warnings
+
+    trans = line_graph_transitions(directed, src, dst, weight,
+                                   restrictions, forbid_uturn) \
+        .localCheckpoint()
+    e0 = (directed.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"),
+                          F.col(weight).cast("double").alias("w"))
+          .filter(F.col("u") != F.col("v"))
+          .groupBy("u", "v").agg(F.min("w").alias("w")))
+    dist = (e0.filter(F.col("u") == int(source))
+            .select("u", "v", F.col("w").alias("dist"))
+            .localCheckpoint())
+    frontier = dist
+    rounds = 0
+    for _ in range(max_rounds):
+        relax = (trans.join(frontier,
+                            (trans["from_u"] == frontier["u"])
+                            & (trans["via"] == frontier["v"]))
+                 .select(F.col("via").alias("u"),
+                         F.col("to_v").alias("v"),
+                         (F.col("dist") + F.col("w")).alias("dist"),
+                         F.lit(None).cast("double").alias("prev")))
+        cur = dist.select("u", "v", "dist", F.col("dist").alias("prev"))
+        new = (cur.unionByName(relax)
+               .groupBy("u", "v").agg(F.min("dist").alias("dist"),
+                                      F.min("prev").alias("prev"))
+               .localCheckpoint())
+        frontier = (new.filter(F.col("prev").isNull()
+                               | (F.col("dist") < F.col("prev")))
+                    .select("u", "v", "dist"))
+        changed = frontier.count()
+        dist = new.select("u", "v", "dist")
+        rounds += 1
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"turn_restricted_distances stopped at max_rounds="
+            f"{max_rounds} before the fixpoint ({changed} still "
+            "improving); distances are truncated", RuntimeWarning,
+            stacklevel=2)
+    spark = directed.sparkSession
+    src_row = spark.createDataFrame([(int(source), 0.0)],
+                                    "node long, dist double")
+    per_node = (dist.groupBy(F.col("v").alias("node"))
+                .agg(F.min("dist").alias("dist"))
+                .unionByName(src_row)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (per_node, rounds) if return_rounds else per_node
+
+
 def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
                 directed: bool = False,
                 src: str = "src", dst: str = "dst") -> DataFrame:

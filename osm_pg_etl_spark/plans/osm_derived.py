@@ -674,6 +674,81 @@ SELECT s AS source, node, ROUND(dist, 6) AS dist_km FROM sp{rounds}
 """
 
 
+_TURN_RESTR_MOD = 7
+
+
+def q_osm_turn_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-restricted SSSP over the directed car graph — the pgrouting
+    capability the reference installs beyond plain routing
+    (etl/osm-load.sh:17; edge-based routing with banned turns is
+    pgrouting's point over naive Dijkstra), run natively: Bellman-Ford
+    over the LINE GRAPH (operators.graph_algo.turn_restricted_distances)
+    with U-turns prohibited and a deterministic restriction set — every
+    transition whose (from_u + via + to_v) ≡ 0 mod 7 is a banned turn —
+    so both engines derive the identical rule arithmetically. Result is
+    per-node min over permitted arriving edges; detours forced by the
+    restrictions are exactly what the node-keyed osm_shortest_km gate
+    cannot express."""
+    from ..operators.graph_algo import (
+        line_graph_transitions, turn_restricted_distances)
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged, minimal=True).cache()
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    trans = line_graph_transitions(directed)
+    restr = (trans.filter((F.col("from_u") + F.col("via")
+                           + F.col("to_v")) % _TURN_RESTR_MOD == 0)
+             .select("from_u", "via", "to_v"))
+    sp, rounds = turn_restricted_distances(directed, source,
+                                           restrictions=restr,
+                                           return_rounds=True)
+    if rounds > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"osm_turn_restricted: fixpoint took {rounds} rounds > the "
+            f"{_SSSP_ORACLE_ROUNDS}-round oracle unroll")
+    return sp.select("node", F.round("dist", 6).alias("dist_km"))
+
+
+def _sql_osm_turn_restricted(rounds: int = _SSSP_ORACLE_ROUNDS) -> str:
+    """Unrolled edge-state relaxation: lnodes = directed edges (parallel
+    duplicates at MIN length), trans = permitted transitions (no
+    U-turns, mod-rule bans), sp_i keyed on the edge pair."""
+    base = _sql_osm_shortest_km()
+    head = base[:base.index(",\nsp0 AS")]
+    mid = f""",
+lnodes AS MATERIALIZED (
+  SELECT start_node AS u, end_node AS v, MIN(length) AS w
+  FROM expanded WHERE start_node != end_node GROUP BY start_node, end_node),
+trans AS MATERIALIZED (
+  SELECT a.from_u, a.via, b.to_v, b.w FROM
+    (SELECT u AS from_u, v AS via FROM lnodes) a
+    JOIN (SELECT u AS via, v AS to_v, w FROM lnodes) b USING (via)
+  WHERE b.to_v != a.from_u
+    AND (a.from_u + via + b.to_v) % {_TURN_RESTR_MOD} != 0),
+sp0 AS (
+  SELECT u, v, w AS dist FROM lnodes
+  WHERE u = (SELECT MIN(start_node) FROM expanded))"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+sp{i} AS MATERIALIZED (
+  SELECT u, v, MIN(dist) AS dist FROM (
+    SELECT u, v, dist FROM sp{i - 1}
+    UNION ALL
+    SELECT t.via, t.to_v, s.dist + t.w
+    FROM sp{i - 1} s JOIN trans t ON t.from_u = s.u AND t.via = s.v)
+  GROUP BY u, v)""")
+    return head + mid + "".join(its) + f"""
+SELECT node, ROUND(MIN(dist), 6) AS dist_km FROM (
+  SELECT v AS node, dist FROM sp{rounds}
+  UNION ALL
+  SELECT (SELECT MIN(start_node) FROM expanded), 0.0)
+GROUP BY node
+"""
+
+
 _BC_SOURCES, _BC_DEPTH = 6, 4
 
 
@@ -2515,6 +2590,7 @@ QUERIES = {
     "osm_shortest_km": q_osm_shortest_km,
     "osm_shortest_km_radius": q_osm_shortest_km_radius,
     "osm_access_km": q_osm_access_km,
+    "osm_turn_restricted": q_osm_turn_restricted,
     "osm_betweenness": q_osm_betweenness,
     "osm_betweenness_exact": q_osm_betweenness_exact,
     "osm_planar_length": q_osm_planar_length,
@@ -2565,6 +2641,7 @@ ORACLES = {
     "osm_shortest_km": _sql_osm_shortest_km(),
     "osm_shortest_km_radius": _sql_osm_shortest_km(),
     "osm_access_km": _sql_osm_shortest_km(k_sources=_ACCESS_SOURCES),
+    "osm_turn_restricted": _sql_osm_turn_restricted(),
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_betweenness_exact": _sql_osm_betweenness_exact(),
     "osm_planar_length": _sql_osm_planar_length(),

@@ -803,3 +803,44 @@ def test_betweenness_exact_waves_match_reference(spark):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_turn_restricted_distances_banned_turn_forces_detour(spark):
+    """Diamond where the direct turn at node 2 is banned: (1→2)→(2→3)
+    restricted, so node 3 costs 3 via the 2→4→3 detour instead of 2;
+    without the restriction it costs 2. Edge-based state is what makes
+    this expressible — node-keyed SSSP cannot represent it."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        turn_restricted_distances)
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (2, 4, 1.0), (4, 3, 1.0)],
+        "start_node long, end_node long, length double")
+    restr = spark.createDataFrame([(1, 2, 3)],
+                                  "from_u long, via long, to_v long")
+    got = {r["node"]: r["dist"] for r in
+           turn_restricted_distances(edges, 1,
+                                     restrictions=restr).collect()}
+    assert got == {1: 0.0, 2: 1.0, 4: 2.0, 3: 3.0}
+    free = {r["node"]: r["dist"] for r in
+            turn_restricted_distances(edges, 1).collect()}
+    assert free[3] == 2.0
+
+
+def test_turn_restricted_distances_uturn_prohibition(spark):
+    """Two-way edge 1↔2 plus 2→3: with the default U-turn prohibition
+    the walk 1→2→1 is not a permitted transition, so node 1 is only
+    reachable as the source (dist 0) and 3 costs 1+5."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        line_graph_transitions, turn_restricted_distances)
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 5.0)],
+        "start_node long, end_node long, length double")
+    got = {r["node"]: r["dist"] for r in
+           turn_restricted_distances(edges, 1).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 6.0}
+    trans = {(r["from_u"], r["via"], r["to_v"])
+             for r in line_graph_transitions(edges).collect()}
+    assert (1, 2, 1) not in trans     # the U-turn
+    assert (1, 2, 3) in trans
