@@ -206,6 +206,7 @@ def shortest_paths_weighted(edges: DataFrame, source,
                                  "s long, node long, dist double")
     frontier = dist
     rounds = 0
+    changed = -1  # -1 = loop never ran (max_rounds == 0)
     for _ in range(max_rounds):
         relax = (e.join(frontier, e["u"] == frontier["node"])
                  .select(frontier["s"], e["v"].alias("node"),
@@ -394,6 +395,7 @@ def turn_restricted_distances(directed: DataFrame, source: int,
             .localCheckpoint())
     frontier = dist
     rounds = 0
+    changed = -1  # -1 = loop never ran (max_rounds == 0)
     for _ in range(max_rounds):
         relax = (trans.join(frontier,
                             (trans["from_u"] == frontier["u"])
