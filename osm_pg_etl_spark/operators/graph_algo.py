@@ -925,9 +925,14 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
     because min-label-gated moves are idempotent at the fixpoint, the
     result is IDENTICAL to running the full budget (the fixed-unroll
     DuckDB oracles stay valid), while converged cluster runs skip the
-    dead barrier rounds. ``return_rounds=True`` additionally returns the
-    per-level executed round counts (telemetry for
-    ``scale_stress.py louvain``).
+    dead barrier rounds. Each check is one extra scalar job (~0.35 s
+    local floor), so checks are skipped where they cannot pay: the
+    first two rounds of a level (labels virtually always still move)
+    and a level's final budgeted round (nothing left to save) — on the
+    sf0.1 car graph, which does NOT converge inside the default budget,
+    this caps the telemetry overhead at 4 checks instead of 13.
+    ``return_rounds=True`` additionally returns the per-level executed
+    round counts (telemetry for ``scale_stress.py louvain``).
 
     Returns (node, community) for every original node.
     """
@@ -960,7 +965,7 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
         for _ in range(n_rounds):
             labels = _louvain_round(we, labels, deg, m2).localCheckpoint()
             done += 1
-            if early_stop:
+            if early_stop and 3 <= done < n_rounds:
                 row = labels.agg(
                     F.count(F.lit(1)).alias("c"),
                     F.coalesce(F.sum(F.xxhash64("id", "label")
