@@ -247,6 +247,34 @@ def run_sssp(n: int) -> None:
           f"{n})  wall={dt:6.1f}s", flush=True)
 
 
+def run_knn(k: int) -> None:
+    """Self-KNN scale behavior on K vec_id-offset replicas of the sf0.1
+    embeddings (replicas duplicate vectors, so bucket width grows K-fold
+    and candidate pairs K²-fold WITHIN the fixed 2^planes buckets — the
+    deliberate worst case for the per-bucket Arrow kernel; real corpora
+    would raise num_planes with size, which this prints alongside)."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    spark = get_spark(app_name=f"knn-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = replicate(read_testdata(spark, SF_DIR, "embeddings"),
+                    ["vec_id"], k).localCheckpoint()
+    n = emb.count()
+    t0 = time.perf_counter()
+    out = knn_join(emb, k=3, num_planes=6)
+    n_rows = out.count()
+    dt = time.perf_counter() - t0
+    # the scale lever: +2 planes ≈ 4x narrower buckets
+    t0 = time.perf_counter()
+    out8 = knn_join(emb, k=3, num_planes=8)
+    n_rows8 = out8.count()
+    dt8 = time.perf_counter() - t0
+    print(f"k={k:>2}  vectors={n:>7}  planes=6: rows={n_rows:>7} "
+          f"wall={dt:6.1f}s   planes=8: rows={n_rows8:>7} "
+          f"wall={dt8:6.1f}s", flush=True)
+    spark.catalog.clearCache()
+
+
 def run_centrality(k: int) -> None:
     """Scale behavior of the k-source Brandes + PageRank stages on K
     key-offset replicas. Sources per replica stay constant (6 global min
@@ -304,6 +332,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "centrality":
         for a in sys.argv[2:] or ["1", "5"]:
             run_centrality(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "knn":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_knn(int(a))
     else:
         ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
         for k in ks:
