@@ -126,3 +126,34 @@ def test_stream_enrich_broadcasts_dimension(spark):
     plan = plan_of(all_queries()["stream_enrich"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_bucket_kernel_no_cartesian(spark):
+    """The default self-KNN path must score candidates in the per-bucket
+    Arrow kernel — exactly one FlatMapGroupsInPandas, no cartesian/
+    nested-loop join, and no array column riding a candidate-pair row
+    through an exchange (the r6 perf lesson: 1 KB/pair)."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    plan = plan_of(all_queries()["knn_join"](spark, SF))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_turn_restricted_transitions_equi_join_only(spark):
+    """The line-graph expansion must be equi-joins on the shared-node /
+    triple keys — banned turns via join, never a cartesian."""
+    from osm_pg_etl_spark.operators.graph_algo import line_graph_transitions
+
+    directed = (spark.read.parquet(f"{SF}/lineitem.parquet")
+                .selectExpr("l_orderkey as start_node",
+                            "l_partkey as end_node",
+                            "cast(l_quantity as double) as length")
+                .limit(500))
+    restr = directed.selectExpr("start_node as from_u",
+                                "end_node as via",
+                                "start_node as to_v").limit(10)
+    plan = plan_of(line_graph_transitions(directed, restrictions=restr))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
