@@ -118,9 +118,17 @@ def cmd_analyze(args: argparse.Namespace) -> None:
             if src is None:
                 sys.exit("analyze --algo sssp: the directed network is "
                          "empty — no source node to route from")
-            out = ga.shortest_paths_weighted(
-                directed, src, src="start_node", dst="end_node",
-                weight="length")
+            if args.delta:
+                # radius stepping: rounds bounded by distance buckets
+                # (2·max_dist/Δ + log₂Δ) instead of hop diameter — the
+                # choice for continent-scale high-diameter graphs
+                out = ga.shortest_paths_radius(
+                    directed, src, delta=args.delta, src="start_node",
+                    dst="end_node", weight="length")
+            else:
+                out = ga.shortest_paths_weighted(
+                    directed, src, src="start_node", dst="end_node",
+                    weight="length")
         else:
             out = ga.k_core(edges, k=2)
         out.write.mode("overwrite").parquet(f"{args.out}/{algo}.parquet")
@@ -169,6 +177,10 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--iterations", type=int, default=5)
     s.add_argument("--sources", type=int, default=6)
     s.add_argument("--depth", type=int, default=4)
+    s.add_argument("--delta", type=float, default=None,
+                   help="sssp: radius-stepping bucket width (same unit "
+                        "as edge length) — bounds rounds by distance "
+                        "buckets instead of hop diameter")
     s.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("export", help="igraph edge-list CSV contract")

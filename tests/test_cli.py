@@ -61,6 +61,15 @@ def test_cli_workflow_end_to_end(spark, tmp_path):
     directed = spark.read.parquet(f"{net}/directed.parquet")
     assert csv.count() == directed.count() > 0
 
+    # --delta switches sssp to radius stepping; distances must be
+    # identical (shortcuts carry real path lengths)
+    out2 = str(tmp_path / "out2")
+    main(["analyze", net, out2, "--algo", "sssp", "--delta", "0.05"])
+    base = sorted(map(tuple, sssp.collect()))
+    rad = sorted(map(tuple,
+                     spark.read.parquet(f"{out2}/sssp.parquet").collect()))
+    assert rad == base
+
 
 def test_cli_analyze_sssp_empty_network(spark, tmp_path):
     """analyze --algo sssp on an empty directed network must exit with a
