@@ -476,6 +476,78 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node
 """
 
 
+def q_osm_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-QA report — the pgr_analyzeGraph / pgr_nodeNetwork parity
+    surface (the reference's loader installs pgrouting precisely to run
+    these sanity checks before routing): one integer-exact row over the
+    merged car graph counting segments, self-loop segments, parallel
+    (same unordered endpoints) segment groups, distinct nodes, dead ends
+    (undirected degree 1), intersections (degree ≥ 3), and connected
+    components (star contraction). Every figure is a count, so the gate
+    is trivially hash-stable; components reuse the O(log²)-round
+    operator while the oracle walks the recursive closure."""
+    from ..operators.graph_algo import connected_components, symmetric_edges
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True).cache()
+    n_segments = merged.count()
+    n_self = merged.filter(F.col("start_node") == F.col("end_node")).count()
+    n_parallel = (merged.filter(F.col("start_node") != F.col("end_node"))
+                  .select(F.least("start_node", "end_node").alias("a"),
+                          F.greatest("start_node", "end_node").alias("b"))
+                  .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+                  .filter(F.col("n") > 1).count())
+    edges = merged.select(F.col("start_node").alias("src"),
+                          F.col("end_node").alias("dst"))
+    deg = (symmetric_edges(edges)
+           .groupBy("a").agg(F.count(F.lit(1)).alias("d")).cache())
+    n_nodes = deg.count()
+    n_dead = deg.filter(F.col("d") == 1).count()
+    n_inter = deg.filter(F.col("d") >= 3).count()
+    n_comp = (connected_components(edges)
+              .select("component").distinct().count())
+    row = [(n_segments, n_self, n_parallel, n_nodes, n_dead, n_inter,
+            n_comp)]
+    return spark.createDataFrame(
+        row, "n_segments long, n_self_loops long, n_parallel_groups long, "
+             "n_nodes long, n_dead_ends long, n_intersections long, "
+             "n_components long")
+
+
+SQL_OSM_GRAPH_QUALITY = _cte(_WTAGS_SQL, _NODES_SQL, _WN_SQL, _CN_SQL,
+                             _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
+                             _MERGED_SQL).replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (
+  SELECT start_node AS a, end_node AS b FROM merged WHERE start_node != end_node
+  UNION
+  SELECT end_node, start_node FROM merged WHERE start_node != end_node),
+reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+par AS (
+  SELECT LEAST(start_node, end_node) AS a,
+         GREATEST(start_node, end_node) AS b, COUNT(*) AS n
+  FROM merged WHERE start_node != end_node GROUP BY 1, 2)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_segments,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged
+    WHERE start_node = end_node) AS n_self_loops,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM par WHERE n > 1)
+      AS n_parallel_groups,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d = 1) AS n_dead_ends,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d >= 3)
+      AS n_intersections,
+  (SELECT CAST(COUNT(DISTINCT component) AS BIGINT) FROM comp)
+      AS n_components
+"""
+
+
 def q_osm_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop SSSP over the directed car graph from its minimum node:
     4 Bellman-Ford relaxation rounds ≡ exact shortest distance over paths
@@ -2586,6 +2658,7 @@ QUERIES = {
     "osm_merged_network": q_osm_merged_network,
     "osm_directed_graph": q_osm_directed_graph,
     "osm_components": q_osm_components,
+    "osm_graph_quality": q_osm_graph_quality,
     "osm_shortest_hops": q_osm_shortest_hops,
     "osm_shortest_km": q_osm_shortest_km,
     "osm_shortest_km_radius": q_osm_shortest_km_radius,
@@ -2637,6 +2710,7 @@ ORACLES = {
     "osm_merged_network": SQL_OSM_MERGED_NETWORK,
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
     "osm_components": SQL_OSM_COMPONENTS,
+    "osm_graph_quality": SQL_OSM_GRAPH_QUALITY,
     "osm_shortest_hops": SQL_OSM_SHORTEST_HOPS,
     "osm_shortest_km": _sql_osm_shortest_km(),
     "osm_shortest_km_radius": _sql_osm_shortest_km(),
