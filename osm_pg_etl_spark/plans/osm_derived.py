@@ -746,6 +746,56 @@ SELECT s AS source, node, ROUND(dist, 6) AS dist_km FROM sp{rounds}
 """
 
 
+def q_osm_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way asymmetry QA on the DIRECTED car graph: from the minimum
+    node, how many nodes are forward-reachable, backward-reachable, and
+    both (the mutually-reachable set — the source's strongly-connected
+    reach). The routing sanity check oneway tagging makes necessary
+    ("you can drive there but not back"); pgrouting users run exactly
+    this before trusting a directed network. Two level-synchronous BFS
+    passes over the shared sigma machinery (directed, reversed for the
+    backward pass) + one semi-join; all counts integer-exact."""
+    from ..operators.graph_algo import sigma_table
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged, minimal=True).cache()
+    source = int(directed.agg(F.min("start_node")).collect()[0][0])
+    fwd = (sigma_table(directed, [source], max_depth=200, directed=True,
+                       src="start_node", dst="end_node")
+           .select("node").distinct().cache())
+    bwd = (sigma_table(directed, [source], max_depth=200, directed=True,
+                       src="end_node", dst="start_node")
+           .select("node").distinct().cache())
+    n_f, n_b = fwd.count(), bwd.count()
+    n_both = fwd.join(bwd, "node", "left_semi").count()
+    return spark.createDataFrame(
+        [(source, n_f, n_b, n_both)],
+        "source long, n_forward long, n_backward long, n_mutual long")
+
+
+def _sql_osm_reachability() -> str:
+    base = _sql_osm_shortest_km()
+    head = base[:base.index(",\nsp0 AS")]
+    return head + """,
+src AS (SELECT MIN(start_node) AS s FROM expanded),
+fwd AS (
+  SELECT s AS node FROM src
+  UNION
+  SELECT e.end_node FROM fwd f JOIN expanded e ON e.start_node = f.node),
+bwd AS (
+  SELECT s AS node FROM src
+  UNION
+  SELECT e.start_node FROM bwd b JOIN expanded e ON e.end_node = b.node)
+SELECT (SELECT s FROM src) AS source,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fwd) AS n_forward,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bwd) AS n_backward,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM fwd WHERE node IN (SELECT node FROM bwd)) AS n_mutual
+"""
+
+
 _TURN_RESTR_MOD = 7
 
 
@@ -2664,6 +2714,7 @@ QUERIES = {
     "osm_shortest_km_radius": q_osm_shortest_km_radius,
     "osm_access_km": q_osm_access_km,
     "osm_turn_restricted": q_osm_turn_restricted,
+    "osm_reachability": q_osm_reachability,
     "osm_betweenness": q_osm_betweenness,
     "osm_betweenness_exact": q_osm_betweenness_exact,
     "osm_planar_length": q_osm_planar_length,
@@ -2716,6 +2767,7 @@ ORACLES = {
     "osm_shortest_km_radius": _sql_osm_shortest_km(),
     "osm_access_km": _sql_osm_shortest_km(k_sources=_ACCESS_SOURCES),
     "osm_turn_restricted": _sql_osm_turn_restricted(),
+    "osm_reachability": _sql_osm_reachability(),
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_betweenness_exact": _sql_osm_betweenness_exact(),
     "osm_planar_length": _sql_osm_planar_length(),
