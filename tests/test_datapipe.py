@@ -604,3 +604,22 @@ def test_knn_join_lsh_recall_against_exact(spark):
         assert sim == pytest.approx(exact[(vid, nid)], abs=1e-6)
     hits = sum(1 for vid, nid, _ in lsh if vid % 3 == nid % 3)
     assert hits / len(lsh) > 0.9      # bucket-mates are cluster-mates
+
+
+def test_knn_join_degenerate_inputs(spark):
+    """Singleton buckets and sub-2-row corpora produce empty results
+    (never errors): a lone vector has no bucket-mates, and the exact
+    path on one row has no pairs."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    one = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    assert knn_join(one, k=3, num_planes=4, dim=4).count() == 0
+    assert knn_join(one, k=3, exact=True).count() == 0
+    # zero-norm vectors score 0.0 against everything, by contract
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["neighbor_id"]): r["cosine_sim"]
+           for r in knn_join(zeros, k=1, exact=True).collect()}
+    assert got[(1, 2)] == 0.0 and got[(2, 1)] == 0.0
