@@ -247,6 +247,35 @@ def run_sssp(n: int) -> None:
           f"{n})  wall={dt:6.1f}s", flush=True)
 
 
+def run_sssp_radius(n: int, delta: float = 64.0) -> None:
+    """Radius-stepping alone on an n-node unit path, for n where the
+    diameter-bound baseline is infeasible (n=2000 would cost ~2000
+    rounds ≈ 13 min; radius stepping needs ~2n/Δ + log₂Δ). Exactness is
+    pinned by the closed-form distance sum n(n-1)/2."""
+    from osm_pg_etl_spark.operators.graph_algo import shortest_paths_radius
+
+    spark = get_spark(app_name=f"sssp-radius-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "src long, dst long, w double")
+    t0 = time.perf_counter()
+    dist, rounds = shortest_paths_radius(edges, 0, delta=delta,
+                                         max_rounds=2 * n,
+                                         return_rounds=True)
+    ok_vals = (dist.agg(F.sum("dist")).collect()[0][0] == n * (n - 1) / 2)
+    reached = dist.count()
+    dt = time.perf_counter() - t0
+    bound = 2 * n / delta + 12
+    status = "OK" if (reached == n and ok_vals and rounds <= bound) else "FAIL"
+    if status == "FAIL":
+        _FAILURES.append(f"sssp-radius-only n={n}")
+    print(f"{status}  sssp radius-only n={n:>6}  delta={delta:.0f}  "
+          f"reached={reached}  rounds={rounds} (bound ~2n/Δ+log₂Δ="
+          f"{bound:.0f}; diameter-bound would be {n})  wall={dt:6.1f}s",
+          flush=True)
+
+
 def run_knn(k: int) -> None:
     """Self-KNN scale behavior on K vec_id-offset replicas of the sf0.1
     embeddings (replicas duplicate vectors, so bucket width grows K-fold
@@ -335,6 +364,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "knn":
         for a in sys.argv[2:] or ["1", "5"]:
             run_knn(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "sssp_radius":
+        for a in sys.argv[2:] or ["2000"]:
+            run_sssp_radius(int(a))
     else:
         ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
         for k in ks:
