@@ -208,7 +208,8 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
                    nodes: DataFrame | None = None,
                    use_array_fast_path: bool = True,
                    attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS,
-                   pre_partitioned: bool = False) -> DataFrame:
+                   pre_partitioned: bool = False,
+                   shared_override: DataFrame | None = None) -> DataFrame:
     """``graphs.car_network_merged`` (``osm-road-graphs.sql:129-165``): the
     split-and-reassembled edge table.
 
@@ -237,11 +238,17 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     # comes from a table bucketed by way_id (sources.io.write_bucketed) —
     # the bucket scan's HashPartitioning(way_id) already satisfies every
     # way_id-keyed stage, so the pipeline runs with zero way_id shuffles.
+    # shared_override: callers that re-split only a SUBSET of ways (the
+    # incremental path) must supply the GLOBAL shared-node table — shared
+    # status depends on every network way using a node, and recomputing
+    # it from the subset's wn would miss cross-way sharing. The override
+    # flows through the same semi-joins as the locally-computed table.
     wn_net = network_way_nodes(way_nodes, network)
     if not pre_partitioned:
         wn_net = wn_net.repartition("way_id")
     wn_net = wn_net.cache()
-    shared = shared_nodes(wn_net)
+    shared = shared_nodes(wn_net) if shared_override is None \
+        else shared_override
     lengths = ways_length(wn_net).cache()
     splits = ways_split_nodes(wn_net, shared, lengths)
     limits = ways_merge_limits(wn_net, shared, splits, lengths)
@@ -274,3 +281,84 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
                  .join(segs.select("edge_id").distinct(), "edge_id", "left_anti")
                  .select(*out_cols))
     return merged.select(*out_cols).unionByName(untouched)
+
+
+def merged_network_incremental(old_network: DataFrame,
+                               old_way_nodes: DataFrame,
+                               old_merged: DataFrame,
+                               new_network: DataFrame,
+                               new_way_nodes: DataFrame,
+                               changed_way_ids: DataFrame,
+                               attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS,
+                               ) -> DataFrame:
+    """Incremental maintenance of the merged network under a way-level
+    change batch — the ``osmosisUpdate()`` scenario (apply a minutely
+    diff, refresh the derived road graph; ``etl/pgsnapshot_schema_0.6.
+    sql:139-143``) without re-splitting the whole planet: at 100 TB the
+    full topology pipeline over an unchanged continent to absorb a
+    thousand-way diff is the dominant waste, and this touches only the
+    blast radius of the batch.
+
+    Exact dependency analysis: a way's segments depend on (a) its own
+    node list and attributes, and (b) the SHARED status (used by ≥ 2
+    network-way occurrences) of each of its interior nodes. A change
+    batch therefore invalidates exactly: the changed ways, plus every
+    way using a node whose shared status FLIPPED. Node-use counts are
+    maintained incrementally — delta = counts over the changed ways'
+    new rows minus counts over their old rows, touching only those
+    nodes; unchanged ways never rescan. The affected subset is re-split
+    by the ordinary :func:`merged_network` with the updated GLOBAL
+    shared table injected (``shared_override`` — recomputing shared
+    from the subset alone would miss cross-way sharing), and the result
+    is ``old_merged`` minus affected segments plus the recomputation:
+    segments of unaffected ways are byte-identical to a full rebuild
+    because their inputs (own rows + shared status of their nodes) are
+    untouched — the property gate ``osm_merged_incremental``
+    hash-checks against a full-recompute oracle.
+
+    ``changed_way_ids`` is a (way_id) DataFrame covering every created,
+    modified, or deleted way in the batch (at the RAW-way level — a tag
+    edit that moves a way in or out of the network filter counts).
+    ``old_merged`` is the previously-materialized merged table (the IVM
+    state, alongside the old inputs). Cost: one scan of the changed
+    ways' rows, one node-keyed count merge over touched nodes, and the
+    split/merge pipeline over the affected subset only.
+    """
+    ch = changed_way_ids.select("way_id").distinct()
+    old_wn = network_way_nodes(old_way_nodes, old_network)
+    new_wn = network_way_nodes(new_way_nodes, new_network)
+    old_ch = old_wn.join(ch, "way_id", "left_semi")
+    new_ch = new_wn.join(ch, "way_id", "left_semi")
+
+    # maintained state in production; derived here from the old inputs
+    old_counts = old_wn.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("count"))
+    delta = (new_ch.groupBy("node_id").agg(F.count(F.lit(1)).alias("_d"))
+             .unionByName(old_ch.groupBy("node_id")
+                          .agg((-F.count(F.lit(1))).alias("_d")))
+             .groupBy("node_id").agg(F.sum("_d").alias("_d")))
+    counts = (old_counts.join(delta, "node_id", "full")
+              .select("node_id",
+                      (F.coalesce("count", F.lit(0))
+                       + F.coalesce("_d", F.lit(0))).alias("count")))
+    new_shared = counts.filter(F.col("count") > 1)
+    flipped = (old_counts.join(delta, "node_id", "full")
+               .filter((F.coalesce("count", F.lit(0)) > 1)
+                       != ((F.coalesce("count", F.lit(0))
+                            + F.coalesce("_d", F.lit(0))) > 1))
+               .select("node_id"))
+
+    affected = (ch.unionByName(
+        new_wn.join(flipped, "node_id", "left_semi")
+        .select("way_id")).distinct())
+
+    sub_net = new_network.join(
+        affected.select(F.col("way_id").alias("edge_id")),
+        "edge_id", "left_semi")
+    sub_wn = new_way_nodes.join(affected, "way_id", "left_semi")
+    recomputed = merged_network(sub_net, sub_wn, attrs=attrs,
+                                shared_override=new_shared)
+    kept = old_merged.join(
+        affected.select(F.col("way_id").alias("edge_id")),
+        "edge_id", "left_anti")
+    return kept.unionByName(recomputed.select(*kept.columns))

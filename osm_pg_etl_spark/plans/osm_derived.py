@@ -407,6 +407,79 @@ FROM merged
 """
 
 
+def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the merged network under a
+    deterministic CDC batch — the osmosisUpdate scenario
+    (etl/pgsnapshot_schema_0.6.sql:139-143: apply diff, refresh derived
+    tables) done WITHOUT re-splitting the world: delete every way with
+    id % 101 == 0 and truncate the last node of every ≥3-node way with
+    id % 103 == 0, then maintain the previously-materialized merged
+    table through operators.topology.merged_network_incremental (blast
+    radius = changed ways + ways whose nodes' shared status flipped,
+    with the global shared table maintained by count deltas). The
+    oracle is a FULL recompute over the mutated inputs, so a hash match
+    proves incremental ≡ full — the property that makes the incremental
+    path trustworthy at 100 TB, where rerunning the topology pipeline
+    over an unchanged continent to absorb a minutely diff is the
+    dominant waste."""
+    from ..operators.topology import (
+        merged_network_incremental, unnest_way_nodes)
+
+    d = derive_osm(spark, sf_dir)
+    ways, way_nodes = d["ways"], d["way_nodes"]
+    old_cn = car_network(ways).cache()
+    old_merged = merged_network(old_cn, way_nodes, pre_partitioned=True)
+
+    mod_ls = (F.col("id") % 103 == 0) & (F.size("linestring") > 2)
+    mod_nd = (F.col("id") % 103 == 0) & (F.size("nodes") > 2)
+    new_ways = (ways.filter(F.col("id") % 101 != 0)
+                .withColumn(
+                    "linestring",
+                    F.when(mod_ls, F.expr(
+                        "slice(linestring, 1, size(linestring) - 1)"))
+                    .otherwise(F.col("linestring")))
+                .withColumn(
+                    "nodes",
+                    F.when(mod_nd, F.expr(
+                        "slice(nodes, 1, size(nodes) - 1)"))
+                    .otherwise(F.col("nodes"))))
+    new_way_nodes = unnest_way_nodes(new_ways)
+    changed = (ways.filter((F.col("id") % 101 == 0)
+                           | (F.col("id") % 103 == 0))
+               .select(F.col("id").alias("way_id")))
+    new_cn = car_network(new_ways).cache()
+    inc = merged_network_incremental(old_cn, way_nodes, old_merged,
+                                     new_cn, new_way_nodes, changed)
+    return inc.select("edge_id", "start_node", "end_node",
+                      F.size("nodes").alias("n_nodes"),
+                      F.round("length", 4).alias("length_km"),
+                      "highway", "oneway", "speed_limit")
+
+
+# the CDC batch applied at the source: deleted ways vanish from wn (and
+# thereby from cn via its IN-subquery), truncated ways lose their last
+# (l_linenumber, l_partkey)-ordered row — the rest of the chain is the
+# UNCHANGED full pipeline, which is exactly the point of the oracle
+_WN_MUTATED_SQL = """
+wn AS (
+  SELECT way_id, node_id, sequence_id FROM (
+    SELECT l_orderkey AS way_id, l_partkey AS node_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey) - 1 AS INT) AS sequence_id,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS _n
+    FROM lineitem WHERE l_orderkey % 101 != 0)
+  WHERE NOT (way_id % 103 = 0 AND _n > 2 AND sequence_id = _n - 1))
+"""
+
+SQL_OSM_MERGED_INCREMENTAL = _cte(_WTAGS_SQL, _NODES_SQL, _WN_MUTATED_SQL,
+                                  _CN_SQL, _WAYLEN_SQL, _WAYENDS_SQL,
+                                  _TOPOLOGY_SQL, _MERGED_SQL) + """
+SELECT edge_id, start_node, end_node, n_nodes, ROUND(length, 4) AS length_km,
+       highway, oneway, speed_limit
+FROM merged
+"""
+
+
 def q_osm_directed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
     # cache the filtered network: the expensive ways-derivation subtree
@@ -2706,6 +2779,7 @@ QUERIES = {
     "osm_shared_nodes": q_osm_shared_nodes,
     "osm_merge_limits": q_osm_merge_limits,
     "osm_merged_network": q_osm_merged_network,
+    "osm_merged_incremental": q_osm_merged_incremental,
     "osm_directed_graph": q_osm_directed_graph,
     "osm_components": q_osm_components,
     "osm_graph_quality": q_osm_graph_quality,
@@ -2759,6 +2833,7 @@ ORACLES = {
     "osm_shared_nodes": SQL_OSM_SHARED_NODES,
     "osm_merge_limits": SQL_OSM_MERGE_LIMITS,
     "osm_merged_network": SQL_OSM_MERGED_NETWORK,
+    "osm_merged_incremental": SQL_OSM_MERGED_INCREMENTAL,
     "osm_directed_graph": SQL_OSM_DIRECTED_GRAPH,
     "osm_components": SQL_OSM_COMPONENTS,
     "osm_graph_quality": SQL_OSM_GRAPH_QUALITY,

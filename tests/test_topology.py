@@ -139,3 +139,45 @@ def test_segment_lengths_sum_to_way_length(osm, stages):
                                 linestring_length_km("geom").alias("l")).collect()}
     for wid, total in full.items():
         assert seg_sum[wid] == pytest.approx(total, rel=1e-9), wid
+
+
+def test_merged_network_incremental_equals_full(spark, osm):
+    """IVM property: applying a change batch (delete W2, truncate W1's
+    last node, add W100 sharing nodes with survivors) through
+    merged_network_incremental must reproduce the full recompute
+    EXACTLY — including ways whose own rows didn't change but whose
+    nodes' shared status flipped (truncating W1 drops a node-5
+    occurrence, unsplitting elsewhere)."""
+    from osm_pg_etl_spark.operators.topology import (
+        merged_network_incremental, unnest_way_nodes)
+
+    cn_old = car_network(osm["ways"])
+    old_merged = merged_network(cn_old, osm["way_nodes"])
+
+    ways = osm["ways"]
+    trunc = F.when(F.col("id") == 1,
+                   F.expr("slice(nodes, 1, size(nodes) - 1)")) \
+        .otherwise(F.col("nodes"))
+    trunc_ls = F.when(F.col("id") == 1,
+                      F.expr("slice(linestring, 1, size(linestring) - 1)")) \
+        .otherwise(F.col("linestring"))
+    added = spark.createDataFrame(
+        [(100, {"highway": "residential"}, [7, 16, 900],
+          [(0.0, 0.0), (0.1, 0.1), (0.2, 0.2)])], ways.schema)
+    new_ways = (ways.filter("id != 2")
+                .withColumn("nodes", trunc)
+                .withColumn("linestring", trunc_ls)
+                .unionByName(added))
+    new_way_nodes = unnest_way_nodes(new_ways)
+    changed = spark.createDataFrame([(1,), (2,), (100,)], "way_id long")
+
+    cn_new = car_network(new_ways)
+    full = merged_network(cn_new, new_way_nodes)
+    inc = merged_network_incremental(
+        cn_old, osm["way_nodes"], old_merged,
+        cn_new, new_way_nodes, changed)
+    f = sorted(map(str, full.collect()))
+    i = sorted(map(str, inc.select(*full.columns).collect()))
+    assert i == f
+    # the batch genuinely changed the output (not a vacuous equality)
+    assert sorted(map(str, old_merged.collect())) != f
