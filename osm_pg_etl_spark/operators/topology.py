@@ -290,7 +290,8 @@ def merged_network_incremental(old_network: DataFrame,
                                new_way_nodes: DataFrame,
                                changed_way_ids: DataFrame,
                                attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS,
-                               ) -> DataFrame:
+                               old_node_counts: DataFrame | None = None,
+                               return_affected: bool = False):
     """Incremental maintenance of the merged network under a way-level
     change batch — the ``osmosisUpdate()`` scenario (apply a minutely
     diff, refresh the derived road graph; ``etl/pgsnapshot_schema_0.6.
@@ -320,19 +321,31 @@ def merged_network_incremental(old_network: DataFrame,
     modified, or deleted way in the batch (at the RAW-way level — a tag
     edit that moves a way in or out of the network filter counts).
     ``old_merged`` is the previously-materialized merged table (the IVM
-    state, alongside the old inputs). Cost: one scan of the changed
-    ways' rows, one node-keyed count merge over touched nodes, and the
-    split/merge pipeline over the affected subset only.
+    state, alongside the old inputs), and ``old_node_counts`` the
+    maintained (node_id, count) table of network-way-node occurrences —
+    pass it to keep the maintenance step free of any full-table
+    aggregation (it is recomputed from the old inputs when omitted,
+    which is correct but pays one old-table scan). Cost with state
+    supplied: the changed ways' rows, one node-keyed count merge over
+    touched nodes, one broadcast-semi scan of the new way_nodes for
+    flip membership (narrow — no shuffle; an inverted node→way index
+    turns even that into a lookup), and the split/merge pipeline over
+    the affected subset only.
     """
     ch = changed_way_ids.select("way_id").distinct()
-    old_wn = network_way_nodes(old_way_nodes, old_network)
     new_wn = network_way_nodes(new_way_nodes, new_network)
-    old_ch = old_wn.join(ch, "way_id", "left_semi")
+    # restrict to the changed ways FIRST so the network semi-join and
+    # count aggregation below touch only the batch's rows
+    old_ch = network_way_nodes(
+        old_way_nodes.join(ch, "way_id", "left_semi"), old_network)
     new_ch = new_wn.join(ch, "way_id", "left_semi")
 
-    # maintained state in production; derived here from the old inputs
-    old_counts = old_wn.groupBy("node_id").agg(
-        F.count(F.lit(1)).alias("count"))
+    old_counts = old_node_counts
+    if old_counts is None:
+        # maintained state in production; derived here from old inputs
+        old_counts = (network_way_nodes(old_way_nodes, old_network)
+                      .groupBy("node_id")
+                      .agg(F.count(F.lit(1)).alias("count")))
     delta = (new_ch.groupBy("node_id").agg(F.count(F.lit(1)).alias("_d"))
              .unionByName(old_ch.groupBy("node_id")
                           .agg((-F.count(F.lit(1))).alias("_d")))
@@ -361,4 +374,8 @@ def merged_network_incremental(old_network: DataFrame,
     kept = old_merged.join(
         affected.select(F.col("way_id").alias("edge_id")),
         "edge_id", "left_anti")
-    return kept.unionByName(recomputed.select(*kept.columns))
+    out = kept.unionByName(recomputed.select(*kept.columns))
+    # return_affected: the blast-radius table, for telemetry — the
+    # fraction of ways re-split IS the scale claim (wall clock on a
+    # local job floor is barrier-bound either way)
+    return (out, affected) if return_affected else out

@@ -304,6 +304,78 @@ def run_knn(k: int) -> None:
     spark.catalog.clearCache()
 
 
+def run_ivm(k: int) -> None:
+    """Merged-network IVM payoff on K replicas of sf0.1: with the old
+    state pre-materialized (the IVM premise), time absorbing the
+    deterministic CDC batch (delete id%101 ways, truncate id%103 ways)
+    incrementally vs full recompute. The batch touches ~2% of ways, so
+    the gap is the point of the operator; both paths are counted to the
+    same row totals as a correctness cross-check."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import (
+        merged_network, merged_network_incremental, network_way_nodes,
+        unnest_way_nodes)
+
+    spark = get_spark(app_name=f"ivm-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+    d = derive_osm_from(part, li)
+    ways = d["ways"].localCheckpoint()
+    way_nodes = d["way_nodes"].localCheckpoint()
+    old_cn = car_network(ways).localCheckpoint()
+    old_merged = merged_network(old_cn, way_nodes).localCheckpoint()
+    # the maintained count state, materialized alongside old_merged
+    old_counts = (network_way_nodes(way_nodes, old_cn)
+                  .groupBy("node_id").agg(F.count(F.lit(1)).alias("count"))
+                  .localCheckpoint())
+
+    mod_ls = (F.col("id") % 103 == 0) & (F.size("linestring") > 2)
+    mod_nd = (F.col("id") % 103 == 0) & (F.size("nodes") > 2)
+    new_ways = (ways.filter(F.col("id") % 101 != 0)
+                .withColumn("linestring", F.when(mod_ls, F.expr(
+                    "slice(linestring, 1, size(linestring) - 1)"))
+                    .otherwise(F.col("linestring")))
+                .withColumn("nodes", F.when(mod_nd, F.expr(
+                    "slice(nodes, 1, size(nodes) - 1)"))
+                    .otherwise(F.col("nodes")))
+                .localCheckpoint())
+    new_way_nodes = unnest_way_nodes(new_ways).localCheckpoint()
+    changed = (ways.filter((F.col("id") % 101 == 0)
+                           | (F.col("id") % 103 == 0))
+               .select(F.col("id").alias("way_id")).localCheckpoint())
+    new_cn = car_network(new_ways).localCheckpoint()
+
+    t0 = time.perf_counter()
+    n_full = merged_network(new_cn, new_way_nodes).count()
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    inc, affected = merged_network_incremental(
+        old_cn, way_nodes, old_merged, new_cn, new_way_nodes,
+        changed, old_node_counts=old_counts, return_affected=True)
+    n_inc = inc.count()
+    t_inc = time.perf_counter() - t0
+    n_aff = affected.count()
+    n_ways = old_cn.count()
+    status = "OK" if n_full == n_inc else "FAIL"
+    if status == "FAIL":
+        _FAILURES.append(f"ivm k={k}")
+    # wall on local[32] is job-floor-bound for BOTH paths (the full
+    # pipeline's ~10 barriers cost more than its data at this size);
+    # the scale claim is the blast-radius fraction: the split/merge
+    # data work is confined to affected ways, so at data-bound scale
+    # the incremental cost tracks that fraction, not the table
+    print(f"{status}  k={k:>2}  merged_rows={n_full:>8}  "
+          f"affected_ways={n_aff:>6}/{n_ways} "
+          f"({100.0 * n_aff / n_ways:4.1f}%)  "
+          f"full={t_full:6.1f}s  incremental={t_inc:6.1f}s (local "
+          f"job-floor-bound both)", flush=True)
+    spark.catalog.clearCache()
+
+
 def run_centrality(k: int) -> None:
     """Scale behavior of the k-source Brandes + PageRank stages on K
     key-offset replicas. Sources per replica stay constant (6 global min
@@ -367,6 +439,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "sssp_radius":
         for a in sys.argv[2:] or ["2000"]:
             run_sssp_radius(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivm":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_ivm(int(a))
     else:
         ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
         for k in ks:
