@@ -1121,7 +1121,20 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-quantile column profile per group (PERCENTILE_CONT
     semantics both engines): the generalization of A3's median UDAF to the
     p25/p50/p75/p90/p99 sweep a quality-threshold scan needs. One
-    map-side-combinable aggregate; memory O(distinct values per group)."""
+    map-side-combinable aggregate; memory O(distinct values per group).
+
+    Stage-budget floor (measured sf0.1, warm, r6): 1.4-2.1 s = one scan +
+    the exact Percentile value→count map built and merged over 583 k
+    DISTINCT doubles (97% of the 600 k rows are unique prices — the map is
+    nearly the data) vs DuckDB's 85 ms single in-process quantile sort.
+    Two reworks were measured and rejected: a (group, value) histogram
+    pre-aggregation (1.3-2.1 s — no gain at 97% distinct) and a
+    row_number/rank-filter sort plan (1.0-1.5 s locally but it partitions
+    the sort by l_returnflag — THREE reducers own the whole table, the
+    exact skew that kills at 100 TB). The shipped plan partial-aggregates
+    map-side on every input split and only merges maps, so it is the one
+    you'd run on a cluster; for unbounded-cardinality columns swap
+    F.percentile_approx (same call shape, mergeable KLL-style sketch)."""
     from ..operators.stats import quantiles_by_group  # noqa: PLC0415
 
     li = t(spark, sf_dir, "lineitem")
