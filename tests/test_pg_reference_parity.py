@@ -2,15 +2,23 @@
 the Spark operators.
 
 The DuckDB oracles prove engine-vs-engine parity on translated SQL; this
-suite is the stronger claim: the geometry-free prefix of
-``osm-road-graphs.sql`` (car_network include-filter, exclusion DELETE,
-maxspeed summaries, median aggregate, the median-imputation UPDATE) and
-``general-functions.sql`` (get_ints_from_text, the median aggregate) are
-executed **verbatim from the reference checkout** on PostgreSQL —
-the engine they were written for — over the same derived ways table, and
-the results must equal ``operators.network.car_network`` /
-``impute_speed_limit`` / ``highway_maxspeed_values`` and
-``operators.stats.median_by_group`` row for row.
+suite is the stronger claim: the reference's scripts are executed
+**verbatim from the reference checkout** on PostgreSQL — the engine they
+were written for — over the same derived world, and the results must
+equal the Spark operators row for row:
+
+- ``osm-explore.sql`` (whole file): all ~24 tags_summary tables vs
+  ``tags_summary_catalog``;
+- ``general-functions.sql`` (whole file): get_ints_from_text, the
+  array-append median aggregate;
+- ``osm-road-graphs.sql`` (geometry-free prefix): car_network include
+  filter + exclusion DELETE vs ``car_network``, maxspeed summaries vs
+  ``highway_maxspeed_values`` / ``median_by_group``, the median
+  UPDATE…FROM vs ``impute_speed_limit``;
+- ``osm-complete-graphs.sql`` (whole file): complete filter,
+  PERCENTILE_CONT imputation, the 13-statement three-mode UPDATE cascade
+  (mixed AND/OR precedence included) vs ``with_mode_flags``, and the
+  endpoint network-nodes semi-join vs ``network_nodes``.
 
 No reference code is copied into this repo: the scripts are read from
 ``REF_DIR`` at test runtime and the suite skips when the checkout or a
@@ -60,12 +68,18 @@ def _hstore_literal(tags_col):
         F.transform(F.map_entries(tags_col), entry), ",")
 
 
-def _load_ways_into_pg(spark):
+def _load_world_into_pg(spark):
+    """Stage the derived ways/nodes/relations into PostgreSQL through the
+    COPY sink (hstore and bigint[] as text literals, typed on arrival);
+    returns the Spark-side frames for the comparisons."""
     from pyspark.sql import functions as F
 
-    from osm_pg_etl_spark.plans.osm_derived import derive_osm
+    from osm_pg_etl_spark.plans.common import t
+    from osm_pg_etl_spark.plans.osm_derived import (
+        derive_osm, derive_relations)
 
-    ways = derive_osm(spark, SF_DIR)["ways"]
+    d = derive_osm(spark, SF_DIR)
+    ways = d["ways"]
     staged = ways.select(
         "id",
         _hstore_literal(F.col("tags")).alias("tags_h"),
@@ -78,7 +92,24 @@ def _load_ways_into_pg(spark):
     _psql(DSN, "CREATE TABLE ways AS SELECT id, tags_h::hstore AS tags, "
                "nodes_s::bigint[] AS nodes, NULL::float8 AS linestring "
                "FROM ways_staging")
-    return ways
+
+    nodes = d["nodes"]
+    copy_write(nodes.select(
+        "id", _hstore_literal(F.col("tags")).alias("tags_h")),
+        DSN, "nodes_staging", mode="overwrite")
+    _psql(DSN, "DROP TABLE IF EXISTS nodes CASCADE")
+    _psql(DSN, "CREATE TABLE nodes AS SELECT id, tags_h::hstore AS tags, "
+               "NULL::float8 AS geom FROM nodes_staging")
+
+    rels, _members = derive_relations(t(spark, SF_DIR, "customer"),
+                                      t(spark, SF_DIR, "orders"))
+    copy_write(rels.select(
+        "id", _hstore_literal(F.col("tags")).alias("tags_h")),
+        DSN, "relations_staging", mode="overwrite")
+    _psql(DSN, "DROP TABLE IF EXISTS relations CASCADE")
+    _psql(DSN, "CREATE TABLE relations AS SELECT id, tags_h::hstore AS "
+               "tags FROM relations_staging")
+    return ways, nodes, rels
 
 
 def _reference_sql_chunks() -> tuple[str, str]:
@@ -97,14 +128,16 @@ def _reference_sql_chunks() -> tuple[str, str]:
 
 @pytest.fixture(scope="module")
 def pg_reference(spark):
-    """Load ways, install the reference's functions, run its script
-    prefix; yields nothing — tests read the produced tables."""
-    ways = _load_ways_into_pg(spark)
+    """Load the derived world, install the reference's functions, then run
+    its three geometry-free(-stubbed) scripts in workflow order: explore →
+    road-graphs (through the median UPDATE) → complete-graphs (entire
+    file). Yields the Spark-side (ways, nodes, relations); tests read the
+    PG tables the scripts produced."""
+    ways, nodes, rels = _load_world_into_pg(spark)
     # clean slate for re-runs (the reference's CREATE SCHEMA/AGGREGATE
     # are not idempotent)
     _psql(DSN, "DROP SCHEMA IF EXISTS graphs CASCADE")
     _psql(DSN, "DROP SCHEMA IF EXISTS tags_summary CASCADE")
-    _psql(DSN, "CREATE SCHEMA tags_summary")
     _psql(DSN, "CREATE EXTENSION IF NOT EXISTS hstore")
     _psql(DSN, "DROP AGGREGATE IF EXISTS median(anyelement)")
     for sig in ("_final_median(anyarray)", "get_ints_from_text(text)",
@@ -128,6 +161,13 @@ def pg_reference(spark):
     _psql(DSN, "CREATE FUNCTION public.array_append(anyarray, anyelement) "
                "RETURNS anyarray AS 'SELECT pg_catalog.array_append($1, $2)' "
                "LANGUAGE SQL IMMUTABLE")
+    _psql(DSN, "DROP FUNCTION IF EXISTS st_astext(float8)")
+    _psql(DSN, "CREATE FUNCTION ST_AsText(float8) RETURNS text "
+               "AS 'SELECT $1::text' LANGUAGE SQL IMMUTABLE")
+    # osm-explore.sql, verbatim (it CREATEs tags_summary itself) —
+    # general-functions.sql's median self-test needs that schema, so
+    # explore runs first
+    _psql(DSN, (REF_DIR / "osm-explore.sql").read_text())
     # the reference's helper functions, verbatim
     _psql(DSN, (REF_DIR / "general-functions.sql").read_text())
     chunk1, chunk2 = _reference_sql_chunks()
@@ -135,7 +175,17 @@ def pg_reference(spark):
     _psql(DSN, "CREATE TABLE graphs.car_network_pre AS "
                "SELECT * FROM graphs.car_network")
     _psql(DSN, chunk2)
-    return ways
+    # snapshot the car-based maxspeed tables before complete-graphs
+    # overwrites them with its complete_network versions
+    _psql(DSN, "CREATE TABLE tags_summary.car_maxspeed_values_snap AS "
+               "SELECT * FROM tags_summary.highway_maxspeed_values")
+    _psql(DSN, "CREATE TABLE tags_summary.car_maxspeed_median_snap AS "
+               "SELECT * FROM tags_summary.highway_maxspeed_median")
+    # osm-complete-graphs.sql end to end, verbatim: complete_network,
+    # PERCENTILE_CONT median imputation, network-nodes table, and the
+    # 13-statement three-mode UPDATE cascade
+    _psql(DSN, (REF_DIR / "osm-complete-graphs.sql").read_text())
+    return ways, nodes, rels
 
 
 def _pg_rows(sql: str) -> list[tuple]:
@@ -165,7 +215,7 @@ def test_car_network_filter_matches_reference_engine(spark, pg_reference):
     PostgreSQL equals operators.network.car_network."""
     from osm_pg_etl_spark.operators.network import car_network
 
-    got = _edge_rows(car_network(pg_reference))
+    got = _edge_rows(car_network(pg_reference[0]))
     want = sorted(_pg_rows(_EDGE_SQL.format("graphs.car_network_pre")))
     assert len(got) > 100  # non-degenerate corpus
     assert got == want
@@ -178,7 +228,7 @@ def test_median_imputation_matches_reference_engine(spark, pg_reference):
     from osm_pg_etl_spark.operators.network import (
         car_network, impute_speed_limit)
 
-    got = _edge_rows(impute_speed_limit(car_network(pg_reference)))
+    got = _edge_rows(impute_speed_limit(car_network(pg_reference[0])))
     want = sorted(_pg_rows(_EDGE_SQL.format("graphs.car_network")))
     assert got == want
 
@@ -191,10 +241,10 @@ def test_maxspeed_values_matches_reference_engine(spark, pg_reference):
         (r["highway"] or "",
          "" if r["speed_limit"] is None else str(r["speed_limit"]),
          str(r["count"]))
-        for r in highway_maxspeed_values(car_network(pg_reference)).collect())
+        for r in highway_maxspeed_values(car_network(pg_reference[0])).collect())
     want = sorted(_pg_rows(
         "SELECT COALESCE(highway,''), COALESCE(speed_limit::text,''), "
-        "count FROM tags_summary.highway_maxspeed_values"))
+        "count FROM tags_summary.car_maxspeed_values_snap"))
     assert got == want
 
 
@@ -204,7 +254,7 @@ def test_median_table_matches_reference_engine(spark, pg_reference):
     from osm_pg_etl_spark.operators.network import car_network
     from osm_pg_etl_spark.operators.stats import median_by_group
 
-    med = median_by_group(car_network(pg_reference),
+    med = median_by_group(car_network(pg_reference[0]),
                           ["highway"], "speed_limit", alias="median")
     got = sorted(
         (r["highway"] or "",
@@ -214,5 +264,89 @@ def test_median_table_matches_reference_engine(spark, pg_reference):
         (h, "" if m == "" else f"{float(m):.6f}")
         for h, m in _pg_rows(
             "SELECT COALESCE(highway,''), COALESCE(median::text,'') "
-            "FROM tags_summary.highway_maxspeed_median"))
+            "FROM tags_summary.car_maxspeed_median_snap"))
     assert got == want
+
+
+def test_mode_flag_cascade_matches_reference_engine(spark, pg_reference):
+    """osm-complete-graphs.sql end to end on PostgreSQL — complete
+    filter, PERCENTILE_CONT median imputation, and the 13-statement
+    three-mode UPDATE cascade (including its mixed AND/OR precedence,
+    which compile_update_cascade must reproduce exactly) — vs
+    complete_network → impute_speed_limit → with_mode_flags."""
+    from osm_pg_etl_spark.operators.network import (
+        complete_network, impute_speed_limit, with_mode_flags)
+
+    ways, _nodes, _rels = pg_reference
+    flagged = with_mode_flags(impute_speed_limit(complete_network(ways)))
+    got = sorted(
+        (str(r["edge_id"]), str(r["start_node"]), str(r["end_node"]),
+         r["highway"] or "", r["oneway"] or "",
+         "" if r["speed_limit"] is None else str(r["speed_limit"]),
+         "" if r["car"] is None else str(r["car"]),
+         "" if r["pedestrian"] is None else str(r["pedestrian"]),
+         "" if r["bicycle"] is None else str(r["bicycle"]))
+        for r in flagged.collect())
+    want = sorted(_pg_rows(
+        "SELECT edge_id, start_node, end_node, COALESCE(highway,''), "
+        "COALESCE(oneway,''), COALESCE(speed_limit::text,''), "
+        "COALESCE(car::text,''), COALESCE(pedestrian::text,''), "
+        "COALESCE(bicycle::text,'') FROM graphs.complete_network"))
+    assert len(got) > 300
+    # the cascade actually fires on this corpus — all three flags take
+    # both 0 and 1 somewhere
+    for i in (6, 7, 8):
+        assert {"0", "1"} <= {r[i] for r in got}
+    assert got == want
+
+
+def test_network_nodes_matches_reference_engine(spark, pg_reference):
+    """graphs.complete_network_nodes (endpoint semi-join) vs
+    operators.graphs.network_nodes — id sets must agree (coords are
+    stubbed to NULL server-side, so only ids are comparable)."""
+    from osm_pg_etl_spark.operators.graphs import network_nodes
+    from osm_pg_etl_spark.operators.network import complete_network
+
+    ways, nodes, _rels = pg_reference
+    got = sorted(str(r["node_id"]) for r in
+                 network_nodes(nodes, complete_network(ways)).collect())
+    want = sorted(r[0] for r in _pg_rows(
+        "SELECT node_id FROM graphs.complete_network_nodes"))
+    assert len(got) > 100
+    assert got == want
+
+
+def test_explore_catalog_matches_reference_engine(spark, pg_reference):
+    """Every table osm-explore.sql creates on PostgreSQL vs the
+    corresponding tags_summary_catalog DataFrame — compared as unordered
+    row multisets, column order taken from the script's projections."""
+    from osm_pg_etl_spark.operators.tags import tags_summary_catalog
+
+    ways, nodes, rels = pg_reference
+    cat = tags_summary_catalog(nodes, ways, relations=rels, ordered=False)
+    pg_tables = {r[0] for r in _pg_rows(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'tags_summary'")}
+    compared, total_rows = 0, 0
+    for name, df in cat.items():
+        assert name in pg_tables, f"explore script lacks {name}"
+        cols = df.columns
+        # match columns by POSITION: CREATE TABLE AS preserves the
+        # script's projection order, but a few names differ (the script
+        # calls highway_service's value column "tag")
+        pg_cols = [r[0] for r in _pg_rows(
+            "SELECT column_name FROM information_schema.columns "
+            f"WHERE table_schema='tags_summary' AND table_name='{name}' "
+            "ORDER BY ordinal_position")]
+        assert len(pg_cols) == len(cols), f"arity mismatch in {name}"
+        sel = ", ".join(f'COALESCE("{c}"::text,\'\')' for c in pg_cols)
+        want = sorted(_pg_rows(
+            f"SELECT {sel} FROM tags_summary.{name}"))
+        got = sorted(
+            tuple("" if r[c] is None else str(r[c]) for c in cols)
+            for r in df.collect())
+        assert got == want, f"mismatch in {name}"
+        compared += 1
+        total_rows += len(got)
+    assert compared >= 20
+    assert total_rows > 50
