@@ -350,3 +350,31 @@ def test_explore_catalog_matches_reference_engine(spark, pg_reference):
         total_rows += len(got)
     assert compared >= 20
     assert total_rows > 50
+
+
+def test_pois_extract_matches_reference_engine(spark, pg_reference):
+    """osm-pois-extract.sql whole-file on PostgreSQL (per-key
+    INSERT…SELECT chains) vs the single explode-and-filter pass of
+    pois_from_nodes / pois_from_ways — same long-format multiset,
+    including the highway-exclusion on every way slice."""
+    from osm_pg_etl_spark.operators.pois import (
+        pois_from_nodes, pois_from_ways)
+
+    ways, nodes, _rels = pg_reference
+    _psql(DSN, (REF_DIR / "osm-pois-extract.sql").read_text())
+
+    # min_rows: the synthetic ways carry only road tags (no
+    # leisure/landuse/sport/amenity), so pois_ways is empty on BOTH
+    # engines — the comparison still pins the highway-exclusion+explode
+    # semantics; pois_nodes is the populated leg
+    for df, id_col, table, min_rows in (
+            (pois_from_nodes(nodes), "node_id", "graphs.pois_nodes", 20),
+            (pois_from_ways(ways), "way_id", "graphs.pois_ways", 0)):
+        got = sorted(
+            (str(r[id_col]), r["key"], r["values"] or "", r["name"] or "")
+            for r in df.collect())
+        want = sorted(_pg_rows(
+            f"SELECT {id_col}, key, COALESCE(values,''), "
+            f"COALESCE(name,'') FROM {table}"))
+        assert len(got) >= min_rows, table
+        assert got == want, table
