@@ -6,11 +6,14 @@ Design: a multimodal table carries ``content: binary`` plus a
 ``media_meta: struct<kind, mime, width, height, duration_ms>`` column.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested; the actual codec step is
-STUBBED (image/audio libraries are not in this container) behind
-``decode_stub``: it produces a deterministic fake so pipelines exercise the
-full path end-to-end. Swapping in a real decoder means replacing one
-function that takes/returns ``bytes``.
+batch shape, partitioning) is real and tested. The codec layer is split
+honestly: UNCOMPRESSED formats (binary netpbm P5/P6, 24-bit BI_RGB BMP)
+decode/resize/re-encode for REAL through the pure-numpy codec
+(:mod:`..functions.imagecodec` — see ``extract_image_features`` /
+``resize_images``), while compressed codecs (JPEG/PNG, audio, video
+frames) stay behind ``decode_stub`` because no image/audio library
+exists in this container; a PIL/libav deployment replaces only
+``functions.imagecodec.decode_image``'s fallback branch.
 
 Scale notes: binary payloads dominate row size — repartition by size-aware
 keys before mapInPandas so Arrow batches stay bounded
@@ -101,6 +104,121 @@ def extract_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("luma", DoubleType()),
+])
+
+
+def attach_synthetic_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image payloads without any media library: one binary P6 PPM
+    per row, a constant-color image whose color and dimensions are pure
+    functions of the id — so a SQL oracle can predict every decoded
+    feature exactly while the decode itself still parses genuine netpbm
+    bytes (header, maxval, raster reshape). color = (7·id, 13·id, 29·id)
+    mod 256, dims = (id mod 16 + 1, id mod 12 + 1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.imagecodec import encode_ppm
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 16 + 1, i % 12 + 1
+            color = np.array([i * 7 % 256, i * 13 % 256, i * 29 % 256],
+                             dtype=np.uint8)
+            out.append(encode_ppm(np.broadcast_to(color, (h, w, 3))))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        (F.col(id_col) % 16 + 1).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_ppm(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode → feature extraction over ``mapInPandas``: netpbm/BMP
+    payloads are parsed into pixel arrays (:mod:`..functions.imagecodec`)
+    and reduced to channel means + Rec.601 luma. Unlike
+    :func:`extract_features` (byte-level stub features for opaque
+    formats), every number here is computed from decoded pixels."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import decode_image, image_features
+
+        for pdf in it:
+            feats = [image_features(decode_image(p)) for p in pdf["content"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "mean_r": [f["mean_r"] for f in feats],
+                "mean_g": [f["mean_g"] for f in feats],
+                "mean_b": [f["mean_b"] for f in feats],
+                "luma": [f["luma"] for f in feats],
+            })
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """REAL resize for decodable payloads: decode → nearest-neighbor
+    resample (pixel-center mapping) → P6 re-encode, preserving aspect
+    ratio; images already within ``max_px`` pass through untouched.
+    Output schema matches the input contract so stages chain."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import (
+            decode_image, encode_ppm, resize_nearest)
+
+        for pdf in it:
+            contents, widths, heights = [], [], []
+            for payload in pdf["content"]:
+                arr = decode_image(payload)
+                h, w = arr.shape[0], arr.shape[1]
+                if max(w, h) > max_px:
+                    s = max_px / max(w, h)
+                    nw, nh = max(int(w * s), 1), max(int(h * s), 1)
+                    arr = resize_nearest(arr, nw, nh)
+                    payload = encode_ppm(arr)
+                    w, h = nw, nh
+                contents.append(payload)
+                widths.append(w)
+                heights.append(h)
+            meta = pd.DataFrame({
+                "kind": [m["kind"] for m in pdf["media_meta"]],
+                "mime": "image/x-portable-pixmap",
+                "width": pd.array(widths, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "duration_ms": [m["duration_ms"]
+                                for m in pdf["media_meta"]],
+            })
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "content": contents,
+                "media_meta": list(meta.to_dict("records")),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_meta", MEDIA_META),
+    ])
+    return media.mapInPandas(batches, schema=schema)
 
 
 def resize_media(media: DataFrame, max_px: int = 256) -> DataFrame:

@@ -1248,6 +1248,43 @@ FROM documents
 """
 
 
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow-batched pipeline: every doc_id
+    becomes a genuine binary-PPM payload (constant color/dims derived
+    from the id — attach_synthetic_ppm), and extract_image_features
+    parses the netpbm header + raster with the pure-numpy codec
+    (functions/imagecodec.py) inside mapInPandas. The oracle predicts the
+    decoded features in closed form from doc_id — so a hash match proves
+    the executor-side decode produced exactly the pixels the bytes
+    encode. Compressed formats (JPEG/PNG) remain stubbed; this gate
+    covers the real-codec leg (netpbm/BMP)."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_ppm(docs.select("doc_id"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_r", 6).alias("mean_r"),
+                        F.round("mean_g", 6).alias("mean_g"),
+                        F.round("mean_b", 6).alias("mean_b"),
+                        F.round("luma", 6).alias("luma"))
+
+
+# constant-color image ⇒ channel means are the exact byte values and the
+# luma is the fixed Rec.601 combination — both engines compute the same
+# double expression in the same order
+SQL_MEDIA_IMAGE_FEATURES = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 12 + 1 AS INT) AS height,
+       ROUND(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST(doc_id * 29 % 256 AS DOUBLE), 6) AS mean_b,
+       ROUND(0.299 * CAST(doc_id * 7 % 256 AS DOUBLE)
+             + 0.587 * CAST(doc_id * 13 % 256 AS DOUBLE)
+             + 0.114 * CAST(doc_id * 29 % 256 AS DOUBLE), 6) AS luma
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over fake video payloads: every document
     becomes a video with deterministic duration; sample_frames emits one
@@ -1475,6 +1512,7 @@ QUERIES = {
     "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
+    "media_image_features": q_media_image_features,
     "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
     "cms_terms": q_cms_terms,
@@ -1518,6 +1556,7 @@ ORACLES = {
     "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),
     "cms_terms": _sql_cms_terms(),

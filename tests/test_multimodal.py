@@ -1,6 +1,9 @@
 """Multimodal plumbing: fake-media attach, resize, feature extraction,
-frame sampling (operators.multimodal). The codec steps are stubs; these
-tests pin the schema / metadata / batch contracts around them."""
+frame sampling (operators.multimodal) — plus the REAL pure-numpy codec
+leg (functions.imagecodec: netpbm/BMP decode, nearest resample, P6
+re-encode) exercised end to end through mapInPandas. Compressed codecs
+(JPEG/PNG) remain stubbed; their tests pin the schema / metadata / batch
+contracts around the stub."""
 
 from osm_pg_etl_spark.operators.multimodal import (
     attach_fake_media,
@@ -65,3 +68,133 @@ def test_attach_fake_video_duration_and_frame_schedule(spark):
     want = hashlib.md5(payload[0:64]).hexdigest()
     got = next(f["frame_hash"] for f in by_doc[1] if f["frame_ms"] == 0)
     assert got == want
+
+
+# --- real codec leg (pure-numpy netpbm/BMP, functions.imagecodec) ----------
+
+def _hand_bmp(pix):
+    """Build a 24-bit BI_RGB bottom-up BMP from an (H, W, 3) RGB array —
+    written by hand so the decoder is tested against the spec, not
+    against its own encoder."""
+    import numpy as np
+
+    h, w = pix.shape[0], pix.shape[1]
+    row = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):
+        r = bytearray()
+        for x in range(w):
+            rgb = pix[y, x]
+            r += bytes([int(rgb[2]), int(rgb[1]), int(rgb[0])])  # BGR
+        r += b"\0" * (row - len(r))
+        raster += r
+    hdr = (b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\0" * 4
+           + (54).to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + b"\0" * 20)
+    return hdr + dib + bytes(raster)
+
+
+def test_codec_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import (
+        decode_netpbm, encode_ppm)
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert (decode_netpbm(encode_ppm(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    assert (decode_netpbm(encode_ppm(gray)) == gray).all()
+    commented = b"P6\n# generated\n3 2\n255\n" + bytes(range(18))
+    assert decode_netpbm(commented).shape == (2, 3, 3)
+    assert decode_netpbm(commented)[0, 0, 0] == 0
+    assert decode_netpbm(commented)[1, 2, 2] == 17
+
+
+def test_codec_bmp_padding_and_channel_order():
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import decode_image
+
+    # width 3 -> 9 pixel bytes per row, padded to 12: exercises padding
+    pix = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_image(_hand_bmp(pix)) == pix).all()
+
+
+def test_codec_rejects_compressed_formats_loudly():
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.imagecodec import decode_image
+
+    with _pytest.raises(NotImplementedError, match="image library"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_nearest_pixel_center_mapping():
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import resize_nearest
+
+    big = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    # pixel-center mapping picks rows/cols 1 and 3
+    assert resize_nearest(big, 2, 2).tolist() == [[5, 7], [13, 15]]
+    up = resize_nearest(big, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[7, 7] == 15
+
+
+def test_extract_image_features_real_decode_end_to_end(spark):
+    """Full Spark leg: synthesize genuine P6 payloads, decode them in
+    mapInPandas, and check the features against the closed form the
+    constant-color construction guarantees."""
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_ppm, extract_image_features)
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = attach_synthetic_ppm(docs)
+    rows = {r["doc_id"]: r
+            for r in extract_image_features(media).collect()}
+    assert len(rows) == 40
+    for i in (0, 1, 17, 39):
+        r = rows[i]
+        assert (r["width"], r["height"]) == (i % 16 + 1, i % 12 + 1)
+        assert r["mean_r"] == i * 7 % 256
+        assert r["mean_g"] == i * 13 % 256
+        assert r["mean_b"] == i * 29 % 256
+
+
+def test_resize_images_real_resample_and_reencode(spark):
+    """resize_images really decodes, resamples, and re-encodes: output
+    payloads are valid PPMs whose raster dims equal the clamped metadata,
+    and within-budget images pass through byte-identical."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import (
+        decode_netpbm, encode_ppm)
+    from osm_pg_etl_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, (30, 50, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    rows = [(1, bytearray(encode_ppm(big)),
+             {"kind": "image", "mime": "image/x-portable-pixmap",
+              "width": 50, "height": 30, "duration_ms": None}),
+            (2, bytearray(encode_ppm(small)),
+             {"kind": "image", "mime": "image/x-portable-pixmap",
+              "width": 6, "height": 4, "duration_ms": None})]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_meta "
+              "struct<kind:string,mime:string,width:int,height:int,"
+              "duration_ms:int>")
+    out = {r["doc_id"]: r for r in resize_images(media, max_px=16).collect()}
+    resized = decode_netpbm(bytes(out[1]["content"]))
+    meta = out[1]["media_meta"]
+    assert (meta["width"], meta["height"]) == (16, 9)
+    assert resized.shape == (9, 16, 3)
+    # nearest-neighbour: every output pixel exists somewhere in the input
+    flat = {tuple(p) for p in big.reshape(-1, 3).tolist()}
+    assert all(tuple(p) in flat for p in resized.reshape(-1, 3).tolist())
+    assert bytes(out[2]["content"]) == bytes(encode_ppm(small))  # untouched
