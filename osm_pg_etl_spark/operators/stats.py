@@ -34,24 +34,42 @@ def median_by_group(df: DataFrame, group_cols: list[str], value_col: str,
 
 def weighted_median(df: DataFrame, x: str, w: str,
                     group_cols: list[str] | None = None,
-                    alias: str = "weighted_median") -> DataFrame:
+                    alias: str = "weighted_median",
+                    reference_quirks: bool = False) -> DataFrame:
     """Weighted median via running-sum windows — port of
     ``weighted_median`` (``general-functions.sql:52-75``) and
     ``weighted_median_by_group`` (``:84-106``).
 
-    Construction (kept structurally identical to the reference so its edge
-    cases — zero total weight, ties at the midpoint — behave the same):
+    Construction:
 
     - order rows by x; compute running weight sum including (W3) and
       excluding (W4) the current row, plus the total weight (W5);
     - keep rows where total/2 lies in [prev_sum, run_sum];
-    - if two rows straddle the midpoint exactly (even parity), average their
-      x values (CASE at ``general-functions.sql:68``), else take the single x.
+    - aggregate the straddling rows' x (see modes below).
 
-    NULL weights count as 0 (``coalesce(w,0)``, ``:65-67``). When the total
-    weight is 0 the filter matches every row and the average of all x is
-    returned — matching the reference's observable behavior on its own
-    smoke-test table ``temp_table2`` (``general-functions.sql:121-129``).
+    NULL weights count as 0 (``coalesce(w,0)``, ``:65-67``).
+
+    **Two modes**, because the reference's plpgsql has measured quirks
+    (r6: both functions executed live on PostgreSQL 15 via
+    ``tests/test_pg_reference_parity.py``):
+
+    - the reference never coalesces the FIRST row's ``prevsum`` (NULL →
+      ``BETWEEN`` fails), so the smallest row can never be the hit: a
+      weight profile whose median IS the minimum (e.g. weights 10,1,1)
+      returns NULL/empty live, and its all-zero-weight smoke table
+      ``temp_table2`` averages only rows 2..n (= 2.74, not the all-rows
+      2.2833…);
+    - the grouped variant aggregates the straddle with ``max`` (upper
+      value — its ``prevx`` window expression equals x, so the even-count
+      CASE collapses to max) while the ungrouped variant averages —
+      internally inconsistent conventions.
+
+    Default (``reference_quirks=False``) is the REPAIRED construction:
+    prev coalesced to 0 everywhere (the minimum can be the median) and
+    the interpolating average used in both shapes — this is what every
+    gate pins. ``reference_quirks=True`` reproduces the live PostgreSQL
+    outputs bit for bit (first-row exclusion + grouped max), for users
+    who need drop-in agreement with the reference, quirks included.
 
     Scale note: the grouped form shuffles on the group key and sorts within
     partitions. The ungrouped form does NOT plan a single-partition window:
@@ -72,14 +90,14 @@ def weighted_median(df: DataFrame, x: str, w: str,
         # (an applyInPandas formulation of the same computation lives in
         # weighted_median_pandas below — the true UDTF analog of U5)
         w_ord = Window.partitionBy(*gcols).orderBy(F.col(x))
+        prev_raw = F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
         run = F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        prev = F.coalesce(
-            F.sum(cw).over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("decimal(28,6)"))
+        prev = F.coalesce(prev_raw, F.lit(0).cast("decimal(28,6)"))
         total = F.sum(cw).over(Window.partitionBy(*gcols))
         scored = df.select(*gcols, F.col(x).cast("double").alias("_x"),
                            run.alias("_run"), prev.alias("_prev"),
-                           total.alias("_tot"))
+                           total.alias("_tot"),
+                           prev_raw.isNull().alias("_isfirst"))
     else:
         # distributed global prefix sum: bucket p holds smaller x than p+1
         # (deterministic data-derived boundaries, not runtime partition ids),
@@ -95,19 +113,28 @@ def weighted_median(df: DataFrame, x: str, w: str,
         offs = (bucketed.groupBy("_pid").agg(F.sum("_w").alias("_c"))
                 .select("_pid",
                         F.coalesce(F.sum("_c").over(w_off), zero).alias("_off"),
+                        F.sum("_c").over(w_off).isNull().alias("_firstpid"),
                         F.sum("_c").over(Window.partitionBy()).alias("_tot")))
         local_run = F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
-        local_prev = F.coalesce(
-            F.sum("_w").over(w_local.rowsBetween(Window.unboundedPreceding, -1)), zero)
+        local_prev_raw = F.sum("_w").over(
+            w_local.rowsBetween(Window.unboundedPreceding, -1))
         scored = (bucketed.join(F.broadcast(offs), "_pid")
                   .select("_x",
                           (local_run + F.col("_off")).alias("_run"),
-                          (local_prev + F.col("_off")).alias("_prev"),
-                          "_tot"))
+                          (F.coalesce(local_prev_raw, zero)
+                           + F.col("_off")).alias("_prev"),
+                          "_tot",
+                          (local_prev_raw.isNull()
+                           & F.col("_firstpid")).alias("_isfirst")))
 
     half = F.col("_tot") / 2
     hit = scored.filter((half >= F.col("_prev")) & (half <= F.col("_run")))
-    agg = hit.groupBy(*gcols).agg(F.avg("_x").alias(alias))
+    if reference_quirks:
+        # the reference's un-coalesced prevsum: the globally/per-group
+        # first row can never straddle (measured live — see docstring)
+        hit = hit.filter(~F.col("_isfirst"))
+    pick = F.max("_x") if (reference_quirks and gcols) else F.avg("_x")
+    agg = hit.groupBy(*gcols).agg(pick.alias(alias))
     return agg
 
 

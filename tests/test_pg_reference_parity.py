@@ -378,3 +378,58 @@ def test_pois_extract_matches_reference_engine(spark, pg_reference):
             f"COALESCE(name,'') FROM {table}"))
         assert len(got) >= min_rows, table
         assert got == want, table
+
+
+def test_weighted_median_quirks_match_reference_engine(spark, pg_reference):
+    """The reference's plpgsql weighted_median / weighted_median_by_group
+    (installed verbatim by the fixture) vs stats.weighted_median with
+    reference_quirks=True — including the three measured quirks: the
+    first row's NULL prevsum exclusion (zero-weight table averages rows
+    2..n; a median landing on the minimum returns NULL/empty), and the
+    grouped variant's max-over-straddle convention."""
+    from osm_pg_etl_spark.operators.stats import weighted_median
+
+    def pg_wm(table):
+        out = _psql(DSN, f"SELECT weighted_median('{table}','x','w')")
+        return out.strip() or None
+
+    cases = {
+        "wmq_normal": [(0.0, 325), (1.0, -100), (5.0, 50), (3.0, None),
+                       (2.7, 1153), (2.0, 98)],
+        "wmq_zero": [(0.0, 0), (1.0, 0), (5.0, 0), (3.0, 0), (2.7, 0),
+                     (2.0, 0)],
+        "wmq_min": [(1.0, 10), (2.0, 1), (3.0, 1)],
+    }
+    for table, rows in cases.items():
+        _psql(DSN, f"DROP TABLE IF EXISTS {table}")
+        vals = ", ".join(
+            f"({x}, {'NULL' if w is None else w})" for x, w in rows)
+        _psql(DSN, f"CREATE TABLE {table} AS SELECT * FROM (VALUES {vals}) "
+                   "AS t(x, w)")
+        want = pg_wm(table)
+        df = spark.createDataFrame(rows, "x double, w int")
+        got = weighted_median(df, "x", "w",
+                              reference_quirks=True).collect()[0][0]
+        if want is None:
+            assert got is None, table
+        else:
+            assert got is not None and abs(got - float(want)) < 1e-9, table
+
+    grows = [("a", 1.0, 2), ("a", 2.0, 2), ("a", 3.0, 4),
+             ("b", 1.0, 1), ("b", 5.0, 3),
+             ("c", 1.0, 10), ("c", 2.0, 1)]  # c: median on the minimum
+    _psql(DSN, "DROP TABLE IF EXISTS wmq_grouped")
+    vals = ", ".join(f"('{g}', {x}, {w})" for g, x, w in grows)
+    _psql(DSN, "CREATE TABLE wmq_grouped AS SELECT * FROM "
+               f"(VALUES {vals}) AS t(g, x, w)")
+    want = sorted(_pg_rows(
+        "SELECT group_id, weighted_median::float8 FROM "
+        "weighted_median_by_group('wmq_grouped','x','w','g')"))
+    dg = spark.createDataFrame(grows, "g string, x double, w int")
+    got = sorted(
+        (r["g"], str(float(r["weighted_median"])))
+        for r in weighted_median(dg, "x", "w", group_cols=["g"],
+                                 reference_quirks=True).collect())
+    assert [g for g, _ in got] == [g for g, _ in want] == ["a", "b"]
+    for (gg, gv), (wg, wv) in zip(got, want):
+        assert abs(float(gv) - float(wv)) < 1e-9, (gg, gv, wv)

@@ -85,3 +85,39 @@ def test_median_by_group_matches_percentile_cont(spark):
            df.groupBy("highway").agg(median("speed").alias("med")).collect()}
     assert got["r"] == pytest.approx(30.0)
     assert got["m"] == pytest.approx(105.0)
+
+
+def test_weighted_median_reference_quirks_mode(spark):
+    """reference_quirks=True reproduces the LIVE PostgreSQL outputs of
+    general-functions.sql's weighted_median family (literals measured in
+    r6 through tests/test_pg_reference_parity.py, pinned here so the
+    contract holds without a server): first-row NULL-prevsum exclusion
+    and the grouped max-over-straddle convention."""
+    from osm_pg_etl_spark.operators.stats import weighted_median
+
+    zero = spark.createDataFrame(
+        [(0.0, 0), (1.0, 0), (5.0, 0), (3.0, 0), (2.7, 0), (2.0, 0)],
+        "x double, w int")
+    # reference live: avg of rows 2..n = 2.74 (row x=0 never straddles)
+    assert abs(weighted_median(zero, "x", "w", reference_quirks=True)
+               .collect()[0][0] - 2.74) < 1e-9
+    # repaired default averages ALL rows
+    assert abs(weighted_median(zero, "x", "w").collect()[0][0]
+               - 13.7 / 6) < 1e-9
+
+    mn = spark.createDataFrame([(1.0, 10), (2.0, 1), (3.0, 1)],
+                               "x double, w int")
+    # reference live: NULL (the minimum can never be the hit row)
+    assert weighted_median(mn, "x", "w",
+                           reference_quirks=True).collect()[0][0] is None
+    assert weighted_median(mn, "x", "w").collect()[0][0] == 1.0
+
+    dg = spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 2.0, 2), ("a", 3.0, 4)],
+        "g string, x double, w int")
+    # exact straddle: reference grouped takes the UPPER value (3.0),
+    # repaired default interpolates (2.5)
+    assert weighted_median(dg, "x", "w", group_cols=["g"],
+                           reference_quirks=True).collect()[0][1] == 3.0
+    assert weighted_median(dg, "x", "w",
+                           group_cols=["g"]).collect()[0][1] == 2.5
