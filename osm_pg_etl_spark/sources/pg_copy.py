@@ -186,7 +186,8 @@ def copy_write(df: DataFrame, dsn: str, table: str,
 
 def copy_read(spark: SparkSession, dsn: str, table: str,
               schema: T.StructType | str,
-              predicates: Sequence[str] | None = None) -> DataFrame:
+              predicates: Sequence[str] | None = None,
+              select: str | None = None) -> DataFrame:
     """Partitioned COPY read: one task per predicate, each streaming
     ``COPY (SELECT cols FROM table WHERE pred) TO STDOUT`` — the slicing
     predicate is evaluated server-side, so tasks pull disjoint row sets
@@ -196,12 +197,17 @@ def copy_read(spark: SparkSession, dsn: str, table: str,
 
     ``schema`` is explicit (StructType or DDL string) — the same
     contract as ``spark.read.schema(...)``; guessing types from text
-    output is how silent corruption happens.
+    output is how silent corruption happens. ``select`` overrides the
+    projection with a raw server-side select list (e.g.
+    ``'id, tags::text AS tags, ST_X(geom) AS lon'``) whose output
+    columns must match ``schema`` positionally — the pgsnapshot reader
+    uses this to cast hstore/geometry server-side.
     """
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
     preds = list(predicates) if predicates is not None else ["TRUE"]
-    cols = ", ".join(f'"{f.name}"' for f in schema.fields)
+    cols = select if select is not None else ", ".join(
+        f'"{f.name}"' for f in schema.fields)
     dtypes = [f.dataType for f in schema.fields]
 
     def fetch(it):

@@ -51,21 +51,8 @@ pytestmark = pytest.mark.skipif(
            "checkout (OSM_REF_DIR), and the sf0.001 testdata")
 
 
-def _hstore_literal(tags_col):
-    """Build a PostgreSQL hstore input literal from a MapType column:
-    ``"k"=>"v","k2"=>NULL`` with backslash/quote escaping."""
-    from pyspark.sql import functions as F
-
-    def esc(c):
-        return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
-                         F.lit('"'), F.lit('\\"'))
-
-    entry = lambda e: F.concat(  # noqa: E731
-        F.lit('"'), esc(e["key"]), F.lit('"=>'),
-        F.when(e["value"].isNull(), F.lit("NULL"))
-        .otherwise(F.concat(F.lit('"'), esc(e["value"]), F.lit('"'))))
-    return F.array_join(
-        F.transform(F.map_entries(tags_col), entry), ",")
+from osm_pg_etl_spark.functions.hstore import (  # noqa: E402
+    hstore_literal as _hstore_literal)
 
 
 def _load_world_into_pg(spark):
