@@ -18,7 +18,18 @@ equal the Spark operators row for row:
 - ``osm-complete-graphs.sql`` (whole file): complete filter,
   PERCENTILE_CONT imputation, the 13-statement three-mode UPDATE cascade
   (mixed AND/OR precedence included) vs ``with_mode_flags``, and the
-  endpoint network-nodes semi-join vs ``network_nodes``.
+  endpoint network-nodes semi-join vs ``network_nodes``;
+- ``osm-pois-extract.sql`` (whole file): the per-key INSERT chains vs
+  ``pois_from_nodes`` / ``pois_from_ways``;
+- ``osm-road-graphs-fix.sql`` (geometry-free topological prefix +
+  Approach 2's nodes_to_merge): the reference's own split-pipeline
+  stages vs the topology operators — quirks pinned faithfully
+  (ways_length's ``sequence_id > 1``, nodes_to_merge's mixed
+  car/highway populations);
+- the weighted_median plpgsql family vs
+  ``stats.weighted_median(reference_quirks=True)`` — live behavior
+  reproduced bit for bit, including the first-row NULL-prevsum
+  exclusion and the grouped max-over-straddle convention.
 
 No reference code is copied into this repo: the scripts are read from
 ``REF_DIR`` at test runtime and the suite skips when the checkout or a
@@ -420,3 +431,69 @@ def test_weighted_median_quirks_match_reference_engine(spark, pg_reference):
     assert [g for g, _ in got] == [g for g, _ in want] == ["a", "b"]
     for (gg, gv), (wg, wv) in zip(got, want):
         assert abs(float(gv) - float(wv)) < 1e-9, (gg, gv, wv)
+
+
+def test_topology_split_tables_match_reference_engine(spark, pg_reference):
+    """The geometry-free topological prefix of osm-road-graphs-fix.sql —
+    the reference's own specification of the split pipeline's first
+    stages (shared nodes → way lengths → split nodes → merge limits with
+    the dead-end INSERT) plus Approach 2's nodes_to_merge — run verbatim
+    on PostgreSQL and compared against the topology operators. Pins two
+    reference quirks faithfully: ways_length's ``sequence_id > 1`` filter
+    (2-node ways drop out) and nodes_to_merge's mixed populations (rows
+    from the CAR network, limits from the highway-presence set)."""
+    from osm_pg_etl_spark.functions.maps import tag_has
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import (
+        network_way_nodes, nodes_to_merge, shared_nodes, unnest_way_nodes,
+        ways_length, ways_merge_limits, ways_split_nodes)
+    from pyspark.sql import functions as F
+
+    ways, _nodes, _rels = pg_reference
+    # way_nodes as osmosis would have written it
+    _psql(DSN, "DROP TABLE IF EXISTS way_nodes CASCADE")
+    _psql(DSN, "CREATE TABLE way_nodes AS SELECT id AS way_id, n AS "
+               "node_id, CAST(ord - 1 AS int) AS sequence_id FROM ways, "
+               "unnest(nodes) WITH ORDINALITY AS u(n, ord)")
+    text = (REF_DIR / "osm-road-graphs-fix.sql").read_text()
+    m1 = text.find("-- Approach 1.")
+    m2 = text.find("-- Approach 2.")
+    m3 = text.find("-- merge ways into new linestrings")
+    assert 0 < m1 < m2 < m3, "reference fix-script layout changed"
+    _psql(DSN, "DROP SCHEMA IF EXISTS topology_summary CASCADE")
+    _psql(DSN, text[:m1])          # the four topology tables
+    _psql(DSN, text[m2:m3])        # nodes_to_merge
+
+    wn = unnest_way_nodes(ways)
+    hw_net = (ways.filter(tag_has("tags", "highway"))
+              .select(F.col("id").alias("edge_id")))
+    wn_hw = network_way_nodes(wn, hw_net)
+    sh = shared_nodes(wn_hw)
+    ln = ways_length(wn_hw)
+    sp = ways_split_nodes(wn_hw, sh, ln)
+    lim = ways_merge_limits(wn_hw, sh, sp, ln)
+    ntm = nodes_to_merge(network_way_nodes(wn, car_network(ways)), lim)
+
+    comparisons = [
+        (sh.select("node_id", "count"),
+         "SELECT node_id, count FROM topology_summary.ways_shared_nodes"),
+        (ln.select("way_id", "length", "node_id"),
+         "SELECT way_id, length, node_id FROM "
+         "topology_summary.ways_length"),
+        (sp.select("way_id", "node_id", "sequence_id"),
+         "SELECT way_id, node_id, sequence_id FROM "
+         "topology_summary.ways_split_nodes"),
+        (lim.select("way_id", "bottom_limit", "top_limit"),
+         "SELECT way_id, bottom_limit, top_limit FROM "
+         "topology_summary.ways_merge_limits"),
+        (ntm.select("way_id", "group_id", "sequence_id", "node_id"),
+         "SELECT way_id, group_id, sequence_id, node_id FROM "
+         "topology_summary.nodes_to_merge"),
+    ]
+    n_nonempty = 0
+    for df, sql in comparisons:
+        got = sorted(tuple(str(v) for v in r) for r in df.collect())
+        want = sorted(_pg_rows(sql))
+        assert got == want, sql
+        n_nonempty += bool(got)
+    assert n_nonempty == 5  # every stage fires on this corpus
