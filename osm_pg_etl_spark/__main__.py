@@ -146,6 +146,67 @@ def cmd_export(args: argparse.Namespace) -> None:
     print(f"wrote igraph edge-list CSV ({', '.join(cols)}) to {args.out}")
 
 
+def cmd_pgload(args: argparse.Namespace) -> None:
+    """Bulk-load one parquet table into PostgreSQL over parallel COPY
+    streams, bridging engine types server-side: ``map<string,string>`` →
+    hstore, ``array<long>`` → bigint[] (the pgsnapshot column types).
+    Write-back leg of the reference workflow without the JDBC jar."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .functions.hstore import hstore_literal
+    from .sources.pg_copy import _psql, copy_write
+
+    spark = _spark("pgload")
+    df = spark.read.parquet(args.parquet)
+    staged, casts, needs_hstore = [], [], False
+    for f in df.schema.fields:
+        q = f'"{f.name}"'
+        if isinstance(f.dataType, T.MapType):
+            staged.append(hstore_literal(f.name).alias(f.name))
+            casts.append(f"{q}::hstore AS {q}")
+            needs_hstore = True
+        elif (isinstance(f.dataType, T.ArrayType)
+              and isinstance(f.dataType.elementType,
+                             (T.LongType, T.IntegerType, T.ShortType))):
+            staged.append(F.concat(
+                F.lit("{"),
+                F.array_join(F.transform(f.name,
+                                         lambda x: x.cast("string")), ","),
+                F.lit("}")).alias(f.name))
+            casts.append(f"{q}::bigint[] AS {q}")
+        elif isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+            staged.append(F.to_json(f.name).alias(f.name))  # opaque JSON
+            casts.append(q)
+        else:
+            staged.append(F.col(f.name))
+            casts.append(q)
+    if needs_hstore:
+        _psql(args.dsn, "CREATE EXTENSION IF NOT EXISTS hstore")
+    staging = f"{args.table}_staging"
+    copy_write(df.select(staged), args.dsn, staging, mode="overwrite")
+    _psql(args.dsn, f'DROP TABLE IF EXISTS "{args.table}" CASCADE')
+    _psql(args.dsn, f'CREATE TABLE "{args.table}" AS '
+                    f'SELECT {", ".join(casts)} FROM "{staging}"')
+    _psql(args.dsn, f'DROP TABLE "{staging}"')
+    n = _psql(args.dsn, f'SELECT count(*) FROM "{args.table}"').strip()
+    print(f"loaded {n} rows into {args.table}")
+
+
+def cmd_pgread(args: argparse.Namespace) -> None:
+    """Migrate an existing osmosis pgsnapshot database into parquet
+    tables every other subcommand consumes (sources.pgsnapshot)."""
+    from .sources.pgsnapshot import read_pgsnapshot
+
+    spark = _spark("pgread")
+    tables = read_pgsnapshot(spark, args.dsn,
+                             num_partitions=args.partitions,
+                             with_geom=not args.no_geom)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}.parquet")
+        print(f"wrote {args.out}/{name}.parquet")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="osm_pg_etl_spark",
                                 description=__doc__.splitlines()[0])
@@ -188,6 +249,25 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("out")
     s.add_argument("--files", type=int, default=1)
     s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("pgload",
+                       help="parquet -> PostgreSQL over parallel COPY "
+                            "(maps -> hstore, long arrays -> bigint[])")
+    s.add_argument("parquet")
+    s.add_argument("--dsn", required=True,
+                   help="libpq DSN, e.g. 'host=/tmp/pgsock dbname=test'")
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_pgload)
+
+    s = sub.add_parser("pgread",
+                       help="pgsnapshot PostgreSQL -> parquet tables "
+                            "(the migration path from the reference)")
+    s.add_argument("out")
+    s.add_argument("--dsn", required=True)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--no-geom", action="store_true",
+                   help="skip ST_X/ST_Y (servers without PostGIS)")
+    s.set_defaults(fn=cmd_pgread)
 
     args = p.parse_args(argv)
     args.fn(args)

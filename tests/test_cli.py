@@ -82,3 +82,62 @@ def test_cli_analyze_sssp_empty_network(spark, tmp_path):
     empty.write.parquet(f"{net}/directed.parquet")
     with pytest.raises(SystemExit, match="empty"):
         main(["analyze", net, str(tmp_path / "out"), "--algo", "sssp"])
+
+
+def test_cli_pg_round_trip(spark, tmp_path):
+    """pgload + pgread against a live server: derive tables from a PBF,
+    bulk-load ways into PostgreSQL (map -> hstore, array -> bigint[]),
+    synthesize the remaining pgsnapshot tables, migrate back with
+    pgread --no-geom, and check the tags/nodes survive."""
+    import os
+
+    import pytest
+
+    from osm_pg_etl_spark.sources.pg_copy import _psql, pg_available
+
+    dsn = os.environ.get("OSM_PG_TEST_DSN", "")
+    if not (dsn and pg_available(dsn)):
+        pytest.skip("no live PostgreSQL (set OSM_PG_TEST_DSN)")
+
+    src = str(tmp_path / "grid.osm.pbf")
+    _grid_pbf(src)
+    osm_dir = str(tmp_path / "osm")
+    main(["ingest", src, osm_dir])
+
+    main(["pgload", f"{osm_dir}/ways.parquet", "--dsn", dsn,
+          "--table", "cli_ways"])
+    assert _psql(dsn, 'SELECT count(*) FROM "cli_ways"').strip() == "10"
+    assert _psql(dsn, "SELECT count(*) FROM \"cli_ways\" WHERE "
+                      "tags -> 'highway' = 'residential'").strip() == "10"
+
+    # complete the pgsnapshot surface server-side, then migrate back
+    for sql in (
+            "DROP TABLE IF EXISTS ways CASCADE",
+            'ALTER TABLE "cli_ways" RENAME TO ways',
+            "DROP TABLE IF EXISTS nodes CASCADE",
+            "CREATE TABLE nodes AS SELECT DISTINCT n AS id, "
+            "''::hstore AS tags FROM ways, unnest(nodes) AS u(n)",
+            "DROP TABLE IF EXISTS way_nodes CASCADE",
+            "CREATE TABLE way_nodes AS SELECT id AS way_id, n AS node_id, "
+            "CAST(ord - 1 AS int) AS sequence_id FROM ways, "
+            "unnest(nodes) WITH ORDINALITY AS u(n, ord)",
+            "DROP TABLE IF EXISTS relations CASCADE",
+            "CREATE TABLE relations (id bigint, tags hstore)",
+            "DROP TABLE IF EXISTS relation_members CASCADE",
+            "CREATE TABLE relation_members (relation_id bigint, "
+            "member_id bigint, member_type text, member_role text, "
+            "sequence_id int)"):
+        _psql(dsn, sql)
+    back_dir = str(tmp_path / "back")
+    main(["pgread", back_dir, "--dsn", dsn, "--partitions", "2",
+          "--no-geom"])
+    ways = spark.read.parquet(f"{back_dir}/ways.parquet")
+    assert ways.count() == 10
+    got = {r["id"]: (dict(r["tags"]), list(r["nodes"]))
+           for r in ways.collect()}
+    want = {r["id"]: (dict(r["tags"]), list(r["nodes"]))
+            for r in spark.read.parquet(f"{osm_dir}/ways.parquet")
+            .select("id", "tags", "nodes").collect()}
+    assert got == want
+    # 10 ways x 5 nodes each
+    assert spark.read.parquet(f"{back_dir}/way_nodes.parquet").count() == 50
