@@ -221,6 +221,76 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+    StructField("zcr", DoubleType()),
+])
+
+
+def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id",
+                         rate: int = 8000) -> DataFrame:
+    """REAL audio payloads without any media library: one PCM WAV per
+    row, a square wave whose amplitude (A = (id mod 9 + 1)/10),
+    half-period (H = id mod 4 + 1) and length (N = id mod 50 + 2H) are
+    pure functions of the id — so RMS/peak (= quantized A), duration and
+    zero-crossing rate (⌊(N−1)/H⌋ / (N−1)) all have closed forms a SQL
+    oracle can predict, while the decode still parses genuine RIFF
+    chunks and de-interleaves real samples."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.audiocodec import encode_wav
+
+        out = []
+        for i in ids:
+            i = int(i)
+            h, amp = i % 4 + 1, (i % 9 + 1) / 10.0
+            n = i % 50 + 2 * h
+            sign = ((np.arange(n) // h) % 2 == 0) * 2 - 1
+            out.append(encode_wav(amp * sign, rate))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (((F.col(id_col) % 50 + 2 * (F.col(id_col) % 4 + 1)) * 1000)
+         / rate).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_wav(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode → waveform features over ``mapInPandas``:
+    RIFF/PCM payloads are parsed into float waveforms
+    (:mod:`..functions.audiocodec`) and reduced to duration, RMS, peak,
+    and zero-crossing rate. Compressed audio stays behind the stub."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import audio_features, decode_wav
+
+        for pdf in it:
+            feats = [audio_features(*decode_wav(p)) for p in pdf["content"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": [f["n_samples"] for f in feats],
+                "duration_ms": [f["duration_ms"] for f in feats],
+                "rms": [f["rms"] for f in feats],
+                "peak": [f["peak"] for f in feats],
+                "zcr": [f["zcr"] for f in feats],
+            })
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def resize_media(media: DataFrame, max_px: int = 256) -> DataFrame:
     """Resize plumbing: clamp width/height to ``max_px`` preserving aspect
     ratio and emit a (stub-)re-encoded payload. The pixel resample itself is

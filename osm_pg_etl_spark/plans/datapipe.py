@@ -1285,6 +1285,42 @@ FROM documents
 """
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Arrow-batched pipeline: every
+    doc_id becomes a genuine PCM WAV square wave (attach_synthetic_wav)
+    and extract_audio_features parses the RIFF chunks + samples with the
+    pure-numpy codec inside mapInPandas. The square-wave construction
+    makes every feature a closed form of doc_id: RMS = peak = the
+    quantized amplitude round(32767·A)/32768, duration = N/8 ms at
+    8 kHz, ZCR = ⌊(N−1)/H⌋/(N−1) — a hash match proves the executor-side
+    decode recovered exactly the waveform the bytes encode."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_wav(docs.select("doc_id"))
+    feats = multimodal.extract_audio_features(media)
+    return feats.select("doc_id", "n_samples",
+                        F.round("duration_ms", 6).alias("duration_ms"),
+                        F.round("rms", 6).alias("rms"),
+                        F.round("peak", 6).alias("peak"),
+                        F.round("zcr", 6).alias("zcr"))
+
+
+SQL_MEDIA_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 + 1 AS h,
+         doc_id % 50 + 2 * (doc_id % 4 + 1) AS n,
+         ROUND(32767 * (doc_id % 9 + 1) / 10.0) AS q
+  FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(n / 8.0, 6) AS duration_ms,
+       ROUND(q / 32768.0, 6) AS rms,
+       ROUND(q / 32768.0, 6) AS peak,
+       ROUND(FLOOR((n - 1) / h) / (n - 1.0), 6) AS zcr
+FROM p
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over fake video payloads: every document
     becomes a video with deterministic duration; sample_frames emits one
@@ -1513,6 +1549,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
     "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
     "cms_terms": q_cms_terms,
@@ -1557,6 +1594,7 @@ ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
+    "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),
     "cms_terms": _sql_cms_terms(),

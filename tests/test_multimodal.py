@@ -198,3 +198,88 @@ def test_resize_images_real_resample_and_reencode(spark):
     flat = {tuple(p) for p in big.reshape(-1, 3).tolist()}
     assert all(tuple(p) in flat for p in resized.reshape(-1, 3).tolist())
     assert bytes(out[2]["content"]) == bytes(encode_ppm(small))  # untouched
+
+
+# --- real audio leg (pure-numpy RIFF/PCM, functions.audiocodec) -------------
+
+def test_wav_roundtrip_stereo():
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(1)
+    s = rng.uniform(-1, 1, (100, 2))
+    back, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and back.shape == (100, 2)
+    # 16-bit quantization + the standard 32767-encode/32768-decode scale
+    assert np.abs(back - s).max() < 2.0 / 32768
+
+
+def test_wav_chunk_walker_skips_extra_chunks():
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        audio_features, decode_wav, encode_wav)
+
+    w = encode_wav(np.array([0.5, -0.5, 0.5]), 8000)
+    body = w[12:]
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO" + body
+    w2 = b"RIFF" + (4 + len(extra)).to_bytes(4, "little") + b"WAVE" + extra
+    assert audio_features(*decode_wav(w2)) == \
+        audio_features(*decode_wav(w))
+
+
+def test_wav_8bit_unsigned_per_spec():
+    from osm_pg_etl_spark.functions.audiocodec import decode_wav
+
+    pcm8 = bytes([128, 255, 0, 128])
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    w = (b"RIFF" + (4 + len(fmt) + 8 + len(pcm8)).to_bytes(4, "little")
+         + b"WAVE" + fmt + b"data" + len(pcm8).to_bytes(4, "little")
+         + pcm8)
+    s, rate = decode_wav(w)
+    assert rate == 8000
+    assert list(s[:, 0]) == [0.0, 127 / 128, -1.0, 0.0]
+
+
+def test_wav_rejects_compressed_loudly():
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.audiocodec import decode_wav
+
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (85).to_bytes(2, "little")   # MP3 format tag
+           + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+           + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (0).to_bytes(2, "little"))
+    w = (b"RIFF" + (4 + len(fmt) + 8).to_bytes(4, "little") + b"WAVE"
+         + fmt + b"data" + (0).to_bytes(4, "little"))
+    with _pytest.raises(NotImplementedError, match="audio library"):
+        decode_wav(w)
+
+
+def test_extract_audio_features_real_decode_end_to_end(spark):
+    """Full Spark leg: synthesize genuine PCM WAV square waves, decode
+    in mapInPandas, check features against the closed forms."""
+    import math
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_wav, extract_audio_features)
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in
+            extract_audio_features(attach_synthetic_wav(docs)).collect()}
+    assert len(rows) == 30
+    for i in (0, 7, 17, 29):
+        h, amp = i % 4 + 1, (i % 9 + 1) / 10.0
+        n = i % 50 + 2 * h
+        q = round(32767 * amp)
+        r = rows[i]
+        assert r["n_samples"] == n
+        assert abs(r["duration_ms"] - n / 8.0) < 1e-9
+        assert abs(r["rms"] - q / 32768) < 1e-9
+        assert abs(r["peak"] - q / 32768) < 1e-9
+        assert abs(r["zcr"] - math.floor((n - 1) / h) / (n - 1)) < 1e-9
