@@ -133,16 +133,62 @@ def _from_copy_field(s: str, dt: T.DataType):
 
 # ---------------------------------------------------------------- plumbing
 
+_PSQL_ARGS = ["-X", "-q", "-v", "ON_ERROR_STOP=1", "-At", "-c"]
+
+
 def _psql(dsn: str, sql: str, stdin: str | None = None) -> str:
     """Run one statement through psql, returning stdout; raises with the
-    server's stderr on any error (ON_ERROR_STOP)."""
-    proc = subprocess.run(
-        ["psql", dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1",
-         "-At", "-c", sql],
-        input=stdin, capture_output=True, text=True)
+    server's stderr on any error (ON_ERROR_STOP). For DDL and small
+    results — the data paths use the streaming variants below."""
+    proc = subprocess.run(["psql", dsn, *_PSQL_ARGS, sql],
+                          input=stdin, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(f"psql failed ({sql[:120]}...): {proc.stderr}")
     return proc.stdout
+
+
+def _psql_stream_out(dsn: str, sql: str):
+    """Yield stdout lines of one psql command WITHOUT buffering the whole
+    result — a COPY TO STDOUT task holds one line at a time regardless of
+    slice size. stderr goes to a temp file (no pipe deadlock) and is
+    raised on a nonzero exit."""
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as err:
+        proc = subprocess.Popen(["psql", dsn, *_PSQL_ARGS, sql],
+                                stdout=subprocess.PIPE, stderr=err,
+                                text=True)
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            yield line.rstrip("\n")
+        proc.stdout.close()
+        rc = proc.wait()
+        if rc != 0:
+            err.seek(0)
+            raise RuntimeError(f"psql failed ({sql[:120]}...): {err.read()}")
+
+
+def _psql_stream_in(dsn: str, sql: str, lines) -> None:
+    """Feed an iterator of lines to one psql command's stdin without
+    materializing the partition — a COPY FROM STDIN task holds one row
+    at a time."""
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as err:
+        proc = subprocess.Popen(["psql", dsn, *_PSQL_ARGS, sql],
+                                stdin=subprocess.PIPE, stderr=err,
+                                text=True)
+        assert proc.stdin is not None
+        try:
+            for line in lines:
+                proc.stdin.write(line)
+                proc.stdin.write("\n")
+        finally:
+            proc.stdin.close()
+            rc = proc.wait()
+        if rc != 0:
+            err.seek(0)
+            raise RuntimeError(f"psql failed ({sql[:120]}...): {err.read()}")
 
 
 def pg_available(dsn: str) -> bool:
@@ -172,12 +218,16 @@ def copy_write(df: DataFrame, dsn: str, table: str,
     copy_sql = f'COPY "{table}" ({", ".join(names)}) FROM STDIN'
 
     def load(rows) -> None:
-        buf = []
-        for r in rows:
-            buf.append("\t".join(_to_copy_field(v) for v in r))
-        if not buf:
-            return
-        _psql(dsn, copy_sql, stdin="\n".join(buf) + "\n")
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: no COPY stream at all
+        from itertools import chain
+        _psql_stream_in(
+            dsn, copy_sql,
+            ("\t".join(_to_copy_field(v) for v in r)
+             for r in chain((first,), it)))
 
     df.foreachPartition(load)
 
@@ -214,8 +264,7 @@ def copy_read(spark: SparkSession, dsn: str, table: str,
         for pred in it:
             sql = (f'COPY (SELECT {cols} FROM "{table}" WHERE {pred}) '
                    "TO STDOUT")
-            out = _psql(dsn, sql)
-            for line in out.split("\n"):
+            for line in _psql_stream_out(dsn, sql):
                 if not line:
                     continue
                 parts = _split_copy_line(line)
