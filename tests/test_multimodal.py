@@ -283,3 +283,37 @@ def test_extract_audio_features_real_decode_end_to_end(spark):
         assert abs(r["rms"] - q / 32768) < 1e-9
         assert abs(r["peak"] - q / 32768) < 1e-9
         assert abs(r["zcr"] - math.floor((n - 1) / h) / (n - 1)) < 1e-9
+
+
+def test_codec_property_roundtrips():
+    """Property: encode→decode is the identity for arbitrary uint8
+    images (PPM/PGM) and within quantization error for arbitrary
+    waveforms (WAV), across arbitrary shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_pg_etl_spark.functions.audiocodec import decode_wav, encode_wav
+    from osm_pg_etl_spark.functions.imagecodec import (
+        decode_netpbm, encode_ppm)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
+           st.booleans())
+    def image_rt(h, w, seed, gray):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_netpbm(encode_ppm(a)) == a).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 200), st.integers(1, 3), st.integers(0, 2**32 - 1))
+    def wav_rt(n, ch, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.uniform(-1, 1, (n, ch))
+        back, rate = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and back.shape == (n, ch)
+        assert np.abs(back - s).max() < 2.0 / 32768
+
+    image_rt()
+    wav_rt()
