@@ -168,3 +168,83 @@ def per_group_sample(df: DataFrame, k: int, group_col: str = "lang",
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def weighted_systematic_sample(df: DataFrame, k: int,
+                               weight_col: str,
+                               id_col: str = "doc_id",
+                               seed: int = 13,
+                               boundaries: list | None = None) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement counts — exactly
+    ``k`` picks distributed in proportion to integer weights, as one
+    systematic (equal-stride) pass over the cumulative weight line
+    [Madow 1949; the resampling step of particle filters]: positions
+    ``q_i = off + i·W`` for ``i < k`` on the k-scaled line ``[0, k·W)``,
+    each row picked once per position inside its ``[k·prev, k·cum)``
+    interval. Returns ``(id_col, weight, n_picks)`` for rows with
+    ``n_picks > 0``; ``Σ n_picks = k`` exactly, and a row with weight
+    share ``w/W`` gets ``floor(k·w/W)`` or ``ceil(k·w/W)`` picks — the
+    multiplicity table a mixture-weighted training epoch consumes
+    (n_picks = how many times the example is repeated).
+
+    Engine-exact by construction: weights are integers, the offset is
+    ``md5_long('swrs', seed) mod W``, and every pick count is pure
+    integer arithmetic in decimal(38,0) — no transcendental key
+    (Efraimidis-Spirakis' ``u^(1/w)`` ranks diverge across engines in
+    the last ulp; this construction cannot). Deterministic: a pure
+    function of (ids, weights, seed) — retries, repartitioning and AQE
+    cannot change the picks.
+
+    Scale shape: the global cumulative weight line uses the same
+    deterministic id-range-bucket prefix sum as ``text.pack_positions``
+    (per-bucket running sums + broadcast cumulative offsets) — never a
+    single-partition window; the pick-count arithmetic is a narrow
+    projection. Rows with weight ≤ 0 or NULL are excluded (never
+    sampled).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.partitioning import (  # noqa: PLC0415
+        bucket_of, range_boundaries)
+
+    dec = "decimal(38,0)"
+    base = (df.select(F.col(id_col),
+                      F.col(weight_col).cast("long").alias("_w"))
+            .filter(F.col("_w") > 0))
+    if boundaries is None:
+        boundaries = range_boundaries(base, id_col)
+    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast(dec)
+    offs = (bucketed.groupBy("_pid").agg(F.sum("_w").cast(dec).alias("_c"))
+            .select("_pid",
+                    F.coalesce(F.sum("_c").over(w_off), zero).alias("_off"),
+                    F.sum("_c").over(Window.partitionBy()).alias("_tot")))
+    w_local = Window.partitionBy("_pid").orderBy(id_col)
+    local_prev = F.coalesce(
+        F.sum(F.col("_w").cast(dec))
+        .over(w_local.rowsBetween(Window.unboundedPreceding, -1)), zero)
+    lined = (bucketed.join(F.broadcast(offs), "_pid")
+             .select(id_col, "_w", "_tot",
+                     (local_prev + F.col("_off")).alias("_prev")))
+
+    # offset on the k-scaled line: md5_long('swrs', seed) mod W — a pure
+    # function of (seed, total weight)
+    off_k = F.pmod(md5_long(F.lit("swrs"), seed).cast(dec), F.col("_tot"))
+    kk = F.lit(k).cast(dec)
+
+    def cnt(x):
+        # #{i >= 0 : off + i*W < x}  =  max(0, floor((x-off-1)/W) + 1),
+        # with the division made EXACT via pmod so decimal rounding can
+        # never cross an integer boundary
+        d = x - off_k - F.lit(1).cast(dec)
+        q = ((d - F.pmod(d, F.col("_tot"))) / F.col("_tot")).cast(dec)
+        return F.when(d < 0, F.lit(0).cast(dec)).otherwise(q + 1)
+
+    lo = F.least(kk, cnt(kk * F.col("_prev")))
+    hi = F.least(kk, cnt(kk * (F.col("_prev") + F.col("_w").cast(dec))))
+    return (lined.select(id_col, F.col("_w").alias("weight"),
+                         (hi - lo).cast("long").alias("n_picks"))
+            .filter(F.col("n_picks") > 0))

@@ -722,6 +722,59 @@ WHERE {_sql_u("CAST(doc_id AS VARCHAR)", seed)}
 """
 
 
+_WSAMPLE_K, _WSAMPLE_SEED = 200, 13
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted systematic resampling
+    (sampling.weighted_systematic_sample): exactly 200 picks distributed
+    proportionally to length(text), returned as per-doc replacement
+    counts (Σ n_picks = 200) — the mixture-epoch multiplicity table.
+    Every pick count is integer arithmetic on the distributed cumulative
+    weight line (range-bucket prefix sum, no global window), so the
+    oracle reproduces it digit for digit."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    docs = docs_t(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("wt"))
+    return weighted_systematic_sample(docs, k=_WSAMPLE_K, weight_col="wt",
+                                      seed=_WSAMPLE_SEED)
+
+
+def _sql_weighted_sample(k: int = _WSAMPLE_K,
+                         seed: int = _WSAMPLE_SEED) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS wt
+  FROM documents WHERE length(text) > 0),
+o AS (
+  SELECT doc_id, wt,
+         CAST(COALESCE(SUM(wt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS HUGEINT) AS prev,
+         CAST(SUM(wt) OVER () AS HUGEINT) AS tw
+  FROM w),
+c AS (
+  SELECT o.*,
+         CAST(('0x' || substr(md5('{seed}|swrs'), 1, 8))::BIGINT
+              AS HUGEINT) % tw AS offk
+  FROM o),
+n AS (
+  SELECT doc_id, wt,
+         CASE WHEN {k} * prev - offk - 1 < 0 THEN CAST(0 AS HUGEINT)
+              ELSE ({k} * prev - offk - 1) // tw + 1 END AS cnt_lo,
+         CASE WHEN {k} * (prev + wt) - offk - 1 < 0 THEN CAST(0 AS HUGEINT)
+              ELSE ({k} * (prev + wt) - offk - 1) // tw + 1 END AS cnt_hi
+  FROM c)
+SELECT doc_id, wt AS weight,
+       CAST(LEAST(CAST({k} AS HUGEINT), cnt_hi)
+            - LEAST(CAST({k} AS HUGEINT), cnt_lo) AS BIGINT) AS n_picks
+FROM n
+WHERE LEAST(CAST({k} AS HUGEINT), cnt_hi)
+      > LEAST(CAST({k} AS HUGEINT), cnt_lo)
+"""
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     r = sampling.domain_mixture_rates(docs, _MIXTURE_WEIGHTS)
@@ -1541,6 +1594,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
+    "weighted_sample": q_weighted_sample,
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
@@ -1586,6 +1640,7 @@ ORACLES = {
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),
+    "weighted_sample": _sql_weighted_sample(),
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "contamination": SQL_CONTAMINATION,

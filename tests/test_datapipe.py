@@ -623,3 +623,43 @@ def test_knn_join_degenerate_inputs(spark):
     got = {(r["vec_id"], r["neighbor_id"]): r["cosine_sim"]
            for r in knn_join(zeros, k=1, exact=True).collect()}
     assert got[(1, 2)] == 0.0 and got[(2, 1)] == 0.0
+
+
+def test_weighted_systematic_sample_invariants(spark):
+    """Σ n_picks = k exactly; every row's count is floor or ceil of its
+    proportional share k·w/W; zero/NULL weights never sampled; picks are
+    invariant under repartitioning (pure function of data + seed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.sampling import (
+        weighted_systematic_sample)
+
+    rows = [(i, (i * 37) % 50 + 1) for i in range(200)]
+    rows += [(1000, 100_000), (1001, 0), (1002, None)]  # heavy / excluded
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    k = 57
+    out = weighted_systematic_sample(df, k=k, weight_col="wt", seed=5)
+    picks = {r["doc_id"]: r["n_picks"] for r in out.collect()}
+    assert sum(picks.values()) == k
+    assert 1001 not in picks and 1002 not in picks
+    total = sum(w for _, w in rows[:201] if w)
+    for doc_id, w in rows[:201]:
+        if not w:
+            continue
+        share = k * w / total
+        n = picks.get(doc_id, 0)
+        assert math.floor(share) <= n <= math.ceil(share), (doc_id, n, share)
+    # the heavy row (share ~52%) is picked many times — with replacement
+    assert picks[1000] >= 25
+    # repartition-invariant
+    again = {r["doc_id"]: r["n_picks"]
+             for r in weighted_systematic_sample(
+                 df.repartition(7), k=k, weight_col="wt", seed=5).collect()}
+    assert again == picks
+    # different seed moves the offset (almost surely different picks)
+    other = {r["doc_id"]: r["n_picks"]
+             for r in weighted_systematic_sample(
+                 df, k=k, weight_col="wt", seed=6).collect()}
+    assert sum(other.values()) == k
