@@ -248,3 +248,73 @@ def weighted_systematic_sample(df: DataFrame, k: int,
     return (lined.select(id_col, F.col("_w").alias("weight"),
                          (hi - lo).cast("long").alias("n_picks"))
             .filter(F.col("n_picks") > 0))
+
+
+def weighted_systematic_sample_by_group(df: DataFrame, k: int,
+                                        weight_col: str,
+                                        group_col: str = "source",
+                                        id_col: str = "doc_id",
+                                        seed: int = 13,
+                                        boundaries: list | None = None
+                                        ) -> DataFrame:
+    """Per-group :func:`weighted_systematic_sample`: exactly ``k`` picks
+    per group, distributed in proportion to weights WITHIN the group —
+    the "k examples per domain, weighted by quality/length" mixture
+    draw. Returns (group_col, id_col, weight, n_picks) with
+    ``Σ n_picks = k`` inside every group; each group gets its own
+    md5-derived offset (a pure function of seed, group and the group's
+    total weight).
+
+    Scale shape mirrors ``text.length_batches``: the per-group
+    cumulative weight line uses per-(group, id-range-chunk) offsets —
+    every window partition is one bounded chunk of one group, so a
+    giant group never funnels into one reducer the way a naive
+    ``PARTITION BY group`` prefix sum would. Same integer-exact pick
+    arithmetic as the ungrouped form.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.partitioning import (  # noqa: PLC0415
+        bucket_of, range_boundaries)
+
+    dec = "decimal(38,0)"
+    base = (df.select(F.col(group_col), F.col(id_col),
+                      F.col(weight_col).cast("long").alias("_w"))
+            .filter(F.col("_w") > 0))
+    if boundaries is None:
+        boundaries = range_boundaries(base, id_col)
+    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries))
+    w_off = (Window.partitionBy(group_col).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    zero = F.lit(0).cast(dec)
+    offs = (bucketed.groupBy(group_col, "_pid")
+            .agg(F.sum("_w").cast(dec).alias("_c"))
+            .select(group_col, "_pid",
+                    F.coalesce(F.sum("_c").over(w_off), zero).alias("_off"),
+                    F.sum("_c").over(Window.partitionBy(group_col))
+                    .alias("_tot")))
+    w_local = Window.partitionBy(group_col, "_pid").orderBy(id_col)
+    local_prev = F.coalesce(
+        F.sum(F.col("_w").cast(dec))
+        .over(w_local.rowsBetween(Window.unboundedPreceding, -1)), zero)
+    lined = (bucketed.join(F.broadcast(offs), [group_col, "_pid"])
+             .select(group_col, id_col, "_w", "_tot",
+                     (local_prev + F.col("_off")).alias("_prev")))
+
+    off_k = F.pmod(
+        md5_long(F.concat(F.lit("swrs|"), F.col(group_col)), seed)
+        .cast(dec), F.col("_tot"))
+    kk = F.lit(k).cast(dec)
+
+    def cnt(x):
+        d = x - off_k - F.lit(1).cast(dec)
+        q = ((d - F.pmod(d, F.col("_tot"))) / F.col("_tot")).cast(dec)
+        return F.when(d < 0, F.lit(0).cast(dec)).otherwise(q + 1)
+
+    lo = F.least(kk, cnt(kk * F.col("_prev")))
+    hi = F.least(kk, cnt(kk * (F.col("_prev") + F.col("_w").cast(dec))))
+    return (lined.select(group_col, id_col, F.col("_w").alias("weight"),
+                         (hi - lo).cast("long").alias("n_picks"))
+            .filter(F.col("n_picks") > 0))

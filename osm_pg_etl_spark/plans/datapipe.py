@@ -775,6 +775,58 @@ WHERE LEAST(CAST({k} AS HUGEINT), cnt_hi)
 """
 
 
+_WSAMPLE_GK = 40
+
+
+def q_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain weighted systematic resampling
+    (sampling.weighted_systematic_sample_by_group): exactly 40 picks per
+    source, proportional to length(text) within the source — the
+    'k per domain, weighted' mixture draw, with per-(group, chunk)
+    offsets so a giant domain never funnels into one reducer."""
+    from ..operators.sampling import weighted_systematic_sample_by_group
+
+    docs = docs_t(spark, sf_dir).select(
+        "source", "doc_id", F.length("text").alias("wt"))
+    return weighted_systematic_sample_by_group(
+        docs, k=_WSAMPLE_GK, weight_col="wt", group_col="source",
+        seed=_WSAMPLE_SEED)
+
+
+def _sql_weighted_sample_by_source(k: int = _WSAMPLE_GK,
+                                   seed: int = _WSAMPLE_SEED) -> str:
+    return f"""
+WITH w AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS wt
+  FROM documents WHERE length(text) > 0),
+o AS (
+  SELECT source, doc_id, wt,
+         CAST(COALESCE(SUM(wt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS HUGEINT) AS prev,
+         CAST(SUM(wt) OVER (PARTITION BY source) AS HUGEINT) AS tw
+  FROM w),
+c AS (
+  SELECT o.*,
+         CAST(('0x' || substr(md5('{seed}|swrs|' || source), 1, 8))::BIGINT
+              AS HUGEINT) % tw AS offk
+  FROM o),
+n AS (
+  SELECT source, doc_id, wt,
+         CASE WHEN {k} * prev - offk - 1 < 0 THEN CAST(0 AS HUGEINT)
+              ELSE ({k} * prev - offk - 1) // tw + 1 END AS cnt_lo,
+         CASE WHEN {k} * (prev + wt) - offk - 1 < 0 THEN CAST(0 AS HUGEINT)
+              ELSE ({k} * (prev + wt) - offk - 1) // tw + 1 END AS cnt_hi
+  FROM c)
+SELECT source, doc_id, wt AS weight,
+       CAST(LEAST(CAST({k} AS HUGEINT), cnt_hi)
+            - LEAST(CAST({k} AS HUGEINT), cnt_lo) AS BIGINT) AS n_picks
+FROM n
+WHERE LEAST(CAST({k} AS HUGEINT), cnt_hi)
+      > LEAST(CAST({k} AS HUGEINT), cnt_lo)
+"""
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     r = sampling.domain_mixture_rates(docs, _MIXTURE_WEIGHTS)
@@ -1595,6 +1647,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "domain_mixture": q_domain_mixture,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_by_source": q_weighted_sample_by_source,
     "pii_redact": q_pii_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
@@ -1641,6 +1694,7 @@ ORACLES = {
     "stratified_sample": _sql_stratified_sample(),
     "domain_mixture": _sql_domain_mixture(),
     "weighted_sample": _sql_weighted_sample(),
+    "weighted_sample_by_source": _sql_weighted_sample_by_source(),
     "pii_redact": _sql_pii_redact(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "contamination": SQL_CONTAMINATION,

@@ -663,3 +663,37 @@ def test_weighted_systematic_sample_invariants(spark):
              for r in weighted_systematic_sample(
                  df, k=k, weight_col="wt", seed=6).collect()}
     assert sum(other.values()) == k
+
+
+def test_weighted_systematic_sample_by_group_invariants(spark):
+    """Per group: Σ n_picks = k exactly and counts stay within the
+    floor/ceil proportional bounds; groups never interfere (adding a new
+    group leaves existing groups' picks untouched)."""
+    import math
+
+    from osm_pg_etl_spark.operators.sampling import (
+        weighted_systematic_sample_by_group)
+
+    rows = [("a", i, (i * 31) % 40 + 1) for i in range(100)]
+    rows += [("b", 1000 + i, 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, wt long")
+    k = 13
+    out = weighted_systematic_sample_by_group(
+        df, k=k, weight_col="wt", group_col="g", seed=3)
+    picks = {(r["g"], r["doc_id"]): r["n_picks"] for r in out.collect()}
+    for g in ("a", "b"):
+        assert sum(n for (gg, _), n in picks.items() if gg == g) == k, g
+    totals = {g: sum(w for gg, _, w in rows if gg == g) for g in ("a", "b")}
+    for g, doc_id, w in rows:
+        share = k * w / totals[g]
+        n = picks.get((g, doc_id), 0)
+        assert math.floor(share) <= n <= math.ceil(share), (g, doc_id)
+    # group isolation: appending group c never moves a or b's picks
+    df2 = df.unionByName(spark.createDataFrame(
+        [("c", 2000 + i, 5) for i in range(9)],
+        "g string, doc_id long, wt long"))
+    again = {(r["g"], r["doc_id"]): r["n_picks"]
+             for r in weighted_systematic_sample_by_group(
+                 df2, k=k, weight_col="wt", group_col="g",
+                 seed=3).collect()}
+    assert {kv: n for kv, n in again.items() if kv[0] != "c"} == picks
