@@ -169,10 +169,14 @@ def cmd_pgload(args: argparse.Namespace) -> None:
         elif (isinstance(f.dataType, T.ArrayType)
               and isinstance(f.dataType.elementType,
                              (T.LongType, T.IntegerType, T.ShortType))):
+            # null_replacement is load-bearing: array_join silently DROPS
+            # null elements without it, so [1,NULL,3] would load as {1,3};
+            # PostgreSQL's literal form for a null element is unquoted NULL.
             staged.append(F.concat(
                 F.lit("{"),
                 F.array_join(F.transform(f.name,
-                                         lambda x: x.cast("string")), ","),
+                                         lambda x: x.cast("string")), ",",
+                             null_replacement="NULL"),
                 F.lit("}")).alias(f.name))
             casts.append(f"{q}::bigint[] AS {q}")
         elif isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):

@@ -102,6 +102,35 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as an uncompressed 24-bit BI_RGB BMP
+    (bottom-up rows, 4-byte row padding) — the exact inverse of
+    :func:`decode_bmp`."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3), got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    row = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, row), dtype=np.uint8)
+    raster[:, :w * 3] = a[::-1, :, ::-1].reshape((h, w * 3))  # RGB→BGR, flip
+    data = raster.tobytes()
+    data_off = 14 + 40
+    header = (b"BM"
+              + (data_off + len(data)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00"
+              + data_off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)   # positive = bottom-up
+              + (1).to_bytes(2, "little")
+              + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")              # BI_RGB
+              + len(data).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2       # 72 dpi
+              + (0).to_bytes(4, "little") * 2)
+    return header + data
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode: netpbm and 24-bit BMP decode for real; anything
     else (JPEG/PNG/...) raises NotImplementedError — the documented stub

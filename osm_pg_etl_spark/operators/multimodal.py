@@ -186,8 +186,8 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             decode_image, encode_ppm, resize_nearest)
 
         for pdf in it:
-            contents, widths, heights = [], [], []
-            for payload in pdf["content"]:
+            contents, widths, heights, mimes = [], [], [], []
+            for payload, m in zip(pdf["content"], pdf["media_meta"]):
                 arr = decode_image(payload)
                 h, w = arr.shape[0], arr.shape[1]
                 if max(w, h) > max_px:
@@ -196,12 +196,19 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
                     arr = resize_nearest(arr, nw, nh)
                     payload = encode_ppm(arr)
                     w, h = nw, nh
+                    # re-encoded as P6 — only now does the mime change;
+                    # pass-through rows keep their original bytes AND
+                    # their original mime (a BMP stays image/bmp).
+                    mime = "image/x-portable-pixmap"
+                else:
+                    mime = m["mime"]
                 contents.append(payload)
                 widths.append(w)
                 heights.append(h)
+                mimes.append(mime)
             meta = pd.DataFrame({
                 "kind": [m["kind"] for m in pdf["media_meta"]],
-                "mime": "image/x-portable-pixmap",
+                "mime": mimes,
                 "width": pd.array(widths, dtype="int32"),
                 "height": pd.array(heights, dtype="int32"),
                 "duration_ms": [m["duration_ms"]

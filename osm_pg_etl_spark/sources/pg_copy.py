@@ -159,10 +159,20 @@ def _psql_stream_out(dsn: str, sql: str):
                                 stdout=subprocess.PIPE, stderr=err,
                                 text=True)
         assert proc.stdout is not None
-        for line in proc.stdout:
-            yield line.rstrip("\n")
-        proc.stdout.close()
-        rc = proc.wait()
+        exhausted = False
+        try:
+            for line in proc.stdout:
+                yield line.rstrip("\n")
+            exhausted = True
+        finally:
+            # The finally also runs on GeneratorExit (a consumer such as
+            # a Spark limit/take abandoning the generator early) — then
+            # the child psql is still streaming COPY output and must be
+            # terminated or it leaks until SIGPIPE.
+            proc.stdout.close()
+            if not exhausted and proc.poll() is None:
+                proc.terminate()
+            rc = proc.wait()
         if rc != 0:
             err.seek(0)
             raise RuntimeError(f"psql failed ({sql[:120]}...): {err.read()}")
@@ -180,11 +190,21 @@ def _psql_stream_in(dsn: str, sql: str, lines) -> None:
                                 text=True)
         assert proc.stdin is not None
         try:
-            for line in lines:
-                proc.stdin.write(line)
-                proc.stdin.write("\n")
+            # psql aborting mid-COPY (e.g. bad input syntax) closes its
+            # stdin and the next write raises BrokenPipeError; swallow it
+            # so the rc!=0 check below reports the server's actual stderr
+            # instead of an opaque pipe error.
+            try:
+                for line in lines:
+                    proc.stdin.write(line)
+                    proc.stdin.write("\n")
+            except BrokenPipeError:
+                pass
         finally:
-            proc.stdin.close()
+            try:
+                proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass
             rc = proc.wait()
         if rc != 0:
             err.seek(0)
@@ -268,6 +288,11 @@ def copy_read(spark: SparkSession, dsn: str, table: str,
                 if not line:
                     continue
                 parts = _split_copy_line(line)
+                if len(parts) != len(dtypes):
+                    raise ValueError(
+                        f"COPY row has {len(parts)} fields but schema "
+                        f"declares {len(dtypes)} (predicate {pred!r}; "
+                        f"check the `select` column list): {line[:200]!r}")
                 yield tuple(_from_copy_field(p, dt)
                             for p, dt in zip(parts, dtypes))
 

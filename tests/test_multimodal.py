@@ -200,6 +200,33 @@ def test_resize_images_real_resample_and_reencode(spark):
     assert bytes(out[2]["content"]) == bytes(encode_ppm(small))  # untouched
 
 
+def test_resize_images_passthrough_keeps_original_mime(spark):
+    """A within-budget BMP keeps BOTH its bytes and its image/bmp mime;
+    only rows actually re-encoded to P6 get the PPM mime."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import encode_bmp
+    from osm_pg_etl_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(4)
+    big = rng.integers(0, 256, (30, 50, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    rows = [(1, bytearray(encode_bmp(big)),
+             {"kind": "image", "mime": "image/bmp",
+              "width": 50, "height": 30, "duration_ms": None}),
+            (2, bytearray(encode_bmp(small)),
+             {"kind": "image", "mime": "image/bmp",
+              "width": 6, "height": 4, "duration_ms": None})]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_meta "
+              "struct<kind:string,mime:string,width:int,height:int,"
+              "duration_ms:int>")
+    out = {r["doc_id"]: r for r in resize_images(media, max_px=16).collect()}
+    assert out[1]["media_meta"]["mime"] == "image/x-portable-pixmap"
+    assert out[2]["media_meta"]["mime"] == "image/bmp"
+    assert bytes(out[2]["content"]) == bytes(encode_bmp(small))
+
+
 # --- real audio leg (pure-numpy RIFF/PCM, functions.audiocodec) -------------
 
 def test_wav_roundtrip_stereo():

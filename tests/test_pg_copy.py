@@ -158,3 +158,61 @@ def test_stride_predicates_against_live_server():
     union = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in preds)
     assert _psql(DSN, f'SELECT count(*) FROM "pg_stride_probe" '
                       f"WHERE ({union}) <> 1").strip() == "0"
+
+
+# ------------------------------------------------- round-7 regressions
+
+@live
+def test_copy_error_reports_server_stderr_not_broken_pipe(spark):
+    """psql aborting mid-COPY must surface the server's error message,
+    not the BrokenPipeError the abort provokes on our writing side."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    copy_write(df, DSN, "r7_pipe", mode="overwrite")
+    # now feed a row whose id is not an integer -> server aborts COPY
+    bad = spark.createDataFrame([("notanint", "y")], "id string, v string")
+    with pytest.raises(Exception) as ei:
+        copy_write(bad.select(
+            bad.id.alias("id"), bad.v.alias("v")), DSN, "r7_pipe")
+    msg = str(ei.value)
+    assert "invalid input syntax" in msg, msg
+    _psql(DSN, 'DROP TABLE IF EXISTS "r7_pipe"')
+
+
+@live
+def test_copy_read_rejects_field_count_mismatch(spark):
+    """A `select` override with more columns than the declared schema
+    must fail loudly, not silently truncate fields."""
+    _psql(DSN, 'DROP TABLE IF EXISTS "r7_mismatch"')
+    _psql(DSN, 'CREATE TABLE "r7_mismatch" (a int, b int, c int)')
+    _psql(DSN, 'INSERT INTO "r7_mismatch" VALUES (1, 2, 3)')
+    df = copy_read(spark, DSN, "r7_mismatch", "a int, b int",
+                   select="a, b, c")
+    with pytest.raises(Exception, match="3 fields but schema declares 2"):
+        df.collect()
+    _psql(DSN, 'DROP TABLE "r7_mismatch"')
+
+
+@live
+def test_pgload_array_preserves_null_elements(spark, tmp_path):
+    """CLI pgload stages array<long> as a PostgreSQL array literal;
+    null elements must survive as NULL, not be silently dropped."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import Row
+
+    p = str(tmp_path / "arr.parquet")
+    spark.createDataFrame(
+        [Row(id=1, xs=[1, None, 3])], "id long, xs array<long>"
+    ).write.mode("overwrite").parquet(p)
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_pg_etl_spark", "pgload",
+         p, "--dsn", DSN, "--table", "r7_arr"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _psql(DSN, 'SELECT xs FROM "r7_arr"').strip()
+    assert out == "{1,NULL,3}", out
+    _psql(DSN, 'DROP TABLE IF EXISTS "r7_arr"')

@@ -83,7 +83,8 @@ def _load_world_into_pg(spark):
         _hstore_literal(F.col("tags")).alias("tags_h"),
         F.concat(F.lit("{"),
                  F.array_join(F.transform("nodes",
-                                          lambda x: x.cast("string")), ","),
+                                          lambda x: x.cast("string")), ",",
+                              null_replacement="NULL"),
                  F.lit("}")).alias("nodes_s"))
     copy_write(staged, DSN, "ways_staging", mode="overwrite")
     _psql(DSN, "DROP TABLE IF EXISTS ways CASCADE")

@@ -114,7 +114,8 @@ def test_read_pgsnapshot_migration_roundtrip(spark):
     copy_write(d["ways"].select(
         "id", hstore_literal("tags").alias("tags_h"),
         F.concat(F.lit("{"), F.array_join(F.transform(
-            "nodes", lambda x: x.cast("string")), ","),
+            "nodes", lambda x: x.cast("string")), ",",
+            null_replacement="NULL"),
             F.lit("}")).alias("nodes_s")),
         DSN, "snap_ways_staging", mode="overwrite")
     copy_write(d["nodes"].select(
