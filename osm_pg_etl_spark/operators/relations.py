@@ -21,6 +21,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def turn_restrictions_from_relations(relations: DataFrame,
+                                     members: DataFrame,
+                                     directed: DataFrame,
+                                     edge_id: str = "edge_id",
+                                     src: str = "start_node",
+                                     dst: str = "end_node") -> DataFrame:
+    """Parse OSM ``type=restriction`` relations into banned line-graph
+    transitions ``(from_u, via, to_v)`` for the edge-based router
+    (``operators.graph_algo.turn_restricted_distances``).
+
+    The reference's schema carries these relations verbatim
+    (``etl/pgsnapshot_schema_0.6.sql:57-80``: a restriction relation has a
+    ``restriction=no_left_turn|only_straight_on|...`` tag and members with
+    ``from``/``via``/``to`` roles); pgrouting consumes them as its
+    turn-restriction table (``etl/osm-load.sh:17``). This operator is the
+    missing parse: role-pivot the members, resolve each (from_way,
+    via_node, to_way) triple against the DIRECTED edge table, and emit
+    node-keyed banned transitions:
+
+    - ``no_*`` kinds ban exactly the (arriving from-way edge) →
+      (departing to-way edge) transitions at the via node;
+    - ``only_*`` kinds ban every OTHER exit: (arriving from-way edge) →
+      any out-edge at via that is NOT a departing to-way edge.
+
+    Multiple ``from``/``to`` members per relation (legal for ``no_entry``
+    / ``no_exit``) expand combinatorially, as pgrouting does. Via-WAY
+    restrictions (role ``via`` with member_type ``'W'``, <2% of planet
+    restrictions) are not representable in a node-keyed line graph and are
+    dropped; a router needing them must key state on edge chains.
+
+    Scale shape: the restriction tables are tiny relative to the edge set,
+    so every join broadcasts the parsed side; the one per-node expansion
+    (``only_*`` × out-edges at via) is bounded by out-degree, the same
+    per-node confinement as the line-graph build itself. Output is
+    distinct node triples — parallel ways between the same node pair
+    collapse together, matching the router's MIN-weight edge collapse.
+    """
+    restr = (relations
+             .where((F.col("tags")["type"] == "restriction")
+                    & F.col("tags")["restriction"].isNotNull())
+             .select(F.col("id").alias("relation_id"),
+                     F.col("tags")["restriction"].alias("kind")))
+    role = (lambda r, t, out: members
+            .where((F.col("member_role") == r) & (F.col("member_type") == t))
+            .select("relation_id", F.col("member_id").alias(out)))
+    parsed = (restr
+              .join(role("from", "W", "from_way"), "relation_id")
+              .join(role("via", "N", "via_node"), "relation_id")
+              .join(role("to", "W", "to_way"), "relation_id"))
+
+    edges = (directed
+             .select(F.col(edge_id).alias("way_id"),
+                     F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct())
+
+    arriving = (F.broadcast(parsed)
+                .join(edges, (edges["way_id"] == F.col("from_way"))
+                      & (edges["v"] == F.col("via_node")))
+                .select("relation_id", "kind",
+                        F.col("u").alias("from_u"),
+                        F.col("via_node").alias("via")))
+    permitted = (F.broadcast(parsed.select("relation_id", "to_way",
+                                           "via_node").distinct())
+                 .join(edges, (edges["way_id"] == F.col("to_way"))
+                       & (edges["u"] == F.col("via_node")))
+                 .select("relation_id", F.col("v").alias("to_v")))
+
+    no_banned = (arriving.where(F.col("kind").startswith("no_"))
+                 .join(permitted, "relation_id")
+                 .select("from_u", "via", "to_v"))
+    out_at_via = (edges.select(F.col("u").alias("via"),
+                               F.col("v").alias("to_v")).distinct())
+    only_banned = (F.broadcast(arriving.where(F.col("kind")
+                                              .startswith("only_")))
+                   .join(out_at_via, "via")
+                   .join(permitted, ["relation_id", "to_v"], "left_anti")
+                   .select("from_u", "via", "to_v"))
+    return no_banned.unionByName(only_banned).distinct()
+
+
 def relation_route_summary(relations: DataFrame, members: DataFrame,
                            network: DataFrame,
                            type_value: str = "route") -> DataFrame:

@@ -944,6 +944,191 @@ GROUP BY node
 """
 
 
+_TURN_REL_MOD = 13
+
+
+def derive_restriction_relations(directed: DataFrame
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic ``type=restriction`` relations over the directed car
+    graph, in pgsnapshot shape (``etl/pgsnapshot_schema_0.6.sql:57-80``):
+    every line-graph transition whose ``(from_way + via + to_way)`` ≡ 0
+    mod 13 (distinct way pair, no U-turn) becomes one restriction relation
+    — ``no_left_turn`` when ``(from_way + to_way)`` is even, else
+    ``only_straight_on`` — with 'W' from / 'N' via / 'W' to members.
+    Relation ids are the portable md5 hash of the triple (md5 collisions
+    are deterministic and identical on both engines, so the oracle stays
+    exact). Mirrored verbatim by the dexp/cand/trels/tmemb CTEs in
+    ``_sql_osm_turn_restricted_rel``."""
+    from ..functions.hashing import md5_long
+
+    e = (directed.select(F.col("edge_id").alias("way_id"),
+                         F.col("start_node").cast("long").alias("u"),
+                         F.col("end_node").cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    a = e.select(F.col("way_id").alias("w1"), F.col("u").alias("fu"),
+                 F.col("v").alias("via"))
+    b = e.select(F.col("way_id").alias("w2"), F.col("u").alias("via"),
+                 F.col("v").alias("tv"))
+    cand = (a.join(b, "via")
+            .where((F.col("w1") != F.col("w2"))
+                   & (F.col("tv") != F.col("fu"))
+                   & ((F.col("w1") + F.col("via") + F.col("w2"))
+                      % _TURN_REL_MOD == 0))
+            .select("w1", "via", "w2").distinct())
+    trip = cand.select(
+        md5_long(F.concat_ws(":", "w1", "via", "w2")).alias("id"),
+        F.col("w1").alias("from_way"), F.col("via").alias("via_node"),
+        F.col("w2").alias("to_way"),
+        F.when((F.col("w1") + F.col("w2")) % 2 == 0, F.lit("no_left_turn"))
+         .otherwise(F.lit("only_straight_on")).alias("kind")).cache()
+    rels = trip.select(
+        "id", F.map_from_arrays(
+            F.array(F.lit("type"), F.lit("restriction")),
+            F.array(F.lit("restriction"), F.col("kind"))).alias("tags"))
+    mk = (lambda col, t, r, s: trip.select(
+        F.col("id").alias("relation_id"), F.col(col).alias("member_id"),
+        F.lit(t).alias("member_type"), F.lit(r).alias("member_role"),
+        F.lit(s).cast("int").alias("sequence_id")))
+    members = (mk("from_way", "W", "from", 0)
+               .unionByName(mk("via_node", "N", "via", 1))
+               .unionByName(mk("to_way", "W", "to", 2)))
+    return rels, members
+
+
+def q_osm_turn_restricted_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-restricted SSSP driven by REAL ``type=restriction`` relation
+    parsing (VERDICT r7 top-next): a deterministic restriction-relation
+    world in pgsnapshot shape is derived over the directed car graph
+    (``derive_restriction_relations``), then
+    ``operators.relations.turn_restrictions_from_relations`` performs the
+    actual parse — role-pivot of relation_members, resolution of
+    (from_way, via_node, to_way) against the directed edges, ``no_*`` /
+    ``only_*`` expansion — and the resulting banned set feeds the same
+    line-graph Bellman-Ford as the synthetic mod-7 gate. The oracle
+    replays the derivation AND the parse (members pivot included) in SQL,
+    so a hash match checks the whole relations→restrictions→router path
+    the reference delegates to osmosis+pgrouting."""
+    from ..operators.graph_algo import turn_restricted_distances
+    from ..operators.relations import turn_restrictions_from_relations
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged).cache()
+    rels, members = derive_restriction_relations(directed)
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    sp, rounds = turn_restricted_distances(directed, source,
+                                           restrictions=restr,
+                                           return_rounds=True)
+    if rounds > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"osm_turn_restricted_rel: fixpoint took {rounds} rounds > the "
+            f"{_SSSP_ORACLE_ROUNDS}-round oracle unroll")
+    return sp.select("node", F.round("dist", 6).alias("dist_km"))
+
+
+def _sql_osm_turn_restricted_rel(rounds: int = _SSSP_ORACLE_ROUNDS) -> str:
+    """Mirrors derivation + parse + routing: dexp = directed edges WITH way
+    ids, cand/trels/tmemb = the restriction-relation world, parsed/arr/
+    perm/banned = the role-pivot parse, then the same edge-state
+    relaxation as the mod-7 oracle with banned transitions removed."""
+    base = _sql_osm_shortest_km()
+    head = base[:base.index(",\nsp0 AS")]
+    mid = f""",
+dexp AS MATERIALIZED (
+  SELECT DISTINCT edge_id AS way_id, u, v FROM (
+    SELECT edge_id, start_node AS u, end_node AS v FROM merged
+      WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+    UNION ALL
+    SELECT edge_id, end_node, start_node FROM merged
+      WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'
+    UNION ALL
+    SELECT edge_id, start_node, end_node FROM merged
+      WHERE oneway = 'yes' OR (highway = 'motorway' AND oneway != '-1')
+    UNION ALL
+    SELECT edge_id, end_node, start_node FROM merged WHERE oneway = '-1')
+  WHERE u != v),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.way_id AS w1, a.v AS via, b.way_id AS w2
+  FROM dexp a JOIN dexp b ON b.u = a.v
+  WHERE a.way_id != b.way_id AND b.v != a.u
+    AND (a.way_id + a.v + b.way_id) % {_TURN_REL_MOD} = 0),
+trels AS MATERIALIZED (
+  SELECT ('0x' || substr(md5(CAST(w1 AS VARCHAR) || ':'
+           || CAST(via AS VARCHAR) || ':' || CAST(w2 AS VARCHAR)), 1, 8)
+         )::BIGINT AS relation_id,
+         w1 AS from_way, via AS via_node, w2 AS to_way,
+         CASE WHEN (w1 + w2) % 2 = 0 THEN 'no_left_turn'
+              ELSE 'only_straight_on' END AS kind
+  FROM cand),
+tmemb AS (
+  SELECT relation_id, from_way AS member_id, 'W' AS member_type,
+         'from' AS member_role FROM trels
+  UNION ALL SELECT relation_id, via_node, 'N', 'via' FROM trels
+  UNION ALL SELECT relation_id, to_way, 'W', 'to' FROM trels),
+parsed AS MATERIALIZED (
+  SELECT r.relation_id, r.kind, f.member_id AS from_way,
+         vv.member_id AS via_node, tt.member_id AS to_way
+  FROM (SELECT DISTINCT relation_id, kind FROM trels) r
+  JOIN tmemb f ON f.relation_id = r.relation_id
+    AND f.member_role = 'from' AND f.member_type = 'W'
+  JOIN tmemb vv ON vv.relation_id = r.relation_id
+    AND vv.member_role = 'via' AND vv.member_type = 'N'
+  JOIN tmemb tt ON tt.relation_id = r.relation_id
+    AND tt.member_role = 'to' AND tt.member_type = 'W'),
+arr AS (
+  SELECT p.relation_id, p.kind, d.u AS from_u, p.via_node AS via
+  FROM parsed p JOIN dexp d ON d.way_id = p.from_way AND d.v = p.via_node),
+perm AS (
+  SELECT DISTINCT p.relation_id, d.v AS to_v
+  FROM (SELECT DISTINCT relation_id, to_way, via_node FROM parsed) p
+  JOIN dexp d ON d.way_id = p.to_way AND d.u = p.via_node),
+banned AS MATERIALIZED (
+  SELECT DISTINCT from_u, via, to_v FROM (
+    SELECT a.from_u, a.via, pm.to_v
+    FROM arr a JOIN perm pm ON pm.relation_id = a.relation_id
+    WHERE a.kind LIKE 'no_%'
+    UNION ALL
+    SELECT a.from_u, a.via, d.v AS to_v
+    FROM arr a JOIN (SELECT DISTINCT u, v FROM dexp) d ON d.u = a.via
+    WHERE a.kind LIKE 'only_%'
+      AND NOT EXISTS (SELECT 1 FROM perm pm
+                      WHERE pm.relation_id = a.relation_id
+                        AND pm.to_v = d.v))),
+lnodes AS MATERIALIZED (
+  SELECT start_node AS u, end_node AS v, MIN(length) AS w
+  FROM expanded WHERE start_node != end_node GROUP BY start_node, end_node),
+trans AS MATERIALIZED (
+  SELECT a.from_u, a.via, b.to_v, b.w FROM
+    (SELECT u AS from_u, v AS via FROM lnodes) a
+    JOIN (SELECT u AS via, v AS to_v, w FROM lnodes) b USING (via)
+  WHERE b.to_v != a.from_u
+    AND NOT EXISTS (SELECT 1 FROM banned x
+                    WHERE x.from_u = a.from_u AND x.via = a.via
+                      AND x.to_v = b.to_v)),
+sp0 AS (
+  SELECT u, v, w AS dist FROM lnodes
+  WHERE u = (SELECT MIN(start_node) FROM expanded))"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+sp{i} AS MATERIALIZED (
+  SELECT u, v, MIN(dist) AS dist FROM (
+    SELECT u, v, dist FROM sp{i - 1}
+    UNION ALL
+    SELECT t.via, t.to_v, s.dist + t.w
+    FROM sp{i - 1} s JOIN trans t ON t.from_u = s.u AND t.via = s.v)
+  GROUP BY u, v)""")
+    return head + mid + "".join(its) + f"""
+SELECT node, ROUND(MIN(dist), 6) AS dist_km FROM (
+  SELECT v AS node, dist FROM sp{rounds}
+  UNION ALL
+  SELECT (SELECT MIN(start_node) FROM expanded), 0.0)
+GROUP BY node
+"""
+
+
 _BC_SOURCES, _BC_DEPTH = 6, 4
 
 
@@ -2799,6 +2984,7 @@ QUERIES = {
     "osm_shortest_km_radius": q_osm_shortest_km_radius,
     "osm_access_km": q_osm_access_km,
     "osm_turn_restricted": q_osm_turn_restricted,
+    "osm_turn_restricted_rel": q_osm_turn_restricted_rel,
     "osm_reachability": q_osm_reachability,
     "osm_betweenness": q_osm_betweenness,
     "osm_betweenness_exact": q_osm_betweenness_exact,
@@ -2853,6 +3039,7 @@ ORACLES = {
     "osm_shortest_km_radius": _sql_osm_shortest_km(),
     "osm_access_km": _sql_osm_shortest_km(k_sources=_ACCESS_SOURCES),
     "osm_turn_restricted": _sql_osm_turn_restricted(),
+    "osm_turn_restricted_rel": _sql_osm_turn_restricted_rel(),
     "osm_reachability": _sql_osm_reachability(),
     "osm_betweenness": _sql_osm_betweenness(),
     "osm_betweenness_exact": _sql_osm_betweenness_exact(),

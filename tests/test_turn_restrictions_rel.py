@@ -1,0 +1,157 @@
+"""Real OSM turn-restriction parsing (operators.relations.
+turn_restrictions_from_relations) on a hand-built graph with a known
+forced detour — the ``type=restriction`` relations the reference's schema
+carries (etl/pgsnapshot_schema_0.6.sql:57-80) and pgrouting consumes.
+
+Graph (all lengths 1.0):
+
+        101        102
+    1 ------> 2 ------> 3 ------> 5   (105)
+              |         ^
+          103 |         | 104
+              v         |
+              4 --------+
+
+Unrestricted dist(1→3) = 2.0 via node 2; banning the 2→3 turn forces the
+detour 1→2→4→3 = 3.0.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.operators.graph_algo import turn_restricted_distances
+from osm_pg_etl_spark.operators.relations import (
+    turn_restrictions_from_relations,
+)
+
+EDGES = [
+    (101, 1, 2, 1.0),
+    (102, 2, 3, 1.0),
+    (103, 2, 4, 1.0),
+    (104, 4, 3, 1.0),
+    (105, 3, 5, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def directed(spark):
+    return spark.createDataFrame(
+        EDGES, "edge_id long, start_node long, end_node long, length double"
+    ).cache()
+
+
+def _relation(spark, rel_id, kind, from_way, via_node, to_way):
+    rels = spark.createDataFrame(
+        [(rel_id, {"type": "restriction", "restriction": kind})],
+        "id long, tags map<string,string>")
+    members = spark.createDataFrame(
+        [(rel_id, from_way, "W", "from", 0),
+         (rel_id, via_node, "N", "via", 1),
+         (rel_id, to_way, "W", "to", 2)],
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int")
+    return rels, members
+
+
+def _dists(directed, restr):
+    sp = turn_restricted_distances(directed, 1, restrictions=restr)
+    return {r["node"]: r["dist"] for r in sp.collect()}
+
+
+def test_no_turn_forces_detour(spark, directed):
+    rels, members = _relation(spark, 9001, "no_left_turn", 101, 2, 102)
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    assert [tuple(r) for r in restr.collect()] == [(1, 2, 3)]
+    d = _dists(directed, restr)
+    assert d[3] == pytest.approx(3.0)   # 1→2→4→3, direct turn banned
+    assert d[4] == pytest.approx(2.0)   # unaffected
+    assert d[5] == pytest.approx(4.0)   # detour propagates
+
+
+def test_only_turn_bans_all_other_exits(spark, directed):
+    # only_straight_on 101→(via 2)→103: arriving from 1 at 2 may ONLY
+    # continue to 4; exit 2→3 is banned — same detour as the no_* case.
+    rels, members = _relation(spark, 9002, "only_straight_on", 101, 2, 103)
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    assert [tuple(r) for r in restr.collect()] == [(1, 2, 3)]
+    d = _dists(directed, restr)
+    assert d[3] == pytest.approx(3.0)
+    assert d[4] == pytest.approx(2.0)
+
+
+def test_unrestricted_baseline(spark, directed):
+    d = _dists(directed, None)
+    assert d[3] == pytest.approx(2.0)
+    assert d[5] == pytest.approx(3.0)
+
+
+def test_non_restriction_and_via_way_ignored(spark, directed):
+    # A route relation and a via-WAY restriction both parse to zero bans.
+    route_rels = spark.createDataFrame(
+        [(1, {"type": "route", "route": "bus"})],
+        "id long, tags map<string,string>")
+    via_way_rels = spark.createDataFrame(
+        [(2, {"type": "restriction", "restriction": "no_u_turn"})],
+        "id long, tags map<string,string>")
+    members = spark.createDataFrame(
+        [(1, 101, "W", "from", 0), (1, 2, "N", "via", 1),
+         (1, 102, "W", "to", 2),
+         # via member is a WAY -> dropped (node-keyed line graph)
+         (2, 101, "W", "from", 0), (2, 103, "W", "via", 1),
+         (2, 104, "W", "to", 2)],
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int")
+    restr = turn_restrictions_from_relations(
+        route_rels.unionByName(via_way_rels), members, directed)
+    assert restr.count() == 0
+
+
+def test_multi_from_no_entry(spark, directed):
+    # no_entry with TWO from members (101 and 104 both arrive somewhere):
+    # ban entering way 105 (3→5) from BOTH ways arriving at 3.
+    rels = spark.createDataFrame(
+        [(3, {"type": "restriction", "restriction": "no_entry"})],
+        "id long, tags map<string,string>")
+    members = spark.createDataFrame(
+        [(3, 102, "W", "from", 0), (3, 104, "W", "from", 1),
+         (3, 3, "N", "via", 2), (3, 105, "W", "to", 3)],
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int")
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    got = sorted(tuple(r) for r in restr.collect())
+    assert got == [(2, 3, 5), (4, 3, 5)]
+    d = _dists(directed, restr)
+    assert 5 not in d  # node 5 only reachable via way 105: now unreachable
+
+
+def test_gate_query_runs_and_restricts(spark):
+    """The registered gate at sf0.001: parses a nonempty restriction set
+    and at least one node's distance strictly exceeds (or disappears vs)
+    the unrestricted SSSP — restrictions actually bite."""
+    from osm_pg_etl_spark.plans.osm_derived import (
+        derive_osm, derive_restriction_relations, q_osm_turn_restricted_rel)
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import merged_network
+    from osm_pg_etl_spark.operators.graphs import directed_network
+
+    sf = "/root/testdata/sf0.001"
+    d = derive_osm(spark, sf)
+    cn = car_network(d["ways"])
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged).cache()
+    rels, members = derive_restriction_relations(directed)
+    n_rels = rels.count()
+    assert n_rels > 0
+    assert members.count() == 3 * n_rels
+
+    restricted = {r["node"]: r["dist_km"]
+                  for r in q_osm_turn_restricted_rel(spark, sf).collect()}
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    base_sp = turn_restricted_distances(directed, int(source))
+    base = {r["node"]: r["dist"] for r in base_sp.collect()}
+    assert set(restricted) <= set(base)
+    assert all(restricted[n] >= round(base[n], 6) - 1e-9 for n in restricted)
+    assert (set(base) - set(restricted)) or any(
+        restricted[n] > round(base[n], 6) + 1e-9 for n in restricted)
