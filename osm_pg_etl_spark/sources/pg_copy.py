@@ -194,21 +194,31 @@ def _psql_stream_in(dsn: str, sql: str, lines) -> None:
             # stdin and the next write raises BrokenPipeError; swallow it
             # so the rc!=0 check below reports the server's actual stderr
             # instead of an opaque pipe error.
+            pipe_broken = False
             try:
                 for line in lines:
                     proc.stdin.write(line)
                     proc.stdin.write("\n")
             except BrokenPipeError:
-                pass
+                pipe_broken = True
         finally:
             try:
                 proc.stdin.close()
             except (BrokenPipeError, OSError):
-                pass
+                pipe_broken = True
             rc = proc.wait()
         if rc != 0:
             err.seek(0)
             raise RuntimeError(f"psql failed ({sql[:120]}...): {err.read()}")
+        if pipe_broken:
+            # psql exited 0 yet stopped reading stdin — e.g. the SQL was
+            # not a COPY FROM STDIN at all. Rows were silently dropped;
+            # that must be an error, not a quiet success.
+            err.seek(0)
+            raise RuntimeError(
+                f"psql exited 0 but closed stdin before consuming all "
+                f"input ({sql[:120]}...) — rows were not written: "
+                f"{err.read()}")
 
 
 def pg_available(dsn: str) -> bool:
@@ -285,7 +295,10 @@ def copy_read(spark: SparkSession, dsn: str, table: str,
             sql = (f'COPY (SELECT {cols} FROM "{table}" WHERE {pred}) '
                    "TO STDOUT")
             for line in _psql_stream_out(dsn, sql):
-                if not line:
+                # COPY TO STDOUT emits a bare empty line for a
+                # single-text-column row whose value is '' — only a
+                # multi-column schema can treat an empty line as noise.
+                if not line and len(dtypes) > 1:
                     continue
                 parts = _split_copy_line(line)
                 if len(parts) != len(dtypes):

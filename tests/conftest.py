@@ -17,7 +17,11 @@ from pyspark.sql import types as T
 # ``pytest tests/`` run exercises the live legs instead of skipping.
 # ---------------------------------------------------------------------------
 _DEFAULT_DSN = "host=/tmp/pgsock user=pguser dbname=test"
-if "OSM_PG_TEST_DSN" not in os.environ:
+if ("OSM_PG_TEST_DSN" not in os.environ
+        and os.environ.get("OSM_PG_AUTOBOOT", "1") != "0"):
+    # OSM_PG_AUTOBOOT=0 opts out of the probe/boot entirely (it mutates
+    # machine state: boots a server, may create a pguser account, and can
+    # stall collection up to 120 s when binaries exist but boot fails).
     try:
         from osm_pg_etl_spark.sources.pg_copy import pg_available
 

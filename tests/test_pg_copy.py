@@ -216,3 +216,38 @@ def test_pgload_array_preserves_null_elements(spark, tmp_path):
     out = _psql(DSN, 'SELECT xs FROM "r7_arr"').strip()
     assert out == "{1,NULL,3}", out
     _psql(DSN, 'DROP TABLE IF EXISTS "r7_arr"')
+
+
+# ------------------------------------------------- round-8 regressions
+
+@live
+def test_single_text_column_empty_string_rows_survive(spark):
+    """COPY TO STDOUT emits a bare empty line for a single-text-column
+    row whose value is '' — copy_read must yield it as one empty field,
+    not silently drop the row (ADVICE r7: the old `if not line: continue`
+    ate these before the field-count guard could see them)."""
+    from pyspark.sql import types as T
+
+    _psql(DSN, 'DROP TABLE IF EXISTS "r8_onecol"')
+    _psql(DSN, 'CREATE TABLE "r8_onecol" (s text)')
+    _psql(DSN, "INSERT INTO \"r8_onecol\" VALUES ('a'), (''), (NULL), ('b')")
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    got = sorted(
+        (r["s"] for r in copy_read(spark, DSN, "r8_onecol", schema).collect()),
+        key=lambda v: (v is not None, v))
+    assert got == [None, "", "a", "b"], got
+    _psql(DSN, 'DROP TABLE "r8_onecol"')
+
+
+@live
+def test_stream_in_raises_when_psql_ignores_stdin():
+    """If psql exits 0 WITHOUT consuming stdin (the SQL is not a COPY
+    FROM STDIN), rows were silently discarded — _psql_stream_in must
+    raise instead of reporting quiet success (ADVICE r7)."""
+    from osm_pg_etl_spark.sources.pg_copy import _psql_stream_in
+
+    # >64 KiB of lines so the pipe fills and the write (or the final
+    # flush-on-close) observes EPIPE once psql has exited.
+    lines = ("x" * 1024 for _ in range(512))
+    with pytest.raises(RuntimeError, match="before consuming"):
+        _psql_stream_in(DSN, "SELECT 1", lines)
