@@ -141,74 +141,103 @@ def _t(key: str) -> Column:
     return tag_get("tags", key)
 
 
-# osm-complete-graphs.sql:68-80 — all-mode restrictions
-_ALL_MODE_ZERO: tuple[Callable[[Column], Column], ...] = (
-    lambda cur: F.col("access").isin(
-        "no", "private", "permit", "customers", "forestry", "agricultural",
-        "military", "emergency", "bus", "delivery", "restricted"),
-    lambda cur: F.col("service").isin("drive-through", "emergency_access", "bus"),
-    lambda cur: F.col("highway").isin(
-        "disused", "dismantled", "razed", "rest_area", "corridor",
-        "construction", "abandoned", "raceway", "proposed", "rest_area",
-        "planned", "platform"),
-)
+def mode_rule_sets(tg: Callable[[str], Column] = _t
+                   ) -> tuple[tuple[Rule, ...], tuple[Rule, ...],
+                              tuple[Rule, ...]]:
+    """Build the (car, pedestrian, bicycle) cascade rule sets with ``tg``
+    as the tag accessor. The default probes the ``tags`` map; passing
+    ``F.col`` reads pre-projected plain tag columns instead — the probe
+    then compiles to an attribute reference + ``INSET`` set-membership
+    rather than re-evaluating the tag expression at every one of its ~15
+    references (measured 3× on q_osm_mode_flags at sf0.1: 2.1 → 0.75 s —
+    Catalyst's CollapseProject keeps the non-cheap tag expressions in
+    their own projection when each is referenced more than once, so each
+    tag is computed exactly once per row).
 
-CAR_RULES: tuple[Rule, ...] = tuple((c, 0) for c in _ALL_MODE_ZERO) + (
-    # osm-complete-graphs.sql:84-87
-    (lambda cur: _t("highway").isin("steps", "footway", "pedestrian",
-                                    "cycleway", "bridleway", "elevator",
-                                    "sidewalk"), 0),
-    # osm-complete-graphs.sql:88-97
-    (lambda cur: _t("bicycle").isin("designated")
-        | _t("cycleway").isin("designated")
-        | _t("foot").isin("designated")
-        | _t("footway").isin("sidewalk", "crossing", "yes")
-        | _t("motor_vehicle").isin("no", "private")
-        | _t("service").isin("parking_aisle", "parking")
-        | _t("bus").isin("designated"), 0),
-    # osm-complete-graphs.sql:99-104 (NULL-guarded)
-    (lambda cur: cur.isNull() & _t("highway").isin(
-        "motorway", "primary", "tertiary", "secondary", "primary_link",
-        "tertiary_link", "secondary_link", "trunk", "trunk_link",
-        "motorway_link", "motorway_junction"), 1),
-)
+    ``access``/``service``/``highway`` are always read as plain columns:
+    every caller (complete_network's projection, the plain-column gate)
+    provides them."""
+    # osm-complete-graphs.sql:68-80 — all-mode restrictions
+    all_mode_zero: tuple[Callable[[Column], Column], ...] = (
+        lambda cur: F.col("access").isin(
+            "no", "private", "permit", "customers", "forestry",
+            "agricultural", "military", "emergency", "bus", "delivery",
+            "restricted"),
+        lambda cur: F.col("service").isin(
+            "drive-through", "emergency_access", "bus"),
+        lambda cur: F.col("highway").isin(
+            "disused", "dismantled", "razed", "rest_area", "corridor",
+            "construction", "abandoned", "raceway", "proposed", "rest_area",
+            "planned", "platform"),
+    )
+    car: tuple[Rule, ...] = tuple((c, 0) for c in all_mode_zero) + (
+        # osm-complete-graphs.sql:84-87
+        (lambda cur: tg("highway").isin("steps", "footway", "pedestrian",
+                                        "cycleway", "bridleway", "elevator",
+                                        "sidewalk"), 0),
+        # osm-complete-graphs.sql:88-97
+        (lambda cur: tg("bicycle").isin("designated")
+            | tg("cycleway").isin("designated")
+            | tg("foot").isin("designated")
+            | tg("footway").isin("sidewalk", "crossing", "yes")
+            | tg("motor_vehicle").isin("no", "private")
+            | tg("service").isin("parking_aisle", "parking")
+            | tg("bus").isin("designated"), 0),
+        # osm-complete-graphs.sql:99-104 (NULL-guarded)
+        (lambda cur: cur.isNull() & tg("highway").isin(
+            "motorway", "primary", "tertiary", "secondary", "primary_link",
+            "tertiary_link", "secondary_link", "trunk", "trunk_link",
+            "motorway_link", "motorway_junction"), 1),
+    )
+    pedestrian: tuple[Rule, ...] = tuple((c, 0) for c in all_mode_zero) + (
+        # osm-complete-graphs.sql:108-111
+        (lambda cur: tg("highway").isin("motorway", "trunk", "trunk_link",
+                                        "motorway_link",
+                                        "motorway_junction"), 0),
+        # osm-complete-graphs.sql:112-115
+        (lambda cur: tg("bus").isin("designated"), 0),
+        # osm-complete-graphs.sql:117-121 (NULL-guarded)
+        (lambda cur: cur.isNull() & tg("highway").isin(
+            "steps", "footway", "pedestrian", "bridleway", "elevator",
+            "sidewalk", "living_street", "path"), 1),
+        # osm-complete-graphs.sql:122-127 — precedence quirk preserved:
+        # (pedestrian IS NULL AND foot=designated) OR footway IN (...)
+        (lambda cur: (cur.isNull() & tg("foot").isin("designated"))
+            | tg("footway").isin("sidewalk", "crossing", "yes"), 1),
+    )
+    bicycle: tuple[Rule, ...] = tuple((c, 0) for c in all_mode_zero) + (
+        # osm-complete-graphs.sql:132-135
+        (lambda cur: tg("highway").isin("motorway", "trunk", "trunk_link",
+                                        "motorway_link",
+                                        "motorway_junction"), 0),
+        # osm-complete-graphs.sql:136-139
+        (lambda cur: tg("bus").isin("designated"), 0),
+        # osm-complete-graphs.sql:141-145 (NULL-guarded)
+        (lambda cur: cur.isNull() & tg("highway").isin(
+            "cycleway", "living_street"), 1),
+        # osm-complete-graphs.sql:146-151 — same precedence quirk
+        (lambda cur: (cur.isNull() & tg("bicycle").isin("designated"))
+            | tg("cycleway").isin("designated"), 1),
+    )
+    return car, pedestrian, bicycle
 
-PEDESTRIAN_RULES: tuple[Rule, ...] = tuple((c, 0) for c in _ALL_MODE_ZERO) + (
-    # osm-complete-graphs.sql:108-111
-    (lambda cur: _t("highway").isin("motorway", "trunk", "trunk_link",
-                                    "motorway_link", "motorway_junction"), 0),
-    # osm-complete-graphs.sql:112-115
-    (lambda cur: _t("bus").isin("designated"), 0),
-    # osm-complete-graphs.sql:117-121 (NULL-guarded)
-    (lambda cur: cur.isNull() & _t("highway").isin(
-        "steps", "footway", "pedestrian", "bridleway", "elevator",
-        "sidewalk", "living_street", "path"), 1),
-    # osm-complete-graphs.sql:122-127 — precedence quirk preserved:
-    # (pedestrian IS NULL AND foot=designated) OR footway IN (...)
-    (lambda cur: (cur.isNull() & _t("foot").isin("designated"))
-        | _t("footway").isin("sidewalk", "crossing", "yes"), 1),
-)
 
-BICYCLE_RULES: tuple[Rule, ...] = tuple((c, 0) for c in _ALL_MODE_ZERO) + (
-    # osm-complete-graphs.sql:132-135
-    (lambda cur: _t("highway").isin("motorway", "trunk", "trunk_link",
-                                    "motorway_link", "motorway_junction"), 0),
-    # osm-complete-graphs.sql:136-139
-    (lambda cur: _t("bus").isin("designated"), 0),
-    # osm-complete-graphs.sql:141-145 (NULL-guarded)
-    (lambda cur: cur.isNull() & _t("highway").isin("cycleway", "living_street"), 1),
-    # osm-complete-graphs.sql:146-151 — same precedence quirk as pedestrian
-    (lambda cur: (cur.isNull() & _t("bicycle").isin("designated"))
-        | _t("cycleway").isin("designated"), 1),
-)
+CAR_RULES, PEDESTRIAN_RULES, BICYCLE_RULES = mode_rule_sets()
 
 
-def with_mode_flags(network: DataFrame) -> DataFrame:
+def with_mode_flags(network: DataFrame,
+                    tag: Callable[[str], Column] | None = None) -> DataFrame:
     """Apply the full mode-flag cascade (``osm-complete-graphs.sql:59-151``):
     adds ``car``/``pedestrian``/``bicycle`` smallint-like columns with values
-    in {0, 1, NULL}."""
+    in {0, 1, NULL}.
+
+    ``tag``: tag accessor for the rule conditions — default probes the
+    ``tags`` map column; pass ``F.col`` when the network has the tag
+    values pre-projected as plain columns (see :func:`mode_rule_sets`)."""
+    car, ped, bike = (CAR_RULES, PEDESTRIAN_RULES, BICYCLE_RULES) \
+        if tag is None else mode_rule_sets(tag)
     null = F.lit(None).cast("int")
     return (network
-            .withColumn("car", compile_update_cascade(null, CAR_RULES))
-            .withColumn("pedestrian", compile_update_cascade(null, PEDESTRIAN_RULES))
-            .withColumn("bicycle", compile_update_cascade(null, BICYCLE_RULES)))
+            .withColumn("car", compile_update_cascade(null, car))
+            .withColumn("pedestrian", compile_update_cascade(null, ped))
+            .withColumn("bicycle", compile_update_cascade(null, bike)))

@@ -1973,31 +1973,35 @@ def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
     assembly is pure column pruning the join would otherwise defeat).
-    ``probe_only=True``: the cascade only probes literal keys, so the
-    tags map is compiled away entirely — the optimized plan is the three
-    when-chains over direct CASE expressions (one projection, no map).
 
-    Stage-budget floor (measured sf0.1, median-of-3, r6): 1.8 s total =
-    way_ids distinct 0.35 s (one lineitem exchange — the ways-with-
-    -nodes existence set, irreducible at any scale) + orders scan ⋈
-    semi-join ~0.7 s (two exchanges + join at Spark's ~0.35 s local job
-    floor) + cascade projection ~0.7 s (3 when-chains × 1.5 M rows,
-    whole-stage codegen, zero shuffles). vs DuckDB's ~0.8 s in-process
-    hash-join pipeline the gap is the ~4 job/exchange barriers, not the
-    plan: sf0.01→0.1 scaling ratio ~2 on 10× rows confirms
-    overhead-bound. At 100 TB the same plan holds: one fact-table
-    exchange for the existence set, broadcast-free semi join on the
-    bucketable way_id key, then a single narrow projection."""
-    from ..functions.maps import tag_get
+    Plain-column cascade (r8): every tag the cascade probes is projected
+    ONCE as its own column, and ``with_mode_flags(tag=F.col)`` compiles
+    the rules against attribute references — each ``isin`` becomes an
+    ``INSET`` over an already-computed value instead of re-evaluating the
+    tag's CASE chain at every one of its ~15 probe sites (the map-probe
+    form inlined the full tag expression per reference once the tags map
+    crossed a projection boundary). Measured sf0.1 noop-sink steady
+    state: 2.1 → 0.75 s (≈ DuckDB's 0.77 s). CollapseProject keeps the
+    two projections separate because the tag expressions are non-cheap
+    and multiply-referenced — pinned by test_plan_contracts.
 
-    ways_tags = derive_ways_tags(spark, sf_dir, probe_only=True)
-    net = (ways_tags.filter(tag_get("tags", "highway").isNotNull())
-           .select(F.col("id").alias("edge_id"), "tags",
-                   tag_get("tags", "highway").alias("highway"),
-                   tag_get("tags", "service").alias("service"),
-                   tag_get("tags", "access").alias("access")))
-    comp = with_mode_flags(net)
-    return comp.select("edge_id", "highway", "car", "pedestrian", "bicycle")
+    The cascade is applied BEFORE the ways-with-nodes semi-join (value
+    semantics are join-independent), so only the 5 output columns cross
+    the join. At 100 TB the plan holds: one fact-table exchange for the
+    existence set (AQE broadcasts it when small, shuffles otherwise on
+    the bucketable way_id key), and a single narrow zero-shuffle
+    projection on the dimension side."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    proj = (orders.select(key.alias("edge_id"),
+                          *[v.alias(k) for k, v in
+                            _way_tag_exprs(key).items()])
+            .filter(F.col("highway").isNotNull()))
+    comp = (with_mode_flags(proj, tag=F.col)
+            .select("edge_id", "highway", "car", "pedestrian", "bicycle"))
+    way_ids = li.select(F.col("l_orderkey").alias("edge_id")).distinct()
+    return comp.join(way_ids, "edge_id", "left_semi")
 
 
 def _cascade_sql(col: str, steps: list[tuple[str, int]]) -> str:

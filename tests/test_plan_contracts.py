@@ -157,3 +157,19 @@ def test_turn_restricted_transitions_equi_join_only(spark):
     plan = plan_of(line_graph_transitions(directed, restrictions=restr))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mode_flags_computes_each_tag_once(spark):
+    """q_osm_mode_flags (r8 plain-column cascade): every tag expression
+    must be evaluated exactly once per row — CollapseProject must NOT
+    inline the non-cheap CASE chains into their ~15 cascade probe sites,
+    and no per-row map may be built (measured 3x at sf0.1)."""
+    from osm_pg_etl_spark.plans.osm_derived import q_osm_mode_flags
+
+    plan = plan_of(q_osm_mode_flags(spark, SF))
+    # the highway derivation (o_orderkey % 12) appears once, not per probe
+    assert plan.count("% 12") == 1, plan.count("% 12")
+    # cascade probes compile to INSET over the precomputed column
+    assert " INSET " in plan
+    assert "map(" not in plan.split("== Physical Plan ==")[-1].split(
+        "(1) Scan")[0]  # no CreateMap node in the tree summary
