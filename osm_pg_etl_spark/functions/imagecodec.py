@@ -1,11 +1,12 @@
 """Pure-numpy image codec for the uncompressed formats — the REAL decode
 leg of the multimodal pipeline (:mod:`..operators.multimodal`).
 
-This container has no PIL/libav, so compressed codecs (JPEG/PNG) stay
-behind the documented stub; but netpbm (P5/P6) and 24-bit BI_RGB BMP are
-plain headers over raw pixel bytes, decodable with numpy alone — which
-makes the Arrow-batched decode → feature-extract → resize → re-encode
-path REAL end to end for those formats: actual pixel arrays flow through
+This container has no PIL/libav, so lossy codecs (JPEG) stay behind the
+documented stub; but netpbm (P5/P6) and 24-bit BI_RGB BMP are plain
+headers over raw pixel bytes, and 8-bit PNG is zlib (in the stdlib) plus
+the five scanline filters — all decodable with numpy alone — which makes
+the Arrow-batched decode → feature-extract → resize → re-encode path
+REAL end to end for those formats: actual pixel arrays flow through
 ``mapInPandas``, not fakes. A deployment with PIL swaps
 :func:`decode_image`'s fallback branch; every shape/packing contract
 here stays identical.
@@ -131,14 +132,196 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+# ------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying each CRC32."""
+    import zlib
+
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        length = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[i + 8 + length:i + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        i += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over one pixel's
+    samples; inputs/outputs are int32."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy PNG decode: zlib-inflate the IDAT stream and invert the
+    five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
+
+    Supports bit depth 8, interlace 0 (non-interlaced), color types
+    0 (gray → (H, W)), 2 (RGB → (H, W, 3)), 3 (palette → (H, W, 3) via
+    PLTE lookup), 4 (gray+alpha → (H, W, 2)) and 6 (RGBA → (H, W, 4)).
+    Sub rows invert via a per-channel modular cumsum; Average/Paeth rows
+    carry a true left-to-right dependency and walk pixels (vectorized
+    across samples) — fine for the metadata-image scale this pipeline
+    decodes inline; a PIL deployment swaps :func:`decode_image`."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_n, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / compression {comp} / interlace "
+            f"{interlace} not supported (8-bit non-interlaced only)")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_n}")
+    ch = _PNG_CHANNELS[ctype_n]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster is {len(raw)} bytes, expected {h * (stride + 1)}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    scan = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft, r = int(ftypes[y]), scan[y]
+        if ft == 0:
+            rec = r.copy()
+        elif ft == 1:  # Sub: modular prefix-sum per channel offset
+            rec = r.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            rec = (r + prev) % 256
+        elif ft == 3:  # Average — left dependency: walk pixels
+            rec = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            rp, pp = r.reshape(w, ch), prev.reshape(w, ch)
+            ro = rec.reshape(w, ch)
+            for x in range(w):
+                left = (rp[x] + ((left + pp[x]) >> 1)) % 256
+                ro[x] = left
+        elif ft == 4:  # Paeth — left/up-left dependency: walk pixels
+            rec = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            rp, pp = r.reshape(w, ch), prev.reshape(w, ch)
+            ro = rec.reshape(w, ch)
+            for x in range(w):
+                left = (rp[x] + _paeth(left, pp[x], upleft)) % 256
+                upleft = pp[x]
+                ro[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+        out[y] = rec
+        prev = rec
+    arr = out.astype(np.uint8)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[arr.reshape(h, w)].copy()
+    if ch == 1:
+        return arr.reshape(h, w)
+    return arr.reshape(h, w, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
+    """Encode (H, W) gray, (H, W, 2) gray+alpha, (H, W, 3) RGB or
+    (H, W, 4) RGBA uint8 as an 8-bit non-interlaced PNG.
+
+    ``filters``: ``"none"`` emits filter-0 rows; ``"cycle"`` (default)
+    cycles row filters None→Sub→Up→Average→Paeth so a round-trip
+    exercises every unfilter path in :func:`decode_png` — the forward
+    filters here are written from the spec independently of the inverse,
+    making encode→decode a genuine two-sided check."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype_n, ch = 0, 1
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        ctype_n, ch = {2: 4, 3: 2, 4: 6}[a.shape[2]], a.shape[2]
+    else:
+        raise ValueError(f"expected (H,W[,2|3|4]) uint8, got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    px = a.reshape(h, w, ch).astype(np.int32)
+    raster = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        cur = px[y]
+        ft = 0 if filters == "none" else y % 5
+        left = np.zeros((w, ch), dtype=np.int32)
+        left[1:] = cur[:-1]
+        upleft = np.zeros((w, ch), dtype=np.int32)
+        upleft[1:] = prev[:-1]
+        if ft == 0:
+            raw = cur
+        elif ft == 1:
+            raw = (cur - left) % 256
+        elif ft == 2:
+            raw = (cur - prev) % 256
+        elif ft == 3:
+            raw = (cur - ((left + prev) >> 1)) % 256
+        else:
+            raw = (cur - _paeth(left, prev, upleft)) % 256
+        raster.append(ft)
+        raster += raw.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype_n, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+            + _png_chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode: netpbm and 24-bit BMP decode for real; anything
-    else (JPEG/PNG/...) raises NotImplementedError — the documented stub
-    boundary a PIL-equipped deployment replaces."""
+    """Sniff-and-decode: netpbm, 24-bit BMP and 8-bit PNG decode for
+    real; anything else (JPEG/...) raises NotImplementedError — the
+    documented stub boundary a PIL-equipped deployment replaces."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {payload[:2]!r}; compressed "
         "codecs need an image library not present in this environment")

@@ -152,6 +152,45 @@ def attach_synthetic_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-image payloads with stdlib zlib only: one 8-bit
+    RGB PNG per row, a GRADIENT image pixel(x, y) = base + x + y per
+    channel with base = (7·id, 13·id, 29·id) mod 100 and dims =
+    (id mod 16 + 1, id mod 12 + 1) — values stay < 256, so channel means
+    are closed-form (base + (w−1)/2 + (h−1)/2) for a SQL oracle while the
+    non-constant raster forces every scanline filter (the encoder cycles
+    None→Sub→Up→Average→Paeth per row) through
+    :func:`..functions.imagecodec.decode_png`'s real inverse."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_png(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.imagecodec import encode_png
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 16 + 1, i % 12 + 1
+            base = np.array([i * 7 % 100, i * 13 % 100, i * 29 % 100])
+            img = (base[None, None, :]
+                   + np.arange(w)[None, :, None]
+                   + np.arange(h)[:, None, None]).astype(np.uint8)
+            out.append(encode_png(img, filters="cycle"))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        (F.col(id_col) % 16 + 1).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_png(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
     """REAL decode → feature extraction over ``mapInPandas``: netpbm/BMP
     payloads are parsed into pixel arrays (:mod:`..functions.imagecodec`)

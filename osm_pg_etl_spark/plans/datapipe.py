@@ -1390,6 +1390,47 @@ FROM documents
 """
 
 
+def q_media_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (r8): every doc_id becomes a genuine
+    8-bit RGB PNG — zlib-deflated IDAT, row filters cycling through all
+    five PNG scanline filters — of a GRADIENT image, and
+    extract_image_features inflates + unfilters it with the pure-numpy
+    decoder (functions/imagecodec.py:decode_png) inside mapInPandas. The
+    payload is non-constant (pixel = base + x + y, bounded < 256), so a
+    hash match proves Sub/Up/Average/Paeth inversion reproduced every
+    pixel: the oracle predicts the means in closed form
+    (base + (w−1)/2 + (h−1)/2). JPEG remains the stub boundary."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_png(docs.select("doc_id"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_r", 6).alias("mean_r"),
+                        F.round("mean_g", 6).alias("mean_g"),
+                        F.round("mean_b", 6).alias("mean_b"),
+                        F.round("luma", 6).alias("luma"))
+
+
+SQL_MEDIA_IMAGE_FEATURES_PNG = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 12 + 1 AS INT) AS height,
+       ROUND(CAST(doc_id * 7 % 100 AS DOUBLE)
+             + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_r,
+       ROUND(CAST(doc_id * 13 % 100 AS DOUBLE)
+             + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_g,
+       ROUND(CAST(doc_id * 29 % 100 AS DOUBLE)
+             + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_b,
+       ROUND(0.299 * (CAST(doc_id * 7 % 100 AS DOUBLE)
+                      + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0)
+             + 0.587 * (CAST(doc_id * 13 % 100 AS DOUBLE)
+                        + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0)
+             + 0.114 * (CAST(doc_id * 29 % 100 AS DOUBLE)
+                        + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0),
+             6) AS luma
+FROM documents
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow-batched pipeline: every
     doc_id becomes a genuine PCM WAV square wave (attach_synthetic_wav)
@@ -1656,6 +1697,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
+    "media_image_features_png": q_media_image_features_png,
     "media_audio_features": q_media_audio_features,
     "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
@@ -1703,6 +1745,7 @@ ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
+    "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),

@@ -125,13 +125,62 @@ def test_codec_bmp_padding_and_channel_order():
     assert (decode_image(_hand_bmp(pix)) == pix).all()
 
 
-def test_codec_rejects_compressed_formats_loudly():
+def test_codec_rejects_lossy_formats_loudly():
     import pytest as _pytest
 
     from osm_pg_etl_spark.functions.imagecodec import decode_image
 
     with _pytest.raises(NotImplementedError, match="image library"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG stays stubbed
+
+
+def test_codec_png_roundtrip_every_filter_and_colortype():
+    """encode_png's forward filters are written independently of
+    decode_png's inverses — a cycle-filtered round trip checks all five
+    (None/Sub/Up/Average/Paeth) on gray, gray+alpha, RGB and RGBA."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import (
+        decode_image, decode_png, encode_png)
+
+    rng = np.random.default_rng(8)
+    for shape in [(1, 1), (6, 9), (12, 16, 3), (5, 4, 4), (3, 7, 2)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for mode in ("none", "cycle"):
+            got = decode_png(encode_png(a, filters=mode))
+            assert got.shape == a.shape and (got == a).all(), (shape, mode)
+    # the sniffing entry point routes PNG magic to the real decoder
+    a = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert (decode_image(encode_png(a)) == a).all()
+
+
+def test_codec_png_palette_and_crc():
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.imagecodec import (
+        _png_chunk, _PNG_SIG, decode_png)
+
+    # hand-built 2x2 palette image: indices [[0,1],[1,0]]
+    pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+    raster = bytes([0, 0, 1]) + bytes([0, 1, 0])  # filter-0 rows
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal)
+           + _png_chunk(b"IDAT", zlib.compress(raster))
+           + _png_chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert (got == np.array([[[255, 0, 0], [0, 0, 255]],
+                             [[0, 0, 255], [255, 0, 0]]])).all()
+
+    # flip one IDAT byte -> CRC check must fire
+    i = png.index(b"IDAT")
+    bad = png[:i + 5] + bytes([png[i + 5] ^ 0xFF]) + png[i + 6:]
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
 
 
 def test_resize_nearest_pixel_center_mapping():
