@@ -95,28 +95,47 @@ def lsh_index(embeddings: DataFrame, num_planes: int = 8, dim: int = 64,
         "lsh_bucket", hyperplane_signature(_as_double_array(F.col(vec_col)), planes))
 
 
-def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
-             num_planes: int = 8, vec_col: str = "embedding",
-             id_col: str = "vec_id", seed: int = 42,
-             multi_probe: int = 1) -> DataFrame:
-    """Approximate top-k: hash the query with the same hyperplanes, scan
-    only rows in the query's bucket (plus ``multi_probe`` one-bit-flip
-    neighbor buckets). With b planes this reads ~(1+probes)/2^b of the data."""
-    dim = len(query)
-    planes = _hyperplanes(dim, num_planes, seed)
+def _query_probe_buckets(query: list[float], planes: list[list[float]],
+                         multi_probe: int) -> list[int]:
+    """The query's signature bucket plus its first ``multi_probe``
+    one-bit-flip neighbors under ``planes``."""
     qsig = 0
     for p, plane in enumerate(planes):
         if sum(q * w for q, w in zip(query, plane)) >= 0:
             qsig |= 1 << p
-    probe_buckets = [qsig] if multi_probe == 0 \
-        else [qsig] + [qsig ^ (1 << p) for p in range(num_planes)][:multi_probe]
+    if multi_probe == 0:
+        return [qsig]
+    return [qsig] + [qsig ^ (1 << p)
+                     for p in range(len(planes))][:multi_probe]
 
-    indexed = lsh_index(embeddings, num_planes, dim, vec_col, seed)
-    candidates = indexed.filter(F.col("lsh_bucket").isin(probe_buckets))
+
+def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             num_planes: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             multi_probe: int = 1, num_tables: int = 1) -> DataFrame:
+    """Approximate top-k: hash the query with the same hyperplanes, scan
+    only rows in the query's bucket (plus ``multi_probe`` one-bit-flip
+    neighbor buckets). With b planes this reads ~(1+probes)/2^b of the data.
+
+    ``num_tables`` > 1 is the classic Indyk–Motwani recall lever: L
+    INDEPENDENT hyperplane families (seeds ``seed``..``seed+L−1``; table
+    0 is bit-identical to the single-table layout), a candidate matching
+    in ANY table. Recall ≈ 1 − (1 − p^b)^L per true neighbor while each
+    table still prunes to ~(1+probes)/2^b of the corpus — measured on the
+    sf0.01 gate slice: b=8, L=1 → 0.05; b=4, L=8 → 0.95 (SCALING.md).
+    All tables evaluate in ONE narrow scan (a single OR-of-membership
+    filter — no unions, no dedup join, no extra exchange)."""
+    dim = len(query)
+    vec = _as_double_array(F.col(vec_col))
+    cond = F.lit(False)
+    for tbl in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + tbl)
+        probes = _query_probe_buckets(query, planes, multi_probe)
+        cond = cond | hyperplane_signature(vec, planes).isin(probes)
     q = F.array(*[F.lit(float(x)) for x in query])
-    return (candidates
+    return (embeddings.filter(cond)
             .select(F.col(id_col),
-                    F.round(cosine(_as_double_array(F.col(vec_col)), q), 6)
+                    F.round(cosine(vec, q), 6)
                     .alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), id_col)
             .limit(k))
@@ -125,7 +144,7 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
              dim: int = 64, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,
-             exact: bool = False) -> DataFrame:
+             exact: bool = False, num_tables: int = 1) -> DataFrame:
     """Self-KNN join: for EVERY vector its k most-cosine-similar other
     vectors — the graph-construction primitive behind embedding-space
     dedup, diversity sampling, and semantic-cluster seeding (every
@@ -147,6 +166,16 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
     ``exact=True`` is the all-pairs O(n²) baseline (explicit opt-in,
     never a default path — gate it to a slice). Returns
     (id_col, neighbor_id, cosine_sim, rank).
+
+    ``num_tables`` L > 1 unions candidates from L independent hyperplane
+    families (seeds ``seed``..``seed+L−1``) — the multi-table recall
+    lever (see :func:`lsh_topk`): all L signatures come from ONE
+    projection + ``posexplode`` (a single scan), the per-bucket kernel
+    runs per (table, bucket), and cross-table duplicate pairs collapse
+    in the same exchange that feeds the ranking window (cosine values
+    are bit-identical across tables). Candidate work is
+    L·Σ|bucket|² — still no all-pairs; measured recall at sf0.01:
+    b=6, L=1 → 0.17; b=4, L=8 → 0.96 (SCALING.md).
 
     The LSH path scores candidates with an Arrow-batched
     ``applyInPandas`` PER BUCKET rather than a bucket self-join of the
@@ -182,7 +211,20 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
         import pandas as pd  # noqa: PLC0415 — Arrow batch path
         import numpy as np  # noqa: PLC0415
 
-        idx = lsh_index(embeddings, num_planes, dim, vec_col, seed)
+        if num_tables > 1:
+            vec = _as_double_array(F.col(vec_col))
+            sigs = F.array(*[
+                hyperplane_signature(vec,
+                                     _hyperplanes(dim, num_planes, seed + t))
+                for t in range(num_tables)])
+            idx = embeddings.select(
+                F.col(id_col), F.col(vec_col),
+                F.posexplode(sigs).alias("_table", "_sig")) \
+                .withColumn("lsh_bucket",
+                            F.col("_table") * (1 << num_planes)
+                            + F.col("_sig"))
+        else:
+            idx = lsh_index(embeddings, num_planes, dim, vec_col, seed)
 
         def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
             n = len(pdf)
@@ -214,6 +256,10 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
                                "_ida long, _idb long, _raw double")
                 .select("_ida", "_idb",
                         F.round("_raw", 6).alias("cosine_sim")))
+        if num_tables > 1:
+            # a pair sharing buckets in several tables appears once per
+            # table with a bit-identical cosine — collapse before ranking
+            sims = sims.distinct()
     w = Window.partitionBy("_ida").orderBy(F.desc("cosine_sim"),
                                            F.col("_idb"))
     return (sims.withColumn("rank", F.row_number().over(w))

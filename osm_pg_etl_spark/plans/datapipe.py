@@ -276,25 +276,35 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, query, k=20, num_planes=8, multi_probe=2)
 
 
-def _sql_lsh_topk(dim: int = 64, num_planes: int = 8, k: int = 20,
-                  multi_probe: int = 2) -> str:
+def _sig_sql(col: str, dim: int, num_planes: int, seed: int) -> str:
+    """Hyperplane-signature SQL over a DOUBLE[] column — mirrors
+    operators.similarity.hyperplane_signature for table ``seed``."""
     from ..operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, num_planes, seed=42)
-    plane_lits = [("[" + ", ".join(repr(x) for x in p) + "]") for p in planes]
-    sig = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, lit in enumerate(plane_lits))
-    qsig = " + ".join(
-        f"(CASE WHEN list_dot_product(qv, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, lit in enumerate(plane_lits))
-    probes = ", ".join(["qs"] + [f"xor(qs, {1 << p})" for p in range(multi_probe)])
+    planes = _hyperplanes(dim, num_planes, seed=seed)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({col}, "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+
+
+def _sql_lsh_topk(dim: int = 64, num_planes: int = 8, k: int = 20,
+                  multi_probe: int = 2, num_tables: int = 1) -> str:
+    qcols = ", ".join(
+        f"CAST({_sig_sql('qv', dim, num_planes, 42 + t)} AS BIGINT) AS qs{t}"
+        for t in range(num_tables))
+    conds = " OR ".join(
+        "CAST({s} AS BIGINT) IN ({probes})".format(
+            s=_sig_sql("v", dim, num_planes, 42 + t),
+            probes=", ".join([f"qs{t}"] + [f"xor(qs{t}, {1 << p})"
+                                           for p in range(multi_probe)]))
+        for t in range(num_tables))
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-qb AS (SELECT CAST({qsig} AS BIGINT) AS qs, qv FROM q),
+qb AS (SELECT {qcols}, qv FROM q),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sig AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS s FROM e),
-cand AS (SELECT vec_id, v, qv FROM sig, qb WHERE s IN ({probes}))
+cand AS (SELECT vec_id, v, qv FROM e, qb WHERE {conds})
 SELECT vec_id, ROUND({_COS_SQL}, 6) AS cosine_sim
 FROM cand
 ORDER BY cosine_sim DESC, vec_id
@@ -322,22 +332,23 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_knn_join(dim: int = 64, num_planes: int = _KNN_PLANES,
-                  k: int = _KNN_K) -> str:
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, num_planes, seed=42)
-    plane_lits = [("[" + ", ".join(repr(x) for x in p) + "]")
-                  for p in planes]
-    sig = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, lit in enumerate(plane_lits))
+                  k: int = _KNN_K, where: str = "",
+                  num_tables: int = 1) -> str:
+    sig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS tbl, "
+        f"CAST({_sig_sql('v', dim, num_planes, 42 + t)} AS BIGINT) AS s "
+        f"FROM e"
+        for t in range(num_tables))
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sig AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS s FROM e),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           {where}),
+sig AS (
+{sig_union}),
 cand AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          ROUND({_COS_AB_SQL}, 6) AS cosine_sim
-  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id != b.vec_id),
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.s = b.s AND a.vec_id != b.vec_id),
 ranked AS (
   SELECT vec_id, neighbor_id, cosine_sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -371,6 +382,116 @@ ranked AS (
   FROM cand)
 SELECT vec_id, neighbor_id, cosine_sim, rank
 FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY of every approximate-ANN path, measured against
+    its exact baseline and emitted as data (VERDICT r7 #3: the ANN gates
+    were determinism-checked but their recall was unmeasured):
+
+    - ``lsh_topk`` / ``ivf_topk``: recall@20 of the approximate top-20
+      vs the brute-force top-20 for the gated query vector;
+    - ``knn_join``: pairwise recall of the LSH-bucketed self-KNN vs the
+      exact all-pairs KNN on the deterministic 1/5 slice (the same slice
+      ``knn_join_exact`` gates) — |approx ∩ exact| / |exact| over
+      (vec_id, neighbor_id) pairs.
+
+    Each approximate method is measured in TWO configurations — the
+    shipped single-table gate default (documenting what the other gates
+    actually deliver on this near-random corpus) and the multi-table
+    tuned one (the Indyk–Motwani L-tables lever, ``num_tables``) — so
+    the recall-vs-candidate-work trade-off is itself regression-gated.
+
+    Everything is deterministic (fixed hyperplanes, lowest-id centroid
+    init, rounded-cosine/vec_id tiebreaks), so the oracle recomputes both
+    sides and the SAME recall — the quality number itself is hash-gated,
+    not just eyeballed. Scalar totals meet via 1-row crossJoins; recall
+    vs num_planes/num_tables trade-off is recorded in SCALING.md."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    emb_slice = emb.filter(F.col("vec_id") % 5 == 0)
+    knn_ex = similarity.knn_join(emb_slice, k=_KNN_K, exact=True) \
+        .select("vec_id", "neighbor_id")
+
+    def knn(planes: int, tables: int) -> DataFrame:
+        return similarity.knn_join(emb_slice, k=_KNN_K, num_planes=planes,
+                                   num_tables=tables) \
+            .select("vec_id", "neighbor_id")
+
+    def lsh(planes: int, tables: int) -> DataFrame:
+        return similarity.lsh_topk(emb, query, k=20, num_planes=planes,
+                                   multi_probe=2, num_tables=tables) \
+            .select("vec_id")
+
+    cases = [
+        ("ivf_topk", "c=16 probe=4",
+         q_similarity_ivf_topk(spark, sf_dir).select("vec_id"),
+         exact, ["vec_id"]),
+        ("knn_join", f"b={_KNN_PLANES} L=1", knn(_KNN_PLANES, 1),
+         knn_ex, ["vec_id", "neighbor_id"]),
+        ("knn_join", "b=3 L=8", knn(3, 8),
+         knn_ex, ["vec_id", "neighbor_id"]),
+        ("lsh_topk", "b=8 L=1 probe=2", lsh(8, 1), exact, ["vec_id"]),
+        ("lsh_topk", "b=4 L=12 probe=2", lsh(4, 12), exact, ["vec_id"]),
+    ]
+    outs = []
+    for method, cfg, approx, ex, keys in cases:
+        hits = (approx.join(ex, keys, "left_semi")
+                .agg(F.count(F.lit(1)).alias("hits")))
+        total = ex.agg(F.count(F.lit(1)).alias("total"))
+        outs.append(hits.crossJoin(total).select(
+            F.lit(method).alias("method"),
+            F.lit(cfg).alias("cfg"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_ann_recall() -> str:
+    knn_pair_hits = """
+         (SELECT COUNT(*) FROM {ap} a
+          WHERE EXISTS (SELECT 1 FROM kex x
+                        WHERE x.vec_id = a.vec_id
+                          AND x.neighbor_id = a.neighbor_id)),
+         (SELECT COUNT(*) FROM kex)"""
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({SQL_SIMILARITY_TOPK}) t),
+lsh1 AS (SELECT vec_id FROM ({_sql_lsh_topk(num_planes=8, num_tables=1)}) t),
+lshL AS (SELECT vec_id FROM ({_sql_lsh_topk(num_planes=4, num_tables=12)}) t),
+ivf AS (SELECT vec_id FROM ({_sql_ivf_topk()}) t),
+kex AS (SELECT vec_id, neighbor_id FROM ({SQL_KNN_JOIN_EXACT}) t),
+kap1 AS (SELECT vec_id, neighbor_id
+         FROM ({_sql_knn_join(where="WHERE vec_id % 5 = 0")}) t),
+kapL AS (SELECT vec_id, neighbor_id
+         FROM ({_sql_knn_join(num_planes=3, num_tables=8,
+                              where="WHERE vec_id % 5 = 0")}) t),
+m AS (
+  SELECT 'ivf_topk' AS method, 'c=16 probe=4' AS cfg,
+         (SELECT COUNT(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact)) AS hits,
+         (SELECT COUNT(*) FROM exact) AS total
+  UNION ALL
+  SELECT 'knn_join', 'b={_KNN_PLANES} L=1',{knn_pair_hits.format(ap='kap1')}
+  UNION ALL
+  SELECT 'knn_join', 'b=3 L=8',{knn_pair_hits.format(ap='kapL')}
+  UNION ALL
+  SELECT 'lsh_topk', 'b=8 L=1 probe=2',
+         (SELECT COUNT(*) FROM lsh1 WHERE vec_id IN (SELECT vec_id FROM exact)),
+         (SELECT COUNT(*) FROM exact)
+  UNION ALL
+  SELECT 'lsh_topk', 'b=4 L=12 probe=2',
+         (SELECT COUNT(*) FROM lshL WHERE vec_id IN (SELECT vec_id FROM exact)),
+         (SELECT COUNT(*) FROM exact))
+SELECT method, cfg, CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS total,
+       ROUND(CAST(hits AS DOUBLE) / total, 6) AS recall
+FROM m
 """
 
 
@@ -1673,6 +1794,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "knn_join": q_knn_join,
     "knn_join_exact": q_knn_join_exact,
+    "ann_recall": q_ann_recall,
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
@@ -1718,6 +1840,7 @@ ORACLES = {
     "similarity_ivf_topk": _sql_ivf_topk(),
     "knn_join": _sql_knn_join(),
     "knn_join_exact": SQL_KNN_JOIN_EXACT,
+    "ann_recall": _sql_ann_recall(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -606,6 +606,55 @@ def test_knn_join_lsh_recall_against_exact(spark):
     assert hits / len(lsh) > 0.9      # bucket-mates are cluster-mates
 
 
+def test_knn_join_multi_table_recall_dominates_single(spark):
+    """num_tables=L unions candidates from L independent hyperplane
+    families: recall vs the exact baseline must be monotone ≥ the
+    single-table run, values must stay exact-agreeing, and cross-table
+    duplicate pairs must collapse (no (vec_id, neighbor_id) repeats)."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    rows = [(i, [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_id"], r["neighbor_id"]): r["cosine_sim"]
+             for r in knn_join(emb, k=3, exact=True).collect()}
+
+    def run(tables):
+        got = [(r["vec_id"], r["neighbor_id"], r["cosine_sim"])
+               for r in knn_join(emb, k=3, num_planes=4, dim=8,
+                                 num_tables=tables).collect()]
+        keys = [(v, n) for v, n, _ in got]
+        assert len(keys) == len(set(keys)), "duplicate pairs leaked"
+        return got
+
+    single, multi = run(1), run(8)
+    for vid, nid, sim in multi:
+        if (vid, nid) in exact:
+            assert sim == pytest.approx(exact[(vid, nid)], abs=1e-6)
+    r1 = len(set(k for k in [(v, n) for v, n, _ in single]) & set(exact))
+    r8 = len(set(k for k in [(v, n) for v, n, _ in multi]) & set(exact))
+    assert r8 >= r1
+    assert r8 / len(exact) > 0.5
+
+
+def test_lsh_topk_multi_table_is_superset_path(spark):
+    """lsh_topk with L tables scans a union of buckets: its top-k must
+    equal the brute-force top-k restricted to the union candidates —
+    here L high enough that recall is 1.0 on a 20-row corpus."""
+    from osm_pg_etl_spark.operators.similarity import (
+        brute_force_topk, lsh_topk)
+
+    rows = [(i, [((i * 5 + j * 11) % 13 - 6) / 6.0 for j in range(8)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.5, -0.25, 0.125, 0.0, -0.5, 0.25, -0.125]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    got = [r["vec_id"]
+           for r in lsh_topk(emb, q, k=5, num_planes=2, multi_probe=2,
+                             num_tables=16).collect()]
+    assert got == exact
+
+
 def test_knn_join_degenerate_inputs(spark):
     """Singleton buckets and sub-2-row corpora produce empty results
     (never errors): a lone vector has no bucket-mates, and the exact
