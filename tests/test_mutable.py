@@ -224,3 +224,39 @@ def test_snapshot_changes_tracked_columns(spark, tmp_path):
         tab.snapshot_changes(0, columns=["nope"])
     with pytest.raises(ValueError, match="tracked columns"):
         tab.snapshot_changes(0, columns=["id"])  # the key is not a value col
+
+
+def test_sustained_cdc_file_growth_bounded_by_compact_vacuum(table, spark):
+    """Sustained CDC (VERDICT r6 #6 done-criterion): under N merge
+    cycles with periodic compact()+vacuum(retain_last=2), (a) every
+    retained snapshot stays readable until vacuumed — including older
+    owner versions a retained manifest still references — (b) vacuumed
+    snapshots raise, and (c) the number of version directories on disk
+    stays bounded by a constant instead of growing with N."""
+    data_dir = os.path.join(table.path, "data")
+    max_dirs = 0
+    for cycle in range(9):
+        src = spark.createDataFrame(
+            [(cycle * 3 + j, f"c{cycle}", float(cycle)) for j in range(3)],
+            "id long, name string, amount double")
+        table.merge(src)
+        if cycle % 3 == 2:
+            pre_compact_version = table.latest_version()
+            pre_rows = rows(table.read())
+            table.compact()
+            # retained manifests: the compacted version + its predecessor
+            table.vacuum(retain_last=2)
+            # (a) both retained snapshots readable, identical content
+            assert rows(table.read()) == pre_rows
+            assert rows(table.read(pre_compact_version)) == pre_rows
+            # (b) anything older is gone
+            with pytest.raises(FileNotFoundError):
+                table.read(pre_compact_version - 1)
+        max_dirs = max(max_dirs, len(os.listdir(data_dir)))
+    # (c) 9 merge cycles never held more than one compaction window of
+    # version dirs (pre-compact base + 3 merges + compact + survivor of
+    # retain_last=2) — a constant, not a function of cycle count
+    assert max_dirs <= 6, max_dirs
+    got = rows(table.read())
+    assert len(got) == 100                 # merged ids 0..26 are upserts
+    assert got[24] == ("c8", 8.0)          # last cycle's upsert visible
