@@ -304,13 +304,15 @@ def run_knn(k: int) -> None:
     spark.catalog.clearCache()
 
 
-def run_ivm(k: int) -> None:
+def run_ivm(k: int, del_mod: int = 101, trunc_mod: int = 103) -> None:
     """Merged-network IVM payoff on K replicas of sf0.1: with the old
     state pre-materialized (the IVM premise), time absorbing the
     deterministic CDC batch (delete id%101 ways, truncate id%103 ways)
-    incrementally vs full recompute. The batch touches ~2% of ways, so
-    the gap is the point of the operator; both paths are counted to the
-    same row totals as a correctness cross-check."""
+    incrementally vs full recompute. The default mods touch ~2% of ways
+    (`ivm_blast` passes 11/13 for a ~10x larger batch, measuring how the
+    blast radius and the incremental/full gap behave when the changeset
+    stops being point-like); both paths are counted to the same row
+    totals as a correctness cross-check."""
     from pyspark.sql import functions as F  # noqa: F811
 
     from osm_pg_etl_spark.operators.network import car_network
@@ -333,9 +335,9 @@ def run_ivm(k: int) -> None:
                   .groupBy("node_id").agg(F.count(F.lit(1)).alias("count"))
                   .localCheckpoint())
 
-    mod_ls = (F.col("id") % 103 == 0) & (F.size("linestring") > 2)
-    mod_nd = (F.col("id") % 103 == 0) & (F.size("nodes") > 2)
-    new_ways = (ways.filter(F.col("id") % 101 != 0)
+    mod_ls = (F.col("id") % trunc_mod == 0) & (F.size("linestring") > 2)
+    mod_nd = (F.col("id") % trunc_mod == 0) & (F.size("nodes") > 2)
+    new_ways = (ways.filter(F.col("id") % del_mod != 0)
                 .withColumn("linestring", F.when(mod_ls, F.expr(
                     "slice(linestring, 1, size(linestring) - 1)"))
                     .otherwise(F.col("linestring")))
@@ -344,8 +346,8 @@ def run_ivm(k: int) -> None:
                     .otherwise(F.col("nodes")))
                 .localCheckpoint())
     new_way_nodes = unnest_way_nodes(new_ways).localCheckpoint()
-    changed = (ways.filter((F.col("id") % 101 == 0)
-                           | (F.col("id") % 103 == 0))
+    changed = (ways.filter((F.col("id") % del_mod == 0)
+                           | (F.col("id") % trunc_mod == 0))
                .select(F.col("id").alias("way_id")).localCheckpoint())
     new_cn = car_network(new_ways).localCheckpoint()
 
@@ -373,6 +375,57 @@ def run_ivm(k: int) -> None:
           f"({100.0 * n_aff / n_ways:4.1f}%)  "
           f"full={t_full:6.1f}s  incremental={t_inc:6.1f}s (local "
           f"job-floor-bound both)", flush=True)
+    spark.catalog.clearCache()
+
+
+def run_turns(k: int) -> None:
+    """Turn-restricted routing growth on K key-offset replicas of the
+    sf0.1 car graph (VERDICT r7 #7): the line graph grows with Σ
+    out-degree² at shared nodes, the restriction parse with the derived
+    relation count — both measured here alongside the Bellman-Ford
+    round count, which is diameter-bound and must stay FLAT under
+    replication (replicas are disjoint regions; the source's region has
+    the same diameter at any K)."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        line_graph_transitions, turn_restricted_distances)
+    from osm_pg_etl_spark.operators.relations import (
+        turn_restrictions_from_relations)
+    from osm_pg_etl_spark.plans.osm_derived import (
+        derive_restriction_relations)
+
+    spark = get_spark(app_name=f"turns-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+    d = derive_osm_from(part, li)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged).localCheckpoint()
+    n_edges = directed.count()
+
+    t0 = time.perf_counter()
+    rels, members = derive_restriction_relations(directed)
+    restr = turn_restrictions_from_relations(rels, members,
+                                             directed).localCheckpoint()
+    n_restr = restr.count()
+    t_parse = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_trans = line_graph_transitions(directed, restrictions=restr).count()
+    t_line = time.perf_counter() - t0
+
+    source = int(directed.agg(F.min("start_node")).collect()[0][0])
+    t0 = time.perf_counter()
+    sp, rounds = turn_restricted_distances(directed, source,
+                                           restrictions=restr,
+                                           return_rounds=True)
+    n_reach = sp.count()
+    t_route = time.perf_counter() - t0
+    print(f"k={k:>2}  edges={n_edges:>8}  restrictions={n_restr:>7} "
+          f"(parse={t_parse:5.1f}s)  transitions={n_trans:>9} "
+          f"(line={t_line:5.1f}s)  rounds={rounds:>3}  reached={n_reach:>6} "
+          f"route={t_route:6.1f}s", flush=True)
     spark.catalog.clearCache()
 
 
@@ -439,6 +492,12 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "sssp_radius":
         for a in sys.argv[2:] or ["2000"]:
             run_sssp_radius(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivm_blast":
+        for a in sys.argv[2:] or ["1"]:
+            run_ivm(int(a), del_mod=11, trunc_mod=13)
+    elif len(sys.argv) > 1 and sys.argv[1] == "turns":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_turns(int(a))
     elif len(sys.argv) > 1 and sys.argv[1] == "ivm":
         for a in sys.argv[2:] or ["1", "5"]:
             run_ivm(int(a))
