@@ -67,6 +67,9 @@ _HIGH_SCALE_ALLOW = {
     # float32-derived embedding components (24-bit mantissa, |x| <= ~1) and
     # every consumer rounds before comparison — cast flips cannot surface
     "similarity_ivf_topk",
+    # nests the similarity_ivf_topk oracle verbatim as a CTE (the recall
+    # measurement replays it) — same exception, same reasoning
+    "ann_recall",
 }
 
 
