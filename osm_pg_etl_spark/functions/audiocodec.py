@@ -43,11 +43,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     tag = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if tag == 7:  # G.711 μ-law: one byte per sample
+        lin = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+        return (lin.reshape(-1, channels).astype(np.float64) / 32768.0,
+                rate)
+    if tag == 0x11:  # IMA ADPCM (DVI4), mono
+        if channels != 1:
+            raise NotImplementedError(
+                "IMA ADPCM decode is mono-only without an audio library")
+        lin = adpcm_decode(data, block_align)
+        return lin[:, None].astype(np.float64) / 32768.0, rate
     if tag != 1:
         raise NotImplementedError(
-            f"only PCM WAV decodes without an audio library "
-            f"(format tag {tag})")
+            f"only PCM / μ-law / IMA-ADPCM WAV decodes without an audio "
+            f"library (format tag {tag})")
     width = bits // 8
     dtype = _WIDTH_DTYPE.get(width)
     if dtype is None or channels <= 0:
@@ -79,6 +90,166 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
            + rate.to_bytes(4, "little")
            + (rate * block).to_bytes(4, "little")
            + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# --------------------------------------------------- G.711 μ-law (tag 7)
+
+_ULAW_BIAS, _ULAW_CLIP = 0x84, 32635
+
+
+def ulaw_encode(linear: np.ndarray) -> np.ndarray:
+    """int16 linear → μ-law bytes (G.711, CCITT segment encoding),
+    vectorized."""
+    x = np.asarray(linear, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = highest set bit position above bit 7 (segments 0..7)
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1 == 1, np.maximum(exp, e), exp)
+    man = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | man) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(encoded: np.ndarray) -> np.ndarray:
+    """μ-law bytes → int16-range int32 linear (exact CCITT inverse),
+    vectorized."""
+    u = ~np.asarray(encoded, dtype=np.uint8) & 0xFF
+    exp = (u >> 4) & 0x07
+    man = u & 0x0F
+    mag = (((man.astype(np.int32) << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag)
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, ch) float in [-1, 1] → μ-law WAV (format tag 7)."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int32)
+    data = ulaw_encode(pcm.reshape(-1)).tobytes()
+    channels = a.shape[1]
+    fmt = (b"fmt " + (18).to_bytes(4, "little")
+           + (7).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * channels).to_bytes(4, "little")
+           + channels.to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + (0).to_bytes(2, "little"))   # cbSize = 0 (required, tag != 1)
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ------------------------------------------------ IMA ADPCM (tag 0x11)
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition (spec dequantizer): returns the
+    new (predictor, step index) after absorbing one 4-bit code."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM mono blocks → int32 linear samples. Each block:
+    2-byte predictor seed, 1-byte step index, 1 reserved byte, then
+    4-bit codes low-nibble-first — (block_align − 4)·2 + 1 samples.
+    Sequential by construction (each code updates the predictor);
+    payloads are per-row metadata audio, decoded inside the Arrow batch."""
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    out: list[int] = []
+    for off in range(0, len(data) - (len(data) % block_align), block_align):
+        pred = int.from_bytes(data[off:off + 2], "little", signed=True)
+        index = max(0, min(88, data[off + 2]))
+        out.append(pred)
+        for b in data[off + 4:off + block_align]:
+            for nib in (b & 0x0F, b >> 4):
+                pred, index = _adpcm_step(pred, index, nib)
+                out.append(pred)
+    return np.asarray(out, dtype=np.int32)
+
+
+def adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 mono linear → IMA ADPCM blocks (the standard quantizer:
+    greedy bit-by-bit against the current step). Forward path written
+    from the spec independently of :func:`adpcm_decode`'s inverse, so a
+    round trip is a two-sided check; last partial block zero-padded."""
+    pcm = np.asarray(samples, dtype=np.int32).reshape(-1)
+    per_block = (block_align - 4) * 2 + 1
+    out = bytearray()
+    index = 0
+    for off in range(0, len(pcm), per_block):
+        chunk = pcm[off:off + per_block]
+        pred = int(chunk[0])
+        if len(chunk) > 1:
+            # seed the step index near the block's first delta — avoids
+            # the slope-overload ramp a cold index=0 (step 7) causes on
+            # signals that move immediately (encoder-side choice only;
+            # the decoder reads whatever index the header carries)
+            d0 = abs(int(chunk[1]) - pred)
+            index = int(np.searchsorted(_ADPCM_STEPS, max(d0, 7)))
+            index = max(0, min(88, index))
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out.append(index)
+        out.append(0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _ADPCM_STEPS[index]
+            diff = int(s) - pred
+            code = 0x8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _adpcm_step(pred, index, code)
+            nibbles.append(code)
+        nibbles += [0] * ((per_block - 1) - len(nibbles))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int,
+                     block_align: int = 256) -> bytes:
+    """(n,) float in [-1, 1] → mono IMA ADPCM WAV (format tag 0x11)."""
+    a = np.asarray(samples, dtype=np.float64).reshape(-1)
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int32)
+    data = adpcm_encode(pcm, block_align)
+    per_block = (block_align - 4) * 2 + 1
+    fmt = (b"fmt " + (20).to_bytes(4, "little")
+           + (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block_align // per_block + 1).to_bytes(4, "little")
+           + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + (2).to_bytes(2, "little")          # cbSize
+           + per_block.to_bytes(2, "little"))   # samples per block
     body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 

@@ -278,34 +278,45 @@ AUDIO_FEATURE_SCHEMA = StructType([
 
 
 def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id",
-                         rate: int = 8000) -> DataFrame:
-    """REAL audio payloads without any media library: one PCM WAV per
-    row, a square wave whose amplitude (A = (id mod 9 + 1)/10),
-    half-period (H = id mod 4 + 1) and length (N = id mod 50 + 2H) are
-    pure functions of the id — so RMS/peak (= quantized A), duration and
+                         rate: int = 8000,
+                         codec: str = "pcm") -> DataFrame:
+    """REAL audio payloads without any media library: one WAV per row, a
+    square wave whose amplitude (A = (id mod 9 + 1)/10), half-period
+    (H = id mod 4 + 1) and length (N = id mod 50 + 2H) are pure
+    functions of the id — so RMS/peak (= quantized A), duration and
     zero-crossing rate (⌊(N−1)/H⌋ / (N−1)) all have closed forms a SQL
     oracle can predict, while the decode still parses genuine RIFF
-    chunks and de-interleaves real samples."""
+    chunks and de-interleaves real samples.
+
+    ``codec``: ``"pcm"`` (16-bit, format tag 1) or ``"ulaw"`` (G.711,
+    tag 7 — the compressed-telephony leg; amplitudes pass through the
+    μ-law quantizer, still closed-form because the 9 possible levels
+    round-trip deterministically)."""
     from pyspark.sql.functions import pandas_udf
+
+    if codec not in ("pcm", "ulaw"):
+        raise ValueError(f"codec must be pcm|ulaw, got {codec!r}")
 
     @pandas_udf(BinaryType())
     def make_wav(ids: pd.Series) -> pd.Series:
         import numpy as np
 
-        from ..functions.audiocodec import encode_wav
+        from ..functions.audiocodec import encode_wav, encode_wav_ulaw
 
+        enc = encode_wav if codec == "pcm" else encode_wav_ulaw
         out = []
         for i in ids:
             i = int(i)
             h, amp = i % 4 + 1, (i % 9 + 1) / 10.0
             n = i % 50 + 2 * h
             sign = ((np.arange(n) // h) % 2 == 0) * 2 - 1
-            out.append(encode_wav(amp * sign, rate))
+            out.append(enc(amp * sign, rate))
         return pd.Series(out)
 
     meta = F.struct(
         F.lit("audio").alias("kind"),
-        F.lit("audio/wav").alias("mime"),
+        F.lit("audio/wav" if codec == "pcm"
+              else "audio/basic").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         (((F.col(id_col) % 50 + 2 * (F.col(id_col) % 4 + 1)) * 1000)

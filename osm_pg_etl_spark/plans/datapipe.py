@@ -1588,6 +1588,56 @@ FROM p
 """
 
 
+def q_media_audio_features_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (r8): the same square-wave corpus as
+    media_audio_features but G.711 μ-law encoded (WAV format tag 7) —
+    extract_audio_features expands the companded bytes with the exact
+    CCITT inverse (functions/audiocodec.py:ulaw_decode) inside
+    mapInPandas. The oracle embeds the 9 possible amplitude levels'
+    μ-law round-trip values as literals (the quantizer is a pure integer
+    function precomputed at SQL-generation time), so a hash match proves
+    the segment/mantissa expansion reproduced every sample. MP3/AAC stay
+    the stub boundary."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_wav(docs.select("doc_id"),
+                                            codec="ulaw")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select("doc_id", "n_samples",
+                        F.round("duration_ms", 6).alias("duration_ms"),
+                        F.round("rms", 6).alias("rms"),
+                        F.round("peak", 6).alias("peak"),
+                        F.round("zcr", 6).alias("zcr"))
+
+
+def _sql_media_audio_features_ulaw() -> str:
+    import numpy as np
+
+    from ..functions.audiocodec import ulaw_decode, ulaw_encode
+
+    levels = []
+    for k in range(9):
+        q = int(np.round(32767 * (k + 1) / 10.0))
+        levels.append(int(ulaw_decode(ulaw_encode(np.array([q])))[0]))
+    case = ("CASE doc_id % 9 "
+            + " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(levels))
+            + " END")
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 + 1 AS h,
+         doc_id % 50 + 2 * (doc_id % 4 + 1) AS n,
+         {case} AS q
+  FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(n / 8.0, 6) AS duration_ms,
+       ROUND(q / 32768.0, 6) AS rms,
+       ROUND(q / 32768.0, 6) AS peak,
+       ROUND(FLOOR((n - 1) / h) / (n - 1.0), 6) AS zcr
+FROM p
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over fake video payloads: every document
     becomes a video with deterministic duration; sample_frames emits one
@@ -1820,6 +1870,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
     "media_image_features_png": q_media_image_features_png,
+    "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "media_audio_features": q_media_audio_features,
     "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
@@ -1869,6 +1920,7 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
+    "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),

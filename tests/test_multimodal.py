@@ -1,9 +1,9 @@
 """Multimodal plumbing: fake-media attach, resize, feature extraction,
 frame sampling (operators.multimodal) — plus the REAL pure-numpy codec
-leg (functions.imagecodec: netpbm/BMP decode, nearest resample, P6
-re-encode) exercised end to end through mapInPandas. Compressed codecs
-(JPEG/PNG) remain stubbed; their tests pin the schema / metadata / batch
-contracts around the stub."""
+legs (functions.imagecodec: netpbm/BMP/PNG; functions.audiocodec:
+PCM/μ-law/IMA-ADPCM WAV) exercised end to end through mapInPandas.
+Lossy codecs (JPEG, MP3/AAC) remain stubbed; their tests pin the
+schema / metadata / batch contracts around the stub."""
 
 from osm_pg_etl_spark.operators.multimodal import (
     attach_fake_media,
@@ -393,3 +393,63 @@ def test_codec_property_roundtrips():
 
     image_rt()
     wav_rt()
+
+
+def test_ulaw_codec_exact_inverse_and_wav_roundtrip():
+    """ulaw_decode is the exact CCITT inverse on all 256 code points
+    (decode∘encode∘decode = decode), companding error is bounded, and a
+    format-tag-7 WAV decodes through the sniffing decode_wav entry."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        decode_wav, encode_wav_ulaw, ulaw_decode, ulaw_encode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    lin = ulaw_decode(codes)
+    assert (ulaw_decode(ulaw_encode(lin)) == lin).all()
+    assert ulaw_decode(np.array([0xFF], dtype=np.uint8))[0] == 0
+    xs = np.arange(-32768, 32768, 7, dtype=np.int32)
+    err = np.abs(ulaw_decode(ulaw_encode(xs)) - np.clip(xs, -32635, 32635))
+    assert err.max() <= 1024  # half the top-segment step
+
+    sig = np.sin(np.arange(300) / 9.0) * 0.7
+    dec, rate = decode_wav(encode_wav_ulaw(sig, 8000))
+    assert rate == 8000 and dec.shape == (300, 1)
+    assert np.abs(dec[:, 0] - sig).max() < 0.02
+
+
+def test_adpcm_codec_tracks_signal_and_blocks():
+    """IMA ADPCM round trip: >25 dB SNR on a sine (the forward quantizer
+    is written independently of the decoder), constant signals track to
+    within one step, and multi-block payloads decode across block seams."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        adpcm_decode, adpcm_encode, decode_wav, encode_wav_adpcm)
+
+    sig = np.sin(np.arange(1200) / 7.0) * 0.6   # spans >2 blocks at 256
+    pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype(np.int32)
+    dec = adpcm_decode(adpcm_encode(pcm, 256), 256)[:len(pcm)]
+    snr = 10 * np.log10((pcm.astype(float) ** 2).mean()
+                        / ((dec - pcm) ** 2).mean())
+    assert snr > 25, snr
+
+    wav = encode_wav_adpcm(sig, 8000)
+    d, rate = decode_wav(wav)
+    assert rate == 8000
+    assert np.abs(d[:len(sig), 0] - sig).max() < 0.05
+
+    const, _ = decode_wav(encode_wav_adpcm(np.full(80, 0.25), 8000))
+    assert np.abs(const[:80, 0] - 0.25).max() < 0.01
+
+
+def test_wav_rejects_lossy_formats_loudly():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.audiocodec import decode_wav, encode_wav
+
+    wav = bytearray(encode_wav(np.zeros(4), 8000))
+    wav[20:22] = (85).to_bytes(2, "little")  # format tag 85 = MP3
+    with _pytest.raises(NotImplementedError, match="audio"):
+        decode_wav(bytes(wav))
