@@ -217,12 +217,14 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
     """REAL resize for decodable payloads: decode → nearest-neighbor
-    resample (pixel-center mapping) → P6 re-encode, preserving aspect
+    resample (pixel-center mapping) → re-encode, preserving aspect
     ratio; images already within ``max_px`` pass through untouched.
+    PNG inputs re-encode as PNG (format preserved — alpha channels
+    survive, which P6 cannot carry); everything else re-encodes as P6.
     Output schema matches the input contract so stages chain."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.imagecodec import (
-            decode_image, encode_ppm, resize_nearest)
+            _PNG_SIG, decode_image, encode_png, encode_ppm, resize_nearest)
 
         for pdf in it:
             contents, widths, heights, mimes = [], [], [], []
@@ -233,12 +235,17 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
                     s = max_px / max(w, h)
                     nw, nh = max(int(w * s), 1), max(int(h * s), 1)
                     arr = resize_nearest(arr, nw, nh)
-                    payload = encode_ppm(arr)
                     w, h = nw, nh
-                    # re-encoded as P6 — only now does the mime change;
+                    # re-encode in kind: PNG stays PNG; raw formats
+                    # re-encode as P6. Only re-encoded rows change mime;
                     # pass-through rows keep their original bytes AND
                     # their original mime (a BMP stays image/bmp).
-                    mime = "image/x-portable-pixmap"
+                    if bytes(payload[:8]) == _PNG_SIG:
+                        payload = encode_png(arr)
+                        mime = "image/png"
+                    else:
+                        payload = encode_ppm(arr)
+                        mime = "image/x-portable-pixmap"
                 else:
                     mime = m["mime"]
                 contents.append(payload)

@@ -453,3 +453,27 @@ def test_wav_rejects_lossy_formats_loudly():
     wav[20:22] = (85).to_bytes(2, "little")  # format tag 85 = MP3
     with _pytest.raises(NotImplementedError, match="audio"):
         decode_wav(bytes(wav))
+
+
+def test_resize_images_png_stays_png_with_alpha(spark):
+    """A large RGBA PNG resizes through the real decode→resample→PNG
+    re-encode path: mime stays image/png, the payload re-decodes, and
+    the alpha channel survives (P6 could not carry it)."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.imagecodec import decode_png, encode_png
+    from osm_pg_etl_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, (300, 200, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(big)),
+          {"kind": "image", "mime": "image/png", "width": 200,
+           "height": 300, "duration_ms": None})],
+        "doc_id long, content binary, media_meta struct<kind:string,"
+        "mime:string,width:int,height:int,duration_ms:int>")
+    out = resize_images(media, max_px=64).collect()[0]
+    assert out["media_meta"]["mime"] == "image/png"
+    assert out["media_meta"]["height"] == 64
+    arr = decode_png(bytes(out["content"]))
+    assert arr.shape == (64, 42, 4)          # aspect kept, alpha kept
