@@ -160,6 +160,53 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
             for kind, pattern in PII_PATTERNS}
 
 
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a URL for source-level dedup — the
+    normalization every web-crawl pipeline runs before grouping by URL
+    (a page fetched as ``HTTP://Host:80/a/?utm_source=x`` and
+    ``http://host/a`` is one document, not two):
+
+    - scheme and host lowercased; default ports (``:80`` http,
+      ``:443`` https) stripped;
+    - fragment dropped;
+    - path: trailing slashes trimmed (bare root stays ``/``);
+    - query: tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``), the rest sorted so parameter order never
+      splits a group; an emptied query drops its ``?``.
+
+    Pure JVM Column chain (regexp extracts + array ops, no UDF), with a
+    1:1 DuckDB translation in the ``url_canonical_dedup`` oracle — both
+    engines normalize byte-identically, so dedup groups hash-match."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*", "")                    # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
+    host = (F.when((scheme == "http") & host.endswith(":80"),
+                   F.substring(host, F.lit(1), F.length(host) - 3))
+            .when((scheme == "https") & host.endswith(":443"),
+                  F.substring(host, F.lit(1), F.length(host) - 4))
+            .otherwise(host))
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    def _tracking(p: Column) -> Column:
+        cond = F.lit(False)
+        for pre in _TRACKING_PREFIXES:
+            cond = cond | p.startswith(pre)
+        return cond
+
+    keep = F.array_sort(F.filter(F.split(query, "&"),
+                                 lambda p: (p != "") & ~_tracking(p)))
+    qtail = F.when(F.size(keep) > 0,
+                   F.concat(F.lit("?"), F.array_join(keep, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qtail)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, sort the
     distinct tokens, md5. Robust to reordering/duplication — the classic

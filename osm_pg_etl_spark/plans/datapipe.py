@@ -1638,6 +1638,95 @@ FROM p
 """
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level URL dedup (r8): every web-crawl pipeline's first
+    grouping key. Six deterministic mess styles per page — case-mangled
+    scheme/host, explicit default port, trailing slash, ``utm_``
+    tracking params, and reordered query params — are synthesized from
+    doc_id (page = doc_id // 6, variant = doc_id % 6) and collapsed by
+    ``operators.text.canonicalize_url`` (pure JVM Column chain: regexp
+    parts + filtered/sorted query params). Styles 0-4 collapse to one
+    canonical URL per page; style 5 keeps its (sorted) real params.
+    The oracle replays both the synthesis and the normalization 1:1 in
+    DuckDB, so the dedup groups are hash-gated byte-for-byte."""
+    from ..operators.text import canonicalize_url
+
+    docs = docs_t(spark, sf_dir)
+    b = (F.col("doc_id") / 6).cast("long")
+    base = F.concat(F.lit("example"), (b % 7).cast("string"),
+                    F.lit(".com/p/"), b.cast("string"))
+    url = (F.when(F.col("doc_id") % 6 == 0,
+                  F.concat(F.lit("https://"), base))
+           .when(F.col("doc_id") % 6 == 1,
+                 F.concat(F.lit("HTTPS://"), F.upper(base)))
+           .when(F.col("doc_id") % 6 == 2,
+                 F.concat(F.lit("https://example"), (b % 7).cast("string"),
+                          F.lit(".com:443/p/"), b.cast("string")))
+           .when(F.col("doc_id") % 6 == 3,
+                 F.concat(F.lit("https://"), base, F.lit("/")))
+           .when(F.col("doc_id") % 6 == 4,
+                 F.concat(F.lit("https://"), base,
+                          F.lit("?utm_source=x&utm_campaign=y")))
+           .otherwise(F.concat(F.lit("https://"), base,
+                               F.lit("?b=2&a=1"))))
+    return (docs.select("doc_id", canonicalize_url(url).alias("canonical"))
+            .groupBy(F.col("canonical").alias("canonical_url"))
+            .agg(F.count(F.lit(1)).alias("n_dupes"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+_SQL_URL_TRACKING = ("x <> '' AND NOT (starts_with(x, 'utm_') OR "
+                     "starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=') "
+                     "OR starts_with(x, 'msclkid=') OR starts_with(x, 'ref='))")
+
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH raw AS (
+  SELECT doc_id, doc_id // 6 AS b,
+         'example' || CAST((doc_id // 6) % 7 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id // 6 AS VARCHAR) AS base
+  FROM documents),
+urls AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'https://' || base
+           WHEN 1 THEN 'HTTPS://' || upper(base)
+           WHEN 2 THEN 'https://example' || CAST(b % 7 AS VARCHAR)
+                       || '.com:443/p/' || CAST(b AS VARCHAR)
+           WHEN 3 THEN 'https://' || base || '/'
+           WHEN 4 THEN 'https://' || base || '?utm_source=x&utm_campaign=y'
+           ELSE 'https://' || base || '?b=2&a=1'
+         END AS url
+  FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u1, '^[^:]+://([^/?#]*)', 1)) AS host0,
+         regexp_replace(regexp_extract(u1, '^[^:]+://[^/?#]*([^?#]*)', 1),
+                        '/+$', '') AS path0,
+         regexp_extract(u1, '\\?([^#]*)', 1) AS query0
+  FROM (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM urls)),
+norm AS (
+  SELECT doc_id,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                THEN substr(host0, 1, length(host0) - 3)
+              WHEN scheme = 'https' AND host0 LIKE '%:443'
+                THEN substr(host0, 1, length(host0) - 4)
+              ELSE host0 END ||
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         CASE WHEN len(list_filter(string_split(query0, '&'),
+                                   x -> {_SQL_URL_TRACKING})) > 0
+              THEN '?' || array_to_string(
+                     list_sort(list_filter(string_split(query0, '&'),
+                                           x -> {_SQL_URL_TRACKING})), '&')
+              ELSE '' END AS canonical
+  FROM parts)
+SELECT canonical AS canonical_url, COUNT(*) AS n_dupes,
+       MIN(doc_id) AS first_doc
+FROM norm GROUP BY canonical
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over fake video payloads: every document
     becomes a video with deterministic duration; sample_frames emits one
@@ -1871,6 +1960,7 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "media_image_features_png": q_media_image_features_png,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "media_audio_features": q_media_audio_features,
     "multimodal_frames": q_multimodal_frames,
     "bloom_dedup": q_bloom_dedup,
@@ -1921,6 +2011,7 @@ ORACLES = {
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "bloom_dedup": _sql_bloom_dedup(),

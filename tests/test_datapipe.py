@@ -746,3 +746,27 @@ def test_weighted_systematic_sample_by_group_invariants(spark):
                  df2, k=k, weight_col="wt", group_col="g",
                  seed=3).collect()}
     assert {kv: n for kv, n in again.items() if kv[0] != "c"} == picks
+
+
+def test_canonicalize_url_normalization_rules(spark):
+    """Case, default ports, fragments, trailing slashes, tracking params
+    and query ordering all collapse; non-default ports and real params
+    survive. Pure Column chain — mirrored 1:1 by the
+    url_canonical_dedup oracle."""
+    from osm_pg_etl_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("https://Example.COM/p/5", "https://example.com/p/5"),
+        ("HTTPS://EXAMPLE.COM:443/p/5/", "https://example.com/p/5"),
+        ("http://a.com:80/", "http://a.com/"),
+        ("http://a.com", "http://a.com/"),
+        ("https://a.com/x?utm_source=t&b=2&a=1#frag",
+         "https://a.com/x?a=1&b=2"),
+        ("https://a.com/x?utm_campaign=z&fbclid=123", "https://a.com/x"),
+        ("https://a.com/x/?gclid=9&z=1&ref=home", "https://a.com/x?z=1"),
+        ("http://a.com:8080/y", "http://a.com:8080/y"),
+        ("https://a.com/deep///", "https://a.com/deep"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
