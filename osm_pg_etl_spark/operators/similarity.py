@@ -245,7 +245,25 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
             den = np.outer(norm, norm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(den > 0, acc / den, 0.0)
-            ia, ib = np.where(~np.eye(n, dtype=bool))
+            # In-kernel top-k pre-prune: the ranking window only ever
+            # keeps each vector's k best (rounded, id-tiebroken), and a
+            # vector's global top-k is within its per-bucket top-k — so
+            # emit only rows within 1e-6 of the k-th best per vector.
+            # round(·, 6) is monotone and moves a value < 5e-7, so any
+            # candidate more than 1e-6 below the k-th raw value rounds
+            # strictly below it and can neither enter the top-k nor tie
+            # it. Shrinks the pair exchange from Σ|bucket|² rows to
+            # ~n·k (+ ties) — the volume term that matters at scale.
+            masked = cos.copy()
+            np.fill_diagonal(masked, -np.inf)
+            if n - 1 > k:
+                # ascending position n-k = k-th largest candidate (the
+                # -inf diagonal is always the row minimum)
+                kth = np.partition(masked, n - k, axis=1)[:, n - k]
+                keep = masked >= (kth - 1e-6)[:, None]
+            else:
+                keep = ~np.eye(n, dtype=bool)
+            ia, ib = np.where(keep)
             return pd.DataFrame({"_ida": ids[ia], "_idb": ids[ib],
                                  "_raw": cos[ia, ib]})
 
