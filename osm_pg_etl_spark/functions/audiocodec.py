@@ -46,7 +46,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if tag == 7:  # G.711 μ-law: one byte per sample
-        lin = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+        if channels <= 0:
+            raise ValueError(f"unsupported WAV layout bits={bits} "
+                             f"channels={channels}")
+        count = len(data) // channels * channels
+        lin = ulaw_decode(np.frombuffer(data, dtype=np.uint8, count=count))
         return (lin.reshape(-1, channels).astype(np.float64) / 32768.0,
                 rate)
     if tag == 0x11:  # IMA ADPCM (DVI4), mono
@@ -180,11 +184,21 @@ def adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
     if block_align < 5:
         raise ValueError(f"IMA ADPCM block_align {block_align} too small")
     out: list[int] = []
-    for off in range(0, len(data) - (len(data) % block_align), block_align):
+    for off in range(0, len(data), block_align):
+        end = min(off + block_align, len(data))
+        if end - off < 4:
+            # 1-3 trailing bytes cannot even hold a block header — that's
+            # corruption, not a short final block; fail loudly rather
+            # than silently dropping it.
+            raise ValueError(
+                f"IMA ADPCM stream ends in a {end - off}-byte fragment "
+                f"(block header needs 4 bytes)")
         pred = int.from_bytes(data[off:off + 2], "little", signed=True)
         index = max(0, min(88, data[off + 2]))
         out.append(pred)
-        for b in data[off + 4:off + block_align]:
+        # a short FINAL block (encoders truncate to the real sample
+        # count) decodes its remaining nibbles like any other
+        for b in data[off + 4:end]:
             for nib in (b & 0x0F, b >> 4):
                 pred, index = _adpcm_step(pred, index, nib)
                 out.append(pred)

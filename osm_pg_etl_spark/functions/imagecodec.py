@@ -339,14 +339,23 @@ def resize_nearest(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
 
 
 def image_features(arr: np.ndarray) -> dict:
-    """Channel means + Rec.601 luma over a decoded array (grayscale is
-    broadcast to three equal channels)."""
+    """Channel means + Rec.601 luma over a decoded array. Grayscale is
+    broadcast to three equal channels; alpha (gray+alpha (H, W, 2) /
+    RGBA (H, W, 4), both produced by :func:`decode_png`) is dropped —
+    luma is a color-channel statistic."""
     a = arr.astype(np.float64)
     if a.ndim == 2:
         r = g = b = float(a.mean()) if a.size else 0.0
+    elif a.shape[2] == 2:                       # gray + alpha
+        r = g = b = float(a[:, :, 0].mean()) if a.size else 0.0
+    elif a.shape[2] in (3, 4):                  # RGB / RGBA
+        if a.size:
+            means = a[:, :, :3].reshape(-1, 3).mean(axis=0)
+            r, g, b = (float(m) for m in means)
+        else:
+            r = g = b = 0.0
     else:
-        means = a.reshape(-1, 3).mean(axis=0) if a.size else (0.0,) * 3
-        r, g, b = (float(m) for m in means)
+        raise ValueError(f"unsupported channel count {a.shape[2]}")
     return {"width": int(arr.shape[1]), "height": int(arr.shape[0]),
             "mean_r": r, "mean_g": g, "mean_b": b,
             "luma": 0.299 * r + 0.587 * g + 0.114 * b}

@@ -84,21 +84,27 @@ def turn_restrictions_from_relations(relations: DataFrame,
                 .select("relation_id", "kind",
                         F.col("u").alias("from_u"),
                         F.col("via_node").alias("via")))
+    # keyed on (relation_id, via): a malformed-but-real relation with
+    # several via-node members must not pair an arrival at via A with a
+    # departure resolved at via B — that would ban (or, in the only_*
+    # anti-join, un-ban) legitimate transitions at A.
     permitted = (F.broadcast(parsed.select("relation_id", "to_way",
                                            "via_node").distinct())
                  .join(edges, (edges["way_id"] == F.col("to_way"))
                        & (edges["u"] == F.col("via_node")))
-                 .select("relation_id", F.col("v").alias("to_v")))
+                 .select("relation_id", F.col("via_node").alias("via"),
+                         F.col("v").alias("to_v")))
 
     no_banned = (arriving.where(F.col("kind").startswith("no_"))
-                 .join(permitted, "relation_id")
+                 .join(permitted, ["relation_id", "via"])
                  .select("from_u", "via", "to_v"))
     out_at_via = (edges.select(F.col("u").alias("via"),
                                F.col("v").alias("to_v")).distinct())
     only_banned = (F.broadcast(arriving.where(F.col("kind")
                                               .startswith("only_")))
                    .join(out_at_via, "via")
-                   .join(permitted, ["relation_id", "to_v"], "left_anti")
+                   .join(permitted, ["relation_id", "via", "to_v"],
+                         "left_anti")
                    .select("from_u", "via", "to_v"))
     return no_banned.unionByName(only_banned).distinct()
 

@@ -1655,10 +1655,14 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (F.col("doc_id") / 6).cast("long")
     base = F.concat(F.lit("example"), (b % 7).cast("string"),
                     F.lit(".com/p/"), b.cast("string"))
+    # case-mangles scheme+HOST only: URL paths are case-SENSITIVE, so a
+    # canonicalizer must not fold them (caught in r8 review — upper over
+    # the whole base would make variant 1 a genuinely different URL)
+    host_upper = F.concat(F.lit("HTTPS://EXAMPLE"), (b % 7).cast("string"),
+                          F.lit(".COM/p/"), b.cast("string"))
     url = (F.when(F.col("doc_id") % 6 == 0,
                   F.concat(F.lit("https://"), base))
-           .when(F.col("doc_id") % 6 == 1,
-                 F.concat(F.lit("HTTPS://"), F.upper(base)))
+           .when(F.col("doc_id") % 6 == 1, host_upper)
            .when(F.col("doc_id") % 6 == 2,
                  F.concat(F.lit("https://example"), (b % 7).cast("string"),
                           F.lit(".com:443/p/"), b.cast("string")))
@@ -1689,7 +1693,8 @@ urls AS (
   SELECT doc_id,
          CASE doc_id % 6
            WHEN 0 THEN 'https://' || base
-           WHEN 1 THEN 'HTTPS://' || upper(base)
+           WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(b % 7 AS VARCHAR)
+                       || '.COM/p/' || CAST(b AS VARCHAR)
            WHEN 2 THEN 'https://example' || CAST(b % 7 AS VARCHAR)
                        || '.com:443/p/' || CAST(b AS VARCHAR)
            WHEN 3 THEN 'https://' || base || '/'

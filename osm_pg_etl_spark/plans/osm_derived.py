@@ -1081,13 +1081,14 @@ arr AS (
   SELECT p.relation_id, p.kind, d.u AS from_u, p.via_node AS via
   FROM parsed p JOIN dexp d ON d.way_id = p.from_way AND d.v = p.via_node),
 perm AS (
-  SELECT DISTINCT p.relation_id, d.v AS to_v
+  SELECT DISTINCT p.relation_id, p.via_node AS via, d.v AS to_v
   FROM (SELECT DISTINCT relation_id, to_way, via_node FROM parsed) p
   JOIN dexp d ON d.way_id = p.to_way AND d.u = p.via_node),
 banned AS MATERIALIZED (
   SELECT DISTINCT from_u, via, to_v FROM (
     SELECT a.from_u, a.via, pm.to_v
     FROM arr a JOIN perm pm ON pm.relation_id = a.relation_id
+                           AND pm.via = a.via
     WHERE a.kind LIKE 'no_%'
     UNION ALL
     SELECT a.from_u, a.via, d.v AS to_v
@@ -1095,6 +1096,7 @@ banned AS MATERIALIZED (
     WHERE a.kind LIKE 'only_%'
       AND NOT EXISTS (SELECT 1 FROM perm pm
                       WHERE pm.relation_id = a.relation_id
+                        AND pm.via = a.via
                         AND pm.to_v = d.v))),
 lnodes AS MATERIALIZED (
   SELECT start_node AS u, end_node AS v, MIN(length) AS w
@@ -1935,36 +1937,26 @@ def q_osm_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
-def derive_ways_tags(spark: SparkSession, sf_dir: str,
-                     probe_only: bool = False) -> DataFrame:
+def derive_ways_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry-free (id, tags) projection of the ways table: tags are a
     pure function of the way id, so consumers that never touch
     nodes/linestring skip the whole array-assembly join — the column
     pruning Catalyst cannot do through the collect_list aggregate.
 
-    ``probe_only``: consumers that only ever PROBE the map by literal key
-    (``tags['highway']`` — never explode/keys over it) get a plain
-    ``create_map`` without the hstore NULL-filter: a probe of an absent
-    key and a probe of a present-but-NULL value both return NULL, so the
-    semantics are identical — but ``CreateMap`` (unlike the
-    ``map_filter`` higher-order function, which is opaque to the
-    optimizer) lets Catalyst's SimplifyExtractValueOps collapse every
-    ``GetMapValue(CreateMap(...), lit)`` into the underlying value
-    expression: the map never exists in the optimized plan (verified:
-    no CreateMap in q_osm_mode_flags's optimizedPlan; measured 2.2 →
-    1.8 s at sf0.1). Enumerating consumers (tag explode) must keep the
-    filtered map — absent keys must not appear as entries."""
+    The map carries the hstore NULL-filter (absent keys must not appear
+    as entries — the tag-explode consumers depend on it). Consumers
+    that only PROBE literal keys shouldn't route through a map at all:
+    project each tag as its own plain column instead, as
+    ``q_osm_mode_flags`` does (the r8 plain-column cascade superseded
+    the old ``probe_only`` CreateMap-elision variant of this helper —
+    one evaluation per tag beats relying on SimplifyExtractValueOps,
+    which stops firing the moment the map crosses a projection
+    boundary)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     way_ids = li.select(F.col("l_orderkey").alias("id")).distinct()
     key = F.col("o_orderkey")
-    if probe_only:
-        entries = []
-        for k, v in _way_tag_exprs(key).items():
-            entries += [F.lit(k), v]
-        tags = F.create_map(*entries)
-    else:
-        tags = _tags_map(_way_tag_exprs(key))
+    tags = _tags_map(_way_tag_exprs(key))
     return (orders.select(key.alias("id"), tags.alias("tags"))
             .join(way_ids, "id", "left_semi"))
 

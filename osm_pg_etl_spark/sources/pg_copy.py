@@ -181,44 +181,56 @@ def _psql_stream_out(dsn: str, sql: str):
 def _psql_stream_in(dsn: str, sql: str, lines) -> None:
     """Feed an iterator of lines to one psql command's stdin without
     materializing the partition — a COPY FROM STDIN task holds one row
-    at a time."""
+    at a time.
+
+    Runs psql WITHOUT ``-q`` and verifies the server's ``COPY <n>``
+    command tag against the number of lines actually written: psql
+    exiting 0 while ignoring stdin (SQL that is not a COPY FROM STDIN)
+    or consuming only part of it must be an error, not a quiet success.
+    Checking only for a BrokenPipeError is racy — writes smaller than
+    the OS pipe buffer succeed even if psql never reads them."""
+    import re
     import tempfile
 
+    args = [a for a in _PSQL_ARGS if a != "-q"]
     with tempfile.TemporaryFile(mode="w+") as err:
-        proc = subprocess.Popen(["psql", dsn, *_PSQL_ARGS, sql],
-                                stdin=subprocess.PIPE, stderr=err,
+        proc = subprocess.Popen(["psql", dsn, *args, sql],
+                                stdin=subprocess.PIPE,
+                                stdout=subprocess.PIPE, stderr=err,
                                 text=True)
-        assert proc.stdin is not None
+        assert proc.stdin is not None and proc.stdout is not None
+        n_written = 0
         try:
             # psql aborting mid-COPY (e.g. bad input syntax) closes its
             # stdin and the next write raises BrokenPipeError; swallow it
             # so the rc!=0 check below reports the server's actual stderr
             # instead of an opaque pipe error.
-            pipe_broken = False
             try:
                 for line in lines:
                     proc.stdin.write(line)
                     proc.stdin.write("\n")
+                    n_written += 1
             except BrokenPipeError:
-                pipe_broken = True
+                pass
         finally:
             try:
                 proc.stdin.close()
             except (BrokenPipeError, OSError):
-                pipe_broken = True
+                pass
+            out = proc.stdout.read()
+            proc.stdout.close()
             rc = proc.wait()
         if rc != 0:
             err.seek(0)
             raise RuntimeError(f"psql failed ({sql[:120]}...): {err.read()}")
-        if pipe_broken:
-            # psql exited 0 yet stopped reading stdin — e.g. the SQL was
-            # not a COPY FROM STDIN at all. Rows were silently dropped;
-            # that must be an error, not a quiet success.
+        m = re.search(r"^COPY (\d+)$", out, re.MULTILINE)
+        if m is None or int(m.group(1)) != n_written:
             err.seek(0)
             raise RuntimeError(
-                f"psql exited 0 but closed stdin before consuming all "
-                f"input ({sql[:120]}...) — rows were not written: "
-                f"{err.read()}")
+                f"psql exited 0 but acknowledged "
+                f"{'no COPY' if m is None else 'COPY ' + m.group(1)} for "
+                f"{n_written} rows written ({sql[:120]}...) — rows were "
+                f"silently dropped: {out[:200]!r} {err.read()[:400]}")
 
 
 def pg_available(dsn: str) -> bool:

@@ -477,3 +477,64 @@ def test_resize_images_png_stays_png_with_alpha(spark):
     assert out["media_meta"]["height"] == 64
     arr = decode_png(bytes(out["content"]))
     assert arr.shape == (64, 42, 4)          # aspect kept, alpha kept
+
+
+def test_image_features_alpha_channels_dropped():
+    """r8 review: decode_image can now return gray+alpha (H,W,2) and
+    RGBA (H,W,4) — image_features must drop alpha, not crash or fold it
+    into the channel means."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.imagecodec import image_features
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, 0] = 10
+    rgba[:, :, 1] = 20
+    rgba[:, :, 2] = 30
+    rgba[:, :, 3] = 255  # alpha must not contaminate the means
+    f = image_features(rgba)
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (10.0, 20.0, 30.0)
+
+    ga = np.full((3, 5, 2), 7, dtype=np.uint8)
+    ga[:, :, 1] = 200
+    f2 = image_features(ga)
+    assert f2["mean_r"] == f2["mean_g"] == f2["mean_b"] == 7.0
+    with _pytest.raises(ValueError, match="channel count"):
+        image_features(np.zeros((2, 2, 5), dtype=np.uint8))
+
+
+def test_adpcm_short_final_block_and_fragment():
+    """r8 review: a truncated FINAL block (real encoders cut the last
+    block to the sample count) must decode its samples, not vanish; a
+    sub-header fragment must raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        adpcm_decode, adpcm_encode)
+
+    pcm = np.clip(np.round(np.sin(np.arange(700) / 5.0) * 20000),
+                  -32768, 32767).astype(np.int32)
+    full = adpcm_encode(pcm, 256)           # 2 blocks: 505 + 195 samples
+    # hand-truncate the second block to its real payload: samples 505..699
+    # = 195 samples = 1 seed + 194 nibbles = header 4 + 97 data bytes
+    cut = full[:256 + 4 + 97]
+    dec = adpcm_decode(cut, 256)
+    assert len(dec) == 505 + 1 + 194
+    assert (dec[:700] == adpcm_decode(full, 256)[:700]).all()
+    with _pytest.raises(ValueError, match="fragment"):
+        adpcm_decode(full[:256 + 3], 256)
+
+
+def test_ulaw_wav_rejects_zero_channels():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        decode_wav, encode_wav_ulaw)
+
+    wav = bytearray(encode_wav_ulaw(np.zeros(4), 8000))
+    wav[22:24] = (0).to_bytes(2, "little")  # channels = 0
+    with _pytest.raises(ValueError, match="layout"):
+        decode_wav(bytes(wav))

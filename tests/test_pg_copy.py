@@ -243,11 +243,23 @@ def test_single_text_column_empty_string_rows_survive(spark):
 def test_stream_in_raises_when_psql_ignores_stdin():
     """If psql exits 0 WITHOUT consuming stdin (the SQL is not a COPY
     FROM STDIN), rows were silently discarded — _psql_stream_in must
-    raise instead of reporting quiet success (ADVICE r7)."""
+    raise instead of reporting quiet success (ADVICE r7). Verified via
+    the COPY command-tag count, so it fires even for inputs smaller
+    than the OS pipe buffer (where no BrokenPipeError ever surfaces)."""
     from osm_pg_etl_spark.sources.pg_copy import _psql_stream_in
 
-    # >64 KiB of lines so the pipe fills and the write (or the final
-    # flush-on-close) observes EPIPE once psql has exited.
+    # SMALL input: all writes land in the pipe buffer, psql never reads
+    # them, exits 0 — only the tag check can catch this.
+    with pytest.raises(RuntimeError, match="silently dropped"):
+        _psql_stream_in(DSN, "SELECT 1", iter(["x", "y"]))
+    # large input: pipe fills, writes see EPIPE — same verdict.
     lines = ("x" * 1024 for _ in range(512))
-    with pytest.raises(RuntimeError, match="before consuming"):
+    with pytest.raises(RuntimeError, match="silently dropped"):
         _psql_stream_in(DSN, "SELECT 1", lines)
+    # and a genuine COPY still succeeds with the tag check in place
+    _psql(DSN, 'DROP TABLE IF EXISTS "r8_tag"')
+    _psql(DSN, 'CREATE TABLE "r8_tag" (v text)')
+    _psql_stream_in(DSN, 'COPY "r8_tag" (v) FROM STDIN',
+                    iter(["a", "b", "c"]))
+    assert _psql(DSN, 'SELECT COUNT(*) FROM "r8_tag"').strip() == "3"
+    _psql(DSN, 'DROP TABLE "r8_tag"')

@@ -155,3 +155,25 @@ def test_gate_query_runs_and_restricts(spark):
     assert all(restricted[n] >= round(base[n], 6) - 1e-9 for n in restricted)
     assert (set(base) - set(restricted)) or any(
         restricted[n] > round(base[n], 6) + 1e-9 for n in restricted)
+
+
+def test_multi_via_relation_does_not_cross_contaminate(spark, directed):
+    """r8 review: a (malformed-but-real) restriction relation carrying
+    TWO via-node members must resolve each from/to pair at ITS OWN via —
+    a departure resolved at via B must never produce a ban at via A."""
+    # no_entry with vias 2 and 3: from 101 (arrives at 2), to 105
+    # (departs at 3). At via 2 there is no departing way-105 edge; at
+    # via 3 there is no arriving way-101 edge. Correct parse = NO ban
+    # that mixes them: the only legitimate readings are per-via.
+    rels = spark.createDataFrame(
+        [(7, {"type": "restriction", "restriction": "no_entry"})],
+        "id long, tags map<string,string>")
+    members = spark.createDataFrame(
+        [(7, 101, "W", "from", 0), (7, 2, "N", "via", 1),
+         (7, 3, "N", "via", 2), (7, 105, "W", "to", 3)],
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int")
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    # the pre-fix join on relation_id alone produced (1, 2, 5): arrival
+    # at via 2 paired with the departure resolved at via 3
+    assert restr.count() == 0, restr.collect()
