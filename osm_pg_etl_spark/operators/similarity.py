@@ -417,11 +417,19 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding", id_col: str = "vec_id",
                               num_planes: int = 8, seed: int = 42,
-                              exact: bool = False) -> DataFrame:
+                              exact: bool = False,
+                              num_tables: int = 1) -> DataFrame:
     """Near-duplicate vector pairs by cosine. ``exact=True`` does the full
     self-join (oracle/verification path, quadratic); default buckets by LSH
     signature first so only same-bucket pairs are scored — the all-pairs
-    shuffle shrinks by ~2^planes at a small recall cost."""
+    shuffle shrinks by ~2^planes at a small recall cost.
+
+    ``num_tables`` L > 1 is the same Indyk–Motwani recall lever as
+    :func:`knn_join`: at the 0.95-cosine near-dup threshold the
+    per-plane agreement is p ≈ 0.90, so b=8 single-table capture is
+    p^8 ≈ 0.43 while L=8 lifts it to 1−(1−p^8)^8 ≈ 0.99 — all L
+    signatures from one projection + ``posexplode``, duplicate pairs
+    collapsed by the existing ``distinct``."""
     e = embeddings.select(F.col(id_col),
                           _as_double_array(F.col(vec_col)).alias("_v"))
     if exact:
@@ -430,8 +438,20 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         pairs = a.crossJoin(broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
         dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-        planes = _hyperplanes(dim_row["d"], num_planes, seed)
-        sig = e.withColumn("_b", hyperplane_signature(F.col("_v"), planes))
+        if num_tables > 1:
+            sigs = F.array(*[
+                hyperplane_signature(
+                    F.col("_v"),
+                    _hyperplanes(dim_row["d"], num_planes, seed + tb))
+                for tb in range(num_tables)])
+            sig = e.select(F.col(id_col), F.col("_v"),
+                           F.posexplode(sigs).alias("_t", "_s")) \
+                .withColumn("_b", F.col("_t") * (1 << num_planes)
+                            + F.col("_s"))
+        else:
+            planes = _hyperplanes(dim_row["d"], num_planes, seed)
+            sig = e.withColumn("_b",
+                               hyperplane_signature(F.col("_v"), planes))
         a = sig.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), "_b")
         b = sig.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), "_b")
         pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))

@@ -770,3 +770,29 @@ def test_canonicalize_url_normalization_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_embedding_neardup_multi_table_recall(spark):
+    """num_tables on embedding_near_duplicates: the multi-table run must
+    find a superset of the single-table pairs, agree with the exact path
+    on every value, and never emit a duplicate pair."""
+    rows = [(i, [((i * 3 + j * 5) % 11 - 5) / 5.0 + (0.001 * (i % 2))
+                 for j in range(8)]) for i in range(30)]
+    # add three explicit near-dup pairs: 100+i ~ i with tiny noise
+    rows += [(100 + i, [v + 0.005 for v in rows[i][1]]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_near_duplicates(
+                 emb, threshold=0.99, exact=True).collect()}
+    one = {(r["id_a"], r["id_b"])
+           for r in embedding_near_duplicates(
+               emb, threshold=0.99, num_planes=6).collect()}
+    multi_rows = embedding_near_duplicates(
+        emb, threshold=0.99, num_planes=6, num_tables=8).collect()
+    multi = [(r["id_a"], r["id_b"], r["cosine_sim"]) for r in multi_rows]
+    keys = [(a, b) for a, b, _ in multi]
+    assert len(keys) == len(set(keys))
+    assert set(keys) >= one
+    for a, b, sim in multi:
+        assert sim == pytest.approx(exact[(a, b)], abs=1e-6)
+    assert len(set(keys) & set(exact)) >= len(one & set(exact))
