@@ -121,8 +121,10 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     INDEPENDENT hyperplane families (seeds ``seed``..``seed+L−1``; table
     0 is bit-identical to the single-table layout), a candidate matching
     in ANY table. Recall ≈ 1 − (1 − p^b)^L per true neighbor while each
-    table still prunes to ~(1+probes)/2^b of the corpus — measured on the
-    sf0.01 gate slice: b=8, L=1 → 0.05; b=4, L=8 → 0.95 (SCALING.md).
+    table still prunes to ~(1+probes)/2^b of the corpus — measured by the
+    hash-gated `ann_recall` on the sf0.01 slice (probe=2): b=8, L=1 →
+    0.05; b=4, L=12 → 1.00 (SCALING.md ANN table — the gate is the
+    source of truth for these numbers).
     All tables evaluate in ONE narrow scan (a single OR-of-membership
     filter — no unions, no dedup join, no extra exchange)."""
     dim = len(query)
@@ -174,8 +176,9 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
     runs per (table, bucket), and cross-table duplicate pairs collapse
     in the same exchange that feeds the ranking window (cosine values
     are bit-identical across tables). Candidate work is
-    L·Σ|bucket|² — still no all-pairs; measured recall at sf0.01:
-    b=6, L=1 → 0.17; b=4, L=8 → 0.96 (SCALING.md).
+    L·Σ|bucket|² — still no all-pairs; recall measured by the hash-gated
+    `ann_recall` at sf0.01: b=6, L=1 → 0.13; b=3, L=8 → 0.70
+    (SCALING.md ANN table — the gate is the source of truth).
 
     The LSH path scores candidates with an Arrow-batched
     ``applyInPandas`` PER BUCKET rather than a bucket self-join of the
@@ -424,42 +427,91 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     signature first so only same-bucket pairs are scored — the all-pairs
     shuffle shrinks by ~2^planes at a small recall cost.
 
+    The default path scores each bucket inside the same Arrow-batched
+    ``applyInPandas`` kernel as :func:`knn_join` (where the bucket
+    self-join of the array columns was measured at 6.4 s vs ~1.0 s for
+    the kernel at sf0.1): each vector crosses Arrow ONCE with its bucket,
+    the kernel computes the bucket's pairwise cosines vectorized in the
+    same left-fold dimension order as the Column-expression path
+    (bit-identical per pair), pre-prunes to raw cosine ≥ threshold−1e-6
+    (round(·,6) moves a value < 5e-7, so nothing below that bound can
+    pass the final filter), and emits only skinny (id_a, id_b, raw)
+    rows — the candidate exchange never carries a vector and never
+    carries Σ|bucket|² rows. Rounding + the threshold filter stay
+    Spark-side so the acceptance semantics are engine-checked.
+
     ``num_tables`` L > 1 is the same Indyk–Motwani recall lever as
     :func:`knn_join`: at the 0.95-cosine near-dup threshold the
     per-plane agreement is p ≈ 0.90, so b=8 single-table capture is
     p^8 ≈ 0.43 while L=8 lifts it to 1−(1−p^8)^8 ≈ 0.99 — all L
-    signatures from one projection + ``posexplode``, duplicate pairs
-    collapsed by the existing ``distinct``."""
+    signatures from one projection + ``posexplode``; a pair sharing
+    buckets in several tables emits once per table with a bit-identical
+    cosine and collapses in one ``distinct``."""
     e = embeddings.select(F.col(id_col),
                           _as_double_array(F.col(vec_col)).alias("_v"))
     if exact:
         a = e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"))
         b = e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
         pairs = a.crossJoin(broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+        return (pairs
+                .select("id_a", "id_b",
+                        F.round(cosine(F.col("va"), F.col("vb")), 6)
+                        .alias("cosine_sim"))
+                .filter(F.col("cosine_sim") >= threshold)
+                .distinct())
+
+    import pandas as pd  # noqa: PLC0415 — Arrow batch path
+    import numpy as np  # noqa: PLC0415
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if num_tables > 1:
+        sigs = F.array(*[
+            hyperplane_signature(
+                F.col("_v"),
+                _hyperplanes(dim_row["d"], num_planes, seed + tb))
+            for tb in range(num_tables)])
+        sig = e.select(F.col(id_col), F.col("_v"),
+                       F.posexplode(sigs).alias("_t", "_s")) \
+            .withColumn("_b", F.col("_t") * (1 << num_planes)
+                        + F.col("_s"))
     else:
-        dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-        if num_tables > 1:
-            sigs = F.array(*[
-                hyperplane_signature(
-                    F.col("_v"),
-                    _hyperplanes(dim_row["d"], num_planes, seed + tb))
-                for tb in range(num_tables)])
-            sig = e.select(F.col(id_col), F.col("_v"),
-                           F.posexplode(sigs).alias("_t", "_s")) \
-                .withColumn("_b", F.col("_t") * (1 << num_planes)
-                            + F.col("_s"))
-        else:
-            planes = _hyperplanes(dim_row["d"], num_planes, seed)
-            sig = e.withColumn("_b",
-                               hyperplane_signature(F.col("_v"), planes))
-        a = sig.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), "_b")
-        b = sig.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), "_b")
-        pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
-    return (pairs
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
-            .filter(F.col("cosine_sim") >= threshold)
-            .distinct())
+        planes = _hyperplanes(dim_row["d"], num_planes, seed)
+        sig = e.withColumn("_b",
+                           hyperplane_signature(F.col("_v"), planes))
+
+    thr = threshold - 1e-6
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "_raw": np.empty(0, np.float64)})
+        ids = pdf["_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        acc = np.zeros((n, n))
+        sq = np.zeros(n)
+        for i in range(d):            # left-fold order per element —
+            col = mat[:, i]           # bit-identical to the SQL loop
+            acc += np.outer(col, col)
+            sq += col * col
+        norm = np.sqrt(sq)
+        den = np.outer(norm, norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, acc / den, 0.0)
+        ia, ib = np.where((cos >= thr)
+                          & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "_raw": cos[ia, ib]})
+
+    out = (sig.select(F.col(id_col).alias("_id"), "_v", "_b")
+           .groupBy("_b")
+           .applyInPandas(bucket_pairs, "id_a long, id_b long, _raw double")
+           .select("id_a", "id_b",
+                   F.round("_raw", 6).alias("cosine_sim"))
+           .filter(F.col("cosine_sim") >= threshold))
+    return out.distinct() if num_tables > 1 else out
 
 
 # ---------------------------------------------------------------------------

@@ -141,6 +141,28 @@ def test_knn_join_bucket_kernel_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_bucket_kernel_no_vector_exchange(spark):
+    """The default near-dup path must score candidates in the per-bucket
+    Arrow kernel — exactly one FlatMapGroupsInPandas, no join of the
+    array columns, and no array column riding a candidate-pair row
+    through an exchange (the knn_join lesson: ~1 KB/pair through the
+    shuffle vs skinny (id, id, cosine) rows)."""
+    from osm_pg_etl_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for tables in (1, 2):
+        plan = plan_of(embedding_near_duplicates(
+            emb, threshold=0.9, num_tables=tables))
+        assert plan.count("FlatMapGroupsInPandas") == 1, tables
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        # downstream of the kernel only skinny pair rows may move:
+        # no exchange in the plan carries the vector column
+        for m in re.finditer(r"Exchange [^\n]*", plan):
+            assert "_v#" not in m.group(0), m.group(0)
+
+
 def test_turn_restricted_transitions_equi_join_only(spark):
     """The line-graph expansion must be equi-joins on the shared-node /
     triple keys — banned turns via join, never a cartesian."""
