@@ -100,8 +100,16 @@ def turn_restrictions_from_relations(relations: DataFrame,
                  .select("from_u", "via", "to_v"))
     out_at_via = (edges.select(F.col("u").alias("via"),
                                F.col("v").alias("to_v")).distinct())
-    only_banned = (F.broadcast(arriving.where(F.col("kind")
-                                              .startswith("only_")))
+    # pgrouting drops restrictions it cannot resolve; same here: an
+    # only_* relation whose to_way resolves to NO departing edge at via
+    # (to_way outside the graph, or a oneway pointing the wrong way)
+    # must contribute no bans — without this semi-join the anti-join
+    # below would ban EVERY exit at the via node and sever it.
+    only_resolvable = (arriving.where(F.col("kind").startswith("only_"))
+                       .join(permitted.select("relation_id", "via")
+                             .distinct(),
+                             ["relation_id", "via"], "left_semi"))
+    only_banned = (F.broadcast(only_resolvable)
                    .join(out_at_via, "via")
                    .join(permitted, ["relation_id", "via", "to_v"],
                          "left_anti")

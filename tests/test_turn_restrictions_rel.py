@@ -157,6 +157,36 @@ def test_gate_query_runs_and_restricts(spark):
         restricted[n] > round(base[n], 6) + 1e-9 for n in restricted)
 
 
+def test_only_with_unresolvable_to_way_drops_not_severs(spark, directed):
+    """r9 ADVICE: an only_* restriction whose to_way resolves to NO
+    departing edge at the via node (to_way outside the graph, or a
+    oneway pointing the wrong way) must be DROPPED — pgrouting's
+    behavior — not ban every exit at the via node."""
+    # to_way 999 does not exist in the graph at all
+    rels, members = _relation(spark, 9100, "only_right_turn", 101, 2, 999)
+    restr = turn_restrictions_from_relations(rels, members, directed)
+    # pre-fix this produced (1,2,3) AND (1,2,4) — severing node 2
+    assert restr.count() == 0, restr.collect()
+    d = _dists(directed, restr)
+    assert d[3] == pytest.approx(2.0)   # routing through via 2 unaffected
+    assert d[4] == pytest.approx(2.0)
+
+    # to_way 101 exists but is a oneway ARRIVING at via 2 (edge 1->2):
+    # no departing edge -> same drop semantics
+    rels2, members2 = _relation(spark, 9101, "only_straight_on", 102, 3, 102)
+    restr2 = turn_restrictions_from_relations(rels2, members2, directed)
+    assert restr2.count() == 0, restr2.collect()
+
+    # a mixed batch: the unresolvable relation must not suppress the
+    # resolvable one (per-relation semantics, not global)
+    rels3 = rels.unionByName(
+        _relation(spark, 9002, "only_straight_on", 101, 2, 103)[0])
+    members3 = members.unionByName(
+        _relation(spark, 9002, "only_straight_on", 101, 2, 103)[1])
+    restr3 = turn_restrictions_from_relations(rels3, members3, directed)
+    assert [tuple(r) for r in restr3.collect()] == [(1, 2, 3)]
+
+
 def test_multi_via_relation_does_not_cross_contaminate(spark, directed):
     """r8 review: a (malformed-but-real) restriction relation carrying
     TWO via-node members must resolve each from/to pair at ITS OWN via —
