@@ -69,7 +69,8 @@ def cmd_network(args: argparse.Namespace) -> None:
     if args.mode == "car":
         net = impute_speed_limit(car_network(d["ways"]).cache())
     else:
-        net = with_mode_flags(complete_network(d["ways"]).cache())
+        from pyspark.sql import functions as F
+        net = with_mode_flags(complete_network(d["ways"]).cache(), tag=F.col)
     merged = merged_network(net, d["way_nodes"])
     merged.write.mode("overwrite").parquet(f"{args.out}/merged.parquet")
     directed = directed_network(merged, minimal=args.minimal)

@@ -85,13 +85,25 @@ def car_network(ways: DataFrame) -> DataFrame:
     return net.filter(~F.coalesce(excl, F.lit(False)))
 
 
+# Every tag the mode-flag cascade probes beyond the always-projected
+# highway/service/access — projected ONCE as plain columns by
+# complete_network so with_mode_flags(tag=F.col) compiles each probe to
+# an attribute reference instead of re-evaluating the tag expression at
+# every probe site (the r8 plain-column-cascade lesson, measured 3×).
+MODE_CASCADE_TAGS = ("bicycle", "cycleway", "foot", "footway",
+                     "motor_vehicle", "bus")
+
+
 def complete_network(ways: DataFrame) -> DataFrame:
     """``graphs.complete_network`` (``osm-complete-graphs.sql:8-16``): every
-    highway-tagged way, with access/service projected for the mode rules."""
+    highway-tagged way, with access/service — and every other tag the
+    mode-flag cascade probes — projected as plain columns so the cascade
+    can run in plain-column (single-evaluation) form."""
     return _network_projection(
         ways.filter(tag_get("tags", "highway").isNotNull()),
         {"service": tag_get("tags", "service"),
-         "access": tag_get("tags", "access")},
+         "access": tag_get("tags", "access"),
+         **{k: tag_get("tags", k) for k in MODE_CASCADE_TAGS}},
     )
 
 

@@ -2073,7 +2073,11 @@ def q_osm_complete_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     bicycle mode-flag cascade, with endpoints and geodesic length."""
     d = derive_osm(spark, sf_dir)
     comp = impute_speed_limit(complete_network(d["ways"]))
-    flagged = with_mode_flags(comp)
+    # plain-column cascade (r8, wired here in r10): complete_network
+    # projects every probed tag once; F.col probes compile to INSET over
+    # the already-computed value instead of re-evaluating the tag CASE
+    # chain per probe site (measured 3× on the cascade at sf0.1)
+    flagged = with_mode_flags(comp, tag=F.col)
     return flagged.select("edge_id", "start_node", "end_node",
                           F.round("length", 4).alias("length_km"),
                           "speed_limit", "car", "pedestrian", "bicycle")
@@ -2113,7 +2117,8 @@ def q_osm_complete_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (service/access/car/pedestrian/bicycle) carried through the
     split UPDATE at ``:167-188`` — the multi-modal routing graph."""
     d = derive_osm(spark, sf_dir)
-    comp = with_mode_flags(impute_speed_limit(complete_network(d["ways"]))).cache()
+    comp = with_mode_flags(impute_speed_limit(complete_network(d["ways"])),
+                           tag=F.col).cache()
     merged = merged_network(comp, d["way_nodes"], attrs=_COMPLETE_MERGE_ATTRS,
                             pre_partitioned=True)
     return merged.select("edge_id", "start_node", "end_node",

@@ -141,6 +141,25 @@ def test_knn_join_bucket_kernel_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_complete_network_cascade_single_evaluation(spark):
+    """r10: the complete-network gates run the plain-column cascade —
+    the projection that computes car/pedestrian/bicycle must probe
+    attribute references (INSET over already-computed tag columns),
+    never the tags map (element_at per probe site) and never a
+    re-inlined tag CASE chain (% residues)."""
+    from osm_pg_etl_spark.plans.osm_derived import (
+        q_osm_complete_merged, q_osm_complete_network)
+
+    for q in (q_osm_complete_network, q_osm_complete_merged):
+        plan = plan_of(q(spark, SF))
+        cascade_lines = [ln for ln in plan.splitlines() if "AS car#" in ln]
+        assert cascade_lines, q.__name__
+        for ln in cascade_lines:
+            assert "element_at(tags" not in ln, q.__name__
+            assert " INSET " in ln, q.__name__
+            assert "% 12" not in ln and "% 17" not in ln, q.__name__
+
+
 def test_embedding_neardup_bucket_kernel_no_vector_exchange(spark):
     """The default near-dup path must score candidates in the per-bucket
     Arrow kernel — exactly one FlatMapGroupsInPandas, no join of the
