@@ -47,4 +47,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # extra driver/executor jars (e.g. the org.postgresql JDBC driver from
+    # vendor/jars/, exported by tests/conftest.py) — only effective for the
+    # FIRST session in the process, like every spark.jars setting
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     return builder.getOrCreate()

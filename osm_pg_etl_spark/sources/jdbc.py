@@ -27,6 +27,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 PG_DRIVER = "org.postgresql.Driver"
 
+# Known JDBC URL scheme -> driver class. Derby ships WITH Spark (the
+# metastore dependency), so the embedded-Derby entry lets the JDBC
+# round-trip run in any sandbox without vendoring a jar; everything else
+# (including PostgreSQL, the reference's server) needs its driver jar on
+# the Spark classpath (vendor/jars/, picked up by tests/conftest.py).
+_DRIVERS = {
+    "jdbc:postgresql:": PG_DRIVER,
+    "jdbc:derby:": "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+}
+
+
+def _driver_for(url: str, driver: str | None) -> str:
+    if driver is not None:
+        return driver
+    for prefix, cls in _DRIVERS.items():
+        if url.startswith(prefix):
+            return cls
+    return PG_DRIVER
+
 
 def stride_predicates(col: str, lower: int, upper: int,
                       num_partitions: int) -> list[str]:
@@ -85,7 +104,8 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
               predicates: Sequence[str] | None = None,
               fetchsize: int = 10_000,
               user: str | None = None,
-              password: str | None = None) -> DataFrame:
+              password: str | None = None,
+              driver: str | None = None) -> DataFrame:
     """Partitioned JDBC read. Three modes, strictest first:
 
     - ``predicates``: one task per WHERE clause (from
@@ -99,7 +119,7 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     processed (cursor-based streaming needs a non-zero fetchsize and
     autocommit off, which Spark's JDBC source sets).
     """
-    props = {"driver": PG_DRIVER, "fetchsize": str(fetchsize)}
+    props = {"driver": _driver_for(url, driver), "fetchsize": str(fetchsize)}
     if user is not None:
         props["user"] = user
     if password is not None:
@@ -124,7 +144,8 @@ def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", batchsize: int = 10_000,
                rewrite_batched_inserts: bool = True,
                user: str | None = None,
-               password: str | None = None) -> None:
+               password: str | None = None,
+               driver: str | None = None) -> None:
     """Partition-parallel JDBC write: each task opens one connection and
     writes its partition in ``batchsize`` batches.
     ``reWriteBatchedInserts=true`` makes the Postgres driver collapse each
@@ -133,8 +154,11 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     initial loads, write parquet/csv and server-side COPY it; this sink is
     for incremental/CDC-sized writes.
     """
-    props = {"driver": PG_DRIVER, "batchsize": str(batchsize),
-             "reWriteBatchedInserts": str(rewrite_batched_inserts).lower()}
+    props = {"driver": _driver_for(url, driver), "batchsize": str(batchsize)}
+    if _driver_for(url, driver) == PG_DRIVER:
+        # PostgreSQL-driver-specific URL property; other drivers may
+        # reject unknown connection attributes (Derby does)
+        props["reWriteBatchedInserts"] = str(rewrite_batched_inserts).lower()
     if user is not None:
         props["user"] = user
     if password is not None:

@@ -42,6 +42,30 @@ if ("OSM_PG_TEST_DSN" not in os.environ
     except Exception:
         pass
 
+# ---------------------------------------------------------------------------
+# Live-PostgreSQL JDBC leg: needs the org.postgresql driver jar on the Spark
+# classpath. Best-effort resolution order: $OSM_PG_JDBC_JAR, any
+# vendor/jars/postgresql-*.jar (drop one there — e.g. fetched from Maven
+# Central with scripts/fetch_jdbc_driver.sh — and the live round-trip
+# lights up), else the suite keeps its documented skip. Must run before
+# the first SparkSession is built (spark.jars is fixed at JVM start).
+# ---------------------------------------------------------------------------
+if "OSM_PG_TEST_URL" not in os.environ and os.environ.get("OSM_PG_TEST_DSN"):
+    import glob as _glob
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _jar = os.environ.get("OSM_PG_JDBC_JAR") or next(
+        iter(sorted(_glob.glob(
+            os.path.join(_repo, "vendor", "jars", "postgresql-*.jar")))),
+        None)
+    if _jar and os.path.exists(_jar):
+        _prev = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+        os.environ["SPARK_GRAFT_EXTRA_JARS"] = \
+            f"{_prev},{_jar}" if _prev else _jar
+        os.environ["OSM_PG_TEST_URL"] = \
+            "jdbc:postgresql://127.0.0.1:5432/test"
+        os.environ.setdefault("OSM_PG_TEST_USER", "pguser")
+
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:

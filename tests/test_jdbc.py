@@ -1,8 +1,13 @@
-"""JDBC partition-predicate builders (sources.jdbc).
+"""JDBC source/sink (sources.jdbc).
 
-No PostgreSQL server exists in this container, so the read/write wrappers
-are exercised only up to option assembly; the scale-relevant logic — the
-partition predicates every task runs — is pure and fully tested here.
+The partition predicates every task runs are pure functions, fully tested
+here (including executed verbatim on DuckDB). The Spark JVM JDBC leg —
+write_jdbc table create + batched partition-parallel writes, read_jdbc
+predicate-partitioned reads — runs for real against embedded Derby
+(bundled with Spark, so it works in any sandbox). The PostgreSQL-specific
+leg additionally needs the org.postgresql jar (scripts/fetch_jdbc_driver.sh
+-> vendor/jars/) + the live server from scripts/pg_live_setup.sh; when
+both are present conftest enables test_jdbc_roundtrip_live_postgres.
 """
 
 import os
@@ -136,6 +141,33 @@ def test_hash_predicates_execute_on_duckdb_with_hashtext_shim():
     # NULL keys and the INT_MIN-hashing key both landed somewhere
     assert con.execute(f"SELECT COUNT(*) FROM t WHERE {preds[0]}"
                        ).fetchone()[0] >= 91   # the 91 NULL-name rows
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """End-to-end write_jdbc -> read_jdbc through Spark's real JVM JDBC
+    source against embedded Derby (which ships with Spark, so this runs
+    in ANY sandbox): table create/overwrite, partition-parallel batched
+    writes, and a 4-task predicate-partitioned read. Derby folds unquoted
+    identifiers to uppercase while Spark writes lowercase column names,
+    so the predicates quote the key — the builders take the column
+    reference verbatim, which is exactly the escape hatch this needs."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = "jdbc:derby:memory:osm_pg_etl_rt;create=true"
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("k"), F.col("id"))).alias("name"))
+    write_jdbc(df, url, "rt", mode="overwrite")
+    # overwrite again: mode semantics must hold on an existing table
+    write_jdbc(df, url, "rt", mode="overwrite")
+    want = sorted((r["id"], r["name"]) for r in df.collect())
+    got = read_jdbc(spark, url, "rt",
+                    predicates=stride_predicates('"id"', 0, 500, 4))
+    assert got.rdd.getNumPartitions() == 4
+    assert sorted((r["id"], r["name"]) for r in got.collect()) == want
 
 
 @pytest.mark.skipif(not os.environ.get("OSM_PG_TEST_URL"),
