@@ -29,6 +29,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     i, n = 12, len(payload)
     fmt = None
     data = None
+    fact_samples = None
     while i + 8 <= n:
         cid = payload[i:i + 4]
         size = int.from_bytes(payload[i + 4:i + 8], "little")
@@ -37,9 +38,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            # dwSampleLength: decoded samples per channel — the authority
+            # for compressed formats whose final block is zero-padded
+            fact_samples = int.from_bytes(body[0:4], "little")
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+
+    def _truncate(samples: np.ndarray) -> np.ndarray:
+        # fact declares fewer samples than the blocks decode to ->
+        # the excess is final-block padding, not audio; dropping it keeps
+        # n_samples/duration/RMS/ZCR honest for externally produced
+        # files. A fact >= the decoded count (or absent) changes nothing.
+        if fact_samples is not None and 0 < fact_samples < samples.shape[0]:
+            return samples[:fact_samples]
+        return samples
     tag = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
@@ -51,14 +65,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                              f"channels={channels}")
         count = len(data) // channels * channels
         lin = ulaw_decode(np.frombuffer(data, dtype=np.uint8, count=count))
-        return (lin.reshape(-1, channels).astype(np.float64) / 32768.0,
-                rate)
+        return (_truncate(lin.reshape(-1, channels).astype(np.float64)
+                          / 32768.0), rate)
     if tag == 0x11:  # IMA ADPCM (DVI4), mono
         if channels != 1:
             raise NotImplementedError(
                 "IMA ADPCM decode is mono-only without an audio library")
         lin = adpcm_decode(data, block_align)
-        return lin[:, None].astype(np.float64) / 32768.0, rate
+        return _truncate(lin[:, None].astype(np.float64) / 32768.0), rate
     if tag != 1:
         raise NotImplementedError(
             f"only PCM / μ-law / IMA-ADPCM WAV decodes without an audio "
@@ -264,7 +278,11 @@ def encode_wav_adpcm(samples: np.ndarray, rate: int,
            + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
            + (2).to_bytes(2, "little")          # cbSize
            + per_block.to_bytes(2, "little"))   # samples per block
-    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    # fact chunk (required for non-PCM): the true sample count, so the
+    # decoder drops the encoder's zero-padded final-block tail
+    fact = b"fact" + (4).to_bytes(4, "little") + len(pcm).to_bytes(4, "little")
+    body = (b"WAVE" + fmt + fact
+            + b"data" + len(data).to_bytes(4, "little") + data)
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 

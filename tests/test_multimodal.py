@@ -443,6 +443,56 @@ def test_adpcm_codec_tracks_signal_and_blocks():
     assert np.abs(const[:80, 0] - 0.25).max() < 0.01
 
 
+def test_adpcm_fact_chunk_truncates_final_block_padding():
+    """r9 ADVICE: externally produced ADPCM zero-pads the final block,
+    inflating n_samples/duration/RMS/ZCR. The fact chunk declares the
+    true per-channel sample count; the decoder truncates to it. Our
+    encoder now emits fact, so round trips are exact-length for EVERY
+    signal length (the property: no length maps to a padded tail)."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        audio_features, decode_wav, encode_wav_adpcm)
+
+    for n in (1, 80, 505, 506, 700, 1200):   # around the 505/block seam
+        sig = np.sin(np.arange(n) / 5.0) * 0.5
+        d, rate = decode_wav(encode_wav_adpcm(sig, 8000))
+        assert d.shape == (n, 1), n
+        feats = audio_features(d, rate)
+        assert feats["n_samples"] == n
+        assert feats["duration_ms"] == n * 1000.0 / 8000
+
+    # an EXTERNAL file: padded final block, fact says fewer samples —
+    # patch the encoder's fact value down and the decode must follow it
+    wav = bytearray(encode_wav_adpcm(np.sin(np.arange(700) / 5.0), 8000))
+    fpos = wav.find(b"fact") + 8
+    wav[fpos:fpos + 4] = (650).to_bytes(4, "little")
+    d, _ = decode_wav(bytes(wav))
+    assert d.shape == (650, 1)
+    # a fact LARGER than the decoded count must change nothing
+    wav[fpos:fpos + 4] = (10_000).to_bytes(4, "little")
+    d, _ = decode_wav(bytes(wav))
+    assert d.shape[0] > 650 and d.shape[0] < 10_000
+
+
+def test_ulaw_fact_chunk_truncates_too():
+    """tag-7 (μ-law) decode honors a fact chunk spliced in by an external
+    encoder (ours emits none — 1 byte/sample needs no padding)."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        decode_wav, encode_wav_ulaw)
+
+    wav = bytearray(encode_wav_ulaw(np.sin(np.arange(100) / 9.0), 8000))
+    dpos = wav.find(b"data")
+    fact = b"fact" + (4).to_bytes(4, "little") + (90).to_bytes(4, "little")
+    patched = bytes(wav[:dpos]) + fact + bytes(wav[dpos:])
+    patched = (patched[:4] + (len(patched) - 8).to_bytes(4, "little")
+               + patched[8:])
+    d, _ = decode_wav(patched)
+    assert d.shape == (90, 1)
+
+
 def test_wav_rejects_lossy_formats_loudly():
     import numpy as np
     import pytest as _pytest
