@@ -170,6 +170,71 @@ def weighted_median_pandas(df: DataFrame, x: str, w: str,
     return df.groupBy(*group_cols).applyInPandas(one_group, schema=schema)
 
 
+def quantile_sketch_by_group(df: DataFrame, group_cols: list[str],
+                             value_col: str, hash_cols: list[str],
+                             k: int = 256,
+                             qs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                      0.9, 0.99),
+                             scale: int = 4,
+                             salt_parts: int = 32) -> DataFrame:
+    """Mergeable bounded-memory quantile sketch per group — the scale-safe
+    sibling of :func:`quantiles_by_group` (whose exact Percentile
+    aggregate buffers a value→count map per group: memory-unbounded when
+    a skewed group's column is nearly all-distinct).
+
+    The sketch is a KMV-style deterministic uniform sample: each row gets
+    ``md5(concat_ws('|', hash_cols))`` and a group keeps the ``k`` rows
+    with the smallest hashes (ties broken by value, so the selected value
+    MULTISET is a pure function of the data). Bottom-k-by-fixed-hash is
+    mergeable by construction — the bottom-k of a union is the bottom-k
+    of the parts' bottom-k sets — and the estimate is PERCENTILE_CONT
+    over the sample (standard error ≈ sqrt(p(1-p)/k)), with the group's
+    TRUE row count carried alongside.
+
+    Plan shape (the reason this exists): the exact path and a naive
+    per-group rank-filter both let a handful of giant groups own whole
+    reducers. Here phase 1 ranks within (group, salt) — salt =
+    xxhash64 of the row hash mod ``salt_parts`` — so every sort
+    partition holds ≤ rows/salt_parts rows (spillable, skew-free), and
+    phase 2 re-ranks only the ≤ salt_parts·k surviving candidates per
+    group. The salt provably cannot change the answer: any row in the
+    global bottom-k is in its salt partition's bottom-k, so the
+    candidate set always contains the true sample — which is why the
+    single-node oracle can recompute the identical sketch with one
+    plain ROW_NUMBER, no salt. ``hash_cols`` should be integer-valued
+    (both engines format integers identically inside the md5 input;
+    float formatting differs).
+
+    Returns group_cols + p25/p50/... + ``n_values`` (true non-null row
+    count) + ``n_sampled`` (min(k, n_values))."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    v = F.col(value_col)
+    h = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in hash_cols]))
+    base = (df.filter(v.isNotNull())
+            .select(*group_cols, v.alias("_v"), h.alias("_h"))
+            .withColumn("_salt", F.pmod(F.xxhash64("_h"),
+                                        F.lit(salt_parts))))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_h", "_v")
+    c1 = Window.partitionBy(*group_cols, "_salt")
+    cand = (base
+            .withColumn("_rn1", F.row_number().over(w1))
+            .withColumn("_cnt", F.count("_v").over(c1))
+            .filter(F.col("_rn1") <= k))
+    w2 = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    ranked = cand.withColumn("_rn2", F.row_number().over(w2))
+    sample_v = F.when(F.col("_rn2") <= k, F.col("_v"))
+    arr = F.percentile(sample_v, F.array(*[F.lit(q) for q in qs]))
+    names = [f"p{round(q * 100)}" for q in qs]
+    return (ranked.groupBy(*group_cols)
+            .agg(*[F.round(arr[i], scale).alias(n)
+                   for i, n in enumerate(names)],
+                 F.sum(F.when(F.col("_rn1") == 1, F.col("_cnt")))
+                 .alias("n_values"),
+                 F.count(sample_v).alias("n_sampled")))
+
+
 def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
                        qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
                        scale: int = 4) -> DataFrame:

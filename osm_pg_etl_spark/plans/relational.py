@@ -1153,6 +1153,48 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-memory quantile sketch (r10): the scale path
+    beside q_quantile_profile's exact aggregate (whose value→count map is
+    memory-unbounded under skew — the most data-bound gate, sf-ratio
+    3.8). KMV-style deterministic bottom-k-by-hash sample per group, two
+    salted rank phases so no reducer ever owns a whole group, exact
+    PERCENTILE_CONT over the k-sample. The oracle recomputes the
+    IDENTICAL sketch state (same md5 bottom-k — the hll_users
+    register-recompute pattern), so the gate hash pins both the sampling
+    and the estimate."""
+    from ..operators.stats import quantile_sketch_by_group  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem")
+    return quantile_sketch_by_group(
+        li, ["l_returnflag"], "l_extendedprice",
+        hash_cols=["l_orderkey", "l_linenumber", "l_partkey"], k=256)
+
+
+SQL_QUANTILE_SKETCH = """
+WITH rk AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(CONCAT_WS('|', CAST(l_orderkey AS VARCHAR),
+                                  CAST(l_linenumber AS VARCHAR),
+                                  CAST(l_partkey AS VARCHAR))),
+                    l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n_total
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+SELECT l_returnflag,
+       ROUND(quantile_cont(v, 0.25), 4) AS p25,
+       ROUND(quantile_cont(v, 0.5), 4) AS p50,
+       ROUND(quantile_cont(v, 0.75), 4) AS p75,
+       ROUND(quantile_cont(v, 0.9), 4) AS p90,
+       ROUND(quantile_cont(v, 0.99), 4) AS p99,
+       MAX(n_total) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM rk WHERE rn <= 256
+GROUP BY l_returnflag
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase gets the most recent prior-or-equal
     click's (event_id, ts, value) per user — the feature-store backfill
@@ -2011,6 +2053,7 @@ QUERIES = {
     "stream_enrich": q_stream_enrich,
     "asof_join": q_asof_join,
     "quantile_profile": q_quantile_profile,
+    "quantile_sketch": q_quantile_sketch,
     "rolling_time_sums": q_rolling_time_sums,
     "per_group_sample": q_per_group_sample,
     "event_transitions": q_event_transitions,
@@ -2081,6 +2124,7 @@ ORACLES = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "asof_join": SQL_ASOF_JOIN,
     "quantile_profile": SQL_QUANTILE_PROFILE,
+    "quantile_sketch": SQL_QUANTILE_SKETCH,
     "rolling_time_sums": SQL_ROLLING_TIME_SUMS,
     "per_group_sample": SQL_PER_GROUP_SAMPLE,
     "event_transitions": SQL_EVENT_TRANSITIONS,

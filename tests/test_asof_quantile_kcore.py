@@ -74,6 +74,61 @@ def test_quantiles_by_group(spark):
     assert out["a"]["n_values"] == 5
 
 
+def test_quantile_sketch_small_group_is_exact(spark):
+    """A group with <= k rows samples EVERYTHING — the sketch must equal
+    the exact quantiles bit-for-bit, with true counts carried."""
+    from osm_pg_etl_spark.operators.stats import quantile_sketch_by_group
+
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(range(1, 6))]
+        + [("b", 10, 10.0), ("b", 11, 20.0)],
+        "g string, rid long, x double")
+    out = {r["g"]: r for r in quantile_sketch_by_group(
+        df, ["g"], "x", hash_cols=["rid"], k=256,
+        qs=(0.25, 0.5, 0.75)).collect()}
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
+    assert (out["a"]["n_values"], out["a"]["n_sampled"]) == (5, 5)
+    assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p75"]) == (12.5, 15.0, 17.5)
+    assert (out["b"]["n_values"], out["b"]["n_sampled"]) == (2, 2)
+
+
+def test_quantile_sketch_error_bound_and_merge_invariance(spark):
+    """Error bound vs exact on a 20k-row group: each sketched pXX must lie
+    within the exact [p-3σ, p+3σ] band, σ = sqrt(p(1-p)/k) (the KMV
+    uniform-sample bound). And the result must be IDENTICAL under any
+    repartitioning / salt_parts (mergeability + determinism: bottom-k by
+    a fixed hash is a pure function of the data)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.stats import (
+        quantile_sketch_by_group, quantiles_by_group)
+
+    df = (spark.range(20_000)
+          .select(F.lit("g").alias("g"), F.col("id"),
+                  # deterministic pseudo-uniform values in [0, 1000)
+                  (F.pmod(F.xxhash64("id"), 100_000) / 100.0).alias("x")))
+    k = 256
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    sk = quantile_sketch_by_group(df, ["g"], "x", hash_cols=["id"],
+                                  k=k, qs=qs).collect()[0]
+    assert sk["n_values"] == 20_000 and sk["n_sampled"] == k
+    for p in qs:
+        sigma = math.sqrt(p * (1 - p) / k)
+        lo_p, hi_p = max(p - 3 * sigma, 0.0), min(p + 3 * sigma, 1.0)
+        band = quantiles_by_group(df, ["g"], "x", qs=(lo_p, hi_p),
+                                  scale=6).collect()[0]
+        name = f"p{round(p * 100)}"
+        assert band[0 + 1] <= sk[name] <= band[1 + 1], \
+            (name, sk[name], band[1], band[2])
+
+    again = quantile_sketch_by_group(df.repartition(17), ["g"], "x",
+                                     hash_cols=["id"], k=k, qs=qs,
+                                     salt_parts=5).collect()[0]
+    assert again == sk
+
+
 def test_duplicate_ngram_spans(spark):
     shared = "one two three four"          # the only cross-doc 4-gram
     docs = [
