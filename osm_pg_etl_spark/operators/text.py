@@ -160,10 +160,16 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
             for kind, pattern in PII_PATTERNS}
 
 
-_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+# Unambiguous tracking params only. ``ref=`` is deliberately NOT here:
+# it is frequently semantic (VCS branch refs, referrer-dependent content)
+# and stripping it collapsed genuinely distinct documents into one dedup
+# group (r9 driver ADVICE). Pass a custom tuple to strip more.
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
 
 
-def canonicalize_url(url: Column | str) -> Column:
+def canonicalize_url(url: Column | str,
+                     tracking_prefixes: tuple[str, ...] = _TRACKING_PREFIXES
+                     ) -> Column:
     """Canonical form of a URL for source-level dedup — the
     normalization every web-crawl pipeline runs before grouping by URL
     (a page fetched as ``HTTP://Host:80/a/?utm_source=x`` and
@@ -173,15 +179,20 @@ def canonicalize_url(url: Column | str) -> Column:
       ``:443`` https) stripped;
     - fragment dropped;
     - path: trailing slashes trimmed (bare root stays ``/``);
-    - query: tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
-      ``msclkid``, ``ref``), the rest sorted so parameter order never
-      splits a group; an emptied query drops its ``?``.
+    - query: tracking params removed (``tracking_prefixes``, default
+      ``utm_*``/``fbclid``/``gclid``/``msclkid``), the rest sorted so
+      parameter order never splits a group; an emptied query drops its
+      ``?``;
+    - non-hierarchical inputs (no ``scheme://`` — ``mailto:``,
+      scheme-less ``www.x.com/a``, empty strings) pass through VERBATIM
+      instead of collapsing into a shared mangled ``"://..."`` form
+      that would merge unrelated malformed URLs into one dedup group.
 
     Pure JVM Column chain (regexp extracts + array ops, no UDF), with a
     1:1 DuckDB translation in the ``url_canonical_dedup`` oracle — both
     engines normalize byte-identically, so dedup groups hash-match."""
-    u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, "#.*", "")                    # fragment
+    raw = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(raw, "#.*", "")                  # fragment
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
     host = (F.when((scheme == "http") & host.endswith(":80"),
@@ -195,7 +206,7 @@ def canonicalize_url(url: Column | str) -> Column:
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     def _tracking(p: Column) -> Column:
         cond = F.lit(False)
-        for pre in _TRACKING_PREFIXES:
+        for pre in tracking_prefixes:
             cond = cond | p.startswith(pre)
         return cond
 
@@ -204,7 +215,8 @@ def canonicalize_url(url: Column | str) -> Column:
     qtail = F.when(F.size(keep) > 0,
                    F.concat(F.lit("?"), F.array_join(keep, "&"))) \
         .otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qtail)
+    canonical = F.concat(scheme, F.lit("://"), host, path, qtail)
+    return F.when(scheme != "", canonical).otherwise(raw)
 
 
 def fingerprint(text: Column | str) -> Column:

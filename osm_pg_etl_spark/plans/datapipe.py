@@ -1681,7 +1681,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_URL_TRACKING = ("x <> '' AND NOT (starts_with(x, 'utm_') OR "
                      "starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=') "
-                     "OR starts_with(x, 'msclkid=') OR starts_with(x, 'ref='))")
+                     "OR starts_with(x, 'msclkid='))")
 
 SQL_URL_CANONICAL_DEDUP = f"""
 WITH raw AS (

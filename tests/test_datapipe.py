@@ -763,9 +763,15 @@ def test_canonicalize_url_normalization_rules(spark):
         ("https://a.com/x?utm_source=t&b=2&a=1#frag",
          "https://a.com/x?a=1&b=2"),
         ("https://a.com/x?utm_campaign=z&fbclid=123", "https://a.com/x"),
-        ("https://a.com/x/?gclid=9&z=1&ref=home", "https://a.com/x?z=1"),
+        # ref= is semantic (branch refs, referrer-content) — it SURVIVES
+        ("https://a.com/x/?gclid=9&z=1&ref=home",
+         "https://a.com/x?ref=home&z=1"),
         ("http://a.com:8080/y", "http://a.com:8080/y"),
         ("https://a.com/deep///", "https://a.com/deep"),
+        # non-hierarchical inputs pass through verbatim, never "://..."
+        ("mailto:someone@example.com", "mailto:someone@example.com"),
+        ("www.example.com/a?utm_source=x", "www.example.com/a?utm_source=x"),
+        ("", ""),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
