@@ -88,18 +88,29 @@ def main() -> None:
     # (clearCache above after each pass: the timed queries must rebuild
     # derive_osm's cached nodes/way_nodes themselves — only the JIT stays
     # warm, exactly as previous rounds.)
-    # MEDIAN-OF-R timed passes (default 3): single-shot run-to-run spread
-    # reached 50% on sub-2 s queries (r5 verdict: quantile_profile 1.25 vs
-    # 1.85 s same-code), drowning real round-over-round deltas. Each pass
-    # replays the whole set after a clearCache so intra-pass cache sharing
-    # matches the historical single-pass methodology; the per-query median
-    # across passes is the reported number, max-min the recorded spread.
+    # MEDIAN-OF-R interleaved timed passes (default 7): single-shot
+    # run-to-run spread reached 50% on sub-2 s queries (r5 verdict:
+    # quantile_profile 1.25 vs 1.85 s same-code), and r9 showed ±2.4x
+    # per-query swings on byte-identical code with 3 passes — one GC
+    # pause or JIT recompile lands in a random query's wall time. Each
+    # pass replays the WHOLE set (A,B,C,A,B,C — never A,A,A,B,B,B) after
+    # a clearCache + System.gc(), so shared-JVM state at query N's start
+    # is the same every pass and GC debt from pass k-1 isn't billed to
+    # pass k's first queries. Reported per query: the MEDIAN across
+    # passes (the headline number, methodology-continuous with r4+), the
+    # MIN (the cleanest estimator of the deterministic work under
+    # additive noise — compare THIS across rounds for sub-second
+    # queries), and a TRIMMED spread (range of the samples after
+    # dropping the single highest and lowest — with >=5 samples a lone
+    # GC outlier no longer defines the spread; for <5 repeats it
+    # degrades to the plain max-min range).
     import statistics
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "7")))
     passes: list[dict[str, float]] = []
     for _ in range(repeats):
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         one: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
@@ -107,11 +118,21 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             one[name] = time.perf_counter() - start
         passes.append(one)
-    timings = {n: round(statistics.median(p[n] for p in passes), 3)
-               for n in HEADLINE}
-    spread = {n: round(max(p[n] for p in passes)
-                       - min(p[n] for p in passes), 3)
-              for n in HEADLINE}
+    def _trimmed_range(samples: list[float]) -> float:
+        cut = min(2, (len(samples) - 3) // 2) if len(samples) >= 5 else 0
+        core = sorted(samples)[cut:len(samples) - cut]
+        return core[-1] - core[0]
+
+    # NOTE a rejected variant: adaptive per-query top-up passes (rerun
+    # only the noisy subset) made spreads WORSE — samples from a
+    # subset-only pass have a different shared-JVM context than the
+    # full-set passes, so mixing the two distributions widens the range.
+    # All samples must come from structurally identical passes.
+    samples = {n: [p[n] for p in passes] for n in HEADLINE}
+
+    timings = {n: round(statistics.median(samples[n]), 3) for n in HEADLINE}
+    mins = {n: round(min(samples[n]), 3) for n in HEADLINE}
+    spread = {n: round(_trimmed_range(samples[n]), 3) for n in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -122,7 +143,11 @@ def main() -> None:
         "sf": sf,
         "warm": True,
         "repeats": repeats,
+        "queries_min": mins,
         "spread": spread,
+        "spread_method": "range of the central samples "
+                         "(trim min(2,(n-3)//2) per side)",
+        "n_samples": {n: len(samples[n]) for n in HEADLINE},
     }
 
     # Scaling signal: re-run the set at a 10x-smaller SF and report the

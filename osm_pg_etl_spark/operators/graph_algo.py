@@ -354,6 +354,125 @@ def line_graph_transitions(directed: DataFrame,
     return trans.select("from_u", "via", "to_v", "w")
 
 
+def _via_way_stateful_transitions(trans: DataFrame, e0: DataFrame,
+                                  via_restrictions: list[dict],
+                                  banned_triples: set[tuple[int, int, int]],
+                                  forbid_uturn: bool = True) -> DataFrame:
+    """Expand the permitted-transition table with CHAIN STATE so via-WAY
+    restrictions (``relations.via_way_turn_restrictions`` output) are
+    enforceable: a restriction binds only to paths traversing its entire
+    via chain, which a node-keyed triple cannot express.
+
+    The construction is the classic graph-expansion (shadow-state) trick,
+    generalized to a prefix automaton so restrictions sharing chain
+    prefixes stay correct: a state is the SET of (restriction, position)
+    pairs whose chain matches the path suffix. Entering a chain's first
+    edge from a restricted from-edge redirects the transition into the
+    automaton (the state-0 row is removed); following a chain advances
+    it; diverging falls back to state 0; at a completed chain the
+    restriction's exit rule bites — ``no_*`` removes the exit
+    transition(s), ``only_*`` removes every other exit. States and the
+    extra rows are enumerated driver-side (restriction tables are
+    broadcast-scale; rows ≈ Σ chain length · out-degree) and unioned
+    onto the base table; the big table is touched only by one left-anti
+    join removing the redirected entry rows. Output adds ``st_from``/
+    ``st_to`` (0 = normal) to the (from_u, via, to_v, w) schema.
+    """
+    chains = {r["rid"]: r["chain"] for r in via_restrictions}
+    kinds = {r["rid"]: r["kind"] for r in via_restrictions}
+    exits = {r["rid"]: set(r["exits"]) for r in via_restrictions}
+
+    # seeds: (entry edge, first chain edge) -> activated (rid, 1) set
+    seeds: dict[tuple[tuple[int, int], tuple[int, int]], set] = {}
+    for r in via_restrictions:
+        c1 = r["chain"][0]
+        for fe in r["entries"]:
+            seeds.setdefault((tuple(fe), tuple(c1)), set()).add(
+                (r["rid"], 1))
+
+    # out-edges (with weights) at every chain node — the only part of the
+    # graph the automaton needs; bounded by Σ chain nodes · out-degree
+    nodes = sorted({n for c in chains.values() for e in c for n in e})
+    out_edges: dict[int, list[tuple[int, float]]] = {}
+    for row in (e0.where(F.col("u").isin(*nodes))
+                .select("u", "v", "w").collect()):
+        out_edges.setdefault(int(row["u"]), []).append(
+            (int(row["v"]), float(row["w"])))
+
+    state_ids: dict[frozenset, int] = {}
+    rows: list[tuple[int, int, int, float, int, int]] = []
+    removed: list[tuple[int, int, int]] = []
+    queue: list[frozenset] = []
+
+    def _intern(s: frozenset) -> int:
+        if s not in state_ids:
+            state_ids[s] = len(state_ids) + 1
+            queue.append(s)
+        return state_ids[s]
+
+    def _next_state(cur_edge: tuple[int, int], nxt: tuple[int, int],
+                    active: frozenset) -> frozenset:
+        adv = {(rid, pos + 1) for rid, pos in active
+               if pos < len(chains[rid]) and chains[rid][pos] == nxt}
+        # a transition can simultaneously be another restriction's entry
+        adv |= seeds.get((cur_edge, nxt), set())
+        return frozenset(adv)
+
+    # entry redirections from state 0
+    for (fe, c1), active in sorted(seeds.items(),
+                                   key=lambda kv: (kv[0], )):
+        fu, n0 = fe
+        if (fu, n0, c1[1]) in banned_triples:
+            continue   # base already bans this turn outright
+        w = dict(out_edges.get(n0, ()))
+        if c1[1] not in w:
+            continue   # chain head not traversable here
+        sid = _intern(frozenset(active))
+        rows.append((fu, n0, c1[1], w[c1[1]], 0, sid))
+        removed.append((fu, n0, c1[1]))
+
+    while queue:
+        s = queue.pop()
+        sid = state_ids[s]
+        # all members share the current edge by construction
+        rid0, pos0 = next(iter(s))
+        u, v = chains[rid0][pos0 - 1]
+        terminal_no = {t for rid, pos in s
+                       if pos == len(chains[rid])
+                       and kinds[rid].startswith("no_")
+                       for t in exits[rid]}
+        only_sets = [exits[rid] for rid, pos in s
+                     if pos == len(chains[rid])
+                     and kinds[rid].startswith("only_")]
+        for to_v, w in sorted(out_edges.get(v, ())):
+            if forbid_uturn and to_v == u:
+                continue
+            if (u, v, to_v) in banned_triples:
+                continue
+            if to_v in terminal_no:
+                continue
+            if any(to_v not in allowed for allowed in only_sets):
+                continue
+            nxt = _next_state((u, v), (v, to_v), s)
+            rows.append((u, v, to_v, w, sid,
+                         _intern(nxt) if nxt else 0))
+
+    spark = trans.sparkSession
+    base = trans.select("from_u", "via", "to_v", "w",
+                        F.lit(0).alias("st_from"), F.lit(0).alias("st_to"))
+    if removed:
+        rm = spark.createDataFrame(sorted(set(removed)),
+                                   "from_u long, via long, to_v long")
+        base = base.join(F.broadcast(rm), ["from_u", "via", "to_v"],
+                         "left_anti")
+    if rows:
+        extra = spark.createDataFrame(
+            rows, "from_u long, via long, to_v long, w double, "
+                  "st_from int, st_to int")
+        base = base.unionByName(extra)
+    return base
+
+
 def turn_restricted_distances(directed: DataFrame, source: int,
                               src: str = "start_node",
                               dst: str = "end_node",
@@ -361,7 +480,9 @@ def turn_restricted_distances(directed: DataFrame, source: int,
                               restrictions: DataFrame | None = None,
                               forbid_uturn: bool = True,
                               max_rounds: int = 200,
-                              return_rounds: bool = False):
+                              return_rounds: bool = False,
+                              via_way_restrictions: list[dict]
+                              | None = None):
     """Turn-aware single-source shortest distances: Bellman-Ford over
     the LINE GRAPH (:func:`line_graph_transitions`), where state is
     "cheapest way to arrive at node v having just traversed edge
@@ -379,41 +500,68 @@ def turn_restricted_distances(directed: DataFrame, source: int,
     are absent. Worst-case rounds = longest shortest edge-path
     (``max_rounds``-bounded, truncation warns like the node-keyed
     operator).
+
+    ``via_way_restrictions`` (``relations.via_way_turn_restrictions``
+    output) switches the state key from the edge pair to
+    (edge pair, chain state): the transition table is expanded by
+    :func:`_via_way_stateful_transitions` and the same fixpoint runs
+    over the expanded keys — via-WAY restrictions bind only to paths
+    traversing their full chain, exactly pgrouting's edge-chain
+    semantics. Without it the plan is byte-identical to before.
     """
     import warnings
 
     trans = line_graph_transitions(directed, src, dst, weight,
-                                   restrictions, forbid_uturn) \
-        .localCheckpoint()
+                                   restrictions, forbid_uturn)
     e0 = (directed.select(F.col(src).cast("long").alias("u"),
                           F.col(dst).cast("long").alias("v"),
                           F.col(weight).cast("double").alias("w"))
           .filter(F.col("u") != F.col("v"))
           .groupBy("u", "v").agg(F.min("w").alias("w")))
+    stateful = bool(via_way_restrictions)
+    if stateful:
+        chain_nodes = {n for r in via_way_restrictions
+                       for e in r["chain"] for n in e}
+        banned: set[tuple[int, int, int]] = set()
+        if restrictions is not None and chain_nodes:
+            banned = {(int(r["from_u"]), int(r["via"]), int(r["to_v"]))
+                      for r in restrictions
+                      .where(F.col("via").isin(*sorted(chain_nodes)))
+                      .collect()}
+        trans = _via_way_stateful_transitions(
+            trans, e0, via_way_restrictions, banned, forbid_uturn)
+    trans = trans.localCheckpoint()
     dist = (e0.filter(F.col("u") == int(source))
             .select("u", "v", F.col("w").alias("dist"))
             .localCheckpoint())
+    if stateful:
+        dist = dist.withColumn("st", F.lit(0))
+    keys = ["u", "v", "st"] if stateful else ["u", "v"]
     frontier = dist
     rounds = 0
     changed = -1  # -1 = loop never ran (max_rounds == 0)
     for _ in range(max_rounds):
-        relax = (trans.join(frontier,
-                            (trans["from_u"] == frontier["u"])
-                            & (trans["via"] == frontier["v"]))
-                 .select(F.col("via").alias("u"),
-                         F.col("to_v").alias("v"),
-                         (F.col("dist") + F.col("w")).alias("dist"),
-                         F.lit(None).cast("double").alias("prev")))
-        cur = dist.select("u", "v", "dist", F.col("dist").alias("prev"))
+        cond = ((trans["from_u"] == frontier["u"])
+                & (trans["via"] == frontier["v"]))
+        if stateful:
+            cond = cond & (trans["st_from"] == frontier["st"])
+        relax_cols = [F.col("via").alias("u"),
+                      F.col("to_v").alias("v"),
+                      (F.col("dist") + F.col("w")).alias("dist"),
+                      F.lit(None).cast("double").alias("prev")]
+        if stateful:
+            relax_cols.insert(2, F.col("st_to").alias("st"))
+        relax = trans.join(frontier, cond).select(*relax_cols)
+        cur = dist.select(*keys, "dist", F.col("dist").alias("prev"))
         new = (cur.unionByName(relax)
-               .groupBy("u", "v").agg(F.min("dist").alias("dist"),
-                                      F.min("prev").alias("prev"))
+               .groupBy(*keys).agg(F.min("dist").alias("dist"),
+                                   F.min("prev").alias("prev"))
                .localCheckpoint())
         frontier = (new.filter(F.col("prev").isNull()
                                | (F.col("dist") < F.col("prev")))
-                    .select("u", "v", "dist"))
+                    .select(*keys, "dist"))
         changed = frontier.count()
-        dist = new.select("u", "v", "dist")
+        dist = new.select(*keys, "dist")
         rounds += 1
         if changed == 0:
             break

@@ -48,8 +48,10 @@ def turn_restrictions_from_relations(relations: DataFrame,
     Multiple ``from``/``to`` members per relation (legal for ``no_entry``
     / ``no_exit``) expand combinatorially, as pgrouting does. Via-WAY
     restrictions (role ``via`` with member_type ``'W'``, <2% of planet
-    restrictions) are not representable in a node-keyed line graph and are
-    dropped; a router needing them must key state on edge chains.
+    restrictions) are not representable in a node-keyed line graph and
+    are ignored here; :func:`via_way_turn_restrictions` parses them into
+    edge chains for the stateful router
+    (``graph_algo.turn_restricted_distances(via_way_restrictions=...)``).
 
     Scale shape: the restriction tables are tiny relative to the edge set,
     so every join broadcasts the parsed side; the one per-node expansion
@@ -115,6 +117,139 @@ def turn_restrictions_from_relations(relations: DataFrame,
                          "left_anti")
                    .select("from_u", "via", "to_v"))
     return no_banned.unionByName(only_banned).distinct()
+
+
+def via_way_turn_restrictions(relations: DataFrame,
+                              members: DataFrame,
+                              directed: DataFrame,
+                              edge_id: str = "edge_id",
+                              src: str = "start_node",
+                              dst: str = "end_node") -> list[dict]:
+    """Parse ``type=restriction`` relations whose ``via`` members are WAYS
+    (the <2% tail :func:`turn_restrictions_from_relations` documents
+    dropping; the reference's schema carries them verbatim,
+    ``etl/pgsnapshot_schema_0.6.sql:57-80``, and pgrouting honors them by
+    keying router state on edge chains). A via-WAY restriction binds only
+    to paths that traverse the ENTIRE via chain — from the junction with
+    the from-way to the junction with the to-way — so it is not
+    representable as a single banned (from_u, via, to_v) triple; the
+    router needs chain state (``graph_algo.turn_restricted_distances``'s
+    ``via_way_restrictions`` parameter consumes this output).
+
+    Returns a driver-side list (restriction relations are tiny —
+    broadcast-scale by construction) of dicts::
+
+        {"rid", "kind",                      # relation id, restriction=*
+         "entries": [(from_u, n0), ...],     # arriving from-way edges
+         "chain":   [(n0, n1), (n1, n2)...], # directed via-chain edges
+         "exits":   [to_v, ...]}             # departing to-way targets
+
+    Unresolvable relations are DROPPED, as pgrouting drops what it cannot
+    resolve: via ways that don't form a simple path, junctions that
+    aren't chain endpoints, chains not traversable in the junction
+    direction (oneway against), no arriving from-edge, and ``only_*``
+    with no resolvable exit (the same rule as the node-via parse).
+    """
+    restr = (relations
+             .where((F.col("tags")["type"] == "restriction")
+                    & F.col("tags")["restriction"].isNotNull())
+             .select(F.col("id").alias("relation_id"),
+                     F.col("tags")["restriction"].alias("kind")))
+    mem = (members.join(restr.select("relation_id"), "relation_id",
+                        "left_semi")
+           .where(F.col("member_type") == "W")
+           .select("relation_id", "member_id", "member_role",
+                   "sequence_id"))
+    kinds = {r["relation_id"]: r["kind"] for r in restr.collect()}
+    by_rel: dict[int, dict[str, list]] = {}
+    for r in mem.collect():
+        slot = by_rel.setdefault(r["relation_id"],
+                                 {"from": [], "via": [], "to": []})
+        if r["member_role"] in slot:
+            slot[r["member_role"]].append((r["sequence_id"],
+                                           r["member_id"]))
+    # node-via relations are the other operator's job: keep only
+    # relations with >=1 via WAY member
+    cand = {rid: s for rid, s in by_rel.items()
+            if s["via"] and s["from"] and s["to"]}
+    if not cand:
+        return []
+
+    ways = {wid for s in cand.values()
+            for _, wid in s["from"] + s["via"] + s["to"]}
+    edges = (directed
+             .select(F.col(edge_id).alias("way_id"),
+                     F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .where(F.col("way_id").isin(*[int(w) for w in ways]))
+             .distinct().collect())
+    by_way: dict[int, set[tuple[int, int]]] = {}
+    for e in edges:
+        by_way.setdefault(e["way_id"], set()).add((e["u"], e["v"]))
+
+    def _walk(via_pairs: set[frozenset], start: int,
+              end: int) -> list[int] | None:
+        """Simple path start→end over undirected via edges; None if the
+        continuation is ever ambiguous or the path doesn't reach end."""
+        adj: dict[int, set[int]] = {}
+        for p in via_pairs:
+            a, b = tuple(p)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        path, seen = [start], {start}
+        cur = start
+        while cur != end:
+            nxt = [x for x in adj.get(cur, ()) if x not in seen]
+            if len(nxt) != 1:
+                return None
+            cur = nxt[0]
+            seen.add(cur)
+            path.append(cur)
+        return path
+
+    out: list[dict] = []
+    for rid, s in sorted(cand.items()):
+        via_ids = [wid for _, wid in sorted(s["via"])]
+        via_dir = {e for w in via_ids for e in by_way.get(w, ())}
+        via_pairs = {frozenset(e) for e in via_dir}
+        via_nodes = {n for p in via_pairs for n in p}
+        # chain endpoints: degree-1 nodes of the undirected via graph
+        deg: dict[int, int] = {}
+        for p in via_pairs:
+            for n in p:
+                deg[n] = deg.get(n, 0) + 1
+        ends = {n for n, d in deg.items() if d == 1}
+        from_edges = {e for _, w in s["from"] for e in by_way.get(w, ())}
+        to_edges = {e for _, w in s["to"] for e in by_way.get(w, ())}
+        j1s = {v for _, v in from_edges} & via_nodes & ends
+        j2s = {u for u, _ in to_edges} & via_nodes & ends
+        resolved = None
+        for j1 in sorted(j1s):
+            for j2 in sorted(j2s - {j1}):
+                nodes = _walk(via_pairs, j1, j2)
+                if nodes is None:
+                    continue
+                chain = list(zip(nodes, nodes[1:]))
+                # every chain edge must be traversable in this direction
+                if any(e not in via_dir for e in chain):
+                    continue
+                entries = sorted((u, v) for u, v in from_edges
+                                 if v == j1 and u != nodes[1])
+                exits = sorted(v for u, v in to_edges
+                               if u == j2 and v != nodes[-2])
+                # exits empty: only_* is unresolvable (the task-2 rule)
+                # and no_* is vacuous — drop either way
+                if entries and exits:
+                    resolved = {"rid": int(rid), "kind": kinds[rid],
+                                "entries": entries, "chain": chain,
+                                "exits": exits}
+                    break
+            if resolved:
+                break
+        if resolved:
+            out.append(resolved)
+    return out
 
 
 def relation_route_summary(relations: DataFrame, members: DataFrame,

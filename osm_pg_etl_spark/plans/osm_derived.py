@@ -995,6 +995,88 @@ def derive_restriction_relations(directed: DataFrame
     return rels, members
 
 
+_VIA_WAY_MOD = 37
+
+
+def derive_via_way_restriction_relations(directed: DataFrame
+                                         ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic via-WAY ``type=restriction`` relations over the
+    directed car graph (pgsnapshot shape): every edge TRIPLE
+    a→b→c (b the single-way via chain, distinct ways, no U-turns) with
+    ``(w_a + b.u + w_c) ≡ 0 mod 37`` becomes one restriction with 'W'
+    from / 'W' via / 'W' to members — the <2% planet tail the node-via
+    derivation cannot represent. Kind alternates no_/only_ like the
+    node-via gate."""
+    from ..functions.hashing import md5_long
+
+    e = (directed.select(F.col("edge_id").alias("way_id"),
+                         F.col("start_node").cast("long").alias("u"),
+                         F.col("end_node").cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    a = e.select(F.col("way_id").alias("wa"), F.col("u").alias("fu"),
+                 F.col("v").alias("j1"))
+    b = e.select(F.col("way_id").alias("wv"), F.col("u").alias("j1"),
+                 F.col("v").alias("j2"))
+    c = e.select(F.col("way_id").alias("wc"), F.col("u").alias("j2"),
+                 F.col("v").alias("tv"))
+    cand = (a.join(b, "j1").join(c, "j2")
+            .where((F.col("wa") != F.col("wv"))
+                   & (F.col("wv") != F.col("wc"))
+                   & (F.col("wa") != F.col("wc"))
+                   & (F.col("j2") != F.col("fu"))
+                   & (F.col("tv") != F.col("j1"))
+                   & ((F.col("wa") + F.col("j1") + F.col("wc"))
+                      % _VIA_WAY_MOD == 0))
+            .select("wa", "wv", "wc").distinct())
+    trip = cand.select(
+        md5_long(F.concat_ws(":", "wa", "wv", "wc")).alias("id"),
+        "wa", "wv", "wc",
+        F.when((F.col("wa") + F.col("wc")) % 2 == 0,
+               F.lit("no_left_turn"))
+         .otherwise(F.lit("only_straight_on")).alias("kind")).cache()
+    rels = trip.select(
+        "id", F.map_from_arrays(
+            F.array(F.lit("type"), F.lit("restriction")),
+            F.array(F.lit("restriction"), F.col("kind"))).alias("tags"))
+    mk = (lambda col, r, s: trip.select(
+        F.col("id").alias("relation_id"), F.col(col).alias("member_id"),
+        F.lit("W").alias("member_type"), F.lit(r).alias("member_role"),
+        F.lit(s).cast("int").alias("sequence_id")))
+    members = (mk("wa", "from", 0)
+               .unionByName(mk("wv", "via", 1))
+               .unionByName(mk("wc", "to", 2)))
+    return rels, members
+
+
+def q_osm_turn_restricted_via_way(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Via-WAY turn-restricted SSSP (r10, VERDICT task 9): the derived
+    via-way restriction relations are parsed by
+    ``relations.via_way_turn_restrictions`` into edge chains and enforced
+    by the stateful line-graph router
+    (``graph_algo.turn_restricted_distances(via_way_restrictions=...)``)
+    — restrictions bind only to paths traversing the ENTIRE via way,
+    pgrouting's edge-chain semantics. The chain-state automaton is
+    driver-enumerated (restriction tables are broadcast-scale), so no
+    SQL oracle can replay it — this gate is rows-only; its value
+    semantics are pinned by the fixture suite in
+    ``tests/test_turn_restrictions_rel.py`` (forced detours, partial
+    traversal escapes, only_* mandated exits)."""
+    from ..operators.graph_algo import turn_restricted_distances
+    from ..operators.relations import via_way_turn_restrictions
+
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged).cache()
+    rels, members = derive_via_way_restriction_relations(directed)
+    vw = via_way_turn_restrictions(rels, members, directed)
+    source = directed.agg(F.min("start_node")).collect()[0][0]
+    sp = turn_restricted_distances(directed, int(source),
+                                   via_way_restrictions=vw)
+    return sp.select("node", F.round("dist", 6).alias("dist_km"))
+
+
 def q_osm_turn_restricted_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-restricted SSSP driven by REAL ``type=restriction`` relation
     parsing (VERDICT r7 top-next): a deterministic restriction-relation
@@ -2986,6 +3068,7 @@ QUERIES = {
     "osm_access_km": q_osm_access_km,
     "osm_turn_restricted": q_osm_turn_restricted,
     "osm_turn_restricted_rel": q_osm_turn_restricted_rel,
+    "osm_turn_restricted_via_way": q_osm_turn_restricted_via_way,
     "osm_reachability": q_osm_reachability,
     "osm_betweenness": q_osm_betweenness,
     "osm_betweenness_exact": q_osm_betweenness_exact,

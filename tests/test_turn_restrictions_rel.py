@@ -187,6 +187,112 @@ def test_only_with_unresolvable_to_way_drops_not_severs(spark, directed):
     assert [tuple(r) for r in restr3.collect()] == [(1, 2, 3)]
 
 
+VIA_WAY_EDGES = [
+    # trunk route 1 -> 2 -> 3 -> 4, with via WAY 200 covering 2..3
+    (101, 1, 2, 1.0),
+    (300, 3, 4, 1.0),
+    (400, 3, 5, 1.0),
+    # bypass around the via way: 2 -> 6 -> 3
+    (500, 2, 6, 1.0),
+    (501, 6, 3, 1.0),
+]
+
+
+def _via_way_world(spark, chain_nodes, kind="no_left_turn", to_way=300):
+    """Directed graph + one via-WAY restriction: from 101, via way 200
+    spanning ``chain_nodes``, to ``to_way``. Multi-edge chains add a
+    divergence path 7 -> 8 -> 3 so a partial traversal can escape."""
+    edges = list(VIA_WAY_EDGES)
+    for a, b in zip(chain_nodes, chain_nodes[1:]):
+        edges.append((200, a, b, 1.0))
+    if len(chain_nodes) > 2:
+        edges += [(502, 7, 8, 1.0), (503, 8, 3, 1.0)]
+    directed = spark.createDataFrame(
+        edges, "edge_id long, start_node long, end_node long, length double")
+    rels = spark.createDataFrame(
+        [(9500, {"type": "restriction", "restriction": kind})],
+        "id long, tags map<string,string>")
+    members = spark.createDataFrame(
+        [(9500, 101, "W", "from", 0), (9500, 200, "W", "via", 1),
+         (9500, to_way, "W", "to", 2)],
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int")
+    return directed, rels, members
+
+
+def test_via_way_parse_resolves_chain_entries_exits(spark):
+    from osm_pg_etl_spark.operators.relations import via_way_turn_restrictions
+
+    directed, rels, members = _via_way_world(spark, [2, 7, 3])
+    (r,) = via_way_turn_restrictions(rels, members, directed)
+    assert r["kind"] == "no_left_turn"
+    assert r["entries"] == [(1, 2)]
+    assert r["chain"] == [(2, 7), (7, 3)]
+    assert r["exits"] == [4]
+
+    # to_way outside the graph -> unresolvable -> dropped (not severed)
+    directed2, rels2, members2 = _via_way_world(spark, [2, 7, 3],
+                                                to_way=999)
+    assert via_way_turn_restrictions(rels2, members2, directed2) == []
+
+
+def test_via_way_no_turn_bans_only_full_chain_traversals(spark):
+    """no_* via a single-edge via WAY: 1->2->3->4 is banned (full chain
+    2->3 traversed after way 101), the bypass 1->2->6->3->4 is not
+    (node 3 reached OUTSIDE the chain), and the chain exit to 5 is
+    unaffected."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        turn_restricted_distances)
+    from osm_pg_etl_spark.operators.relations import via_way_turn_restrictions
+
+    directed, rels, members = _via_way_world(spark, [2, 3])
+    vw = via_way_turn_restrictions(rels, members, directed)
+    base = {r["node"]: r["dist"]
+            for r in turn_restricted_distances(directed, 1).collect()}
+    assert base[4] == pytest.approx(3.0)
+    got = {r["node"]: r["dist"] for r in turn_restricted_distances(
+        directed, 1, via_way_restrictions=vw).collect()}
+    assert got[4] == pytest.approx(4.0)   # forced onto 1->2->6->3->4
+    assert got[5] == pytest.approx(3.0)   # chain exit to 5 still fine
+    assert got[3] == pytest.approx(2.0)
+
+
+def test_via_way_multi_edge_chain_partial_traversal_escapes(spark):
+    """A 2-edge via chain (2->7->3): the ban bites only after BOTH chain
+    edges; diverging at 7 (7->8->3) re-enters 3 in normal state and may
+    exit to 4."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        turn_restricted_distances)
+    from osm_pg_etl_spark.operators.relations import via_way_turn_restrictions
+
+    directed, rels, members = _via_way_world(spark, [2, 7, 3])
+    vw = via_way_turn_restrictions(rels, members, directed)
+    got = {r["node"]: r["dist"] for r in turn_restricted_distances(
+        directed, 1, via_way_restrictions=vw).collect()}
+    # full chain 1->2->7->3->4 (len 4) banned; best legal:
+    # bypass 1->2->6->3->4 = 4 (divergence 1->2->7->8->3->4 = 5)
+    assert got[4] == pytest.approx(4.0)
+    assert got[5] == pytest.approx(4.0)   # 1->2->7->3->5 unbanned (4 edges)
+    assert got[8] == pytest.approx(3.0)   # divergence 1->2->7->8 usable
+
+
+def test_via_way_only_mandates_exit_after_full_chain(spark):
+    """only_* via way 200 to way 400 (exit 3->5): completing the chain
+    forbids every exit except 5; reaching 3 outside the chain is free."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        turn_restricted_distances)
+    from osm_pg_etl_spark.operators.relations import via_way_turn_restrictions
+
+    directed, rels, members = _via_way_world(spark, [2, 3],
+                                             kind="only_straight_on",
+                                             to_way=400)
+    vw = via_way_turn_restrictions(rels, members, directed)
+    got = {r["node"]: r["dist"] for r in turn_restricted_distances(
+        directed, 1, via_way_restrictions=vw).collect()}
+    assert got[5] == pytest.approx(3.0)   # the mandated exit
+    assert got[4] == pytest.approx(4.0)   # others must take the bypass
+
+
 def test_multi_via_relation_does_not_cross_contaminate(spark, directed):
     """r8 review: a (malformed-but-real) restriction relation carrying
     TWO via-node members must resolve each from/to pair at ITS OWN via —
