@@ -1,15 +1,16 @@
 """Pure-numpy image codec for the uncompressed formats — the REAL decode
 leg of the multimodal pipeline (:mod:`..operators.multimodal`).
 
-This container has no PIL/libav, so lossy codecs (JPEG) stay behind the
-documented stub; but netpbm (P5/P6) and 24-bit BI_RGB BMP are plain
-headers over raw pixel bytes, and 8-bit PNG is zlib (in the stdlib) plus
-the five scanline filters — all decodable with numpy alone — which makes
-the Arrow-batched decode → feature-extract → resize → re-encode path
-REAL end to end for those formats: actual pixel arrays flow through
-``mapInPandas``, not fakes. A deployment with PIL swaps
-:func:`decode_image`'s fallback branch; every shape/packing contract
-here stays identical.
+This container has no PIL/libav, but netpbm (P5/P6) and 24-bit BI_RGB
+BMP are plain headers over raw pixel bytes, 8-bit PNG is zlib (in the
+stdlib) plus the five scanline filters, and baseline JPEG is canonical
+Huffman + IDCT (:mod:`.jpegcodec`, r10) — all decodable with numpy
+alone — which makes the Arrow-batched decode → feature-extract →
+resize → re-encode path REAL end to end for those formats: actual pixel
+arrays flow through ``mapInPandas``, not fakes. The remaining stub
+boundary is progressive/arithmetic JPEG and video containers; a
+deployment with PIL swaps :func:`decode_image`'s fallback branch and
+every shape/packing contract here stays identical.
 
 All functions are executor-safe (numpy only, no state) and operate on
 ``bytes`` in / ``bytes`` or ``ndarray`` out, so they compose with any
@@ -313,15 +314,21 @@ def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode: netpbm, 24-bit BMP and 8-bit PNG decode for
-    real; anything else (JPEG/...) raises NotImplementedError — the
-    documented stub boundary a PIL-equipped deployment replaces."""
+    """Sniff-and-decode: netpbm, 24-bit BMP, 8-bit PNG and baseline JPEG
+    (r10, :mod:`.jpegcodec`) decode for real; anything else raises
+    NotImplementedError — the documented stub boundary a PIL-equipped
+    deployment replaces (within JPEG, progressive/arithmetic scans raise
+    their own loud NotImplementedError)."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .jpegcodec import decode_jpeg  # noqa: PLC0415
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {payload[:2]!r}; compressed "
         "codecs need an image library not present in this environment")

@@ -1,0 +1,420 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — closes the documented "JPEG is
+the stub boundary" gap of :mod:`.imagecodec` (real multimodal corpora are
+mostly JPEG; the reference pipeline itself never decodes media, so this is
+part of the training-data extension surface, cf. ``osm-pg-etl.md:31-105``
+for where the reference hands data to Python).
+
+Scope: baseline sequential DCT (SOF0), 8-bit precision, grayscale or
+YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, standard
+Huffman/quantization table syntax (multiple tables per DQT/DHT segment,
+APPn/COM segments skipped). Progressive (SOF2) and arithmetic coding
+raise ``NotImplementedError`` loudly — the same honest-boundary pattern
+the other codecs use.
+
+Determinism: the IDCT is an orthonormal float64 matrix product and the
+final sample is ``clip(round(x), 0, 255)`` — a pure function of the
+bitstream on any IEEE-754 platform, so decoded features are
+hash-oracle-safe. The encoder (4:4:4 or grayscale) exists so tests and
+gates can synthesize REAL bitstreams: with flat quantization tables a
+per-8×8-block-constant image round-trips bit-exactly (constant blocks are
+DC-only; see the gate oracle), while textured images are verified by
+energy/SNR bounds like the ADPCM path.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Table K.1/K.2 — only used as encoder defaults.
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# zigzag order: index i of the zigzag sequence -> raster position
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (rows = frequencies)."""
+    m = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(1.0 / 8.0) if k == 0 else math.sqrt(2.0 / 8.0)
+        for n in range(8):
+            m[k, n] = c * math.cos(math.pi * (2 * n + 1) * k / 16.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    """2-D inverse DCT of one 8x8 coefficient block (orthonormal)."""
+    return _DCT.T @ block @ _DCT
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+def _build_huffman(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> value, per T.81 C.2 canonical assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman_lengths(bits: list[int],
+                            values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code_length, code), the encoder-side inverse."""
+    return {v: (ln, c) for (ln, c), v in _build_huffman(bits, values).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker (handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.cur = (self.cur << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            if self.pos >= len(self.data):
+                self.marker = 0xD9
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resets DC predictors
+                    self.marker = nxt
+                    self.pos += 2
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.cur = ((self.cur << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.cur >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.cur &= (1 << self.nbits) - 1
+        return v
+
+    def clear_restart(self) -> None:
+        """Consume a pending RST marker and realign to the byte boundary."""
+        self.nbits = 0
+        self.cur = 0
+        self.marker = None
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.take(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 EXTEND: map t-bit magnitude to the signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Real entropy decode: canonical Huffman per T.81, DC prediction,
+    zigzag dequantization, orthonormal IDCT, chroma upsampling (nearest,
+    matching the encoder's box subsampling), JFIF YCbCr->RGB.
+    """
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2,):  # progressive
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) needs a full scan-accumulation "
+                "decoder; baseline sequential only")
+        if marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[i + 1:i + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nvals = sum(bits)
+                values = list(seg[i + 17:i + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _build_huffman(bits, values)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            data_start = pos + seglen
+            return _decode_scan(payload, data_start, scan, qt, huff_dc,
+                                huff_ac, h, w, restart)
+        pos += seglen
+    raise ValueError("JPEG ended without an SOS scan")
+
+
+def _decode_scan(payload: bytes, pos: int, scan: list[dict],
+                 qt: dict, huff_dc: dict, huff_ac: dict,
+                 h: int, w: int, restart: int) -> np.ndarray:
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in scan]
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.clear_restart()
+                pred = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        t = reader.decode(huff_dc[c["dc"]])
+                        pred[ci] += _extend(reader.take(t), t)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(huff_ac[c["ac"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:      # EOB
+                                break
+                            if rs == 0xF0:      # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            zz[k] = _extend(reader.take(s), s)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[_ZIGZAG] = zz * qt[c["tq"]].reshape(-1)[_ZIGZAG]
+                        px = _idct2(blk.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+    # upsample chroma to full resolution (nearest — inverse of box)
+    full = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([np.clip(np.round(x), 0, 255).astype(np.uint8)
+                     for x in (r, g, b)], axis=2)
+
+
+# --------------------------------------------------------------- encoder
+
+def _encode_block(zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict,
+                  bits: list[int]) -> int:
+    """Append one quantized zigzag block to the bitstream; returns the DC
+    value for the next prediction."""
+    def put(length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_coeff(v: int) -> tuple[int, int]:
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    diff = int(zz[0]) - pred
+    t, code = put_coeff(diff)
+    ln, c = dc_tbl[t]
+    put(ln, c)
+    put(t, code)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, c = ac_tbl[0xF0]
+            put(ln, c)
+            run -= 16
+        t, code = put_coeff(int(zz[k]))
+        ln, c = ac_tbl[(run << 4) | t]
+        put(ln, c)
+        put(t, code)
+        run = 0
+    if last < 63:
+        ln, c = ac_tbl[0x00]
+        put(ln, c)
+    return int(zz[0])
+
+
+def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes. ``quant`` is the
+    8x8 quantization table used for ALL components (default: T.81 K.1
+    luma table); pass ``np.ones((8, 8))`` for the near-lossless flat
+    table the block-constant gate relies on."""
+    a = np.asarray(rgb)
+    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
+        raise ValueError("encoder expects (h, w, 3) uint8 RGB")
+    h, w = a.shape[:2]
+    q = (QUANT_LUMA.reshape(8, 8) if quant is None
+         else np.asarray(quant, dtype=np.int32).reshape(8, 8))
+    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = []
+    for p in (y, cb, cr):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes.append(pad)
+    dc_tbl = _encode_huffman_lengths(*_DC_LUMA)
+    ac_tbl = _encode_huffman_lengths(*_AC_LUMA)
+    bits: list[int] = []
+    pred = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci, p in enumerate(planes):
+                blk = p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - 128.0
+                coef = _dct2(blk)
+                zq = np.round(coef / q).astype(np.int64)
+                zz = zq.reshape(-1)[_ZIGZAG]
+                pred[ci] = _encode_block(zz, pred[ci], dc_tbl, ac_tbl,
+                                         bits)
+    bits += [1] * ((8 - len(bits) % 8) % 8)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        raw.append(byte)
+        if byte == 0xFF:
+            raw.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[:] = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+              + bytes([3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0])
+               + bytes(_DC_LUMA[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0])
+                 + bytes(_AC_LUMA[1])))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes([0, 0]))
+    return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos + bytes(raw)
+            + b"\xFF\xD9")

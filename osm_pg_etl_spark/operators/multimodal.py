@@ -7,12 +7,13 @@ Design: a multimodal table carries ``content: binary`` plus a
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing (schema,
 batch shape, partitioning) is real and tested. The codec layer is split
-honestly: UNCOMPRESSED formats (binary netpbm P5/P6, 24-bit BI_RGB BMP)
-decode/resize/re-encode for REAL through the pure-numpy codec
-(:mod:`..functions.imagecodec` — see ``extract_image_features`` /
-``resize_images``), while compressed codecs (JPEG/PNG, audio, video
-frames) stay behind ``decode_stub`` because no image/audio library
-exists in this container; a PIL/libav deployment replaces only
+honestly: netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG and baseline JPEG
+(r10, :mod:`..functions.jpegcodec`) decode/resize/re-encode for REAL
+through the pure-numpy codecs (:mod:`..functions.imagecodec` — see
+``extract_image_features`` / ``resize_images``), while the remaining
+compressed formats (progressive JPEG, lossy audio, video frames) stay
+behind ``decode_stub`` because no image/audio library exists in this
+container; a PIL/libav deployment replaces only
 ``functions.imagecodec.decode_image``'s fallback branch.
 
 Scale notes: binary payloads dominate row size — repartition by size-aware
@@ -188,6 +189,48 @@ def attach_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit(None).cast("int").alias("duration_ms"))
     return df.select(F.col(id_col).alias("doc_id"),
                      make_png(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
+def attach_synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG payloads with numpy only (r10,
+    :mod:`..functions.jpegcodec`): one baseline 4:4:4 JFIF per row — an
+    8×8-BLOCK-constant gray-valued image (block(bx, by) = base + bx + by,
+    base = 7·id mod 100, all three channels equal) encoded with FLAT
+    quantization tables. Equal channels make Cb/Cr exactly 128 and
+    block-constant content makes every block DC-only, so with q=1 the
+    decode is bit-exact and channel means stay closed-form
+    (base + (wb−1)/2 + (hb−1)/2 — a SQL oracle) while the bitstream still
+    exercises the full real path: canonical Huffman DC/AC decode, EOB
+    runs, DC prediction across MCUs, dequant, IDCT, YCbCr→RGB."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.jpegcodec import encode_jpeg
+
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = i % 3 + 1, i % 2 + 1
+            base = i * 7 % 100
+            blocks = (base + np.arange(wb)[None, :]
+                      + np.arange(hb)[:, None]).astype(np.uint8)
+            gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            out.append(encode_jpeg(np.stack([gray] * 3, axis=2),
+                                   quant=np.ones((8, 8))))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/jpeg").alias("mime"),
+        ((F.col(id_col) % 3 + 1) * 8).cast("int").alias("width"),
+        ((F.col(id_col) % 2 + 1) * 8).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_jpeg(F.col(id_col)).alias("content"),
                      meta.alias("media_meta"))
 
 

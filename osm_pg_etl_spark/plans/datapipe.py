@@ -1552,6 +1552,43 @@ FROM documents
 """
 
 
+def q_media_image_features_jpeg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL JPEG decode (r10): every doc_id becomes a genuine baseline
+    JFIF bitstream — canonical Huffman entropy coding, DC prediction
+    across MCUs, zigzag, dequant, IDCT, YCbCr→RGB — decoded by the
+    pure-numpy :mod:`functions.jpegcodec` inside mapInPandas. The image
+    is 8×8-block-constant with flat quant tables, so the lossy pipeline
+    is exactly invertible here and the oracle predicts the means in
+    closed form (base + (wb−1)/2 + (hb−1)/2); textured-image fidelity is
+    SNR-bounded in tests. JPEG is no longer the stub boundary —
+    progressive/arithmetic scans are."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_jpeg(docs.select("doc_id"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_r", 6).alias("mean_r"),
+                        F.round("mean_g", 6).alias("mean_g"),
+                        F.round("mean_b", 6).alias("mean_b"),
+                        F.round("luma", 6).alias("luma"))
+
+
+SQL_MEDIA_IMAGE_FEATURES_JPEG = """
+SELECT doc_id,
+       CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+       CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+       ROUND(CAST(doc_id * 7 % 100 AS DOUBLE)
+             + (doc_id % 3) / 2.0 + (doc_id % 2) / 2.0, 6) AS mean_r,
+       ROUND(CAST(doc_id * 7 % 100 AS DOUBLE)
+             + (doc_id % 3) / 2.0 + (doc_id % 2) / 2.0, 6) AS mean_g,
+       ROUND(CAST(doc_id * 7 % 100 AS DOUBLE)
+             + (doc_id % 3) / 2.0 + (doc_id % 2) / 2.0, 6) AS mean_b,
+       ROUND(CAST(doc_id * 7 % 100 AS DOUBLE)
+             + (doc_id % 3) / 2.0 + (doc_id % 2) / 2.0, 6) AS luma
+FROM documents
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow-batched pipeline: every
     doc_id becomes a genuine PCM WAV square wave (attach_synthetic_wav)
@@ -1964,6 +2001,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
     "media_image_features_png": q_media_image_features_png,
+    "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "url_canonical_dedup": q_url_canonical_dedup,
     "media_audio_features": q_media_audio_features,
@@ -2015,6 +2053,7 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
+    "media_image_features_jpeg": SQL_MEDIA_IMAGE_FEATURES_JPEG,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,

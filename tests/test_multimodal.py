@@ -2,8 +2,10 @@
 frame sampling (operators.multimodal) — plus the REAL pure-numpy codec
 legs (functions.imagecodec: netpbm/BMP/PNG; functions.audiocodec:
 PCM/μ-law/IMA-ADPCM WAV) exercised end to end through mapInPandas.
-Lossy codecs (JPEG, MP3/AAC) remain stubbed; their tests pin the
-schema / metadata / batch contracts around the stub."""
+Baseline JPEG decodes for real too (functions.jpegcodec, r10);
+progressive/arithmetic JPEG and lossy audio (MP3/AAC) remain stubbed —
+their tests pin the schema / metadata / batch contracts around the
+stub."""
 
 from osm_pg_etl_spark.operators.multimodal import (
     attach_fake_media,
@@ -441,6 +443,83 @@ def test_adpcm_codec_tracks_signal_and_blocks():
 
     const, _ = decode_wav(encode_wav_adpcm(np.full(80, 0.25), 8000))
     assert np.abs(const[:80, 0] - 0.25).max() < 0.01
+
+
+def test_jpeg_block_constant_flat_quant_roundtrips_exactly():
+    """r10: baseline JPEG decode for real. Block-constant images with
+    flat quantization are DC-only and must round-trip bit-exactly
+    (gray AND colored constants — Cb/Cr stay exact), including
+    non-multiple-of-8 dimensions (edge padding crops back)."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(10, 240, (3, 4), dtype=np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.stack([gray] * 3, 2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(
+        rgb, quant=np.ones((8, 8)))), rgb)
+
+    const = np.zeros((16, 24, 3), np.uint8)
+    const[:] = (200, 30, 90)
+    assert np.array_equal(decode_jpeg(encode_jpeg(
+        const, quant=np.ones((8, 8)))), const)
+
+    odd = np.stack([np.full((13, 21), 77, np.uint8)] * 3, 2)
+    out = decode_jpeg(encode_jpeg(odd, quant=np.ones((8, 8))))
+    assert out.shape == (13, 21, 3) and np.array_equal(out, odd)
+
+
+def test_jpeg_textured_default_tables_snr_and_boundaries():
+    """Default K.1 tables on textured content: lossy but faithful
+    (>15 dB SNR — real AC coefficients, ZRL/EOB paths); progressive
+    SOF2 and non-JPEG magics fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.imagecodec import decode_image
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    tex = (rng.integers(0, 50, (24, 40))
+           + np.arange(40)[None, :] * 4).astype(np.uint8)
+    rgb = np.stack([tex] * 3, 2)
+    wav = encode_jpeg(rgb)
+    out = decode_image(wav)           # the sniffing dispatch path
+    err = out.astype(float) - rgb.astype(float)
+    snr = 10 * np.log10((rgb.astype(float) ** 2).mean()
+                        / (err ** 2).mean())
+    assert snr > 15, snr
+
+    progressive = bytearray(wav)
+    sof = progressive.find(b"\xFF\xC0")
+    progressive[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(progressive))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"NOTAJPEG")
+
+
+def test_jpeg_gate_matches_closed_form(spark):
+    """The media_image_features_jpeg gate: real entropy decode of the
+    synthesized block-constant JFIFs matches the closed-form means."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_jpeg, extract_image_features)
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in extract_image_features(
+        attach_synthetic_jpeg(docs)).collect()}
+    for i in range(25):
+        wb, hb = i % 3 + 1, i % 2 + 1
+        want = i * 7 % 100 + (wb - 1) / 2.0 + (hb - 1) / 2.0
+        r = feats[i]
+        assert (r["width"], r["height"]) == (wb * 8, hb * 8)
+        for c in ("mean_r", "mean_g", "mean_b", "luma"):
+            assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
 
 def test_adpcm_fact_chunk_truncates_final_block_padding():
