@@ -127,13 +127,18 @@ def test_codec_bmp_padding_and_channel_order():
     assert (decode_image(_hand_bmp(pix)) == pix).all()
 
 
-def test_codec_rejects_lossy_formats_loudly():
+def test_codec_rejects_unsupported_formats_loudly():
     import pytest as _pytest
 
     from osm_pg_etl_spark.functions.imagecodec import decode_image
 
+    # formats with no pure-numpy decoder still fail loudly (GIF here);
+    # JPEG now dispatches to the real baseline decoder (r10), so a
+    # truncated JPEG raises its own parse error instead of the stub
     with _pytest.raises(NotImplementedError, match="image library"):
-        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG stays stubbed
+        decode_image(b"GIF89a....")
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # malformed JPEG
 
 
 def test_codec_png_roundtrip_every_filter_and_colortype():
