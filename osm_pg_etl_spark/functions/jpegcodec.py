@@ -14,8 +14,8 @@ the other codecs use.
 Determinism: the IDCT is an orthonormal float64 matrix product and the
 final sample is ``clip(round(x), 0, 255)`` — a pure function of the
 bitstream on any IEEE-754 platform, so decoded features are
-hash-oracle-safe. The encoder (4:4:4 or grayscale) exists so tests and
-gates can synthesize REAL bitstreams: with flat quantization tables a
+hash-oracle-safe. The encoder (4:4:4 / 4:2:2 / 4:2:0) exists so tests
+and gates can synthesize REAL bitstreams: with flat quantization tables a
 per-8×8-block-constant image round-trips bit-exactly (constant blocks are
 DC-only; see the gate oracle), while textured images are verified by
 energy/SNR bounds like the ADPCM path.
@@ -357,14 +357,22 @@ def _encode_block(zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict,
     return int(zz[0])
 
 
-def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes. ``quant`` is the
-    8x8 quantization table used for ALL components (default: T.81 K.1
-    luma table); pass ``np.ones((8, 8))`` for the near-lossless flat
-    table the block-constant gate relies on."""
+def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
+                subsample: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes. ``quant`` is the 8x8
+    quantization table used for ALL components (default: T.81 K.1 luma
+    table); pass ``np.ones((8, 8))`` for the near-lossless flat table
+    the block-constant gate relies on. ``subsample``: ``"444"`` (no
+    chroma subsampling), ``"422"`` (horizontal 2:1 box), or ``"420"``
+    (2:1 both ways) — the downsample is a box mean, the decoder's
+    nearest upsample is its exact inverse on constant chroma."""
     a = np.asarray(rgb)
     if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
         raise ValueError("encoder expects (h, w, 3) uint8 RGB")
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsample not in factors:
+        raise ValueError(f"subsample must be one of {sorted(factors)}")
+    hy, vy = factors[subsample]
     h, w = a.shape[:2]
     q = (QUANT_LUMA.reshape(8, 8) if quant is None
          else np.asarray(quant, dtype=np.int32).reshape(8, 8))
@@ -372,24 +380,38 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = []
-    for p in (y, cb, cr):
+    mcu_h, mcu_w = 8 * vy, 8 * hy
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
+    ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    planes = [ypad]
+    for p in (cb, cr):
         pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        if vy > 1:
+            pad = (pad[0::2, :] + pad[1::2, :]) / 2.0
+        if hy > 1:
+            pad = (pad[:, 0::2] + pad[:, 1::2]) / 2.0
         planes.append(pad)
+    comp_factors = [(hy, vy), (1, 1), (1, 1)]
     dc_tbl = _encode_huffman_lengths(*_DC_LUMA)
     ac_tbl = _encode_huffman_lengths(*_AC_LUMA)
     bits: list[int] = []
     pred = [0, 0, 0]
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
+
+    def _push(p: np.ndarray, y0: int, x0: int, ci: int) -> None:
+        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+        zq = np.round(_dct2(blk) / q).astype(np.int64)
+        pred[ci] = _encode_block(zq.reshape(-1)[_ZIGZAG], pred[ci],
+                                 dc_tbl, ac_tbl, bits)
+
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
             for ci, p in enumerate(planes):
-                blk = p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - 128.0
-                coef = _dct2(blk)
-                zq = np.round(coef / q).astype(np.int64)
-                zz = zq.reshape(-1)[_ZIGZAG]
-                pred[ci] = _encode_block(zz, pred[ci], dc_tbl, ac_tbl,
-                                         bits)
+                ch, cv = comp_factors[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        _push(p, (my * cv + by) * 8, (mx * ch + bx) * 8,
+                              ci)
     bits += [1] * ((8 - len(bits) % 8) % 8)
     raw = bytearray()
     for i in range(0, len(bits), 8):
@@ -407,7 +429,7 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     zz_q[:] = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
     dqt = seg(0xDB, bytes([0x00]) + zz_q.tobytes())
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+              + bytes([1, (hy << 4) | vy, 0]) + bytes([2, 0x11, 0])
               + bytes([3, 0x11, 0]))
     dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0])
                + bytes(_DC_LUMA[1]))

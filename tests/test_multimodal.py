@@ -475,6 +475,13 @@ def test_jpeg_block_constant_flat_quant_roundtrips_exactly():
     out = decode_jpeg(encode_jpeg(odd, quant=np.ones((8, 8))))
     assert out.shape == (13, 21, 3) and np.array_equal(out, odd)
 
+    # 4:2:2 / 4:2:0 exercise the multi-block-MCU and chroma-upsample
+    # decode paths; constant chroma makes box-down + nearest-up exact
+    for ss in ("422", "420"):
+        out = decode_jpeg(encode_jpeg(const, quant=np.ones((8, 8)),
+                                      subsample=ss))
+        assert np.array_equal(out, const), ss
+
 
 def test_jpeg_textured_default_tables_snr_and_boundaries():
     """Default K.1 tables on textured content: lossy but faithful
