@@ -455,6 +455,50 @@ def run_turns(k: int) -> None:
     spark.catalog.clearCache()
 
 
+def run_viaway(k: int) -> None:
+    """Via-WAY restricted routing on K replicas of the sf0.1 car graph
+    (r10): the parse and automaton are driver-side over broadcast-scale
+    restriction tables, so what must stay linear is the relation count
+    and the extra transition rows (Σ chain-node out-degree per state),
+    while the Bellman-Ford round count stays diameter-bound (FLAT under
+    disjoint replication) and the state-keyed fixpoint tracks the
+    node-via route wall."""
+    from osm_pg_etl_spark.operators.graph_algo import (
+        turn_restricted_distances)
+    from osm_pg_etl_spark.operators.relations import (
+        via_way_turn_restrictions)
+    from osm_pg_etl_spark.plans.osm_derived import (
+        derive_via_way_restriction_relations)
+
+    spark = get_spark(app_name=f"viaway-stress-{k}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = replicate(read_testdata(spark, SF_DIR, "part"), ["p_partkey"], k)
+    li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
+                   ["l_orderkey", "l_partkey"], k)
+    d = derive_osm_from(part, li)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    directed = directed_network(merged).localCheckpoint()
+    n_edges = directed.count()
+
+    t0 = time.perf_counter()
+    rels, members = derive_via_way_restriction_relations(directed)
+    vw = via_way_turn_restrictions(rels, members, directed)
+    t_parse = time.perf_counter() - t0
+
+    source = int(directed.agg(F.min("start_node")).collect()[0][0])
+    t0 = time.perf_counter()
+    sp, rounds = turn_restricted_distances(directed, source,
+                                           via_way_restrictions=vw,
+                                           return_rounds=True)
+    n_reach = sp.count()
+    t_route = time.perf_counter() - t0
+    print(f"k={k:>2}  edges={n_edges:>8}  via_restrictions={len(vw):>6} "
+          f"(parse={t_parse:5.1f}s)  rounds={rounds:>3} "
+          f"reached={n_reach:>6}  route={t_route:6.1f}s", flush=True)
+    spark.catalog.clearCache()
+
+
 def run_centrality(k: int) -> None:
     """Scale behavior of the k-source Brandes + PageRank stages on K
     key-offset replicas. Sources per replica stay constant (6 global min
@@ -527,6 +571,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "turns":
         for a in sys.argv[2:] or ["1", "5"]:
             run_turns(int(a))
+    elif len(sys.argv) > 1 and sys.argv[1] == "viaway":
+        for a in sys.argv[2:] or ["1", "5"]:
+            run_viaway(int(a))
     elif len(sys.argv) > 1 and sys.argv[1] == "ivm":
         for a in sys.argv[2:] or ["1", "5"]:
             run_ivm(int(a))
