@@ -240,6 +240,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved baseline JPEG (one scan per "
+                    "component) needs multi-scan accumulation; "
+                    "interleaved single-scan only")
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -247,9 +247,11 @@ def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
     needs. One ``F.percentile(col, array(...))`` aggregate: Spark keeps a
     value→count map per group, so memory is O(distinct values per group),
     not O(rows), and partial aggregation still applies map-side. For
-    unbounded-cardinality columns at extreme scale, swap in
-    ``F.percentile_approx`` (KLL-like mergeable sketch) at the cost of
-    oracle exactness — same call shape.
+    unbounded-cardinality columns at extreme scale, use
+    :func:`quantile_sketch_by_group` (bounded-memory, skew-free, and
+    still hash-oracle-exact because the oracle recomputes the sketch
+    state) or swap in ``F.percentile_approx`` (KLL-like mergeable
+    sketch) at the cost of oracle exactness — same call shape.
     """
     col = F.col(value_col)
     arr = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
