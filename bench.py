@@ -100,10 +100,10 @@ def main() -> None:
     # passes (the headline number, methodology-continuous with r4+), the
     # MIN (the cleanest estimator of the deterministic work under
     # additive noise — compare THIS across rounds for sub-second
-    # queries), and a TRIMMED spread (range of the samples after
-    # dropping the single highest and lowest — with >=5 samples a lone
-    # GC outlier no longer defines the spread; for <5 repeats it
-    # degrades to the plain max-min range).
+    # queries), and a TRIMMED spread — the range after trimming
+    # min(2, (n-3)//2) samples per side (middle 3 of the default 7;
+    # middle 3 of 5), so one or two GC outliers cannot define the
+    # spread; for <5 repeats it degrades to the plain max-min range.
     import statistics
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "7")))

@@ -205,8 +205,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "progressive JPEG (SOF2) needs a full scan-accumulation "
                 "decoder; baseline sequential only")
-        if marker in (0xC9, 0xCA, 0xCB):
+        if marker in (0xC8, 0xC9, 0xCA, 0xCB, 0xCC):
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0x{marker:02X}: "
+                "lossless/differential/hierarchical) unsupported; "
+                "baseline sequential (SOF0/1) only")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -260,6 +265,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(payload: bytes, pos: int, scan: list[dict],
                  qt: dict, huff_dc: dict, huff_ac: dict,
                  h: int, w: int, restart: int) -> np.ndarray:
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in component raster order, regardless of the
+        # sampling factors the SOF declares (some encoders emit h=v=2
+        # for grayscale); honoring the declared factors here would
+        # scramble blocks within each would-be MCU group.
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -381,6 +393,10 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
     h, w = a.shape[:2]
     q = (QUANT_LUMA.reshape(8, 8) if quant is None
          else np.asarray(quant, dtype=np.int32).reshape(8, 8))
+    if q.min() < 1 or q.max() > 255:
+        # the emitted DQT is 8-bit (pq=0); silently wrapping values >255
+        # would quantize by one number and tell decoders another
+        raise ValueError("quant table values must be in [1, 255]")
     r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b

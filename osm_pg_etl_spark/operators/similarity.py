@@ -480,14 +480,17 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                            hyperplane_signature(F.col("_v"), planes))
 
     thr = threshold - 1e-6
+    id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": np.empty(0, np.int64),
-                                 "id_b": np.empty(0, np.int64),
+            return pd.DataFrame({"id_a": pdf["_id"].iloc[:0],
+                                 "id_b": pdf["_id"].iloc[:0],
                                  "_raw": np.empty(0, np.float64)})
-        ids = pdf["_id"].to_numpy(np.int64)
+        # any orderable id type (the pre-kernel join path supported
+        # strings too): numpy comparison below only needs <
+        ids = pdf["_id"].to_numpy()
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         d = mat.shape[1]
         acc = np.zeros((n, n))
@@ -507,11 +510,16 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
 
     out = (sig.select(F.col(id_col).alias("_id"), "_v", "_b")
            .groupBy("_b")
-           .applyInPandas(bucket_pairs, "id_a long, id_b long, _raw double")
+           .applyInPandas(bucket_pairs,
+                          f"id_a {id_type}, id_b {id_type}, _raw double")
            .select("id_a", "id_b",
                    F.round("_raw", 6).alias("cosine_sim"))
            .filter(F.col("cosine_sim") >= threshold))
-    return out.distinct() if num_tables > 1 else out
+    # distinct unconditionally (the pre-kernel semantics): multi-table
+    # runs emit one bit-identical row per shared bucket, and a repeated
+    # id in the input pairs each copy — both collapse here, on rows
+    # already pruned to the qualifying near-dups
+    return out.distinct()
 
 
 # ---------------------------------------------------------------------------

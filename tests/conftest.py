@@ -62,9 +62,24 @@ if "OSM_PG_TEST_URL" not in os.environ and os.environ.get("OSM_PG_TEST_DSN"):
         _prev = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
         os.environ["SPARK_GRAFT_EXTRA_JARS"] = \
             f"{_prev},{_jar}" if _prev else _jar
+        # derive the JDBC URL from the DSN actually in use; JDBC cannot
+        # speak unix sockets, so a socket-path host falls back to the
+        # TCP listener pg_live_setup.sh also opens (127.0.0.1:5432)
+        _dsn = dict(kv.split("=", 1)
+                    for kv in os.environ["OSM_PG_TEST_DSN"].split()
+                    if "=" in kv)
+        _host = _dsn.get("host", "127.0.0.1")
+        if _host.startswith("/"):
+            _host = "127.0.0.1"
+        _port = _dsn.get("port", "5432")
+        _db = _dsn.get("dbname", "test")
         os.environ["OSM_PG_TEST_URL"] = \
-            "jdbc:postgresql://127.0.0.1:5432/test"
-        os.environ.setdefault("OSM_PG_TEST_USER", "pguser")
+            f"jdbc:postgresql://{_host}:{_port}/{_db}"
+        if _dsn.get("user"):
+            os.environ.setdefault("OSM_PG_TEST_USER", _dsn["user"])
+        if _dsn.get("password"):
+            os.environ.setdefault("OSM_PG_TEST_PASSWORD",
+                                  _dsn["password"])
 
 
 @pytest.fixture(scope="session")

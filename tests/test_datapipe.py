@@ -778,6 +778,26 @@ def test_canonicalize_url_normalization_rules(spark):
     assert got == [want for _, want in cases]
 
 
+def test_embedding_neardup_string_ids_and_duplicate_ids(spark):
+    """Review findings: the Arrow kernel must keep the join path's
+    generality — any orderable id type (strings here), and a repeated
+    id emits ONE collapsed pair, not one per copy."""
+    base = [0.5, 0.5, 0.1, 0.1]
+    rows = [("a", base), ("b", [v + 0.001 for v in base]),
+            ("c", [-v for v in base])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+        emb, threshold=0.99, num_planes=2).collect()}
+    assert got == {("a", "b")}
+
+    dup = spark.createDataFrame(
+        [(1, base), (1, base), (2, [v + 0.001 for v in base])],
+        "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(dup, threshold=0.99,
+                                      num_planes=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
 def test_embedding_neardup_multi_table_recall(spark):
     """num_tables on embedding_near_duplicates: the multi-table run must
     find a superset of the single-table pairs, agree with the exact path

@@ -482,6 +482,102 @@ def test_jpeg_block_constant_flat_quant_roundtrips_exactly():
                                       subsample=ss))
         assert np.array_equal(out, const), ss
 
+    # review finding: a quant table outside the 8-bit DQT range must
+    # fail loudly, never quantize by one number and declare another
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quant"):
+        encode_jpeg(const, quant=np.full((8, 8), 300))
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2 (review finding): a one-component scan decodes in
+    component raster order even when the SOF declares 2x2 sampling
+    factors — blocks must not be scrambled into MCU groups. Built by
+    patching our encoder's gray output to a 1-component SOF/SOS with
+    h=v=2, which changes nothing about the (already raster-ordered)
+    entropy data."""
+    import struct
+
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    blocks = np.array([[40, 60, 90, 110], [140, 160, 200, 220]],
+                      dtype=np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+
+    # grayscale 1-component encode: reuse the 3-component encoder's Y
+    # stream by building the same image and re-emitting headers is
+    # complex; instead hand-encode via the public API at 4:4:4 and strip
+    # to one component is not possible — so synthesize directly: encode
+    # a gray RGB, then decode and compare against a hand-patched
+    # single-component variant produced from the same block stream.
+    full = encode_jpeg(np.stack([gray] * 3, 2), quant=np.ones((8, 8)))
+    ref = decode_jpeg(full)
+    assert np.array_equal(ref[:, :, 0], gray)
+
+    # hand-build a single-component bitstream: per-block DC-only codes
+    # using the same canonical tables the decoder reads from any of our
+    # files — easiest correct construction: re-encode each 8x8 block of
+    # a 1-comp image through the encoder's own block writer
+    from osm_pg_etl_spark.functions import jpegcodec as J
+
+    dc_tbl = J._encode_huffman_lengths(*J._DC_LUMA)
+    ac_tbl = J._encode_huffman_lengths(*J._AC_LUMA)
+    bits, pred = [], 0
+    for by in range(gray.shape[0] // 8):          # raster order
+        for bx in range(gray.shape[1] // 8):
+            blk = gray[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            zq = np.round(J._dct2(blk)).astype(np.int64)
+            pred = J._encode_block(zq.reshape(-1)[J._ZIGZAG], pred,
+                                   dc_tbl, ac_tbl, bits)
+    bits += [1] * ((8 - len(bits) % 8) % 8)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        raw.append(byte)
+        if byte == 0xFF:
+            raw.append(0x00)
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2) + body)
+
+    zzq = np.ones(64, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + zzq.tobytes())
+    h, w = gray.shape
+    # SOF declares h=v=2 for the single component — the legal-but-tricky
+    # layout some grayscale encoders emit
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1])
+              + bytes([1, 0x22, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(J._DC_LUMA[0])
+               + bytes(J._DC_LUMA[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(J._AC_LUMA[0])
+                 + bytes(J._AC_LUMA[1])))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg = b"\xFF\xD8" + dqt + sof + dht + sos + bytes(raw) + b"\xFF\xD9"
+    out = decode_jpeg(jpg)
+    assert np.array_equal(out[:, :, 0], gray)
+
+
+def test_jpeg_nonbaseline_sofs_fail_accurately():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    wav = bytearray(encode_jpeg(
+        np.zeros((8, 8, 3), np.uint8), quant=np.ones((8, 8))))
+    sof = wav.index(b"\xFF\xC0")
+    for marker, msg in ((0xC3, "non-baseline"), (0xC9, "arithmetic"),
+                        (0xCE, "non-baseline")):
+        patched = bytearray(wav)
+        patched[sof + 1] = marker
+        with _pytest.raises(NotImplementedError, match=msg):
+            decode_jpeg(bytes(patched))
+
 
 def test_jpeg_textured_default_tables_snr_and_boundaries():
     """Default K.1 tables on textured content: lossy but faithful
