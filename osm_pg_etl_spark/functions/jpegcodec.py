@@ -156,9 +156,17 @@ class _BitReader:
         return v
 
     def clear_restart(self) -> None:
-        """Consume a pending RST marker and realign to the byte boundary."""
+        """Consume a pending RST marker and realign to the byte boundary.
+        The marker may not have been reached yet (the reader buffers
+        ahead only as far as decoding needed — with few padding bits the
+        RST bytes can still be unread): consume them here."""
         self.nbits = 0
         self.cur = 0
+        if self.marker is None \
+                and self.pos + 1 < len(self.data) \
+                and self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
         self.marker = None
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
@@ -375,14 +383,18 @@ def _encode_block(zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict,
 
 
 def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes. ``quant`` is the 8x8
     quantization table used for ALL components (default: T.81 K.1 luma
     table); pass ``np.ones((8, 8))`` for the near-lossless flat table
     the block-constant gate relies on. ``subsample``: ``"444"`` (no
     chroma subsampling), ``"422"`` (horizontal 2:1 box), or ``"420"``
     (2:1 both ways) — the downsample is a box mean, the decoder's
-    nearest upsample is its exact inverse on constant chroma."""
+    nearest upsample is its exact inverse on constant chroma.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with DC-predictor reset and byte realignment) every that many
+    MCUs — the error-resilience layer real camera files carry."""
     a = np.asarray(rgb)
     if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
         raise ValueError("encoder expects (h, w, 3) uint8 RGB")
@@ -425,23 +437,38 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
         pred[ci] = _encode_block(zq.reshape(-1)[_ZIGZAG], pred[ci],
                                  dc_tbl, ac_tbl, bits)
 
+    raw = bytearray()
+
+    def _flush() -> None:
+        bits.extend([1] * ((8 - len(bits) % 8) % 8))
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i:i + 8]:
+                byte = (byte << 1) | bit
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        bits.clear()
+
+    mcu_count = 0
+    n_mcus = (ph // mcu_h) * (pw // mcu_w)
     for my in range(ph // mcu_h):
         for mx in range(pw // mcu_w):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                _flush()
+                raw += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval
+                                             - 1) % 8)])
+                pred[:] = [0, 0, 0]
             for ci, p in enumerate(planes):
                 ch, cv = comp_factors[ci]
                 for by in range(cv):
                     for bx in range(ch):
                         _push(p, (my * cv + by) * 8, (mx * ch + bx) * 8,
                               ci)
-    bits += [1] * ((8 - len(bits) % 8) % 8)
-    raw = bytearray()
-    for i in range(0, len(bits), 8):
-        byte = 0
-        for bit in bits[i:i + 8]:
-            byte = (byte << 1) | bit
-        raw.append(byte)
-        if byte == 0xFF:
-            raw.append(0x00)
+            mcu_count += 1
+    assert mcu_count == n_mcus
+    _flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -459,5 +486,7 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
                + bytes([0, 0]))
-    return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos + bytes(raw)
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xFF\xD8" + app0 + dqt + sof + dht + dri + sos + bytes(raw)
             + b"\xFF\xD9")

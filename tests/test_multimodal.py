@@ -562,6 +562,69 @@ def test_jpeg_single_component_scan_is_noninterleaved():
     assert np.array_equal(out[:, :, 0], gray)
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: the encoder emits restart markers (DC reset + byte
+    realignment) every N MCUs and the decoder's restart path — including
+    the case where the padding bits before the marker were never read —
+    must reproduce the exact no-restart pixels."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    blocks = rng.integers(5, 250, (4, 6), dtype=np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.stack([gray] * 3, 2)
+    want = decode_jpeg(encode_jpeg(rgb, quant=np.ones((8, 8))))
+    assert np.array_equal(want, rgb)
+    for interval in (1, 2, 3, 5, 7, 24):
+        wav = encode_jpeg(rgb, quant=np.ones((8, 8)),
+                          restart_interval=interval)
+        has_rst = any(bytes([0xFF, 0xD0 + i]) in wav for i in range(8))
+        # 24 MCUs at interval 24: the boundary is never hit mid-stream
+        assert has_rst == (interval < 24), interval
+        assert np.array_equal(decode_jpeg(wav), rgb), interval
+    # restarts on a textured default-table image: identical to the
+    # no-restart decode (restarts change framing, not coefficients)
+    tex = np.stack([rng.integers(0, 255, (24, 40), dtype=np.uint8)] * 3, 2)
+    a = decode_jpeg(encode_jpeg(tex))
+    b = decode_jpeg(encode_jpeg(tex, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_property_roundtrip_hypothesis():
+    """Property: for ANY block-constant image and flat tables the round
+    trip is exact; for ANY uint8 image with default tables the decoder
+    accepts the encoder's output and stays within a coarse error bound
+    (no crash, no scrambling)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 3), st.integers(0, 3),
+           st.randoms(use_true_random=False))
+    def check(wb, hb, ss_i, rnd):
+        ss = ("444", "422", "420", "444")[ss_i]
+        rng = np.random.default_rng(rnd.randint(0, 2**31))
+        blocks = rng.integers(0, 256, (hb, wb), dtype=np.uint8)
+        gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        rgb = np.stack([gray] * 3, 2)
+        out = decode_jpeg(encode_jpeg(rgb, quant=np.ones((8, 8)),
+                                      subsample=ss))
+        assert np.array_equal(out, rgb)
+        noisy = rng.integers(0, 256, rgb.shape, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(noisy))
+        # default tables on white noise: lossy but bounded (the K.1
+        # table's worst-case quantization error per sample)
+        assert dec.shape == noisy.shape
+        assert np.abs(dec.astype(int) - noisy.astype(int)).mean() < 64
+
+    check()
+
+
 def test_jpeg_nonbaseline_sofs_fail_accurately():
     import numpy as np
     import pytest as _pytest
