@@ -229,13 +229,16 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
         else:
             idx = lsh_index(embeddings, num_planes, dim, vec_col, seed)
 
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+
         def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
             n = len(pdf)
             if n < 2:
-                return pd.DataFrame({"_ida": np.empty(0, np.int64),
-                                     "_idb": np.empty(0, np.int64),
+                return pd.DataFrame({"_ida": pdf["_id"].iloc[:0],
+                                     "_idb": pdf["_id"].iloc[:0],
                                      "_raw": np.empty(0, np.float64)})
-            ids = pdf["_id"].to_numpy(np.int64)
+            # any id type the ranking window can order (strings too)
+            ids = pdf["_id"].to_numpy()
             mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
             d = mat.shape[1]
             acc = np.zeros((n, n))
@@ -274,7 +277,8 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
                            F.col(vec_col).alias("_vec"), "lsh_bucket")
                 .groupBy("lsh_bucket")
                 .applyInPandas(bucket_pairs,
-                               "_ida long, _idb long, _raw double")
+                               f"_ida {id_type}, _idb {id_type}, "
+                               f"_raw double")
                 .select("_ida", "_idb",
                         F.round("_raw", 6).alias("cosine_sim")))
         if num_tables > 1:

@@ -674,6 +674,21 @@ def test_knn_join_degenerate_inputs(spark):
     assert got[(1, 2)] == 0.0 and got[(2, 1)] == 0.0
 
 
+def test_knn_join_string_ids(spark):
+    """Review follow-up: the bucket kernel's output id type follows the
+    input schema — string ids route through Arrow and the ranking
+    window unchanged."""
+    from osm_pg_etl_spark.operators.similarity import knn_join
+
+    base = [0.5, 0.5, 0.1, 0.1]
+    rows = [("a", base), ("b", [v + 0.001 for v in base]),
+            ("c", [v + 0.002 for v in base])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = {(r["vec_id"], r["rank"]): r["neighbor_id"]
+           for r in knn_join(emb, k=2, num_planes=2, dim=4).collect()}
+    assert got[("a", 1)] in ("b", "c") and got[("b", 1)] in ("a", "c")
+
+
 def test_weighted_systematic_sample_invariants(spark):
     """Σ n_picks = k exactly; every row's count is floor or ceil of its
     proportional share k·w/W; zero/NULL weights never sampled; picks are
