@@ -249,12 +249,7 @@ def merged_network(network: DataFrame, way_nodes: DataFrame,
     wn_net = wn_net.cache()
     shared = shared_nodes(wn_net) if shared_override is None \
         else shared_override
-    # lengths deliberately NOT cached: both consumers (splits, limits)
-    # recompute it from the cached wn_net — a cheap map-side agg —
-    # while caching it paid materialization + memory-format conversion
-    # on the hot path (measured at sf0.1: 5.8-6.4 s -> 4.8-5.2 s
-    # steady-state for the full merged_network by removing it)
-    lengths = ways_length(wn_net)
+    lengths = ways_length(wn_net).cache()
     splits = ways_split_nodes(wn_net, shared, lengths)
     limits = ways_merge_limits(wn_net, shared, splits, lengths)
 

@@ -390,10 +390,7 @@ def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     node_id-keyed shuffle and the small dims broadcast. Same standard as
     tfidf_top_terms' documented floor (text.py:101-115)."""
     d = derive_osm(spark, sf_dir)
-    # no eager cache: merged_network's internal wn_net cache is the
-    # load-bearing one; caching cn too measured equal steady-state and
-    # 2.5x worse cold (15.7 vs 6.6 s at sf0.1)
-    cn = car_network(d["ways"])
+    cn = car_network(d["ways"]).cache()
     merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     return merged.select("edge_id", "start_node", "end_node",
                          F.size("nodes").alias("n_nodes"),
@@ -530,7 +527,7 @@ def q_osm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph_algo import connected_components
 
     d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"])
+    cn = car_network(d["ways"]).cache()
     merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
@@ -2202,12 +2199,8 @@ def q_osm_complete_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (service/access/car/pedestrian/bicycle) carried through the
     split UPDATE at ``:167-188`` — the multi-modal routing graph."""
     d = derive_osm(spark, sf_dir)
-    # no eager cache on comp (measured at sf0.1: 8.2-8.7 s cached vs
-    # 7.0-7.4 s uncached steady-state, 17.9 s cold): the wide projection
-    # (tags map + geom arrays) costs more to materialize than the two
-    # internal consumers cost to recompute
     comp = with_mode_flags(impute_speed_limit(complete_network(d["ways"])),
-                           tag=F.col)
+                           tag=F.col).cache()
     merged = merged_network(comp, d["way_nodes"], attrs=_COMPLETE_MERGE_ATTRS,
                             pre_partitioned=True)
     return merged.select("edge_id", "start_node", "end_node",
