@@ -156,17 +156,14 @@ class _BitReader:
         return v
 
     def clear_restart(self) -> None:
-        """Consume a pending RST marker and realign to the byte boundary.
-        The marker may not have been reached yet (the reader buffers
-        ahead only as far as decoding needed — with few padding bits the
-        RST bytes can still be unread): consume them here."""
+        """Drop the pending RST marker and realign to the byte boundary.
+        The marker is always already consumed here: ``_fill`` buffers to
+        ≥25 bits and the largest single ``take`` is 16, so at a restart
+        boundary ≥9 unconsumed bits remain — more than the ≤7 possible
+        padding bits — meaning the refill that produced them must have
+        run into the RST bytes and set ``self.marker``."""
         self.nbits = 0
         self.cur = 0
-        if self.marker is None \
-                and self.pos + 1 < len(self.data) \
-                and self.data[self.pos] == 0xFF \
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-            self.pos += 2
         self.marker = None
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
@@ -451,7 +448,6 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
         bits.clear()
 
     mcu_count = 0
-    n_mcus = (ph // mcu_h) * (pw // mcu_w)
     for my in range(ph // mcu_h):
         for mx in range(pw // mcu_w):
             if (restart_interval and mcu_count
@@ -467,7 +463,6 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
                         _push(p, (my * cv + by) * 8, (mx * ch + bx) * 8,
                               ci)
             mcu_count += 1
-    assert mcu_count == n_mcus
     _flush()
 
     def seg(marker: int, body: bytes) -> bytes:

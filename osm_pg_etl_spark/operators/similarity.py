@@ -47,6 +47,33 @@ def _as_double_array(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _bucket_cosines(pdf, id_name: str, vec_name: str):
+    """Shared Arrow-kernel core for the per-bucket scorers (knn_join and
+    embedding_near_duplicates): the bucket's (ids, pairwise-cosine
+    matrix), or None for sub-2-row buckets. Accumulation is loop-ordered
+    over dimensions (``acc += outer(col, col)`` for each dim) — the same
+    left-fold sum the Column-expression path and DuckDB's sequential
+    list_dot_product produce, so every cosine is bit-identical per pair
+    and hash-oracle-safe."""
+    import numpy as np  # noqa: PLC0415
+
+    n = len(pdf)
+    if n < 2:
+        return None
+    ids = pdf[id_name].to_numpy()   # any orderable id type
+    mat = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
+    acc = np.zeros((n, n))
+    sq = np.zeros(n)
+    for i in range(mat.shape[1]):
+        col = mat[:, i]
+        acc += np.outer(col, col)
+        sq += col * col
+    norm = np.sqrt(sq)
+    den = np.outer(norm, norm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return ids, np.where(den > 0, acc / den, 0.0)
+
+
 def brute_force_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine against a literal query vector. The ORDER BY +
@@ -232,25 +259,13 @@ def knn_join(embeddings: DataFrame, k: int = 5, num_planes: int = 8,
         id_type = embeddings.schema[id_col].dataType.simpleString()
 
         def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            n = len(pdf)
-            if n < 2:
+            scored = _bucket_cosines(pdf, "_id", "_vec")
+            if scored is None:
                 return pd.DataFrame({"_ida": pdf["_id"].iloc[:0],
                                      "_idb": pdf["_id"].iloc[:0],
                                      "_raw": np.empty(0, np.float64)})
-            # any id type the ranking window can order (strings too)
-            ids = pdf["_id"].to_numpy()
-            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-            d = mat.shape[1]
-            acc = np.zeros((n, n))
-            sq = np.zeros(n)
-            for i in range(d):            # left-fold order per element —
-                col = mat[:, i]           # bit-identical to the SQL loop
-                acc += np.outer(col, col)
-                sq += col * col
-            norm = np.sqrt(sq)
-            den = np.outer(norm, norm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(den > 0, acc / den, 0.0)
+            ids, cos = scored
+            n = len(ids)
             # In-kernel top-k pre-prune: the ranking window only ever
             # keeps each vector's k best (rounded, id-tiebroken), and a
             # vector's global top-k is within its per-bucket top-k — so
@@ -487,26 +502,12 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
+        scored = _bucket_cosines(pdf, "_id", "_v")
+        if scored is None:
             return pd.DataFrame({"id_a": pdf["_id"].iloc[:0],
                                  "id_b": pdf["_id"].iloc[:0],
                                  "_raw": np.empty(0, np.float64)})
-        # any orderable id type (the pre-kernel join path supported
-        # strings too): numpy comparison below only needs <
-        ids = pdf["_id"].to_numpy()
-        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        d = mat.shape[1]
-        acc = np.zeros((n, n))
-        sq = np.zeros(n)
-        for i in range(d):            # left-fold order per element —
-            col = mat[:, i]           # bit-identical to the SQL loop
-            acc += np.outer(col, col)
-            sq += col * col
-        norm = np.sqrt(sq)
-        den = np.outer(norm, norm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(den > 0, acc / den, 0.0)
+        ids, cos = scored
         ia, ib = np.where((cos >= thr)
                           & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import importlib
 import inspect
+import re
 import pkgutil
 import sys
 
@@ -44,6 +45,10 @@ def main() -> None:
                 sig = str(inspect.signature(obj))
             except (TypeError, ValueError):
                 sig = "(...)"
+            # function-object defaults repr with a process-specific
+            # address — strip it so regeneration is deterministic
+            sig = re.sub(r"<function ([\w.]+) at 0x[0-9a-f]+>",
+                         r"<function \1>", sig)
             if len(sig) > 80:
                 sig = sig[:77] + "..."
             kind = "class" if inspect.isclass(obj) else "def"

@@ -564,9 +564,10 @@ def test_jpeg_single_component_scan_is_noninterleaved():
 
 def test_jpeg_restart_intervals_roundtrip():
     """DRI/RSTn: the encoder emits restart markers (DC reset + byte
-    realignment) every N MCUs and the decoder's restart path — including
-    the case where the padding bits before the marker were never read —
-    must reproduce the exact no-restart pixels."""
+    realignment) every N MCUs and the decoder's restart path must
+    reproduce the exact no-restart pixels. (The reader's ≥25-bit
+    lookahead guarantees the marker is already consumed at every
+    boundary — see clear_restart's docstring.)"""
     import numpy as np
 
     from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
