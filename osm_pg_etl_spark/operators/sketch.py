@@ -308,3 +308,158 @@ def cms_sql(build_expr: str, build_from: str, depth: int = 4,
 cms AS (
   SELECT row, col, CAST(SUM(w) AS BIGINT) AS cnt FROM ({hashes}) GROUP BY row, col)
 """
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketch (bottom-k distinct hashes) — set EXPRESSIONS at scale
+# ---------------------------------------------------------------------------
+
+_THETA_SPACE = 1 << 48  # 48-bit md5-derived hash space
+
+
+def _md5_long48(c) -> F.Column:
+    """48-bit md5-derived hash as a long — the theta-sketch hash space
+    (32 bits collide too readily for order statistics). Portable SQL:
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12),
+                  16, 10).cast("long")
+
+
+def theta_entries(df: DataFrame, value_col: str, k: int = 256,
+                  salt_parts: int = 32) -> DataFrame:
+    """KMV/theta sketch of a set (Bar-Yossef et al. 2002; the Apache
+    DataSketches theta family): the ``k`` smallest DISTINCT 48-bit
+    hashes of the values, one row per retained hash. HLL answers
+    distinct counts and (by inclusion–exclusion) unions; theta entries
+    additionally support INTERSECTION and DIFFERENCE cardinalities
+    directly (:func:`theta_set_ops`) because entries below the combined
+    threshold are a uniform sample of each set.
+
+    Deterministic and mergeable: bottom-k of a fixed hash is a pure
+    function of the value set (merge = bottom-k of the union), so the
+    DuckDB oracle recomputes the identical sketch. Scale shape: one
+    distinct shuffle on the hash, then the same salted two-phase
+    bottom-k as ``stats.quantile_sketch_by_group`` — phase 1 ranks
+    within ``salt_parts`` hash partitions (skew-free, spillable),
+    phase 2 ranks only the ≤ salt_parts·k candidates; the salt provably
+    cannot change the result."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    hs = (df.select(_md5_long48(value_col).alias("_h"))
+          .where(F.col("_h").isNotNull())
+          .distinct()
+          .withColumn("_salt", F.pmod(F.xxhash64("_h"),
+                                      F.lit(salt_parts))))
+    w1 = Window.partitionBy("_salt").orderBy("_h")
+    cand = (hs.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k).select("_h"))
+    w2 = Window.partitionBy(F.lit(1)).orderBy("_h")
+    # phase-2 window: single partition of <= salt_parts*k rows (bounded)
+    return (cand.withColumn("theta_rank", F.row_number().over(w2))
+            .filter(F.col("theta_rank") <= k)
+            .select(F.col("_h").alias("h"), "theta_rank"))
+
+
+def _theta_stats(entries: DataFrame, k: int) -> DataFrame:
+    """One row (n, theta): theta = the k-th smallest hash when the set
+    was sampled, or the full hash space when the sketch holds the whole
+    set (n < k ⇒ every distinct hash is present ⇒ counts are exact)."""
+    return (entries.agg(F.count("h").alias("n"), F.max("h").alias("_mx"))
+            .select("n",
+                    F.when(F.col("n") < k,
+                           F.lit(_THETA_SPACE).cast("long"))
+                    .otherwise(F.col("_mx")).alias("theta")))
+
+
+def theta_set_ops(a: DataFrame, b: DataFrame, value_col: str,
+                  k: int = 256) -> DataFrame:
+    """Set-expression cardinalities from two theta sketches: one row
+    (est_a, est_b, est_intersection, est_diff_ab, n_candidates).
+
+    Estimators (standard theta-sketch): per-set cardinality is the
+    unbiased KMV (k−1)/(θ_own/U); intersection and A∖B count the
+    sketch entries strictly below θ = min(θ_A, θ_B) — a uniform
+    θ/U-rate sample of each set — and scale by U/θ. Sets smaller than
+    ``k`` carry θ = U, so two small sets produce EXACT answers and the
+    oracle's value-hash gate pins the whole construction either way.
+    Relative error ~1/√(k·θ-fraction); like hll_intersect_estimate this
+    is for dashboard-grade overlap of large sets, not tiny-overlap
+    precision. Everything is 1-row-frame algebra + one equi-join of two
+    ≤k-row entry tables — no rescan of either input."""
+    ea = theta_entries(a, value_col, k)
+    eb = theta_entries(b, value_col, k)
+    sa = _theta_stats(ea, k).select(F.col("n").alias("n_a"),
+                                    F.col("theta").alias("th_a"))
+    sb = _theta_stats(eb, k).select(F.col("n").alias("n_b"),
+                                    F.col("theta").alias("th_b"))
+    st = (sa.crossJoin(sb)
+          .select("n_a", "n_b", "th_a", "th_b",
+                  F.least("th_a", "th_b").alias("th")))
+    u = float(_THETA_SPACE)
+
+    def est_own(n, th):
+        frac = F.col(th).cast("double") / F.lit(u)
+        return F.when(F.col(th) == _THETA_SPACE,
+                      F.col(n).cast("double")) \
+            .otherwise(F.lit(float(k - 1)) / frac)
+
+    below_a = (ea.crossJoin(F.broadcast(st.select("th")))
+               .filter(F.col("h") < F.col("th"))
+               .agg(F.count("h").alias("na_c")))
+    inter = (ea.join(eb.select("h"), "h", "left_semi")
+             .crossJoin(F.broadcast(st.select("th")))
+             .filter(F.col("h") < F.col("th"))
+             .agg(F.count("h").alias("ni_c")))
+    out = st.crossJoin(below_a).crossJoin(inter)
+    frac = F.col("th").cast("double") / F.lit(u)
+    scale = F.when(F.col("th") == _THETA_SPACE, F.lit(1.0)) \
+        .otherwise(F.lit(1.0) / frac)
+    return out.select(
+        F.round(est_own("n_a", "th_a"), 4).alias("est_a"),
+        F.round(est_own("n_b", "th_b"), 4).alias("est_b"),
+        F.round(F.col("ni_c").cast("double") * scale, 4)
+        .alias("est_intersection"),
+        F.round((F.col("na_c") - F.col("ni_c")).cast("double") * scale, 4)
+        .alias("est_diff_ab"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_candidates"))
+
+
+def theta_sql(a_expr: str, a_from: str, b_expr: str, b_from: str,
+              k: int = 256) -> str:
+    """DuckDB re-derivation of :func:`theta_set_ops` — identical bottom-k
+    sketches (single-node, so one plain ROW_NUMBER replaces the salted
+    phases; the salt provably never changes the result) and the same
+    fixed-order estimator arithmetic."""
+    u = float(_THETA_SPACE)
+    return f"""
+WITH ha AS (SELECT DISTINCT ('0x' || substr(md5({a_expr}), 1, 12))::BIGINT AS h
+            FROM {a_from}),
+hb AS (SELECT DISTINCT ('0x' || substr(md5({b_expr}), 1, 12))::BIGINT AS h
+       FROM {b_from}),
+sa AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+       WHERE rn <= {k}),
+sb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+       WHERE rn <= {k}),
+sta AS (SELECT COUNT(*) AS n_a,
+               CASE WHEN COUNT(*) < {k} THEN {_THETA_SPACE} ELSE MAX(h) END AS th_a
+        FROM sa),
+stb AS (SELECT COUNT(*) AS n_b,
+               CASE WHEN COUNT(*) < {k} THEN {_THETA_SPACE} ELSE MAX(h) END AS th_b
+        FROM sb),
+st AS (SELECT n_a, n_b, th_a, th_b, LEAST(th_a, th_b) AS th FROM sta, stb),
+belowa AS (SELECT COUNT(*) AS na_c FROM sa, st WHERE sa.h < st.th),
+inter AS (SELECT COUNT(*) AS ni_c
+          FROM sa, st WHERE sa.h < st.th AND sa.h IN (SELECT h FROM sb))
+SELECT
+  ROUND(CASE WHEN th_a = {_THETA_SPACE} THEN CAST(n_a AS DOUBLE)
+        ELSE {float(k - 1)!r} / (CAST(th_a AS DOUBLE) / {u!r}) END, 4) AS est_a,
+  ROUND(CASE WHEN th_b = {_THETA_SPACE} THEN CAST(n_b AS DOUBLE)
+        ELSE {float(k - 1)!r} / (CAST(th_b AS DOUBLE) / {u!r}) END, 4) AS est_b,
+  ROUND(CAST(ni_c AS DOUBLE) * (CASE WHEN th = {_THETA_SPACE} THEN 1.0
+        ELSE 1.0 / (CAST(th AS DOUBLE) / {u!r}) END), 4) AS est_intersection,
+  ROUND(CAST(na_c - ni_c AS DOUBLE) * (CASE WHEN th = {_THETA_SPACE} THEN 1.0
+        ELSE 1.0 / (CAST(th AS DOUBLE) / {u!r}) END), 4) AS est_diff_ab,
+  CAST(n_a + n_b AS BIGINT) AS n_candidates
+FROM st, belowa, inter
+"""

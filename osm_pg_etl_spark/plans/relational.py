@@ -1779,6 +1779,34 @@ FROM hest e JOIN ex USING (event_type)
 """
 
 
+def q_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-EXPRESSION cardinalities from theta/KMV sketches (r10,
+    ``sketch.theta_set_ops``): |clickers|, |purchasers|, their
+    intersection AND difference, all from two bottom-k-hash sketches —
+    the set operation (A∖B) that HLL's inclusion–exclusion cannot
+    express. Bottom-k of a fixed md5 family is a pure function of each
+    value set, so the DuckDB oracle rebuilds the identical sketches and
+    the identical fixed-order estimator arithmetic: the approximation
+    itself is value-hash-gated (the hll_users pattern)."""
+    from ..operators import sketch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    return sketch.theta_set_ops(a, b, "user_id", k=256)
+
+
+def _sql_theta_sets() -> str:
+    from ..operators.sketch import theta_sql  # noqa: PLC0415
+
+    return theta_sql(
+        "CAST(user_id AS VARCHAR)",
+        "(SELECT user_id FROM events WHERE event_type = 'click')",
+        "CAST(user_id AS VARCHAR)",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        k=256)
+
+
 def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimate (|clickers ∩ purchasers|) by
     inclusion–exclusion over MERGEABLE HLL sketches
@@ -2047,6 +2075,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "hll_users": q_hll_users,
     "hll_intersect": q_hll_intersect,
+    "theta_sets": q_theta_sets,
     "hll_windowed": q_hll_windowed,
     "interval_join": q_interval_join,
     "interval_join_outer": q_interval_join_outer,
@@ -2118,6 +2147,7 @@ ORACLES = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "hll_users": _sql_hll_users(),
     "hll_intersect": _sql_hll_intersect(),
+    "theta_sets": _sql_theta_sets(),
     "hll_windowed": _sql_hll_windowed(),
     "interval_join": SQL_INTERVAL_JOIN,
     "interval_join_outer": SQL_INTERVAL_JOIN_OUTER,

@@ -143,3 +143,67 @@ def test_hll_intersect_estimate_merge_law_and_accuracy(spark):
     assert row["est_union"] == round(exact_u, 6)
     assert abs(row["est_intersection"] - 200) / 200 < 0.25
     assert abs(row["est_a"] - 600) / 600 < 0.1
+
+
+def test_theta_small_sets_are_exact(spark):
+    """Sets smaller than k carry theta = full hash space: every estimate
+    is EXACT (the sketch holds all distinct hashes)."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.sketch import theta_set_ops
+
+    a = spark.range(0, 100).select(F.col("id").alias("v"))
+    b = spark.range(60, 180).select(F.col("id").alias("v"))
+    row = theta_set_ops(a, b, "v", k=256).collect()[0]
+    assert row["est_a"] == 100.0
+    assert row["est_b"] == 120.0
+    assert row["est_intersection"] == 40.0   # 60..99
+    assert row["est_diff_ab"] == 60.0        # 0..59
+
+
+def test_theta_sampled_sets_error_bound_and_determinism(spark):
+    """Sampled regime (|A|,|B| >> k): relative error within the
+    ~3/sqrt(k) band for intersection/difference of half-overlapping
+    sets, and the result is a pure function of the data — identical
+    under repartitioning and a different salt count."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.sketch import theta_entries, theta_set_ops
+
+    a = spark.range(0, 20_000).select(F.col("id").alias("v"))
+    b = spark.range(10_000, 30_000).select(F.col("id").alias("v"))
+    k = 256
+    row = theta_set_ops(a, b, "v", k=k).collect()[0]
+    tol = 3.0 / (k ** 0.5)    # ~0.19
+    assert abs(row["est_a"] - 20_000) / 20_000 < tol
+    assert abs(row["est_b"] - 20_000) / 20_000 < tol
+    assert abs(row["est_intersection"] - 10_000) / 10_000 < 2 * tol
+    assert abs(row["est_diff_ab"] - 10_000) / 10_000 < 2 * tol
+
+    again = theta_set_ops(a.repartition(13), b.repartition(7),
+                          "v", k=k).collect()[0]
+    assert again == row
+    # salt invariance of the sketch itself
+    e1 = sorted(r["h"] for r in theta_entries(a, "v", k=k).collect())
+    e2 = sorted(r["h"] for r in theta_entries(
+        a.repartition(5), "v", k=k, salt_parts=3).collect())
+    assert e1 == e2 and len(e1) == k
+
+
+def test_theta_merge_law(spark):
+    """Bottom-k of a union == bottom-k of the parts' bottom-k entries —
+    the mergeable-sketch property shards rely on."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.sketch import theta_entries
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("v"))
+    b = spark.range(3_000, 9_000).select(F.col("id").alias("v"))
+    k = 64
+    direct = [r["h"] for r in theta_entries(
+        a.unionByName(b), "v", k=k).collect()]
+    ea = theta_entries(a, "v", k=k).select("h")
+    eb = theta_entries(b, "v", k=k).select("h")
+    merged = sorted(r["h"] for r in ea.unionByName(eb).distinct()
+                    .orderBy("h").limit(k).collect())
+    assert sorted(direct) == merged
