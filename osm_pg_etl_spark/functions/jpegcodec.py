@@ -202,10 +202,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers, no length field
+            continue
         if marker in (0xC2,):  # progressive
             raise NotImplementedError(
                 "progressive JPEG (SOF2) needs a full scan-accumulation "
@@ -230,6 +236,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"{seg[0]}-bit sample precision unsupported; "
+                    "baseline 8-bit only")
             h, w = struct.unpack(">HH", seg[1:5])
             n = seg[5]
             for c in range(n):

@@ -422,6 +422,8 @@ def _via_way_stateful_transitions(trans: DataFrame, e0: DataFrame,
     for (fe, c1), active in sorted(seeds.items(),
                                    key=lambda kv: (kv[0], )):
         fu, n0 = fe
+        if forbid_uturn and c1[1] == fu:
+            continue   # entry reversing its from-edge is a u-turn
         if (fu, n0, c1[1]) in banned_triples:
             continue   # base already bans this turn outright
         w = dict(out_edges.get(n0, ()))
