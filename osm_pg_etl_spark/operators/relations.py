@@ -155,6 +155,17 @@ def via_way_turn_restrictions(relations: DataFrame,
                     & F.col("tags")["restriction"].isNotNull())
              .select(F.col("id").alias("relation_id"),
                      F.col("tags")["restriction"].alias("kind")))
+    # qualify Spark-side BEFORE collecting (VERDICT r10 task 3): only
+    # relations possessing a via-WAY member ride to the driver — node-via
+    # restrictions (the overwhelming majority on real data, ~98% of the
+    # planet's) are the other operator's job and never leave the cluster.
+    # Driver memory is thereby bounded by 3-4 members × the via-way
+    # restriction count (<2% tail), not the full restriction table.
+    via_w = (members
+             .where((F.col("member_role") == "via")
+                    & (F.col("member_type") == "W"))
+             .select("relation_id").distinct())
+    restr = restr.join(via_w, "relation_id", "left_semi")
     mem = (members.join(restr.select("relation_id"), "relation_id",
                         "left_semi")
            .where(F.col("member_type") == "W")
