@@ -4,12 +4,15 @@ mostly JPEG; the reference pipeline itself never decodes media, so this is
 part of the training-data extension surface, cf. ``osm-pg-etl.md:31-105``
 for where the reference hands data to Python).
 
-Scope: baseline sequential DCT (SOF0), 8-bit precision, grayscale or
-YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, standard
+Scope: baseline sequential DCT (SOF0/1, interleaved or one-scan-per-
+component) AND progressive DCT (SOF2 — spectral selection, successive
+approximation, EOB runs, AC refinement; r11), 8-bit precision, grayscale
+or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, standard
 Huffman/quantization table syntax (multiple tables per DQT/DHT segment,
-APPn/COM segments skipped). Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError`` loudly — the same honest-boundary pattern
-the other codecs use.
+APPn/COM segments skipped). Arithmetic coding and the
+lossless/differential/hierarchical SOF family raise
+``NotImplementedError`` loudly — the same honest-boundary pattern the
+other codecs use.
 
 Determinism: the IDCT is an orthonormal float64 matrix product and the
 final sample is ``clip(round(x), 0, 255)`` — a pure function of the
@@ -184,11 +187,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+    """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
 
-    Real entropy decode: canonical Huffman per T.81, DC prediction,
-    zigzag dequantization, orthonormal IDCT, chroma upsampling (nearest,
-    matching the encoder's box subsampling), JFIF YCbCr->RGB.
+    Baseline sequential (SOF0/1, interleaved or one-scan-per-component)
+    AND progressive (SOF2, spectral selection + successive approximation,
+    EOB runs, AC refinement) — r11. All scans accumulate into per-
+    component coefficient arrays; reconstruction (dequant, orthonormal
+    IDCT, chroma upsample, JFIF YCbCr->RGB) runs once at EOI. Real
+    entropy decode throughout: canonical Huffman per T.81, DC prediction,
+    restart markers per scan.
     """
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -197,8 +204,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
-    h = w = 0
+    coefs: list[np.ndarray] = []
+    h = w = hmax = vmax = 0
     restart = 0
+    progressive = False
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -212,17 +222,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / stray RSTn: standalone markers, no length field
             continue
-        if marker in (0xC2,):  # progressive
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) needs a full scan-accumulation "
-                "decoder; baseline sequential only")
         if marker in (0xC8, 0xC9, 0xCA, 0xCB, 0xCC):
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0x{marker:02X}: "
                 "lossless/differential/hierarchical) unsupported; "
-                "baseline sequential (SOF0/1) only")
+                "baseline sequential (SOF0/1) and progressive (SOF2) only")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -235,17 +241,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = np.frombuffer(seg[i + 1:i + 65], np.uint8)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
             if seg[0] != 8:
                 raise NotImplementedError(
                     f"{seg[0]}-bit sample precision unsupported; "
-                    "baseline 8-bit only")
+                    "8-bit only")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             n = seg[5]
             for c in range(n):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["mcux"], c["mcuy"] = mcux, mcuy
+                # non-interleaved scan grid (T.81 A.2.2): the component's
+                # OWN sample dims, not the MCU-padded frame grid
+                c["bw"] = (-(-w * c["h"] // hmax) + 7) // 8
+                c["bh"] = (-(-h * c["v"] // vmax) + 7) // 8
+                coefs.append(np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32))
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -260,82 +279,218 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved baseline JPEG (one scan per "
-                    "component) needs multi-scan accumulation; "
-                    "interleaved single-scan only")
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-            data_start = pos + seglen
-            return _decode_scan(payload, data_start, scan, qt, huff_dc,
-                                huff_ac, h, w, restart)
+                ci = next(i for i, x in enumerate(comps) if x["id"] == cs)
+                scan.append({**comps[ci], "ci": ci, "dc": tt >> 4,
+                             "ac": tt & 0x0F})
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if progressive:
+                # T.81 B.2.3: progressive scans carry EITHER DC (Ss=Se=0)
+                # or a single component's AC band (1 <= Ss <= Se <= 63)
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "malformed progressive scan: Ss=0 requires Se=0 "
+                        "(DC and AC travel in separate scans)")
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "malformed progressive scan: AC bands are "
+                        "single-component")
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan_coefs(payload, pos + seglen, scan, coefs,
+                                     huff_dc, huff_ac, restart,
+                                     progressive, ss, se, ah, al)
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("JPEG ended without an SOS scan")
+    if not saw_scan:
+        raise ValueError("JPEG ended without an SOS scan")
+    return _reconstruct(comps, coefs, qt, h, w, hmax, vmax)
 
 
-def _decode_scan(payload: bytes, pos: int, scan: list[dict],
-                 qt: dict, huff_dc: dict, huff_ac: dict,
-                 h: int, w: int, restart: int) -> np.ndarray:
-    if len(scan) == 1:
-        # T.81 A.2: a single-component scan is NON-interleaved — one
-        # data unit per MCU in component raster order, regardless of the
-        # sampling factors the SOF declares (some encoders emit h=v=2
-        # for grayscale); honoring the declared factors here would
-        # scramble blocks within each would-be MCU group.
-        scan = [{**scan[0], "h": 1, "v": 1}]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcux = (w + mcu_w - 1) // mcu_w
-    mcuy = (h + mcu_h - 1) // mcu_h
-    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-              for c in scan]
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Skip entropy bytes / stuffing / stray RSTn after a scan; return
+    the position of the next real marker's 0xFF."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            if 0xD0 <= payload[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan_coefs(payload: bytes, pos: int, scan: list[dict],
+                       coefs: list[np.ndarray], huff_dc: dict,
+                       huff_ac: dict, restart: int, progressive: bool,
+                       ss: int, se: int, ah: int, al: int) -> int:
+    """Decode one entropy-coded scan into the coefficient arrays (zigzag
+    index order); returns the payload position of the next marker.
+    Handles all five scan shapes: sequential (interleaved or single-
+    component), progressive DC first/refine (interleaved allowed) and
+    progressive AC first/refine (single-component by spec)."""
     reader = _BitReader(payload, pos)
     pred = [0] * len(scan)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                reader.clear_restart()
-                pred = [0] * len(scan)
-            for ci, c in enumerate(scan):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        t = reader.decode(huff_dc[c["dc"]])
-                        pred[ci] += _extend(reader.take(t), t)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(huff_ac[c["ac"]])
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0x00:      # EOB
-                                break
-                            if rs == 0xF0:      # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            zz[k] = _extend(reader.take(s), s)
-                            k += 1
-                        blk = np.zeros(64)
-                        blk[_ZIGZAG] = zz * qt[c["tq"]].reshape(-1)[_ZIGZAG]
-                        px = _idct2(blk.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-            mcu_count += 1
-    # upsample chroma to full resolution (nearest — inverse of box)
+    state = {"eobrun": 0}
+
+    def seq_block(c: dict, ci: int, blk: np.ndarray) -> None:
+        t = reader.decode(huff_dc[c["dc"]])
+        pred[ci] += _extend(reader.take(t), t)
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = reader.decode(huff_ac[c["ac"]])
+            r, s = rs >> 4, rs & 0x0F
+            if rs == 0x00:      # EOB
+                break
+            if rs == 0xF0:      # ZRL
+                k += 16
+                continue
+            k += r
+            blk[k] = _extend(reader.take(s), s)
+            k += 1
+
+    def dc_block(c: dict, ci: int, blk: np.ndarray) -> None:
+        if ah == 0:   # first DC scan: Huffman diffs in the shifted domain
+            t = reader.decode(huff_dc[c["dc"]])
+            pred[ci] += _extend(reader.take(t), t)
+            blk[0] = pred[ci] << al
+        else:         # refinement: one raw bit per block
+            blk[0] = int(blk[0]) | (reader.take(1) << al)
+
+    def ac_first(blk: np.ndarray, ac: dict) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:   # EOBn: run of 2^r + extra end-of-bands
+                    state["eobrun"] = ((1 << r)
+                                       + (reader.take(r) if r else 0) - 1)
+                    return
+                k += 16      # ZRL
+                continue
+            k += r
+            blk[k] = _extend(reader.take(s), s) << al
+            k += 1
+
+    def ac_refine(blk: np.ndarray, ac: dict) -> None:
+        p1, m1 = 1 << al, -(1 << al)
+
+        def refine(k: int) -> None:
+            # T.81 G.1.2.3: a correction bit appends one magnitude bit
+            # to an already-nonzero coefficient
+            if reader.take(1) and not (int(blk[k]) & p1):
+                blk[k] = int(blk[k]) + (p1 if blk[k] >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(ac)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = ((1 << r)
+                                           + (reader.take(r) if r else 0))
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid AC refinement magnitude category")
+                    val = p1 if reader.take(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        refine(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:     # EOB band: corrections only
+                if blk[k] != 0:
+                    refine(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(c: dict, ci: int, blk: np.ndarray) -> None:
+        if not progressive:
+            seq_block(c, ci, blk)
+        elif ss == 0:
+            dc_block(c, ci, blk)
+        elif ah == 0:
+            ac_first(blk, huff_ac[c["ac"]])
+        else:
+            ac_refine(blk, huff_ac[c["ac"]])
+
+    def do_restart() -> None:
+        reader.clear_restart()
+        pred[:] = [0] * len(scan)
+        state["eobrun"] = 0
+
+    if len(scan) == 1:
+        # non-interleaved (T.81 A.2): one data unit per MCU, component
+        # raster order, component-own grid — regardless of the sampling
+        # factors the SOF declares (grayscale encoders emit h=v=2)
+        c = scan[0]
+        arr = coefs[c["ci"]]
+        bh, bw = c["bh"], c["bw"]   # ceil(comp_samples/8), ≤ padded grid
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and n and n % restart == 0:
+                    do_restart()
+                decode_block(c, 0, arr[by, bx])
+                n += 1
+    else:
+        mcux, mcuy = scan[0]["mcux"], scan[0]["mcuy"]
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n and n % restart == 0:
+                    do_restart()
+                for ci, c in enumerate(scan):
+                    arr = coefs[c["ci"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(c, ci,
+                                         arr[my * c["v"] + by,
+                                             mx * c["h"] + bx])
+                n += 1
+    return _next_marker(payload, reader.pos)
+
+
+def _reconstruct(comps: list[dict], coefs: list[np.ndarray], qt: dict,
+                 h: int, w: int, hmax: int, vmax: int) -> np.ndarray:
     full = []
-    for ci, c in enumerate(scan):
-        p = planes[ci]
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        qvec = qt[c["tq"]].reshape(-1)[_ZIGZAG]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64)
+                blk[_ZIGZAG] = arr[by, bx] * qvec
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(blk.reshape(8, 8)) + 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
@@ -348,6 +503,44 @@ def _decode_scan(payload: bytes, pos: int, scan: list[dict],
 
 
 # --------------------------------------------------------------- encoder
+
+def _prep_planes(rgb: np.ndarray, quant: np.ndarray | None,
+                 subsample: str):
+    """Shared encoder front end: validate input, JFIF RGB->YCbCr, edge-pad
+    to the MCU grid, box-subsample chroma. Returns
+    (planes[y, cb, cr], qtable, h, w, padded_h, padded_w, hy, vy)."""
+    a = np.asarray(rgb)
+    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
+        raise ValueError("encoder expects (h, w, 3) uint8 RGB")
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsample not in factors:
+        raise ValueError(f"subsample must be one of {sorted(factors)}")
+    hy, vy = factors[subsample]
+    h, w = a.shape[:2]
+    q = (QUANT_LUMA.reshape(8, 8) if quant is None
+         else np.asarray(quant, dtype=np.int32).reshape(8, 8))
+    if q.min() < 1 or q.max() > 255:
+        # the emitted DQT is 8-bit (pq=0); silently wrapping values >255
+        # would quantize by one number and tell decoders another
+        raise ValueError("quant table values must be in [1, 255]")
+    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    mcu_h, mcu_w = 8 * vy, 8 * hy
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
+    ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    planes = [ypad]
+    for p in (cb, cr):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        if vy > 1:
+            pad = (pad[0::2, :] + pad[1::2, :]) / 2.0
+        if hy > 1:
+            pad = (pad[:, 0::2] + pad[:, 1::2]) / 2.0
+        planes.append(pad)
+    return planes, q, h, w, ph, pw, hy, vy
+
 
 def _encode_block(zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict,
                   bits: list[int]) -> int:
@@ -402,36 +595,8 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     (with DC-predictor reset and byte realignment) every that many
     MCUs — the error-resilience layer real camera files carry."""
-    a = np.asarray(rgb)
-    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
-        raise ValueError("encoder expects (h, w, 3) uint8 RGB")
-    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
-    if subsample not in factors:
-        raise ValueError(f"subsample must be one of {sorted(factors)}")
-    hy, vy = factors[subsample]
-    h, w = a.shape[:2]
-    q = (QUANT_LUMA.reshape(8, 8) if quant is None
-         else np.asarray(quant, dtype=np.int32).reshape(8, 8))
-    if q.min() < 1 or q.max() > 255:
-        # the emitted DQT is 8-bit (pq=0); silently wrapping values >255
-        # would quantize by one number and tell decoders another
-        raise ValueError("quant table values must be in [1, 255]")
-    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes, q, h, w, ph, pw, hy, vy = _prep_planes(rgb, quant, subsample)
     mcu_h, mcu_w = 8 * vy, 8 * hy
-    ph = (h + mcu_h - 1) // mcu_h * mcu_h
-    pw = (w + mcu_w - 1) // mcu_w * mcu_w
-    ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
-    planes = [ypad]
-    for p in (cb, cr):
-        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        if vy > 1:
-            pad = (pad[0::2, :] + pad[1::2, :]) / 2.0
-        if hy > 1:
-            pad = (pad[:, 0::2] + pad[:, 1::2]) / 2.0
-        planes.append(pad)
     comp_factors = [(hy, vy), (1, 1), (1, 1)]
     dc_tbl = _encode_huffman_lengths(*_DC_LUMA)
     ac_tbl = _encode_huffman_lengths(*_AC_LUMA)
@@ -495,3 +660,252 @@ def encode_jpeg(rgb: np.ndarray, quant: np.ndarray | None = None,
            if restart_interval else b"")
     return (b"\xFF\xD8" + app0 + dqt + sof + dht + dri + sos + bytes(raw)
             + b"\xFF\xD9")
+
+
+# ---------------------------------------------------- progressive encoder
+
+# AC table for progressive scans: the K.3 symbols PLUS the EOBn run
+# symbols (0x10..0xE0) baseline never uses, all at a flat 9-bit canonical
+# length (176 codes < 511, so the all-ones code stays unused as T.81
+# requires). Compression is irrelevant here — the table exists so tests
+# and gates can synthesize bitstreams exercising multi-block EOB runs.
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+            _AC_LUMA[1] + [r << 4 for r in range(1, 15)])
+
+_EOBRUN_MAX = 0x7FFF
+
+
+class _ScanWriter:
+    """Bit accumulator for one entropy-coded scan: MSB-first bits,
+    1-padded to a byte boundary at close, 0xFF byte-stuffed."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def put(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def sym(self, tbl: dict, v: int) -> None:
+        self.put(*tbl[v])
+
+    def close(self) -> bytes:
+        self.bits.extend([1] * ((8 - len(self.bits) % 8) % 8))
+        raw = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[i:i + 8]:
+                byte = (byte << 1) | bit
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        self.bits.clear()
+        return bytes(raw)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray,
+                            quant: np.ndarray | None = None,
+                            subsample: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive JFIF (SOF2) bytes.
+
+    Scan script (the shape cjpeg emits, reduced to one successive-
+    approximation level): interleaved DC first scan at Al=1; per-
+    component AC first scans (Ss=1..63, Al=1) with lazy EOBn runs; a DC
+    refinement scan (raw bits); per-component AC refinement scans
+    (Ah=1, Al=0) with correction-bit buffering per T.81 G.1.2.3 /
+    libjpeg's encode_mcu_AC_refine ordering. Quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg`'s for the same inputs, so the
+    progressive decode must be bit-identical to the baseline decode —
+    the equivalence tests and the gate rely on exactly that."""
+    planes, q, h, w, ph, pw, hy, vy = _prep_planes(rgb, quant, subsample)
+    comp_factors = [(hy, vy), (1, 1), (1, 1)]
+    # quantize every block up front, zigzag order, per component
+    zz: list[np.ndarray] = []
+    for p, (ch, cv) in zip(planes, comp_factors):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                arr[by, bx] = np.round(
+                    _dct2(blk) / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+        zz.append(arr)
+    # non-interleaved AC-scan grids (T.81 A.2.2: component-own dims)
+    ni = [((-(-h * cv // vy) + 7) // 8, (-(-w * ch // hy) + 7) // 8)
+          for ch, cv in comp_factors]
+    dc_tbl = _encode_huffman_lengths(*_DC_LUMA)
+    ac_tbl = _encode_huffman_lengths(*_AC_PROG)
+
+    def mag(v: int) -> tuple[int, int]:
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def dc_first(al: int) -> bytes:
+        wtr = _ScanWriter()
+        pred = [0, 0, 0]
+        for my in range(ph // (8 * vy)):
+            for mx in range(pw // (8 * hy)):
+                for ci, (ch, cv) in enumerate(comp_factors):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            d = int(zz[ci][my * cv + by,
+                                           mx * ch + bx, 0]) >> al
+                            t, code = mag(d - pred[ci])
+                            wtr.sym(dc_tbl, t)
+                            wtr.put(t, code)
+                            pred[ci] = d
+        return wtr.close()
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _ScanWriter()
+        for my in range(ph // (8 * vy)):
+            for mx in range(pw // (8 * hy)):
+                for ci, (ch, cv) in enumerate(comp_factors):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            wtr.put(1, (int(zz[ci][my * cv + by,
+                                                   mx * ch + bx, 0])
+                                        >> al) & 1)
+        return wtr.close()
+
+    def ac_first(ci: int, al: int) -> bytes:
+        wtr = _ScanWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                wtr.sym(ac_tbl, r << 4)
+                wtr.put(r, eobrun - (1 << r))
+                eobrun = 0
+
+        bh, bw = ni[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = zz[ci][by, bx]
+                # point transform: magnitude shift, sign preserved
+                vals = [(int(blk[k]) >> al) if blk[k] >= 0
+                        else -((-int(blk[k])) >> al) for k in range(1, 64)]
+                last = 63
+                while last > 0 and vals[last - 1] == 0:
+                    last -= 1
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == _EOBRUN_MAX:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                for k in range(1, last + 1):
+                    v = vals[k - 1]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.sym(ac_tbl, 0xF0)
+                        run -= 16
+                    t, code = mag(v)
+                    wtr.sym(ac_tbl, (run << 4) | t)
+                    wtr.put(t, code)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+                    if eobrun == _EOBRUN_MAX:
+                        flush_eobrun()
+        flush_eobrun()
+        return wtr.close()
+
+    def ac_refine(ci: int, al: int) -> bytes:
+        # libjpeg encode_mcu_AC_refine ordering: ZRLs fire at any nonzero
+        # while runs exceed 15 (unless foldable into the EOB run), each
+        # code is chased by the correction bits its span covers, EOB'd
+        # blocks queue their correction bits behind the pending EOBn.
+        wtr = _ScanWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                wtr.sym(ac_tbl, r << 4)
+                wtr.put(r, eobrun - (1 << r))
+                eobrun = 0
+            for bit in pending:
+                wtr.put(1, bit)
+            pending.clear()
+
+        bh, bw = ni[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = zz[ci][by, bx]
+                absv = [(-int(blk[k]) if blk[k] < 0 else int(blk[k])) >> al
+                        for k in range(1, 64)]
+                eobmark = 0      # last NEWLY-nonzero position (1-based k)
+                for k in range(1, 64):
+                    if absv[k - 1] == 1:
+                        eobmark = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k - 1]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobmark:
+                        flush_eobrun()
+                        wtr.sym(ac_tbl, 0xF0)
+                        run -= 16
+                        for bit in br:
+                            wtr.put(1, bit)
+                        br.clear()
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    wtr.sym(ac_tbl, (run << 4) | 1)
+                    wtr.put(1, 1 if blk[k] >= 0 else 0)
+                    for bit in br:
+                        wtr.put(1, bit)
+                    br.clear()
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == _EOBRUN_MAX:
+                        flush_eobrun()
+        flush_eobrun()
+        return wtr.close()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2) + body)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[:] = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+              + bytes([1, (hy << 4) | vy, 0]) + bytes([2, 0x11, 0])
+              + bytes([3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0])
+               + bytes(_DC_LUMA[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_PROG[0])
+                 + bytes(_AC_PROG[1])))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes([0, 0]))
+    out = b"\xFF\xD8" + app0 + dqt + sof + dht
+    out += sos([1, 2, 3], 0, 0, 0, 1) + dc_first(1)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 0, 1) + ac_first(ci, 1)
+    out += sos([1, 2, 3], 0, 0, 1, 0) + dc_refine(0)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 1, 0) + ac_refine(ci, 0)
+    return out + b"\xFF\xD9"

@@ -234,6 +234,54 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_jpeg_prog(df: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """REAL PROGRESSIVE JPEG payloads (r11,
+    :func:`..functions.jpegcodec.encode_jpeg_progressive`): one SOF2
+    4:2:0 JFIF per row — an 8×8-block-constant gray image
+    (block(bx, by) = base + bx + by, base = 11·id mod 97, wb = id mod 4
+    + 1, hb = id mod 3 + 1 blocks) with FLAT quantization, shipped as
+    EIGHT scans: interleaved DC first (Al=1), per-component AC first
+    bands, DC refinement bits, per-component AC refinement. Constant
+    blocks are DC-only, so the two-scan DC split reconstructs exactly
+    ((d>>1)<<1 | (d&1) = d) and the decode stays closed-form for the SQL
+    oracle — while the bitstream still exercises the progressive
+    machinery end-to-end: successive approximation, multi-block EOB
+    runs spanning every all-zero AC band, 4:2:0's non-interleaved
+    component grids (smaller than the MCU-padded DC grid when wb or hb
+    is odd), and refinement scans over established history."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_jpeg_prog(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.jpegcodec import encode_jpeg_progressive
+
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = i % 4 + 1, i % 3 + 1
+            base = i * 11 % 97
+            blocks = (base + np.arange(wb)[None, :]
+                      + np.arange(hb)[:, None]).astype(np.uint8)
+            gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            out.append(encode_jpeg_progressive(
+                np.stack([gray] * 3, axis=2), quant=np.ones((8, 8)),
+                subsample="420"))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/jpeg").alias("mime"),
+        ((F.col(id_col) % 4 + 1) * 8).cast("int").alias("width"),
+        ((F.col(id_col) % 3 + 1) * 8).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_jpeg_prog(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
     """REAL decode → feature extraction over ``mapInPandas``: netpbm/BMP
     payloads are parsed into pixel arrays (:mod:`..functions.imagecodec`)

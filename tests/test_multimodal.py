@@ -664,11 +664,19 @@ def test_jpeg_textured_default_tables_snr_and_boundaries():
                         / (err ** 2).mean())
     assert snr > 15, snr
 
-    progressive = bytearray(wav)
-    sof = progressive.find(b"\xFF\xC0")
-    progressive[sof + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(progressive))
+    # r11: SOF2 is implemented — a baseline stream merely RELABELED as
+    # progressive is malformed (progressive DC and AC travel in separate
+    # scans, so Ss=0/Se=63 is illegal) and must fail loudly, not decode
+    # to garbage
+    relabeled = bytearray(wav)
+    sof = relabeled.find(b"\xFF\xC0")
+    relabeled[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(relabeled))
+    arith = bytearray(wav)
+    arith[sof + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOTAJPEG")
 
@@ -688,6 +696,98 @@ def test_jpeg_gate_matches_closed_form(spark):
     for i in range(25):
         wb, hb = i % 3 + 1, i % 2 + 1
         want = i * 7 % 100 + (wb - 1) / 2.0 + (hb - 1) / 2.0
+        r = feats[i]
+        assert (r["width"], r["height"]) == (wb * 8, hb * 8)
+        for c in ("mean_r", "mean_g", "mean_b", "luma"):
+            assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
+
+
+def test_jpeg_progressive_decode_equals_baseline_decode():
+    """r11: progressive (SOF2) decode for real. The progressive encoder
+    transmits the SAME quantized coefficients as the baseline encoder
+    (DC split into first+refinement scans, AC bands with EOB runs and
+    correction bits), so the progressive decode must be BIT-IDENTICAL to
+    the baseline decode of the same image — every successive-
+    approximation branch (new-nonzero insertion, ZRL-in-refinement,
+    correction bits riding EOB runs, multi-block EOBn) is covered by
+    textured content under both flat and default tables."""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(23)
+    for trial in range(9):
+        hh, ww = int(rng.integers(4, 40)), int(rng.integers(4, 48))
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        ss = ("444", "422", "420")[trial % 3]
+        qt = None if trial % 2 else np.ones((8, 8))
+        base = decode_jpeg(encode_jpeg(img, quant=qt, subsample=ss))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=qt,
+                                                   subsample=ss))
+        assert np.array_equal(base, prog), (trial, ss)
+
+    # block-constant + flat quant: exact through the 8-scan pipeline,
+    # including 4:2:0's non-interleaved grids smaller than the DC grid
+    blocks = rng.integers(10, 240, (3, 3), dtype=np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.stack([gray] * 3, 2)
+    for ss in ("444", "422", "420"):
+        out = decode_jpeg(encode_jpeg_progressive(
+            rgb, quant=np.ones((8, 8)), subsample=ss))
+        assert np.array_equal(out, rgb), ss
+    # sparse AC at default tables: long zero runs force ZRL +
+    # EOBn paths in both first and refinement AC scans
+    sparse = np.full((24, 24), 128, np.uint8)
+    sparse[::7, ::5] = 250
+    srgb = np.stack([sparse] * 3, 2)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(srgb)),
+                          decode_jpeg(encode_jpeg(srgb)))
+
+
+def test_jpeg_progressive_property_hypothesis():
+    """Property: progressive decode == baseline decode for ANY uint8
+    image, any subsampling, flat or default tables (the two encoders
+    quantize identically, so any divergence is a scan-codec bug)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_pg_etl_spark.functions.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(3, 33), st.integers(3, 41), st.integers(0, 2),
+           st.booleans(), st.randoms(use_true_random=False))
+    def check(hh, ww, ss_i, flat, rnd):
+        ss = ("444", "422", "420")[ss_i]
+        rng = np.random.default_rng(rnd.randint(0, 2**31))
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        qt = np.ones((8, 8)) if flat else None
+        base = decode_jpeg(encode_jpeg(img, quant=qt, subsample=ss))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=qt,
+                                                   subsample=ss))
+        assert np.array_equal(base, prog)
+
+    check()
+
+
+def test_jpeg_prog_gate_matches_closed_form(spark):
+    """The media_image_features_jpeg_prog gate: real 8-scan progressive
+    decode of the synthesized block-constant SOF2 files matches the
+    closed-form means."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_jpeg_prog, extract_image_features)
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in extract_image_features(
+        attach_synthetic_jpeg_prog(docs)).collect()}
+    for i in range(25):
+        wb, hb = i % 4 + 1, i % 3 + 1
+        want = i * 11 % 97 + (wb - 1) / 2.0 + (hb - 1) / 2.0
         r = feats[i]
         assert (r["width"], r["height"]) == (wb * 8, hb * 8)
         for c in ("mean_r", "mean_g", "mean_b", "luma"):
