@@ -719,31 +719,47 @@ def betweenness_exact(edges: DataFrame, wave_size: int = 32,
     per-node dependency sums simply add — one union + node-keyed
     group-sum at the end, lineage truncated per wave.
 
-    The wave loop is driver-side over the collected node-id list: exact
-    all-source betweenness inherently enumerates V sources, so the list
-    is bounded by the graphs for which exact BC is feasible at all
-    (O(V·E) work — at 100 TB you run the sampled Brandes-Pich gate
-    `osm_betweenness` instead; this operator retires the reference's
-    "export to igraph for exact centrality" residue for the graphs that
-    fit that budget, keeping per-wave memory at wave_size·V σ rows).
+    The wave loop is driver-side, but streamed (r11, VERDICT task 8):
+    source ids arrive through ``toLocalIterator`` over the SORTED
+    distinct-node table one partition at a time, so driver memory is
+    O(wave_size + one partition), never O(V) — the earlier
+    ``collect()`` held the full vertex list. Exact all-source
+    betweenness still inherently enumerates V sources (O(V·E) work — at
+    100 TB you run the sampled Brandes-Pich gate `osm_betweenness`
+    instead; this operator retires the reference's "export to igraph
+    for exact centrality" residue for the graphs that fit that budget,
+    keeping per-wave cluster memory at wave_size·V σ rows).
     ``max_depth`` is a safety bound, not a truncation: each wave's BFS
     stops when its frontier empties, so any value ≥ the graph's diameter
     gives exact results. Returns (node, betweenness); per-wave source
     counts via ``return_waves``.
     """
     und = symmetric_edges(edges, src, dst)
-    nodes = sorted(r["a"] for r in und.select("a").distinct().collect())
+    # sorted + localCheckpoint: deterministic wave composition (the
+    # hash gate depends on it) and a materialized table the iterator
+    # can stream while the wave jobs run
+    nodes_df = (und.select("a").distinct().orderBy("a")
+                .localCheckpoint())
     total = None
     waves = []
-    for i in range(0, len(nodes), wave_size):
-        wave = nodes[i:i + wave_size]
+
+    def run_wave(wave: list, total):
         waves.append(len(wave))
         bc = betweenness(edges, wave, max_depth=max_depth,
                          directed=directed, src=src, dst=dst)
-        total = bc if total is None else (
+        return bc if total is None else (
             total.unionByName(bc)
             .groupBy("node").agg(F.sum("betweenness").alias("betweenness"))
             .localCheckpoint())
+
+    wave: list = []
+    for row in nodes_df.toLocalIterator():
+        wave.append(row["a"])
+        if len(wave) == wave_size:
+            total = run_wave(wave, total)
+            wave = []
+    if wave:
+        total = run_wave(wave, total)
     if total is None:
         total = und.select(F.col("a").alias("node"),
                            F.lit(0.0).alias("betweenness"))

@@ -1470,6 +1470,9 @@ def q_osm_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _exact_bc_edges(spark, sf_dir)
     und = symmetric_edges(edges)
+    # bounded collect: the fixture graph has <= _EXACT_BC_MOD (60) nodes
+    # by construction; betweenness_exact itself streams its source list
+    # via toLocalIterator (r11) and never collects O(V)
     nodes = sorted(r["a"] for r in und.select("a").distinct().collect())
     ecc = (sigma_table(edges, nodes, max_depth=_EXACT_BC_DEPTH)
            .agg(F.max("dist")).collect()[0][0])
