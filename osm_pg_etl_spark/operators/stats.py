@@ -237,24 +237,44 @@ def quantile_sketch_by_group(df: DataFrame, group_cols: list[str],
 
 def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
                        qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
-                       scale: int = 4) -> DataFrame:
-    """Exact multi-quantile profile per group — PERCENTILE_CONT semantics
-    (rank ``q*(n-1)``, linear interpolation; NULLs excluded), one column per
-    requested quantile named ``p25``, ``p50``, ``p99``...
+                       scale: int = 4,
+                       method: str = "exact",
+                       accuracy: int = 10000) -> DataFrame:
+    """Multi-quantile profile per group, one column per requested quantile
+    named ``p25``, ``p50``, ``p99``... — the n-quantile generalization of
+    :func:`median_by_group`; the column profile a data-quality dashboard
+    or a length-filter threshold sweep needs.
 
-    The n-quantile generalization of :func:`median_by_group` — the column
-    profile a data-quality dashboard or a length-filter threshold sweep
-    needs. One ``F.percentile(col, array(...))`` aggregate: Spark keeps a
-    value→count map per group, so memory is O(distinct values per group),
-    not O(rows), and partial aggregation still applies map-side. For
-    unbounded-cardinality columns at extreme scale, use
-    :func:`quantile_sketch_by_group` (bounded-memory, skew-free, and
-    still hash-oracle-exact because the oracle recomputes the sketch
-    state) or swap in ``F.percentile_approx`` (KLL-like mergeable
-    sketch) at the cost of oracle exactness — same call shape.
+    ``method`` picks the memory/exactness point (r11, the documented
+    scale recipe):
+
+    - ``"exact"`` — PERCENTILE_CONT semantics (rank ``q*(n-1)``, linear
+      interpolation; NULLs excluded) via one ``F.percentile`` aggregate:
+      Spark buffers a value→count map per group, so memory is O(distinct
+      values per group). Right when group cardinality is bounded (enums,
+      codes) or the run is gate-checked. On a ~97%-distinct column this
+      map IS the data — memory-unbounded under group skew at 100 TB.
+    - ``"approx"`` — THE 100-TB default: ``F.percentile_approx``
+      (Greenwald–Khanna-style mergeable sketch, JVM-side, map-side
+      combinable), memory O(``accuracy``) per group regardless of
+      cardinality, rank error ≤ 1/``accuracy``. Same output shape; not
+      bit-reproducible across engines, so gates keep the exact or KMV
+      paths.
+    - For cross-engine hash-exactness WITH bounded memory, use
+      :func:`quantile_sketch_by_group` (deterministic KMV bottom-k whose
+      oracle recomputes the identical sketch state); measured error and
+      the exact-vs-sketch crossover live in SCALING.md.
     """
     col = F.col(value_col)
-    arr = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    if method == "exact":
+        arr = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    elif method == "approx":
+        arr = F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]),
+                                  F.lit(accuracy))
+    else:
+        raise ValueError("method must be 'exact' or 'approx' (use "
+                         "quantile_sketch_by_group for the deterministic "
+                         "bounded-memory sketch)")
     names = [f"p{round(q * 100)}" for q in qs]
     return (df.groupBy(*group_cols)
             .agg(*[F.round(arr[i], scale).alias(n)

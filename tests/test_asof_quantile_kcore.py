@@ -129,6 +129,36 @@ def test_quantile_sketch_error_bound_and_merge_invariance(spark):
     assert again == sk
 
 
+def test_quantiles_by_group_approx_method(spark):
+    """r11: method='approx' (percentile_approx, the 100-TB default) —
+    same output shape, rank error <= 1/accuracy vs exact; bad method
+    names fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = (spark.range(20_000)
+          .select(F.lit("g").alias("g"),
+                  (F.pmod(F.xxhash64("id"), 100_000) / 100.0).alias("x")))
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    acc = 1000
+    ex = quantiles_by_group(df, ["g"], "x", qs=qs, scale=6).collect()[0]
+    ap = quantiles_by_group(df, ["g"], "x", qs=qs, scale=6,
+                            method="approx", accuracy=acc).collect()[0]
+    assert ap["n_values"] == ex["n_values"] == 20_000
+    for p in qs:
+        # GK bound: the returned value's rank is within n/accuracy of
+        # the target rank -> it must lie inside the exact quantile band
+        # at p +/- 2/accuracy (slack x2 for interpolation)
+        lo_p = max(p - 2.0 / acc, 0.0)
+        hi_p = min(p + 2.0 / acc, 1.0)
+        band = quantiles_by_group(df, ["g"], "x", qs=(lo_p, hi_p),
+                                  scale=6).collect()[0]
+        name = f"p{round(p * 100)}"
+        assert band[1] <= ap[name] <= band[2], (name, ap[name])
+    with pytest.raises(ValueError, match="method"):
+        quantiles_by_group(df, ["g"], "x", method="bogus")
+
+
 def test_duplicate_ngram_spans(spark):
     shared = "one two three four"          # the only cross-doc 4-gram
     docs = [
