@@ -1,0 +1,157 @@
+"""Pure-numpy MJPEG-in-AVI video codec — closes the "video frames stay
+stubbed" boundary of :mod:`.multimodal` (the reference pipeline never
+decodes media at all — ``osm-pg-etl.md:31-105`` hands data to Python —
+so, like the image/audio codecs, this is part of the training-data
+extension surface). Motion-JPEG is the real format webcams, capture
+cards, and many dataset dumps emit: a RIFF AVI container whose ``00dc``
+chunks are ordinary baseline/progressive JPEG frames — which
+:mod:`.jpegcodec` already decodes for real, so the video path composes
+container parsing with a genuine per-frame codec.
+
+Scope: single-video-stream AVI ('MJPG'/'mjpg' fourcc or a
+BITMAPINFOHEADER whose frames sniff as JPEG), ``LIST movi`` chunk walk
+with word-aligned chunk padding, ``rec `` sub-list recursion, optional
+``idx1`` ignored (the frames are read in stream order). Frame rate from
+the main AVI header's dwMicroSecPerFrame. Other codecs (actual
+inter-frame compression: MPEG/H.26x) raise ``NotImplementedError``
+loudly — the honest-boundary pattern every codec here follows.
+
+Determinism: the container walk is pure byte arithmetic and each frame
+decode inherits jpegcodec's bit-exact guarantees, so frame features are
+hash-oracle-safe.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpegcodec import decode_jpeg, encode_jpeg
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
+                     quant: np.ndarray | None = None,
+                     subsample: str = "444") -> bytes:
+    """(h, w, 3) uint8 frames -> Motion-JPEG AVI bytes. Each frame is a
+    genuine baseline JFIF from :func:`..jpegcodec.encode_jpeg`; the
+    container carries the standard hdrl (avih + strl/strh/strf) and movi
+    lists so external players accept the file. All frames must share one
+    shape."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one (h, w)")
+    payloads = [encode_jpeg(f, quant=quant, subsample=subsample)
+                for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(round(1_000_000 / fps))
+    max_bytes = max(len(p) for p in payloads)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", usec, max_bytes * int(round(fps)), 0,
+        0,  # no AVIF_HASINDEX: we emit no idx1 (frames read stream-order)
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+    # AVIStreamHeader (56 bytes): fccType fccHandler dwFlags wPriority
+    # wLanguage dwInitialFrames dwScale dwRate dwStart dwLength
+    # dwSuggestedBufferSize dwQuality dwSampleSize rcFrame
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0,
+        len(payloads), max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+        0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Motion-JPEG AVI bytes -> (list of (h, w, 3) uint8 RGB frames,
+    fps). Walks the RIFF chunk tree (word-aligned), recurses into
+    ``movi``'s ``rec `` sub-lists, decodes every ``..dc``/``..db`` video
+    chunk with the real JPEG decoder, and rejects non-JPEG codecs
+    loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    usec_per_frame = 0
+    frames: list[np.ndarray] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal usec_per_frame
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                kind = data[body_start:body_start + 4]
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
+                    walk(data, body_start + 4, body_end)
+            elif fourcc == b"avih":
+                (usec_per_frame,) = struct.unpack(
+                    "<I", data[body_start:body_start + 4])
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frame = data[body_start:body_end]
+                if frame[:2] != b"\xFF\xD8":
+                    raise NotImplementedError(
+                        "AVI video chunk is not a JPEG frame — only "
+                        "Motion-JPEG AVIs are supported (no inter-frame "
+                        "codecs)")
+                frames.append(decode_jpeg(frame))
+            pos = body_start + size + (size % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contained no video frames")
+    fps = 1_000_000 / usec_per_frame if usec_per_frame else 0.0
+    return frames, fps
+
+
+def video_features(frames: list[np.ndarray], fps: float,
+                   sample_stride: int = 1) -> dict:
+    """Feature summary over every ``sample_stride``-th frame: count,
+    duration, mean Rec.601 luma of the sampled pixels, and a motion
+    proxy (mean per-pixel |channel delta| between CONSECUTIVE sampled
+    frames, luma-combined; 0.0 for a single sample).
+
+    Numerics are ORACLE-SAFE by construction: every aggregation is an
+    integer pixel sum (exact in float64 up to 2^53) followed by one
+    division, and the Rec.601 combine runs on those exact channel means
+    in fixed left-to-right order — so a SQL oracle that writes the same
+    closed-form expression gets the identical double."""
+    sampled = frames[::sample_stride]
+    h, w = frames[0].shape[:2]
+    npix = h * w
+    csum = [sum(int(f[:, :, c].astype(np.int64).sum()) for f in sampled)
+            for c in range(3)]
+    cmean = [s / (npix * len(sampled)) for s in csum]
+    if len(sampled) > 1:
+        sad = [sum(int(np.abs(b[:, :, c].astype(np.int64)
+                              - a[:, :, c].astype(np.int64)).sum())
+                   for a, b in zip(sampled, sampled[1:]))
+               for c in range(3)]
+        mad = [s / (npix * (len(sampled) - 1)) for s in sad]
+        motion = 0.299 * mad[0] + 0.587 * mad[1] + 0.114 * mad[2]
+    else:
+        motion = 0.0
+    return {
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "fps": float(fps),
+        "duration_ms": (len(frames) / fps * 1000.0) if fps else 0.0,
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": (0.299 * cmean[0] + 0.587 * cmean[1]
+                      + 0.114 * cmean[2]),
+        "motion": motion,
+    }

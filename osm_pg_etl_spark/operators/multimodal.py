@@ -282,6 +282,92 @@ def attach_synthetic_jpeg_prog(df: DataFrame,
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_mjpeg(df: DataFrame, id_col: str = "doc_id"
+                           ) -> DataFrame:
+    """REAL VIDEO payloads (r11, :mod:`..functions.avicodec`): one
+    Motion-JPEG AVI per row — n = id mod 4 + 2 frames at 10 fps, frame f
+    an 8×8-block-constant gray image (block(bx, by) = base + bx + by + f,
+    base = 13·id mod 89, wb = id mod 3 + 1, hb = id mod 2 + 1 blocks)
+    whose JPEG encoding uses FLAT quantization, so every frame decodes
+    bit-exactly (the jpegcodec block-constant guarantee) and the video
+    features stay closed-form: mean luma = base + (wb−1)/2 + (hb−1)/2 +
+    (n−1)/2, motion = exactly 1.0 (consecutive frames differ by +1
+    everywhere). The container walk (RIFF lists, word-aligned chunks,
+    per-frame '00dc' JPEG payloads) is the real format webcams emit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_avi(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.avicodec import encode_avi_mjpeg
+
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = i % 3 + 1, i % 2 + 1
+            n = i % 4 + 2
+            base = i * 13 % 89
+            frames = []
+            for f in range(n):
+                blocks = (base + f + np.arange(wb)[None, :]
+                          + np.arange(hb)[:, None]).astype(np.uint8)
+                gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                frames.append(np.stack([gray] * 3, axis=2))
+            out.append(encode_avi_mjpeg(frames, fps=10.0,
+                                        quant=np.ones((8, 8))))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("video").alias("kind"),
+        F.lit("video/x-msvideo").alias("mime"),
+        ((F.col(id_col) % 3 + 1) * 8).cast("int").alias("width"),
+        ((F.col(id_col) % 2 + 1) * 8).cast("int").alias("height"),
+        ((F.col(id_col) % 4 + 2) * 100).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_avi(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
+def extract_video_features(media: DataFrame,
+                           sample_stride: int = 1) -> DataFrame:
+    """REAL video decode → feature extraction over ``mapInPandas``:
+    MJPEG-AVI payloads are container-parsed and per-frame JPEG-decoded
+    (:mod:`..functions.avicodec`), then reduced to frame counts,
+    duration, mean sampled luma and the inter-frame motion proxy. Every
+    number comes from decoded pixels — the video leg of the same
+    real-codec split as ``extract_image_features``; embarrassingly
+    parallel per file, payloads never visit the driver."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("motion", DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avicodec import decode_avi_mjpeg, video_features
+
+        for pdf in it:
+            feats = []
+            for p in pdf["content"]:
+                frames, fps = decode_avi_mjpeg(bytes(p))
+                feats.append(video_features(frames, fps,
+                                            sample_stride=sample_stride))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                **{c: [f[c] for f in feats] for c in
+                   ("n_frames", "n_sampled", "fps", "duration_ms",
+                    "width", "height", "mean_luma", "motion")}})
+
+    return media.select("doc_id", "content").mapInPandas(batches, schema)
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
     """REAL decode → feature extraction over ``mapInPandas``: netpbm/BMP
     payloads are parsed into pixel arrays (:mod:`..functions.imagecodec`)

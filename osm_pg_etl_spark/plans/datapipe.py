@@ -1629,6 +1629,48 @@ FROM documents
 """
 
 
+def q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO decode (r11): every doc_id becomes a genuine
+    Motion-JPEG AVI — RIFF container (hdrl/movi lists, word-aligned
+    '00dc' chunks), each frame a real baseline JFIF — container-parsed
+    and per-frame JPEG-decoded by :mod:`functions.avicodec` inside
+    mapInPandas. Frames are block-constant with flat quant (bit-exact
+    decode) and consecutive frames differ by +1 everywhere, so every
+    feature is closed-form: n = id mod 4 + 2 frames at 10 fps, mean
+    luma = Rec.601 of (base + (wb−1)/2 + (hb−1)/2 + (n−1)/2), motion =
+    Rec.601 of (1, 1, 1). The video column is no longer a stub — the
+    boundary is now inter-frame codecs (MPEG/H.26x)."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_mjpeg(docs.select("doc_id"))
+    feats = multimodal.extract_video_features(media)
+    return feats.select("doc_id", "n_frames", "fps",
+                        F.round("duration_ms", 6).alias("duration_ms"),
+                        "width", "height",
+                        F.round("mean_luma", 6).alias("mean_luma"),
+                        F.round("motion", 6).alias("motion"))
+
+
+SQL_MEDIA_VIDEO_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 AS INT) AS n,
+         CAST(doc_id * 13 % 89 AS DOUBLE)
+           + (doc_id % 3) / 2.0 + (doc_id % 2) / 2.0
+           + (doc_id % 4 + 1) / 2.0 AS m
+  FROM documents)
+SELECT doc_id,
+       n AS n_frames,
+       CAST(10.0 AS DOUBLE) AS fps,
+       ROUND(n / CAST(10.0 AS DOUBLE) * 1000.0, 6) AS duration_ms,
+       CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+       CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+       ROUND(0.299 * m + 0.587 * m + 0.114 * m, 6) AS mean_luma,
+       ROUND(0.299 * CAST(1.0 AS DOUBLE) + 0.587 * CAST(1.0 AS DOUBLE)
+             + 0.114 * CAST(1.0 AS DOUBLE), 6) AS motion
+FROM p
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow-batched pipeline: every
     doc_id becomes a genuine PCM WAV square wave (attach_synthetic_wav)
@@ -2043,6 +2085,7 @@ QUERIES = {
     "media_image_features_png": q_media_image_features_png,
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_jpeg_prog": q_media_image_features_jpeg_prog,
+    "media_video_features": q_media_video_features,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "url_canonical_dedup": q_url_canonical_dedup,
     "media_audio_features": q_media_audio_features,
@@ -2096,6 +2139,7 @@ ORACLES = {
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
     "media_image_features_jpeg": SQL_MEDIA_IMAGE_FEATURES_JPEG,
     "media_image_features_jpeg_prog": SQL_MEDIA_IMAGE_FEATURES_JPEG_PROG,
+    "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,

@@ -1,0 +1,136 @@
+"""BENCHCMP sf1 leg (r11, VERDICT task 4): materialize ~sf1 parquet
+(K=10 key-offset replicas of sf0.1 — disjoint regions, same topology
+density) and run the bench_compare methodology on the DATA-BOUND query
+set, where sf0.1's ratios are dominated by Spark's fixed job floor.
+
+Both engines read the SAME materialized files, warm symmetrically, and
+report the median of R timed passes. Results -> BENCHCMP_sf1.json.
+
+Usage: python scripts/bench_sf1.py [K] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCHCMP_sf1.json"
+DIR = f"/tmp/sf1_bench_k{K}"
+
+# the sf0.1-data-bound set (VERDICT r10): everything else is job-floor
+DATA_BOUND = ["osm_merged_network", "osm_communities", "quantile_profile",
+              "rollup_counts", "knn_join", "tfidf_top_terms"]
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+
+def replicate(df, offsets: dict[str, int], k: int):
+    """K key-offset copies; offsets are per KEY FAMILY (l_partkey shifts
+    by part's p_partkey span, keeping referential integrity per replica)."""
+    pieces = [df.select(*[
+        (F.col(c) + i * offsets[c]).alias(c) if c in offsets else F.col(c)
+        for c in df.columns]) for i in range(k)]
+    return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def main() -> None:
+    spark = get_spark(app_name=f"bench-sf1-{K}x")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(DIR, "_DONE")):
+        rd = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")  # noqa: E731
+        pspan = rd("part").agg(F.max("p_partkey")).collect()[0][0] + 1
+        # order-key span from ORDERS (the superset of lineitem's keys):
+        # the OSM way-tag derivation joins l_orderkey against o_orderkey,
+        # so both must shift by the same, collision-free amount
+        ospan = rd("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+        plans = {
+            "part": (rd("part"), {"p_partkey": pspan}, 8),
+            "lineitem": (rd("lineitem"),
+                         {"l_orderkey": ospan, "l_partkey": pspan}, 32),
+            "orders": (rd("orders"), {"o_orderkey": ospan}, 8),
+            "documents": (rd("documents"), {"doc_id": 5_000_000}, 4),
+            "embeddings": (rd("embeddings"), {"vec_id": 5_000_000}, 4),
+        }
+        for name, (df, offs, nfiles) in plans.items():
+            (replicate(df, offs, K).repartition(nfiles)
+             .write.mode("overwrite").parquet(f"{DIR}/{name}.parquet"))
+        open(os.path.join(DIR, "_DONE"), "w").close()
+        print(f"materialized {DIR} at K={K}", file=sys.stderr)
+
+    from osm_pg_etl_spark.plans.registry import all_oracles, all_queries
+    queries, oracles = all_queries(), all_oracles()
+
+    con = duckdb.connect()
+    for t in ("part", "lineitem", "orders", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{DIR}/{t}.parquet/*.parquet'")
+        spark.read.parquet(f"{DIR}/{t}.parquet").count()  # warm both
+
+    # symmetric untimed warm passes (codegen/JIT vs buffer pool), then
+    # median-of-R timed passes with clearCache per pass — bench_compare's
+    # exact methodology at the bigger scale
+    for _ in range(2):
+        for name in DATA_BOUND:
+            queries[name](spark, DIR).write.format("noop") \
+                .mode("overwrite").save()
+            con.execute(oracles[name]).fetchall()
+        spark.catalog.clearCache()
+
+    s_passes: list[dict[str, float]] = []
+    d_passes: list[dict[str, float]] = []
+    for _ in range(REPEATS):
+        spark.catalog.clearCache()
+        s_one: dict[str, float] = {}
+        d_one: dict[str, float] = {}
+        for name in DATA_BOUND:
+            t0 = time.perf_counter()
+            queries[name](spark, DIR).write.format("noop") \
+                .mode("overwrite").save()
+            s_one[name] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            d_one[name] = time.perf_counter() - t0
+        s_passes.append(s_one)
+        d_passes.append(d_one)
+
+    rows = {}
+    for name in DATA_BOUND:
+        s = statistics.median(p[name] for p in s_passes)
+        d = statistics.median(p[name] for p in d_passes)
+        rows[name] = {"spark_sec": round(s, 3), "duckdb_sec": round(d, 3),
+                      "ratio": round(s / d, 3) if d else None,
+                      "spark_spread": round(
+                          max(p[name] for p in s_passes)
+                          - min(p[name] for p in s_passes), 3)}
+        print(f"{name:24s} spark {s:7.2f}s  duckdb {d:7.2f}s  "
+              f"ratio {s / d:5.2f}x")
+    tot_s = sum(r["spark_sec"] for r in rows.values())
+    tot_d = sum(r["duckdb_sec"] for r in rows.values())
+    out = {"k": K, "base_sf_dir": SF_DIR, "repeats": REPEATS,
+           "queries": rows,
+           "total_spark_sec": round(tot_s, 3),
+           "total_duckdb_sec": round(tot_d, 3),
+           "total_ratio": round(tot_s / tot_d, 3)}
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"total ratio {tot_s / tot_d:.2f}x -> {OUT}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -794,6 +794,84 @@ def test_jpeg_prog_gate_matches_closed_form(spark):
             assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
 
+def test_mjpeg_avi_roundtrip_and_features():
+    """r11: REAL video decode. MJPEG-AVI container round-trips: block-
+    constant flat-quant frames decode bit-exactly; textured default-table
+    frames decode identically to a direct per-frame JPEG round-trip (the
+    container adds framing, not loss); fps survives the header; non-JPEG
+    video chunks and non-AVI bytes fail loudly; features follow the
+    closed forms the gate oracle uses."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.avicodec import (
+        decode_avi_mjpeg, encode_avi_mjpeg, video_features)
+    from osm_pg_etl_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for f in range(4):
+        blocks = (20 + f + np.arange(3)[None, :]
+                  + np.arange(2)[:, None]).astype(np.uint8)
+        gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        frames.append(np.stack([gray] * 3, 2))
+    avi = encode_avi_mjpeg(frames, fps=10.0, quant=np.ones((8, 8)))
+    dec, fps = decode_avi_mjpeg(avi)
+    assert fps == 10.0 and len(dec) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    feats = video_features(dec, fps)
+    m = 20 + 1.0 + 0.5 + 1.5     # base + (wb-1)/2 + (hb-1)/2 + (n-1)/2
+    assert feats["mean_luma"] == 0.299 * m + 0.587 * m + 0.114 * m
+    assert feats["motion"] == 0.299 * 1.0 + 0.587 * 1.0 + 0.114 * 1.0
+    assert feats["duration_ms"] == 400.0
+    # frame sampling: stride 2 keeps frames 0 and 2 (delta 2 per pixel)
+    s = video_features(dec, fps, sample_stride=2)
+    assert s["n_sampled"] == 2 and s["n_frames"] == 4
+    assert s["motion"] == 0.299 * 2.0 + 0.587 * 2.0 + 0.114 * 2.0
+
+    tex = [rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+           for _ in range(3)]
+    dec2, fps2 = decode_avi_mjpeg(encode_avi_mjpeg(tex, fps=25.0))
+    assert fps2 == 25.0
+    assert all(np.array_equal(d, decode_jpeg(encode_jpeg(t)))
+               for d, t in zip(dec2, tex))
+
+    bad = bytearray(avi)
+    i = bad.find(b"00dc")
+    bad[i + 8:i + 10] = b"XX"
+    with pytest.raises(NotImplementedError, match="Motion-JPEG"):
+        decode_avi_mjpeg(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"NOTANAVI")
+    with pytest.raises(ValueError, match="frame"):
+        encode_avi_mjpeg([])
+
+
+def test_video_gate_matches_closed_form(spark):
+    """The media_video_features gate: real container parse + per-frame
+    JPEG decode of the synthesized MJPEG-AVIs matches the closed-form
+    features."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_mjpeg, extract_video_features)
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in extract_video_features(
+        attach_synthetic_mjpeg(docs)).collect()}
+    for i in range(25):
+        wb, hb, n = i % 3 + 1, i % 2 + 1, i % 4 + 2
+        m = (i * 13 % 89 + (wb - 1) / 2.0 + (hb - 1) / 2.0
+             + (n - 1) / 2.0)
+        r = feats[i]
+        assert (r["width"], r["height"]) == (wb * 8, hb * 8)
+        assert (r["n_frames"], r["fps"]) == (n, 10.0)
+        assert r["mean_luma"] == pytest.approx(
+            0.299 * m + 0.587 * m + 0.114 * m, abs=1e-12), i
+        assert r["motion"] == pytest.approx(1.0, abs=1e-12), i
+
+
 def test_adpcm_fact_chunk_truncates_final_block_padding():
     """r9 ADVICE: externally produced ADPCM zero-pads the final block,
     inflating n_samples/duration/RMS/ZCR. The fact chunk declares the
