@@ -329,6 +329,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg  # noqa: PLC0415
 
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from .gifcodec import decode_gif  # noqa: PLC0415
+
+        return decode_gif(payload)[0]   # first frame for still features
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {payload[:2]!r}; compressed "
         "codecs need an image library not present in this environment")

@@ -282,6 +282,46 @@ def attach_synthetic_jpeg_prog(df: DataFrame,
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_gif(df: DataFrame, id_col: str = "doc_id",
+                         ) -> DataFrame:
+    """REAL GIF payloads (r11, :mod:`..functions.gifcodec`): one GIF89a
+    per row — a GRADIENT gray image (pixel = base + x + y, base =
+    17·id mod 101, bounded < 256 so the ≤256-color palette is exact) —
+    LZW-compressed for real (variable-width codes, dictionary growth),
+    interlaced on odd ids so the 4-pass row shuffle decodes too. GIF is
+    lossless, so the decode is bit-exact on NON-constant content and
+    the closed-form oracle (base + (w−1)/2 + (h−1)/2) pins the whole
+    palette+LZW+interlace path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_gif(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.gifcodec import encode_gif
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 16 + 1, i % 12 + 1
+            base = i * 17 % 101
+            gray = (base + np.arange(w)[None, :]
+                    + np.arange(h)[:, None]).astype(np.uint8)
+            out.append(encode_gif(np.stack([gray] * 3, axis=2),
+                                  interlace=bool(i % 2)))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/gif").alias("mime"),
+        (F.col(id_col) % 16 + 1).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_gif(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
 def attach_synthetic_mjpeg(df: DataFrame, id_col: str = "doc_id"
                            ) -> DataFrame:
     """REAL VIDEO payloads (r11, :mod:`..functions.avicodec`): one

@@ -1629,6 +1629,42 @@ FROM documents
 """
 
 
+def q_media_image_features_gif(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL GIF decode (r11): every doc_id becomes a genuine GIF89a —
+    palette + real variable-width LZW (dictionary growth, clear codes),
+    interlaced on odd ids — decoded by :mod:`functions.gifcodec` inside
+    mapInPandas via the sniffing dispatch. GIF is LOSSLESS, so unlike
+    the JPEG gates the payload is a true GRADIENT and the closed-form
+    oracle (base + (w−1)/2 + (h−1)/2) pins every pixel of the
+    palette/LZW/interlace path, not just DC terms."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_gif(docs.select("doc_id"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_r", 6).alias("mean_r"),
+                        F.round("mean_g", 6).alias("mean_g"),
+                        F.round("mean_b", 6).alias("mean_b"),
+                        F.round("luma", 6).alias("luma"))
+
+
+SQL_MEDIA_IMAGE_FEATURES_GIF = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id * 17 % 101 AS DOUBLE)
+           + (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0 AS m
+  FROM documents)
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 12 + 1 AS INT) AS height,
+       ROUND(m, 6) AS mean_r,
+       ROUND(m, 6) AS mean_g,
+       ROUND(m, 6) AS mean_b,
+       ROUND(0.299 * m + 0.587 * m + 0.114 * m, 6) AS luma
+FROM p
+"""
+
+
 def q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL VIDEO decode (r11): every doc_id becomes a genuine
     Motion-JPEG AVI — RIFF container (hdrl/movi lists, word-aligned
@@ -2085,6 +2121,7 @@ QUERIES = {
     "media_image_features_png": q_media_image_features_png,
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_jpeg_prog": q_media_image_features_jpeg_prog,
+    "media_image_features_gif": q_media_image_features_gif,
     "media_video_features": q_media_video_features,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -2139,6 +2176,7 @@ ORACLES = {
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
     "media_image_features_jpeg": SQL_MEDIA_IMAGE_FEATURES_JPEG,
     "media_image_features_jpeg_prog": SQL_MEDIA_IMAGE_FEATURES_JPEG_PROG,
+    "media_image_features_gif": SQL_MEDIA_IMAGE_FEATURES_GIF,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

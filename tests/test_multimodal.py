@@ -794,6 +794,65 @@ def test_jpeg_prog_gate_matches_closed_form(spark):
             assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
 
+def test_gif_lzw_roundtrip_exact():
+    """r11: REAL GIF decode. Lossless LZW round-trips bit-exactly:
+    gradients (sequential palette), random palette-limited color
+    (dictionary stress, width growth), big repetitive images (12-bit
+    codes + clear-code reset), interlaced variants (4-pass shuffle);
+    >256 colors and non-GIF bytes fail loudly; the sniffing dispatch
+    routes GIF magic."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.gifcodec import decode_gif, encode_gif
+    from osm_pg_etl_spark.functions.imagecodec import decode_image
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 50))
+        base = int(rng.integers(0, 100))
+        gray = ((base + np.arange(w)[None, :] + np.arange(h)[:, None])
+                % 256).astype(np.uint8)
+        img = np.stack([gray] * 3, 2)
+        for il in (False, True):
+            out = decode_gif(encode_gif(img, interlace=il))
+            assert len(out) == 1 and np.array_equal(out[0], img), (trial, il)
+    pal = rng.integers(0, 256, (37, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 37, (64, 96))]
+    assert np.array_equal(decode_gif(encode_gif(img))[0], img)
+    big = np.tile(pal[rng.integers(0, 37, (8, 8))], (40, 50, 1))
+    assert np.array_equal(decode_gif(encode_gif(big))[0], big)
+    # sniffing dispatch
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"NOTAGIF")
+
+
+def test_gif_gate_matches_closed_form(spark):
+    """The media_image_features_gif gate: real palette+LZW+interlace
+    decode of the synthesized gradient GIFs matches the closed form."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_gif, extract_image_features)
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in extract_image_features(
+        attach_synthetic_gif(docs)).collect()}
+    for i in range(25):
+        w, h = i % 16 + 1, i % 12 + 1
+        want = i * 17 % 101 + (w - 1) / 2.0 + (h - 1) / 2.0
+        r = feats[i]
+        assert (r["width"], r["height"]) == (w, h)
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
+        assert r["luma"] == pytest.approx(
+            0.299 * want + 0.587 * want + 0.114 * want, abs=1e-9), i
+
+
 def test_mjpeg_avi_roundtrip_and_features():
     """r11: REAL video decode. MJPEG-AVI container round-trips: block-
     constant flat-quant frames decode bit-exactly; textured default-table
