@@ -512,22 +512,28 @@ def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id",
     oracle can predict, while the decode still parses genuine RIFF
     chunks and de-interleaves real samples.
 
-    ``codec``: ``"pcm"`` (16-bit, format tag 1) or ``"ulaw"`` (G.711,
+    ``codec``: ``"pcm"`` (16-bit, format tag 1), ``"ulaw"`` (G.711,
     tag 7 — the compressed-telephony leg; amplitudes pass through the
     μ-law quantizer, still closed-form because the 9 possible levels
-    round-trip deterministically)."""
+    round-trip deterministically), or ``"flac"`` (r11,
+    :mod:`..functions.flaccodec` — LOSSLESS compression, so the decoded
+    samples are bit-identical to the PCM leg's and the SAME closed-form
+    oracle applies while the bytes exercise fixed predictors, Rice
+    residuals and frame CRCs)."""
     from pyspark.sql.functions import pandas_udf
 
-    if codec not in ("pcm", "ulaw"):
-        raise ValueError(f"codec must be pcm|ulaw, got {codec!r}")
+    if codec not in ("pcm", "ulaw", "flac"):
+        raise ValueError(f"codec must be pcm|ulaw|flac, got {codec!r}")
 
     @pandas_udf(BinaryType())
     def make_wav(ids: pd.Series) -> pd.Series:
         import numpy as np
 
         from ..functions.audiocodec import encode_wav, encode_wav_ulaw
+        from ..functions.flaccodec import encode_flac
 
-        enc = encode_wav if codec == "pcm" else encode_wav_ulaw
+        enc = {"pcm": encode_wav, "ulaw": encode_wav_ulaw,
+               "flac": encode_flac}[codec]
         out = []
         for i in ids:
             i = int(i)
@@ -539,8 +545,8 @@ def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id",
 
     meta = F.struct(
         F.lit("audio").alias("kind"),
-        F.lit("audio/wav" if codec == "pcm"
-              else "audio/basic").alias("mime"),
+        F.lit({"pcm": "audio/wav", "ulaw": "audio/basic",
+               "flac": "audio/flac"}[codec]).alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         (((F.col(id_col) % 50 + 2 * (F.col(id_col) % 4 + 1)) * 1000)
@@ -552,14 +558,20 @@ def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id",
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode → waveform features over ``mapInPandas``:
-    RIFF/PCM payloads are parsed into float waveforms
-    (:mod:`..functions.audiocodec`) and reduced to duration, RMS, peak,
-    and zero-crossing rate. Compressed audio stays behind the stub."""
+    RIFF (PCM/μ-law/ADPCM) and FLAC payloads are sniffed and parsed
+    into float waveforms (:mod:`..functions.audiocodec` /
+    :mod:`..functions.flaccodec`) and reduced to duration, RMS, peak,
+    and zero-crossing rate. Lossy audio (MP3/AAC) stays the stub."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.audiocodec import audio_features, decode_wav
+        from ..functions.flaccodec import decode_flac
+
+        def dec(p: bytes):
+            return (decode_flac(p) if bytes(p[:4]) == b"fLaC"
+                    else decode_wav(p))
 
         for pdf in it:
-            feats = [audio_features(*decode_wav(p)) for p in pdf["content"]]
+            feats = [audio_features(*dec(p)) for p in pdf["content"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_samples": [f["n_samples"] for f in feats],

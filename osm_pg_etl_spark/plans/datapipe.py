@@ -1764,6 +1764,28 @@ def q_media_audio_features_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("zcr", 6).alias("zcr"))
 
 
+def q_media_audio_features_flac(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL FLAC decode (r11): the same square-wave corpus as
+    media_audio_features but FLAC-compressed
+    (:mod:`functions.flaccodec` — fixed predictors, partitioned Rice
+    residuals, UTF-8 frame numbers, CRC-8/CRC-16 verified), the format
+    real speech corpora (LibriSpeech) ship in. FLAC is LOSSLESS, so the
+    decoded samples are bit-identical to the PCM leg's and the SAME
+    closed-form oracle applies — a hash match proves the entire
+    predictor/Rice/CRC pipeline reproduced every sample. The lossy
+    boundary is now MP3/AAC only."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_wav(docs.select("doc_id"),
+                                            codec="flac")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select("doc_id", "n_samples",
+                        F.round("duration_ms", 6).alias("duration_ms"),
+                        F.round("rms", 6).alias("rms"),
+                        F.round("peak", 6).alias("peak"),
+                        F.round("zcr", 6).alias("zcr"))
+
+
 def _sql_media_audio_features_ulaw() -> str:
     import numpy as np
 
@@ -2124,6 +2146,7 @@ QUERIES = {
     "media_image_features_gif": q_media_image_features_gif,
     "media_video_features": q_media_video_features,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
+    "media_audio_features_flac": q_media_audio_features_flac,
     "url_canonical_dedup": q_url_canonical_dedup,
     "media_audio_features": q_media_audio_features,
     "multimodal_frames": q_multimodal_frames,
@@ -2179,6 +2202,7 @@ ORACLES = {
     "media_image_features_gif": SQL_MEDIA_IMAGE_FEATURES_GIF,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
+    "media_audio_features_flac": SQL_MEDIA_AUDIO_FEATURES,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

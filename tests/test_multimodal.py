@@ -794,6 +794,69 @@ def test_jpeg_prog_gate_matches_closed_form(spark):
             assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
 
+def test_flac_lossless_roundtrip():
+    """r11: REAL FLAC decode. Lossless round-trips bit-exactly across
+    random int16 (multi-frame, order selection, Rice), smooth signals
+    (fixed order 2), constants (CONSTANT subframes), and all three
+    stereo decorrelation modes; float input quantizes like the WAV
+    encoder; corrupt frames fail the CRC loudly."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.flaccodec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(1, 9000))
+        sig = rng.integers(-32768, 32768, n, dtype=np.int64) \
+            .astype(np.int16)
+        dec, rate = decode_flac(encode_flac(sig, 8000))
+        assert rate == 8000 and dec.shape == (n, 1)
+        assert np.array_equal((dec[:, 0] * 32768).astype(np.int64),
+                              sig.astype(np.int64)), trial
+    t = np.arange(5000)
+    smooth = (10000 * np.sin(t / 50.0)).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(smooth, 16000))
+    assert np.array_equal((dec[:, 0] * 32768).astype(np.int64),
+                          smooth.astype(np.int64))
+    const = np.full(300, -1234, np.int16)
+    dec, _ = decode_flac(encode_flac(const, 8000))
+    assert np.array_equal((dec[:, 0] * 32768).astype(np.int64),
+                          const.astype(np.int64))
+    st = np.stack([smooth[:3000],
+                   (smooth[:3000] * 0.7).astype(np.int16)], 1)
+    for mode in ("independent", "left_side", "mid_side"):
+        dec, _ = decode_flac(encode_flac(st, 44100, stereo_mode=mode))
+        assert np.array_equal((dec * 32768).astype(np.int64),
+                              st.astype(np.int64)), mode
+    sq = 0.5 * (((np.arange(40) // 3) % 2 == 0) * 2 - 1)
+    dec, _ = decode_flac(encode_flac(sq, 8000))
+    assert np.abs(dec[:, 0]
+                  - np.round(32767 * sq) / 32768.0).max() == 0
+    bad = bytearray(encode_flac(smooth, 16000))
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"NOTFLAC!")
+
+
+def test_flac_gate_matches_pcm_gate(spark):
+    """The media_audio_features_flac gate: losslessness means the FLAC
+    leg's features are IDENTICAL to the PCM leg's on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_wav, extract_audio_features)
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    pcm = {r["doc_id"]: r for r in extract_audio_features(
+        attach_synthetic_wav(docs, codec="pcm")).collect()}
+    flac = {r["doc_id"]: r for r in extract_audio_features(
+        attach_synthetic_wav(docs, codec="flac")).collect()}
+    assert pcm == flac
+
+
 def test_gif_lzw_roundtrip_exact():
     """r11: REAL GIF decode. Lossless LZW round-trips bit-exactly:
     gradients (sequential palette), random palette-limited color
