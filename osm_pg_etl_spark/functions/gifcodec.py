@@ -168,6 +168,13 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     composition/disposal is a renderer concern, not a codec one."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF payload: {e}") from e
+
+
+def _decode_gif_body(payload: bytes) -> list[np.ndarray]:
     sw, sh = struct.unpack("<HH", payload[6:10])
     packed, bg = payload[10], payload[11]
     pos = 13

@@ -132,13 +132,17 @@ def test_codec_rejects_unsupported_formats_loudly():
 
     from osm_pg_etl_spark.functions.imagecodec import decode_image
 
-    # formats with no pure-numpy decoder still fail loudly (GIF here);
-    # JPEG now dispatches to the real baseline decoder (r10), so a
-    # truncated JPEG raises its own parse error instead of the stub
+    # formats with no pure-numpy decoder still fail loudly (TIFF/WebP);
+    # JPEG (r10) and GIF (r11) now dispatch to real decoders, so
+    # truncated payloads raise their own parse errors instead of the stub
     with _pytest.raises(NotImplementedError, match="image library"):
-        decode_image(b"GIF89a....")
+        decode_image(b"II*\x00....")                # TIFF magic
+    with _pytest.raises(NotImplementedError, match="image library"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")   # WebP magic
     with _pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"\xff\xd8\xff\xe0....JFIF")  # malformed JPEG
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        decode_image(b"GIF89a....")                 # truncated GIF
 
 
 def test_codec_png_roundtrip_every_filter_and_colortype():
