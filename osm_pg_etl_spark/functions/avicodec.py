@@ -102,6 +102,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
                     "<I", data[body_start:body_start + 4])
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frame = data[body_start:body_end]
+                if not frame:
+                    # size-0 video chunks are dropped-frame placeholders
+                    # real capture devices emit; a compliant reader skips
+                    pos = body_start
+                    continue
                 if frame[:2] != b"\xFF\xD8":
                     raise NotImplementedError(
                         "AVI video chunk is not a JPEG frame — only "

@@ -160,13 +160,19 @@ def _unzigzag(u: int) -> int:
 
 def encode_flac(samples: np.ndarray, rate: int,
                 stereo_mode: str = "independent",
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096,
+                predictor: str = "fixed") -> bytes:
     """(n,) or (n, ch) int16 (or float in [-1, 1]) -> FLAC bytes.
     Fixed-predictor encoding: per channel/frame the best of orders 0-2
     by total residual magnitude, single-partition Rice residuals,
     CRC-8/CRC-16 written for real. ``stereo_mode``: ``independent``,
     ``left_side`` or ``mid_side`` (stereo only) — the decorrelation
-    modes real encoders pick, here selectable so tests hit each path."""
+    modes real encoders pick, here selectable so tests hit each path.
+    ``predictor="lpc"`` emits genuine LPC subframes (the layout libFLAC
+    produces for essentially all real files: warmup, coefficient
+    precision, shift, quantized coefficients, residual) using the
+    order-2 polynomial coefficients — so the decoder's LPC branch is
+    round-trip tested against real bitstreams, not hand-built ones."""
     a = np.asarray(samples)
     if a.dtype.kind == "f":
         a = np.clip(np.round(a * 32767.0), -32768, 32767)
@@ -193,6 +199,20 @@ def encode_flac(samples: np.ndarray, rate: int,
 
     if n == 0:
         raise ValueError("cannot encode an empty signal")
+    if predictor not in ("fixed", "lpc"):
+        raise ValueError("predictor must be 'fixed' or 'lpc'")
+
+    def rice_residual(bw: _BW, bres: np.ndarray) -> None:
+        mean = float(np.abs(bres).mean()) if len(bres) else 0.0
+        k = min(14, max(0, int(mean).bit_length()))
+        bw.w(0b00, 2)              # 4-bit Rice parameters
+        bw.w(0, 4)                 # partition order 0
+        bw.w(k, 4)
+        for v in bres:
+            u = _zigzag(int(v))
+            bw.unary(u >> k)
+            if k:
+                bw.w(u & ((1 << k) - 1), k)
 
     def sub_channel(bw: _BW, x: np.ndarray, sbps: int) -> None:
         if len(x) and np.all(x == x[0]):
@@ -200,6 +220,22 @@ def encode_flac(samples: np.ndarray, rate: int,
             bw.w(0b000000, 6)   # CONSTANT
             bw.w(0, 1)
             bw.w(int(x[0]) & ((1 << sbps) - 1), sbps)
+            return
+        if predictor == "lpc" and len(x) > 2:
+            order, coefs, shift, prec = 2, [2, -1], 0, 4
+            res = x[order:].copy()
+            for j, c in enumerate(coefs):
+                res = res - c * x[order - 1 - j:len(x) - 1 - j]
+            bw.w(0, 1)
+            bw.w(0b100000 | (order - 1), 6)   # LPC, order
+            bw.w(0, 1)                        # no wasted bits
+            for i in range(order):
+                bw.w(int(x[i]) & ((1 << sbps) - 1), sbps)
+            bw.w(prec - 1, 4)
+            bw.w(shift & 0x1F, 5)
+            for c in coefs:
+                bw.w(c & ((1 << prec) - 1), prec)
+            rice_residual(bw, res)
             return
         best, bres = 0, None
         for order in (0, 1, 2):
@@ -215,16 +251,7 @@ def encode_flac(samples: np.ndarray, rate: int,
         bw.w(0, 1)                 # no wasted bits
         for i in range(best):
             bw.w(int(x[i]) & ((1 << sbps) - 1), sbps)
-        mean = float(np.abs(bres).mean()) if len(bres) else 0.0
-        k = min(14, max(0, int(mean).bit_length()))
-        bw.w(0b00, 2)              # 4-bit Rice parameters
-        bw.w(0, 4)                 # partition order 0
-        bw.w(k, 4)
-        for v in bres:
-            u = _zigzag(int(v))
-            bw.unary(u >> k)
-            if k:
-                bw.w(u & ((1 << k) - 1), k)
+        rice_residual(bw, bres)
 
     frame_idx = 0
     pos = 0
@@ -272,6 +299,13 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     sample_rate) — the same contract as ``audiocodec.decode_wav``."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (missing fLaC magic)")
+    try:
+        return _decode_flac_body(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated FLAC payload: {e}") from e
+
+
+def _decode_flac_body(payload: bytes) -> tuple[np.ndarray, int]:
     pos = 4
     rate = ch = bps = 0
     total = None
@@ -379,7 +413,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError("invalid LPC precision code")
                 shift = br.signed(5)
                 coefs = [br.signed(prec) for _ in range(order)]
-                res = _residual_decode(br, bn, order, cbps)
+                # warmup was already read above (spec layout: warmup,
+                # precision, shift, coefs, residual) — _residual_decode
+                # must NOT read it again
+                res = _residual_decode(br, bn, order, cbps,
+                                       read_warmup=False)
                 x[:order] = warm
                 x[order:] = res[order:]
                 for i in range(order, bn):
@@ -411,18 +449,24 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             chans[c].extend(int(v) for v in sub[c])
         got += bn
 
+    if total and got < total:
+        raise ValueError(f"truncated FLAC payload: decoded {got} of "
+                         f"{total} declared samples")
     arr = np.array(chans, dtype=np.float64).T
     if total:
         arr = arr[:total]
     return arr / float(1 << (bps - 1)), rate
 
 
-def _residual_decode(br: _BR, bn: int, order: int,
-                     cbps: int) -> np.ndarray:
-    """Warmup samples + partitioned Rice residual -> int64 array whose
-    first ``order`` entries are the warmup (FIXED path; the LPC path
-    overwrites them)."""
-    warm = [br.signed(cbps) for _ in range(order)] if order else []
+def _residual_decode(br: _BR, bn: int, order: int, cbps: int,
+                     read_warmup: bool = True) -> np.ndarray:
+    """Partitioned Rice residual -> int64 array; with ``read_warmup``
+    (the FIXED path) the first ``order`` entries are warmup samples read
+    here, else (LPC — its header interleaves precision/shift/coefs after
+    the warmup, so the caller reads it) they are left zero and the
+    caller fills them."""
+    warm = ([br.signed(cbps) for _ in range(order)]
+            if order and read_warmup else [0] * order)
     method = br.r(2)
     if method > 1:
         raise ValueError("reserved residual coding method")

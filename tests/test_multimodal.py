@@ -837,12 +837,30 @@ def test_flac_lossless_roundtrip():
     dec, _ = decode_flac(encode_flac(sq, 8000))
     assert np.abs(dec[:, 0]
                   - np.round(32767 * sq) / 32768.0).max() == 0
+    # LPC subframes (review finding: the spec layout interleaves warmup
+    # BEFORE precision/shift/coefs — the residual reader must not read
+    # warmup again): real LPC bitstreams from the encoder's lpc mode
+    # round-trip exactly, mono and all stereo modes
+    dec, _ = decode_flac(encode_flac(smooth, 16000, predictor="lpc"))
+    assert np.array_equal((dec[:, 0] * 32768).astype(np.int64),
+                          smooth.astype(np.int64))
+    for mode in ("independent", "mid_side"):
+        dec, _ = decode_flac(encode_flac(st, 44100, stereo_mode=mode,
+                                         predictor="lpc"))
+        assert np.array_equal((dec * 32768).astype(np.int64),
+                              st.astype(np.int64)), mode
+
     bad = bytearray(encode_flac(smooth, 16000))
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(bad))
     with pytest.raises(ValueError, match="fLaC"):
         decode_flac(b"NOTFLAC!")
+    # truncation surfaces as the ValueError contract, not IndexError
+    with pytest.raises(ValueError, match="truncated FLAC"):
+        decode_flac(b"fLaC")
+    with pytest.raises(ValueError, match="truncated FLAC"):
+        decode_flac(encode_flac(smooth, 16000)[:40])
 
 
 def test_flac_gate_matches_pcm_gate(spark):
@@ -971,6 +989,21 @@ def test_mjpeg_avi_roundtrip_and_features():
         decode_avi_mjpeg(b"NOTANAVI")
     with pytest.raises(ValueError, match="frame"):
         encode_avi_mjpeg([])
+
+    # review finding: size-0 '00dc' chunks are dropped-frame
+    # placeholders real capture devices emit — skipped, not fatal
+    import struct as _struct
+    j = bytes(avi).find(b"00dc")
+    padded = avi[:j] + b"00dc" + _struct.pack("<I", 0) + avi[j:]
+    k = padded.find(b"movi") - 8       # movi LIST header start
+    (old_sz,) = _struct.unpack("<I", padded[k + 4:k + 8])
+    padded = (padded[:k + 4] + _struct.pack("<I", old_sz + 8)
+              + padded[k + 8:])        # LIST size grows by 8
+    riff = (padded[:4]
+            + _struct.pack("<I", len(padded) - 8) + padded[8:])
+    dec3, fps3 = decode_avi_mjpeg(riff)
+    assert fps3 == 10.0 and len(dec3) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec3))
 
 
 def test_video_gate_matches_closed_form(spark):
