@@ -7,13 +7,17 @@ Design: a multimodal table carries ``content: binary`` plus a
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing (schema,
 batch shape, partitioning) is real and tested. The codec layer is split
-honestly: netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG and baseline JPEG
-(r10, :mod:`..functions.jpegcodec`) decode/resize/re-encode for REAL
-through the pure-numpy codecs (:mod:`..functions.imagecodec` — see
-``extract_image_features`` / ``resize_images``), while the remaining
-compressed formats (progressive JPEG, lossy audio, video frames) stay
-behind ``decode_stub`` because no image/audio library exists in this
-container; a PIL/libav deployment replaces only
+honestly: netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG, baseline AND
+progressive JPEG (:mod:`..functions.jpegcodec`), GIF
+(:mod:`..functions.gifcodec`), PCM/μ-law/ADPCM WAV
+(:mod:`..functions.audiocodec`), FLAC (:mod:`..functions.flaccodec`)
+and Motion-JPEG AVI video (:mod:`..functions.avicodec`) all
+decode/resize/feature-extract for REAL through pure-numpy codecs (see
+``extract_image_features`` / ``extract_audio_features`` /
+``extract_video_features`` / ``resize_images``); only inter-frame video
+codecs (MPEG/H.26x), arithmetic-coded JPEG and lossy audio (MP3/AAC)
+remain behind ``decode_stub`` because no media library exists in this
+container — a PIL/libav deployment replaces only
 ``functions.imagecodec.decode_image``'s fallback branch.
 
 Scale notes: binary payloads dominate row size — repartition by size-aware

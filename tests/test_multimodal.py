@@ -1,11 +1,12 @@
 """Multimodal plumbing: fake-media attach, resize, feature extraction,
 frame sampling (operators.multimodal) — plus the REAL pure-numpy codec
-legs (functions.imagecodec: netpbm/BMP/PNG; functions.audiocodec:
-PCM/μ-law/IMA-ADPCM WAV) exercised end to end through mapInPandas.
-Baseline JPEG decodes for real too (functions.jpegcodec, r10);
-progressive/arithmetic JPEG and lossy audio (MP3/AAC) remain stubbed —
-their tests pin the schema / metadata / batch contracts around the
-stub."""
+legs (functions.imagecodec: netpbm/BMP/PNG; functions.jpegcodec:
+baseline + progressive JPEG, r10/r11; functions.gifcodec: LZW GIF, r11;
+functions.audiocodec: PCM/μ-law/IMA-ADPCM WAV; functions.flaccodec:
+FLAC, r11; functions.avicodec: Motion-JPEG AVI video, r11) exercised
+end to end through mapInPandas. Arithmetic-coded JPEG, inter-frame
+video codecs and lossy audio (MP3/AAC) remain stubbed — their tests pin
+the schema / metadata / batch contracts around the stub."""
 
 from osm_pg_etl_spark.operators.multimodal import (
     attach_fake_media,
