@@ -333,6 +333,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .gifcodec import decode_gif  # noqa: PLC0415
 
         return decode_gif(payload)[0]   # first frame for still features
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff  # noqa: PLC0415
+
+        return decode_tiff(payload)[0]  # first page for still features
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {payload[:2]!r}; compressed "
         "codecs need an image library not present in this environment")

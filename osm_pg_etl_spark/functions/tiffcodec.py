@@ -1,0 +1,330 @@
+"""Pure-numpy baseline TIFF codec — the document/scan-corpus format
+(multi-page scans, OCR dumps, satellite tiles) joining the real-codec
+surface (netpbm/BMP/PNG/JPEG/GIF already decode for real; the reference
+never decodes media — ``osm-pg-etl.md:31-105`` — so this is
+training-data extension surface like its siblings).
+
+Scope: TIFF 6.0 baseline, both byte orders (II/MM), 8-bit grayscale and
+RGB, strip organization (any RowsPerStrip), compression None (1),
+PackBits (32773) and LZW (5) — the TIFF LZW variant: MSB-first bit
+packing, Clear=256/EOI=257, and the EARLY code-width change (the width
+bumps one code sooner than GIF's — the classic interop trap), plus the
+horizontal-differencing predictor (tag 317 = 2) LZW files usually pair
+with. Multi-IFD (multi-page) files decode to a list of pages. Tiled
+TIFFs, 16-bit samples, and the JPEG-in-TIFF / CCITT fax compressions
+raise ``NotImplementedError`` loudly — the honest-boundary pattern.
+
+Lossless throughout: any image round-trips bit-exactly, so gates pin
+true gradients, not special cases.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits RLE: runs of >=3 identical bytes -> (257-n, byte);
+    literals -> (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expect and i < len(data):
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128 = no-op per spec
+    if len(out) < expect:
+        raise ValueError("truncated PackBits strip")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first, Clear=256, EOI=257, first code 258,
+    EARLY width change (bump when next_code == 2^width - 1)."""
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur = (cur << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((cur >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            cur &= (1 << nbits) - 1
+
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+    emit(256, width)
+    seq = b""
+    for b in data:
+        cand = seq + bytes([b])
+        if len(cand) == 1 or cand in table:
+            seq = cand
+            continue
+        emit(seq[0] if len(seq) == 1 else table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:   # EARLY change
+            if width < 12:
+                width += 1
+            else:
+                emit(256, width)
+                table.clear()
+                next_code = 258
+                width = 9
+        seq = bytes([b])
+    if seq:
+        emit(seq[0] if len(seq) == 1 else table[seq], width)
+    emit(257, width)
+    if nbits:
+        out.append((cur << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    cur = nbits = pos = 0
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW strip")
+            cur = (cur << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (cur >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        cur &= (1 << nbits) - 1
+        if code == 256:   # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:   # EOI
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt TIFF LZW: code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # EARLY change with the decoder's one-entry lag: the encoder
+        # (per TIFF6: "whenever NextCode equals 511, write 10-bit
+        # codes") widens after assigning entry 510, but the decoder
+        # assigns each entry one code LATER — so it must widen when its
+        # own next entry is 2^width - 2 to stay aligned
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < expect:
+        raise ValueError("TIFF LZW strip shorter than expected")
+    return bytes(out[:expect])
+
+
+_COMPRESSORS = {
+    1: (lambda d: d, lambda d, n: d[:n] if len(d) >= n
+        else (_ for _ in ()).throw(ValueError("truncated strip"))),
+    5: (_tiff_lzw_encode, _tiff_lzw_decode),
+    32773: (_packbits_encode, _packbits_decode),
+}
+
+
+def encode_tiff(rgb_or_gray: np.ndarray, compression: int = 5,
+                predictor: int = 2, rows_per_strip: int = 16) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian TIFF bytes.
+    ``compression``: 1 (none), 5 (LZW), 32773 (PackBits).
+    ``predictor`` (LZW only): 1 = none, 2 = horizontal differencing."""
+    a = np.asarray(rgb_or_gray)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError("encoder expects (h, w[, 3]) uint8")
+    if compression not in _COMPRESSORS:
+        raise ValueError(f"unsupported compression {compression}")
+    spp = 1 if a.ndim == 2 else a.shape[2]
+    if spp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
+    h, w = a.shape[:2]
+    px = a.reshape(h, w * spp)
+    use_pred = 2 if (compression == 5 and predictor == 2) else 1
+    strips: list[bytes] = []
+    enc = _COMPRESSORS[compression][0]
+    for y0 in range(0, h, rows_per_strip):
+        rows = px[y0:y0 + rows_per_strip].astype(np.int16)
+        if use_pred == 2:
+            # horizontal differencing per row, per sample plane
+            r3 = rows.reshape(rows.shape[0], -1, spp)
+            r3[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
+            rows = r3.reshape(rows.shape[0], -1)
+        strips.append(enc(rows.astype(np.uint8).tobytes()))
+
+    # layout: header(8) + IFD + values + strips
+    n_entries = 11  # the fixed tag set written below
+    ifd_off = 8
+    ifd_size = 2 + n_entries * 12 + 4
+    extra = bytearray()          # out-of-line values
+    extra_base = ifd_off + ifd_size
+
+    def val_offset(data: bytes) -> int:
+        off = extra_base + len(extra)
+        extra.extend(data)
+        return off
+
+    n_strips = len(strips)
+    fmt_l = "<" + "I" * n_strips
+    if spp == 3:
+        bps_off = val_offset(struct.pack("<3H", 8, 8, 8))
+    strip_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
+        if n_strips > 1 else None
+    counts = [len(s) for s in strips]
+    counts_off = val_offset(struct.pack(fmt_l, *counts)) \
+        if n_strips > 1 else None
+    data_base = extra_base + len(extra)
+    offs = []
+    p = data_base
+    for s in strips:
+        offs.append(p)
+        p += len(s)
+    if strip_off_pos is not None:
+        extra[strip_off_pos - extra_base:strip_off_pos - extra_base
+              + 4 * n_strips] = struct.pack(fmt_l, *offs)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    e = [entry(256, 3, 1, w), entry(257, 3, 1, h)]
+    if spp == 3:
+        e.append(entry(258, 3, 3, bps_off))
+    else:
+        e.append(entry(258, 3, 1, 8))
+    e.append(entry(259, 3, 1, compression))
+    e.append(entry(262, 3, 1, 2 if spp == 3 else 1))
+    e.append(entry(273, 4, n_strips,
+                   offs[0] if n_strips == 1 else strip_off_pos))
+    e.append(entry(277, 3, 1, spp))
+    e.append(entry(278, 3, 1, rows_per_strip))
+    e.append(entry(279, 4, n_strips,
+                   counts[0] if n_strips == 1 else counts_off))
+    e.append(entry(282, 3, 1, 72))          # XResolution (SHORT: lax but
+    e.append(entry(317, 3, 1, use_pred))    # readers accept; keeps 1 IFD)
+    assert len(e) == n_entries, (len(e), n_entries)
+    ifd = struct.pack("<H", n_entries) + b"".join(e) + struct.pack("<I", 0)
+    return (b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bytes(extra)
+            + b"".join(strips))
+
+
+def decode_tiff(payload: bytes) -> list[np.ndarray]:
+    """TIFF bytes -> list of (h, w, 3) uint8 RGB pages (gray replicated),
+    one per IFD."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    try:
+        return _decode_tiff_body(payload, bo)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated TIFF payload: {e}") from e
+
+
+def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    pages: list[np.ndarray] = []
+    while ifd_off:
+        (n_entries,) = struct.unpack(
+            bo + "H", payload[ifd_off:ifd_off + 2])
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + i * 12
+            tag, typ, count = struct.unpack(bo + "HHI",
+                                            payload[off:off + 8])
+            tags[tag] = (typ, count, payload[off + 8:off + 12])
+        (ifd_off,) = struct.unpack(
+            bo + "I", payload[ifd_off + 2 + n_entries * 12:
+                              ifd_off + 2 + n_entries * 12 + 4])
+
+        def values(tag: int, default=None) -> list[int] | None:
+            if tag not in tags:
+                return default
+            typ, count, raw = tags[tag]
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                raise NotImplementedError(f"TIFF value type {typ}")
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            total = size * count
+            buf = raw[:total] if total <= 4 else payload[
+                struct.unpack(bo + "I", raw)[0]:][:total]
+            return list(struct.unpack(bo + fmt * count, buf))
+
+        w = values(256)[0]
+        h = values(257)[0]
+        bps = values(258, [8])
+        comp = values(259, [1])[0]
+        spp = values(277, [1])[0]
+        rps = values(278, [2 ** 32 - 1])[0]
+        pred = values(317, [1])[0]
+        if any(b != 8 for b in bps):
+            raise NotImplementedError("8-bit TIFF samples only")
+        if comp not in _COMPRESSORS:
+            raise NotImplementedError(
+                f"TIFF compression {comp} unsupported (baseline "
+                "none/LZW/PackBits only — no CCITT/JPEG-in-TIFF)")
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled TIFF unsupported; strips only")
+        if spp not in (1, 3):
+            raise NotImplementedError(f"{spp} samples per pixel")
+        offs = values(273)
+        cnts = values(279)
+        dec = _COMPRESSORS[comp][1]
+        rows = np.zeros((h, w * spp), dtype=np.uint8)
+        y = 0
+        for so, sc in zip(offs, cnts):
+            nrows = min(rps, h - y)
+            raw = dec(payload[so:so + sc], nrows * w * spp)
+            strip = np.frombuffer(raw, np.uint8).reshape(nrows, w * spp)
+            if pred == 2:
+                strip = strip.reshape(nrows, w, spp) \
+                    .astype(np.int64).cumsum(axis=1) % 256
+                strip = strip.reshape(nrows, w * spp).astype(np.uint8)
+            rows[y:y + nrows] = strip
+            y += nrows
+        if spp == 1:
+            g = rows.reshape(h, w)
+            pages.append(np.stack([g, g, g], axis=2))
+        else:
+            pages.append(rows.reshape(h, w, 3))
+    if not pages:
+        raise ValueError("TIFF contained no IFDs")
+    return pages

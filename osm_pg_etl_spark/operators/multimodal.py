@@ -326,6 +326,48 @@ def attach_synthetic_gif(df: DataFrame, id_col: str = "doc_id",
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
+                          ) -> DataFrame:
+    """REAL TIFF payloads (r11, :mod:`..functions.tiffcodec`): one
+    little-endian strip TIFF per row — a GRADIENT gray image (pixel =
+    base + x + y, base = 19·id mod 103, bounded < 256) — cycling the
+    three baseline compressions by id (none / LZW with the horizontal-
+    differencing predictor / PackBits) and a small RowsPerStrip so
+    multi-strip assembly decodes too. TIFF is lossless, so the
+    closed-form oracle (base + (w−1)/2 + (h−1)/2) pins the IFD parse,
+    strip math, early-change LZW and predictor inversion on every
+    pixel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_tiff(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.tiffcodec import encode_tiff
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 14 + 1, i % 10 + 1
+            base = i * 19 % 103
+            gray = (base + np.arange(w)[None, :]
+                    + np.arange(h)[:, None]).astype(np.uint8)
+            comp = (1, 5, 32773)[i % 3]
+            out.append(encode_tiff(gray, compression=comp,
+                                   rows_per_strip=4))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("image/tiff").alias("mime"),
+        (F.col(id_col) % 14 + 1).cast("int").alias("width"),
+        (F.col(id_col) % 10 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_tiff(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
 def attach_synthetic_mjpeg(df: DataFrame, id_col: str = "doc_id"
                            ) -> DataFrame:
     """REAL VIDEO payloads (r11, :mod:`..functions.avicodec`): one

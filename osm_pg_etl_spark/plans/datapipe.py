@@ -1665,6 +1665,43 @@ FROM p
 """
 
 
+def q_media_image_features_tiff(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (r11): every doc_id becomes a genuine strip TIFF
+    — the document/scan-corpus format — cycling baseline compressions by
+    id (none / early-change LZW with the horizontal-differencing
+    predictor / PackBits), decoded by :mod:`functions.tiffcodec` inside
+    mapInPandas via the sniffing dispatch. Lossless, so the closed-form
+    gradient oracle pins IFD parsing, multi-strip assembly, LZW's
+    one-code-early width change and the predictor cumsum on every
+    pixel."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_tiff(docs.select("doc_id"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_r", 6).alias("mean_r"),
+                        F.round("mean_g", 6).alias("mean_g"),
+                        F.round("mean_b", 6).alias("mean_b"),
+                        F.round("luma", 6).alias("luma"))
+
+
+SQL_MEDIA_IMAGE_FEATURES_TIFF = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id * 19 % 103 AS DOUBLE)
+           + (doc_id % 14) / 2.0 + (doc_id % 10) / 2.0 AS m
+  FROM documents)
+SELECT doc_id,
+       CAST(doc_id % 14 + 1 AS INT) AS width,
+       CAST(doc_id % 10 + 1 AS INT) AS height,
+       ROUND(m, 6) AS mean_r,
+       ROUND(m, 6) AS mean_g,
+       ROUND(m, 6) AS mean_b,
+       ROUND(0.299 * m + 0.587 * m + 0.114 * m, 6) AS luma
+FROM p
+"""
+
+
 def q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL VIDEO decode (r11): every doc_id becomes a genuine
     Motion-JPEG AVI — RIFF container (hdrl/movi lists, word-aligned
@@ -2144,6 +2181,7 @@ QUERIES = {
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_jpeg_prog": q_media_image_features_jpeg_prog,
     "media_image_features_gif": q_media_image_features_gif,
+    "media_image_features_tiff": q_media_image_features_tiff,
     "media_video_features": q_media_video_features,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "media_audio_features_flac": q_media_audio_features_flac,
@@ -2200,6 +2238,7 @@ ORACLES = {
     "media_image_features_jpeg": SQL_MEDIA_IMAGE_FEATURES_JPEG,
     "media_image_features_jpeg_prog": SQL_MEDIA_IMAGE_FEATURES_JPEG_PROG,
     "media_image_features_gif": SQL_MEDIA_IMAGE_FEATURES_GIF,
+    "media_image_features_tiff": SQL_MEDIA_IMAGE_FEATURES_TIFF,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "media_audio_features_flac": SQL_MEDIA_AUDIO_FEATURES,

@@ -133,17 +133,17 @@ def test_codec_rejects_unsupported_formats_loudly():
 
     from osm_pg_etl_spark.functions.imagecodec import decode_image
 
-    # formats with no pure-numpy decoder still fail loudly (TIFF/WebP);
-    # JPEG (r10) and GIF (r11) now dispatch to real decoders, so
+    # formats with no pure-numpy decoder still fail loudly (WebP);
+    # JPEG (r10), GIF and TIFF (r11) now dispatch to real decoders, so
     # truncated payloads raise their own parse errors instead of the stub
-    with _pytest.raises(NotImplementedError, match="image library"):
-        decode_image(b"II*\x00....")                # TIFF magic
     with _pytest.raises(NotImplementedError, match="image library"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")   # WebP magic
     with _pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"\xff\xd8\xff\xe0....JFIF")  # malformed JPEG
     with _pytest.raises(ValueError, match="truncated GIF"):
         decode_image(b"GIF89a....")                 # truncated GIF
+    with _pytest.raises(ValueError, match="truncated TIFF"):
+        decode_image(b"II*\x00....")                # truncated TIFF
 
 
 def test_codec_png_roundtrip_every_filter_and_colortype():
@@ -937,6 +937,77 @@ def test_gif_gate_matches_closed_form(spark):
             assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
         assert r["luma"] == pytest.approx(
             0.299 * want + 0.587 * want + 0.114 * want, abs=1e-9), i
+
+
+def test_tiff_roundtrip_exact():
+    """r11: REAL TIFF decode. Lossless round-trips bit-exactly across
+    compressions (none / early-change LZW / PackBits), the horizontal-
+    differencing predictor, gray and RGB, multi-strip layouts, big
+    repetitive content (12-bit LZW + clear reset); non-TIFF and
+    truncated payloads fail loudly; the dispatch routes both byte-order
+    magics."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.imagecodec import decode_image
+    from osm_pg_etl_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 70))
+        gray = trial % 2 == 0
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                           dtype=np.uint8)
+        comp = (1, 5, 32773)[trial % 3]
+        pred = 2 if trial % 4 == 0 else 1
+        out = decode_tiff(encode_tiff(img, compression=comp,
+                                      predictor=pred,
+                                      rows_per_strip=(3, 16, 64)[trial % 3]
+                                      ))[0]
+        want = np.stack([img] * 3, 2) if gray else img
+        assert np.array_equal(out, want), (trial, comp, pred)
+    tile = rng.integers(0, 8, (8, 8), dtype=np.uint8) * 30
+    big = np.tile(tile, (60, 80))
+    assert np.array_equal(
+        decode_tiff(encode_tiff(big, compression=5))[0][:, :, 0], big)
+    # predictor genuinely compresses smooth content (and inverts exactly)
+    grad = ((np.arange(50)[:, None] + np.arange(80)[None, :])
+            % 256).astype(np.uint8)
+    with_p = encode_tiff(grad, compression=5, predictor=2)
+    without = encode_tiff(grad, compression=5, predictor=1)
+    assert len(with_p) < len(without)
+    assert np.array_equal(decode_tiff(with_p)[0][:, :, 0], grad)
+    # sniffing dispatch (little-endian magic)
+    assert np.array_equal(decode_image(with_p)[:, :, 0], grad)
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"NOTATIFF")
+    with pytest.raises(NotImplementedError, match="compression"):
+        bad = bytearray(encode_tiff(grad, compression=1))
+        # compression tag value lives in the IFD; flip it to CCITT (2)
+        i = bad.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+        bad[i + 8] = 2
+        decode_tiff(bytes(bad))
+
+
+def test_tiff_gate_matches_closed_form(spark):
+    """The media_image_features_tiff gate: real IFD/strip/LZW/predictor
+    decode of the synthesized gradient TIFFs matches the closed form."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.multimodal import (
+        attach_synthetic_tiff, extract_image_features)
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in extract_image_features(
+        attach_synthetic_tiff(docs)).collect()}
+    for i in range(25):
+        w, h = i % 14 + 1, i % 10 + 1
+        want = i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0
+        r = feats[i]
+        assert (r["width"], r["height"]) == (w, h)
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
 
 def test_mjpeg_avi_roundtrip_and_features():
