@@ -162,86 +162,99 @@ _COMPRESSORS = {
 }
 
 
-def encode_tiff(rgb_or_gray: np.ndarray, compression: int = 5,
+def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
+                compression: int = 5,
                 predictor: int = 2, rows_per_strip: int = 16) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian TIFF bytes.
-    ``compression``: 1 (none), 5 (LZW), 32773 (PackBits).
-    ``predictor`` (LZW only): 1 = none, 2 = horizontal differencing."""
-    a = np.asarray(rgb_or_gray)
-    if a.dtype != np.uint8 or a.ndim not in (2, 3):
-        raise ValueError("encoder expects (h, w[, 3]) uint8")
+    """(h, w) gray or (h, w, 3) RGB uint8 — or a LIST of such arrays for
+    a multi-page file (the scan-corpus shape: one IFD per page, chained)
+    -> little-endian TIFF bytes. ``compression``: 1 (none), 5 (LZW),
+    32773 (PackBits). ``predictor`` (LZW only): 1 = none, 2 = horizontal
+    differencing."""
+    pages = (rgb_or_gray if isinstance(rgb_or_gray, (list, tuple))
+             else [rgb_or_gray])
+    if not pages:
+        raise ValueError("need at least one page")
     if compression not in _COMPRESSORS:
         raise ValueError(f"unsupported compression {compression}")
-    spp = 1 if a.ndim == 2 else a.shape[2]
-    if spp not in (1, 3):
-        raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
-    h, w = a.shape[:2]
-    px = a.reshape(h, w * spp)
-    use_pred = 2 if (compression == 5 and predictor == 2) else 1
-    strips: list[bytes] = []
-    enc = _COMPRESSORS[compression][0]
-    for y0 in range(0, h, rows_per_strip):
-        rows = px[y0:y0 + rows_per_strip].astype(np.int16)
-        if use_pred == 2:
-            # horizontal differencing per row, per sample plane
-            r3 = rows.reshape(rows.shape[0], -1, spp)
-            r3[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
-            rows = r3.reshape(rows.shape[0], -1)
-        strips.append(enc(rows.astype(np.uint8).tobytes()))
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    next_ptr_pos = 4       # where the pointer to the next IFD lives
+    for page in pages:
+        a = np.asarray(page)
+        if a.dtype != np.uint8 or a.ndim not in (2, 3):
+            raise ValueError("encoder expects (h, w[, 3]) uint8 pages")
+        spp = 1 if a.ndim == 2 else a.shape[2]
+        if spp not in (1, 3):
+            raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
+        h, w = a.shape[:2]
+        px = a.reshape(h, w * spp)
+        use_pred = 2 if (compression == 5 and predictor == 2) else 1
+        strips: list[bytes] = []
+        enc = _COMPRESSORS[compression][0]
+        for y0 in range(0, h, rows_per_strip):
+            rows = px[y0:y0 + rows_per_strip].astype(np.int16)
+            if use_pred == 2:
+                # horizontal differencing per row, per sample plane
+                r3 = rows.reshape(rows.shape[0], -1, spp)
+                r3[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
+                rows = r3.reshape(rows.shape[0], -1)
+            strips.append(enc(rows.astype(np.uint8).tobytes()))
 
-    # layout: header(8) + IFD + values + strips
-    n_entries = 11  # the fixed tag set written below
-    ifd_off = 8
-    ifd_size = 2 + n_entries * 12 + 4
-    extra = bytearray()          # out-of-line values
-    extra_base = ifd_off + ifd_size
+        # page layout: IFD + out-of-line values + strips, all at
+        # absolute offsets from the file start
+        n_entries = 11  # the fixed tag set written below
+        ifd_off = len(out)
+        struct.pack_into("<I", out, next_ptr_pos, ifd_off)
+        ifd_size = 2 + n_entries * 12 + 4
+        extra = bytearray()
+        extra_base = ifd_off + ifd_size
 
-    def val_offset(data: bytes) -> int:
-        off = extra_base + len(extra)
-        extra.extend(data)
-        return off
+        def val_offset(data: bytes) -> int:
+            off = extra_base + len(extra)
+            extra.extend(data)
+            return off
 
-    n_strips = len(strips)
-    fmt_l = "<" + "I" * n_strips
-    if spp == 3:
-        bps_off = val_offset(struct.pack("<3H", 8, 8, 8))
-    strip_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
-        if n_strips > 1 else None
-    counts = [len(s) for s in strips]
-    counts_off = val_offset(struct.pack(fmt_l, *counts)) \
-        if n_strips > 1 else None
-    data_base = extra_base + len(extra)
-    offs = []
-    p = data_base
-    for s in strips:
-        offs.append(p)
-        p += len(s)
-    if strip_off_pos is not None:
-        extra[strip_off_pos - extra_base:strip_off_pos - extra_base
-              + 4 * n_strips] = struct.pack(fmt_l, *offs)
+        n_strips = len(strips)
+        fmt_l = "<" + "I" * n_strips
+        if spp == 3:
+            bps_off = val_offset(struct.pack("<3H", 8, 8, 8))
+        strip_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
+            if n_strips > 1 else None
+        counts = [len(s) for s in strips]
+        counts_off = val_offset(struct.pack(fmt_l, *counts)) \
+            if n_strips > 1 else None
+        data_base = extra_base + len(extra)
+        offs = []
+        p = data_base
+        for s in strips:
+            offs.append(p)
+            p += len(s)
+        if strip_off_pos is not None:
+            extra[strip_off_pos - extra_base:strip_off_pos - extra_base
+                  + 4 * n_strips] = struct.pack(fmt_l, *offs)
 
-    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+        def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+            return struct.pack("<HHII", tag, typ, count, value)
 
-    e = [entry(256, 3, 1, w), entry(257, 3, 1, h)]
-    if spp == 3:
-        e.append(entry(258, 3, 3, bps_off))
-    else:
-        e.append(entry(258, 3, 1, 8))
-    e.append(entry(259, 3, 1, compression))
-    e.append(entry(262, 3, 1, 2 if spp == 3 else 1))
-    e.append(entry(273, 4, n_strips,
-                   offs[0] if n_strips == 1 else strip_off_pos))
-    e.append(entry(277, 3, 1, spp))
-    e.append(entry(278, 3, 1, rows_per_strip))
-    e.append(entry(279, 4, n_strips,
-                   counts[0] if n_strips == 1 else counts_off))
-    e.append(entry(282, 3, 1, 72))          # XResolution (SHORT: lax but
-    e.append(entry(317, 3, 1, use_pred))    # readers accept; keeps 1 IFD)
-    assert len(e) == n_entries, (len(e), n_entries)
-    ifd = struct.pack("<H", n_entries) + b"".join(e) + struct.pack("<I", 0)
-    return (b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bytes(extra)
-            + b"".join(strips))
+        e = [entry(256, 3, 1, w), entry(257, 3, 1, h)]
+        if spp == 3:
+            e.append(entry(258, 3, 3, bps_off))
+        else:
+            e.append(entry(258, 3, 1, 8))
+        e.append(entry(259, 3, 1, compression))
+        e.append(entry(262, 3, 1, 2 if spp == 3 else 1))
+        e.append(entry(273, 4, n_strips,
+                       offs[0] if n_strips == 1 else strip_off_pos))
+        e.append(entry(274, 3, 1, 1))           # Orientation: top-left
+        e.append(entry(277, 3, 1, spp))
+        e.append(entry(278, 3, 1, rows_per_strip))
+        e.append(entry(279, 4, n_strips,
+                       counts[0] if n_strips == 1 else counts_off))
+        e.append(entry(317, 3, 1, use_pred))
+        assert len(e) == n_entries, (len(e), n_entries)
+        next_ptr_pos = ifd_off + 2 + n_entries * 12
+        out += (struct.pack("<H", n_entries) + b"".join(e)
+                + struct.pack("<I", 0) + bytes(extra) + b"".join(strips))
+    return bytes(out)
 
 
 def decode_tiff(payload: bytes) -> list[np.ndarray]:

@@ -979,6 +979,14 @@ def test_tiff_roundtrip_exact():
     assert np.array_equal(decode_tiff(with_p)[0][:, :, 0], grad)
     # sniffing dispatch (little-endian magic)
     assert np.array_equal(decode_image(with_p)[:, :, 0], grad)
+    # multi-page (the scan-corpus shape): chained IFDs, mixed page
+    # shapes, per-page exact
+    pages = [rng.integers(0, 256, (11, 17), dtype=np.uint8),
+             rng.integers(0, 256, (23, 9, 3), dtype=np.uint8)]
+    out = decode_tiff(encode_tiff(pages, compression=5))
+    assert len(out) == 2
+    assert np.array_equal(out[0][:, :, 0], pages[0])
+    assert np.array_equal(out[1], pages[1])
     with pytest.raises(ValueError, match="TIFF"):
         decode_tiff(b"NOTATIFF")
     with pytest.raises(NotImplementedError, match="compression"):
