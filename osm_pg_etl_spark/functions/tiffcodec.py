@@ -154,9 +154,14 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _store_decode(d: bytes, n: int) -> bytes:
+    if len(d) < n:
+        raise ValueError("truncated uncompressed strip")
+    return d[:n]
+
+
 _COMPRESSORS = {
-    1: (lambda d: d, lambda d, n: d[:n] if len(d) >= n
-        else (_ for _ in ()).throw(ValueError("truncated strip"))),
+    1: (lambda d: d, _store_decode),
     5: (_tiff_lzw_encode, _tiff_lzw_decode),
     32773: (_packbits_encode, _packbits_decode),
 }
@@ -164,19 +169,26 @@ _COMPRESSORS = {
 
 def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                 compression: int = 5,
-                predictor: int = 2, rows_per_strip: int = 16) -> bytes:
+                predictor: int = 2, rows_per_strip: int = 16,
+                byte_order: str = "II") -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 — or a LIST of such arrays for
     a multi-page file (the scan-corpus shape: one IFD per page, chained)
-    -> little-endian TIFF bytes. ``compression``: 1 (none), 5 (LZW),
-    32773 (PackBits). ``predictor`` (LZW only): 1 = none, 2 = horizontal
-    differencing."""
+    -> TIFF bytes. ``compression``: 1 (none), 5 (LZW), 32773 (PackBits).
+    ``predictor`` (LZW only): 1 = none, 2 = horizontal differencing.
+    ``byte_order``: ``"II"`` (little-endian) or ``"MM"`` (big-endian) —
+    both real-world shapes, so the decoder's MM path is testable against
+    genuine files."""
     pages = (rgb_or_gray if isinstance(rgb_or_gray, (list, tuple))
              else [rgb_or_gray])
     if not pages:
         raise ValueError("need at least one page")
     if compression not in _COMPRESSORS:
         raise ValueError(f"unsupported compression {compression}")
-    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    bo = "<" if byte_order == "II" else ">"
+    magic = b"II*\x00" if byte_order == "II" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(bo + "I", 8))
     next_ptr_pos = 4       # where the pointer to the next IFD lives
     for page in pages:
         a = np.asarray(page)
@@ -185,6 +197,8 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         spp = 1 if a.ndim == 2 else a.shape[2]
         if spp not in (1, 3):
             raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
+        if a.shape[0] == 0 or a.shape[1] == 0:
+            raise ValueError("cannot encode an empty page")
         h, w = a.shape[:2]
         px = a.reshape(h, w * spp)
         use_pred = 2 if (compression == 5 and predictor == 2) else 1
@@ -203,7 +217,7 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         # absolute offsets from the file start
         n_entries = 11  # the fixed tag set written below
         ifd_off = len(out)
-        struct.pack_into("<I", out, next_ptr_pos, ifd_off)
+        struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
         ifd_size = 2 + n_entries * 12 + 4
         extra = bytearray()
         extra_base = ifd_off + ifd_size
@@ -214,9 +228,9 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             return off
 
         n_strips = len(strips)
-        fmt_l = "<" + "I" * n_strips
+        fmt_l = bo + "I" * n_strips
         if spp == 3:
-            bps_off = val_offset(struct.pack("<3H", 8, 8, 8))
+            bps_off = val_offset(struct.pack(bo + "3H", 8, 8, 8))
         strip_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
             if n_strips > 1 else None
         counts = [len(s) for s in strips]
@@ -233,9 +247,17 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                   + 4 * n_strips] = struct.pack(fmt_l, *offs)
 
         def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-            return struct.pack("<HHII", tag, typ, count, value)
+            # inline values shorter than 4 bytes are LEFT-justified in
+            # the value field (TIFF6 §2) — load-bearing for MM files
+            if typ == 3 and count == 1:
+                val = struct.pack(bo + "HH", value, 0)
+            else:   # a LONG value or an offset (always full 4 bytes)
+                val = struct.pack(bo + "I", value)
+            return struct.pack(bo + "HHI", tag, typ, count) + val
 
-        e = [entry(256, 3, 1, w), entry(257, 3, 1, h)]
+        # dimensions/RowsPerStrip as LONG: SHORT silently truncates
+        # anything > 65535 (satellite-strip sizes are real)
+        e = [entry(256, 4, 1, w), entry(257, 4, 1, h)]
         if spp == 3:
             e.append(entry(258, 3, 3, bps_off))
         else:
@@ -246,14 +268,15 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                        offs[0] if n_strips == 1 else strip_off_pos))
         e.append(entry(274, 3, 1, 1))           # Orientation: top-left
         e.append(entry(277, 3, 1, spp))
-        e.append(entry(278, 3, 1, rows_per_strip))
+        e.append(entry(278, 4, 1, rows_per_strip))
         e.append(entry(279, 4, n_strips,
                        counts[0] if n_strips == 1 else counts_off))
         e.append(entry(317, 3, 1, use_pred))
         assert len(e) == n_entries, (len(e), n_entries)
         next_ptr_pos = ifd_off + 2 + n_entries * 12
-        out += (struct.pack("<H", n_entries) + b"".join(e)
-                + struct.pack("<I", 0) + bytes(extra) + b"".join(strips))
+        out += (struct.pack(bo + "H", n_entries) + b"".join(e)
+                + struct.pack(bo + "I", 0) + bytes(extra)
+                + b"".join(strips))
     return bytes(out)
 
 
@@ -275,7 +298,13 @@ def decode_tiff(payload: bytes) -> list[np.ndarray]:
 def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
     (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
     pages: list[np.ndarray] = []
+    seen_ifds: set[int] = set()
     while ifd_off:
+        if ifd_off in seen_ifds:
+            # a next-IFD pointer looping back would otherwise spin an
+            # executor forever on one crafted/corrupt payload
+            raise ValueError(f"cyclic TIFF IFD chain at offset {ifd_off}")
+        seen_ifds.add(ifd_off)
         (n_entries,) = struct.unpack(
             bo + "H", payload[ifd_off:ifd_off + 2])
         tags: dict[int, tuple[int, int, bytes]] = {}
@@ -297,12 +326,19 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 raise NotImplementedError(f"TIFF value type {typ}")
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
             total = size * count
-            buf = raw[:total] if total <= 4 else payload[
-                struct.unpack(bo + "I", raw)[0]:][:total]
+            if total <= 4:
+                buf = raw[:total]
+            else:
+                (o,) = struct.unpack(bo + "I", raw)
+                buf = payload[o:o + total]
             return list(struct.unpack(bo + fmt * count, buf))
 
-        w = values(256)[0]
-        h = values(257)[0]
+        dims = values(256), values(257), values(273), values(279)
+        if any(v is None for v in dims):
+            raise ValueError(
+                "malformed TIFF: missing a mandatory tag "
+                "(ImageWidth/ImageLength/StripOffsets/StripByteCounts)")
+        w, h, offs, cnts = dims[0][0], dims[1][0], dims[2], dims[3]
         bps = values(258, [8])
         comp = values(259, [1])[0]
         spp = values(277, [1])[0]
@@ -318,8 +354,6 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
             raise NotImplementedError("tiled TIFF unsupported; strips only")
         if spp not in (1, 3):
             raise NotImplementedError(f"{spp} samples per pixel")
-        offs = values(273)
-        cnts = values(279)
         dec = _COMPRESSORS[comp][1]
         rows = np.zeros((h, w * spp), dtype=np.uint8)
         y = 0

@@ -980,13 +980,35 @@ def test_tiff_roundtrip_exact():
     # sniffing dispatch (little-endian magic)
     assert np.array_equal(decode_image(with_p)[:, :, 0], grad)
     # multi-page (the scan-corpus shape): chained IFDs, mixed page
-    # shapes, per-page exact
+    # shapes, per-page exact — in BOTH byte orders (MM exercises the
+    # left-justified inline SHORT values, review finding)
     pages = [rng.integers(0, 256, (11, 17), dtype=np.uint8),
              rng.integers(0, 256, (23, 9, 3), dtype=np.uint8)]
-    out = decode_tiff(encode_tiff(pages, compression=5))
-    assert len(out) == 2
-    assert np.array_equal(out[0][:, :, 0], pages[0])
-    assert np.array_equal(out[1], pages[1])
+    for bo in ("II", "MM"):
+        out = decode_tiff(encode_tiff(pages, compression=5,
+                                      byte_order=bo))
+        assert len(out) == 2, bo
+        assert np.array_equal(out[0][:, :, 0], pages[0]), bo
+        assert np.array_equal(out[1], pages[1]), bo
+    # review findings: LONG dims (no silent mod-65536 truncation above
+    # 65535 px), cyclic IFD chains and missing mandatory tags fail
+    # loudly instead of hanging/TypeError-ing an executor
+    import struct as _struct
+    tall = np.zeros((70000, 1), np.uint8)
+    assert decode_tiff(encode_tiff(tall, compression=1,
+                                   rows_per_strip=70000))[0].shape \
+        == (70000, 1, 3)
+    loop = bytearray(encode_tiff(pages[0]))
+    (ifd,) = _struct.unpack("<I", bytes(loop[4:8]))
+    (ne,) = _struct.unpack("<H", bytes(loop[ifd:ifd + 2]))
+    _struct.pack_into("<I", loop, ifd + 2 + ne * 12, ifd)  # self-loop
+    with pytest.raises(ValueError, match="cyclic"):
+        decode_tiff(bytes(loop))
+    with pytest.raises(ValueError, match="mandatory"):
+        decode_tiff(b"II*\x00" + _struct.pack("<I", 8)
+                    + _struct.pack("<H", 0) + _struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="empty page"):
+        encode_tiff(np.zeros((0, 5), np.uint8))
     with pytest.raises(ValueError, match="TIFF"):
         decode_tiff(b"NOTATIFF")
     with pytest.raises(NotImplementedError, match="compression"):
