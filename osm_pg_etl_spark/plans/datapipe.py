@@ -1629,6 +1629,73 @@ FROM documents
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC ingestion (r11, :mod:`sources.warc`): every doc_id
+    becomes a genuine Common-Crawl-shaped WARC — a warcinfo record plus
+    an HTTP response record, each its own gzip member — synthesized from
+    the document text, then parsed back by ``warc_records`` inside
+    mapInPandas (member-at-a-time gunzip, CRLF header blocks,
+    Content-Length-delimited payloads, HTTP status/header/body split).
+    The oracle predicts every column in closed form from ``documents``
+    (documents text is ASCII, so utf-8 byte length == char length),
+    so a hash match proves the whole container+HTTP parse recovered the
+    exact bytes — the ingestion step ahead of the dedup/quality/PII
+    operators on real crawl data."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from ..sources.warc import warc_records
+
+    @pandas_udf(BinaryType())
+    def make_warc(ids, texts):  # noqa: ANN001 — two-arg pandas_udf;
+        # postponed string annotations break PySpark's hint inference
+        import pandas as pd
+
+        from ..sources.warc import encode_warc
+
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            recs = [
+                {"type": "warcinfo",
+                 "payload": b"software: osmspark-test\r\n",
+                 "content_type": "application/warc-fields"},
+                {"type": "response",
+                 "uri": f"https://corpus.example/{i}",
+                 "date": "2026-01-01T00:00:00Z",
+                 "record_id": f"<urn:uuid:{i}>",
+                 "body": str(t).encode("utf-8"),
+                 "http_status": 200 if i % 5 else 404,
+                 "http_content_type": ("text/html" if i % 2
+                                       else "text/plain")},
+            ]
+            out.append(encode_warc(recs, gzip_members=True))
+        return pd.Series(out)
+
+    docs = docs_t(spark, sf_dir)
+    warcs = docs.select("doc_id", make_warc("doc_id", "text")
+                        .alias("content"))
+    recs = warc_records(warcs)
+    return (recs.where(F.col("rec_type") == "response")
+            .select("doc_id", "uri", "http_status",
+                    F.col("http_content_type").alias("mime"),
+                    "n_body_bytes",
+                    F.md5(F.col("body").cast("string")).alias("body_md5")))
+
+
+SQL_WARC_INGEST = """
+SELECT doc_id,
+       'https://corpus.example/' || CAST(doc_id AS VARCHAR) AS uri,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT)
+         AS http_status,
+       CASE WHEN doc_id % 2 = 1 THEN 'text/html' ELSE 'text/plain' END
+         AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
 def q_media_image_features_gif(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """REAL GIF decode (r11): every doc_id becomes a genuine GIF89a —
@@ -2180,6 +2247,7 @@ QUERIES = {
     "media_image_features_png": q_media_image_features_png,
     "media_image_features_jpeg": q_media_image_features_jpeg,
     "media_image_features_jpeg_prog": q_media_image_features_jpeg_prog,
+    "warc_ingest": q_warc_ingest,
     "media_image_features_gif": q_media_image_features_gif,
     "media_image_features_tiff": q_media_image_features_tiff,
     "media_video_features": q_media_video_features,
@@ -2237,6 +2305,7 @@ ORACLES = {
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,
     "media_image_features_jpeg": SQL_MEDIA_IMAGE_FEATURES_JPEG,
     "media_image_features_jpeg_prog": SQL_MEDIA_IMAGE_FEATURES_JPEG_PROG,
+    "warc_ingest": SQL_WARC_INGEST,
     "media_image_features_gif": SQL_MEDIA_IMAGE_FEATURES_GIF,
     "media_image_features_tiff": SQL_MEDIA_IMAGE_FEATURES_TIFF,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
