@@ -150,7 +150,11 @@ def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> list[int]:
             raise ValueError(f"corrupt LZW stream: code {code} beyond "
                              "table")
         out.extend(entry)
-        if prev is not None:
+        if prev is not None and len(table) < 4096:
+            # 4096-entry cap per the GIF spec: a conformant encoder stops
+            # assigning codes at 0xFFF, so without the cap the KwKwK
+            # branch (code == len(table)) would accept codes no encoder
+            # can emit and silently diverge instead of raising
             table.append(prev + (entry[0],))
             # width grows when the NEXT code would not fit (the encoder
             # bumps after assigning code 2^width)

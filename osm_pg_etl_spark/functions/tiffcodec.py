@@ -342,6 +342,15 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
         bps = values(258, [8])
         comp = values(259, [1])[0]
         spp = values(277, [1])[0]
+        # PhotometricInterpretation: 0 = WhiteIsZero (scanned docs),
+        # 1 = BlackIsZero, 2 = RGB. Defaulting by spp when absent;
+        # anything else (palette, CMYK, YCbCr...) raises loudly rather
+        # than decoding silently-wrong intensities.
+        photometric = values(262, [1 if spp == 1 else 2])[0]
+        if photometric not in ((0, 1) if spp == 1 else (2,)):
+            raise NotImplementedError(
+                f"TIFF photometric {photometric} with {spp} samples/px "
+                "unsupported (WhiteIsZero/BlackIsZero gray or RGB only)")
         rps = values(278, [2 ** 32 - 1])[0]
         pred = values(317, [1])[0]
         if any(b != 8 for b in bps):
@@ -369,6 +378,8 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
             y += nrows
         if spp == 1:
             g = rows.reshape(h, w)
+            if photometric == 0:          # WhiteIsZero: invert to the
+                g = 255 - g               # BlackIsZero convention used
             pages.append(np.stack([g, g, g], axis=2))
         else:
             pages.append(rows.reshape(h, w, 3))

@@ -134,15 +134,25 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
         else:
             block = r["payload"]
             ctype = r.get("content_type", "application/octet-stream")
+        def _hv(value) -> str:
+            # headers are CRLF-framed: an embedded CR/LF in a
+            # caller-supplied value would desync the header block from
+            # Content-Length and silently corrupt the record framing
+            s = str(value)
+            if "\r" in s or "\n" in s:
+                raise ValueError(
+                    f"WARC header value contains CR/LF: {s!r}")
+            return s
+
         hdr = [f"WARC/1.0",
-               f"WARC-Type: {r.get('type', 'response')}"]
+               f"WARC-Type: {_hv(r.get('type', 'response'))}"]
         if r.get("uri"):
-            hdr.append(f"WARC-Target-URI: {r['uri']}")
+            hdr.append(f"WARC-Target-URI: {_hv(r['uri'])}")
         if r.get("date"):
-            hdr.append(f"WARC-Date: {r['date']}")
+            hdr.append(f"WARC-Date: {_hv(r['date'])}")
         if r.get("record_id"):
-            hdr.append(f"WARC-Record-ID: {r['record_id']}")
-        hdr.append(f"Content-Type: {ctype}")
+            hdr.append(f"WARC-Record-ID: {_hv(r['record_id'])}")
+        hdr.append(f"Content-Type: {_hv(ctype)}")
         hdr.append(f"Content-Length: {len(block)}")
         rec = ("\r\n".join(hdr) + "\r\n\r\n").encode() + block + b"\r\n\r\n"
         if gzip_members:

@@ -874,6 +874,16 @@ def test_warc_roundtrip_and_spark_parse(spark):
     full = encode_warc(recs)
     with pytest.raises(ValueError):
         decode_warc(full[:len(full) // 2])
+    # header-injection guard: a CR/LF in any caller-supplied header value
+    # would desync the CRLF framing from Content-Length — reject loudly
+    for bad in ({"type": "response", "uri": "https://e.com/\r\nX: y",
+                 "body": b"b"},
+                {"type": "response", "date": "2026\n01", "body": b"b"},
+                {"type": "response", "record_id": "<u\rn>", "body": b"b"},
+                {"type": "resource", "payload": b"p",
+                 "content_type": "text/plain\r\nX: y"}):
+        with pytest.raises(ValueError, match="CR/LF"):
+            encode_warc([bad])
 
     df = spark.createDataFrame(
         [(i, encode_warc([{"type": "response",

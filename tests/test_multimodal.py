@@ -916,6 +916,66 @@ def test_gif_lzw_roundtrip_exact():
         decode_gif(b"NOTAGIF")
 
 
+def test_gif_lzw_deferred_clear_frozen_table():
+    """Spec 4096-entry cap (r12 advice): a conformant encoder may DEFER
+    the clear code and keep emitting 12-bit codes against a frozen
+    table; the decoder must freeze its table in lockstep (stop
+    appending at 4096) and still decode exactly — and codes beyond the
+    frozen table must keep hitting the corrupt-stream error."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.gifcodec import _lzw_decompress
+
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, 30_000).tolist()
+
+    # deferred-clear LZW: identical to the module encoder except the
+    # table FREEZES at 4096 assigned codes instead of emitting clear
+    emitted: list[tuple[int, int]] = [(clear, min_code + 1)]
+    table: dict[tuple[int, ...], int] = {}
+    next_code, width, seq = end + 1, min_code + 1, ()
+    for px in pixels:
+        cand = seq + (px,)
+        if len(cand) == 1 or cand in table:
+            seq = cand
+            continue
+        emitted.append((seq[0] if len(seq) == 1 else table[seq], width))
+        if next_code <= 4095:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        seq = (px,)
+    emitted.append((seq[0] if len(seq) == 1 else table[seq], width))
+    emitted.append((end, width))
+    assert next_code == 4096  # the stream genuinely filled the table
+
+    def pack(codes: list[tuple[int, int]]) -> bytes:
+        buf = bitlen = 0
+        out = bytearray()
+        for code, w in codes:
+            buf |= code << bitlen
+            bitlen += w
+            while bitlen >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                bitlen -= 8
+        if bitlen:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    assert _lzw_decompress(pack(emitted), min_code, len(pixels)) == pixels
+    # with the table frozen at 4096, code == len(table) (the KwKwK
+    # branch) is exactly 4096 — unrepresentable in 12 bits, so every
+    # in-range code resolves in the frozen table; an early out-of-range
+    # code still raises
+    with pytest.raises(ValueError, match="corrupt"):
+        _lzw_decompress(pack([(clear, 9), (3, 9), (300, 9)]), 8, 100)
+
+
 def test_gif_gate_matches_closed_form(spark):
     """The media_image_features_gif gate: real palette+LZW+interlace
     decode of the synthesized gradient GIFs matches the closed form."""
@@ -1017,6 +1077,18 @@ def test_tiff_roundtrip_exact():
         i = bad.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
         bad[i + 8] = 2
         decode_tiff(bytes(bad))
+    # PhotometricInterpretation (r12 advice): WhiteIsZero grayscale —
+    # the scanned-document shape — must decode INVERTED, not silently
+    # pass raw sample values through; palette (3) must raise
+    gray = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    inv = bytearray(encode_tiff(gray, compression=1))
+    i = inv.find((262).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert inv[i + 8] == 1  # encoder wrote BlackIsZero for gray
+    inv[i + 8] = 0          # flip to WhiteIsZero
+    assert np.array_equal(decode_tiff(bytes(inv))[0][:, :, 0], 255 - gray)
+    inv[i + 8] = 3          # palette-color: unsupported, raise loudly
+    with pytest.raises(NotImplementedError, match="photometric"):
+        decode_tiff(bytes(inv))
 
 
 def test_tiff_gate_matches_closed_form(spark):
