@@ -235,19 +235,54 @@ def quantile_sketch_by_group(df: DataFrame, group_cols: list[str],
                  F.count(sample_v).alias("n_sampled")))
 
 
+# method="auto" crossover: above this estimated input size the exact
+# percentile's value->count map is assumed unbounded-cardinality-risky
+# (measured r11, SCALING.md: on a 97%-distinct column the map IS the
+# data) and the bounded-memory approx sketch takes over. 64 MB ~= 3.5 M
+# lineitem rows: the sf0.01 gate (1 MB) and the sf0.1 headline bench
+# (11 MB) stay on the exact, hash-reproducible path; sf1+ (119 MB+)
+# flips to the 100-TB-safe sketch.
+AUTO_APPROX_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated input size for ``df`` (file bytes for parquet
+    scans) — the cheap, job-free proxy the ``method="auto"`` crossover
+    keys on. None when the estimate is unavailable (then callers fall
+    back to the exact path, the conservative-for-correctness choice)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps Scala BigInt to a Python int; keep a string fallback
+        # in case a py4j version hands back the raw JVM object
+        size = size if isinstance(size, int) else int(size.toString())
+        # plans with no real estimate (RDD-backed createDataFrame, some
+        # joins) report spark.sql.defaultSizeInBytes = Long.MaxValue —
+        # that is "unknown", not "huge": return None so auto stays exact
+        return None if size >= (1 << 62) else size
+    except Exception:  # py4j / analysis errors: no estimate
+        return None
+
+
 def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
                        qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
                        scale: int = 4,
-                       method: str = "exact",
-                       accuracy: int = 10000) -> DataFrame:
+                       method: str = "auto",
+                       accuracy: int = 10000,
+                       auto_approx_bytes: int = AUTO_APPROX_BYTES
+                       ) -> DataFrame:
     """Multi-quantile profile per group, one column per requested quantile
     named ``p25``, ``p50``, ``p99``... — the n-quantile generalization of
     :func:`median_by_group`; the column profile a data-quality dashboard
     or a length-filter threshold sweep needs.
 
     ``method`` picks the memory/exactness point (r11, the documented
-    scale recipe):
+    scale recipe; r12 wires the crossover into the default):
 
+    - ``"auto"`` (default) — exact below ``auto_approx_bytes`` of
+      Catalyst-estimated input (small/gate-checked runs stay
+      hash-reproducible), approx above it (the memory axis dominates:
+      SCALING.md's r11 crossover measurement). Deterministic in the
+      input size, so a given dataset always takes the same path.
     - ``"exact"`` — PERCENTILE_CONT semantics (rank ``q*(n-1)``, linear
       interpolation; NULLs excluded) via one ``F.percentile`` aggregate:
       Spark buffers a value→count map per group, so memory is O(distinct
@@ -266,13 +301,17 @@ def quantiles_by_group(df: DataFrame, group_cols: list[str], value_col: str,
       the exact-vs-sketch crossover live in SCALING.md.
     """
     col = F.col(value_col)
+    if method == "auto":
+        size = _plan_size_bytes(df)
+        method = ("approx" if size is not None
+                  and size > auto_approx_bytes else "exact")
     if method == "exact":
         arr = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
     elif method == "approx":
         arr = F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]),
                                   F.lit(accuracy))
     else:
-        raise ValueError("method must be 'exact' or 'approx' (use "
+        raise ValueError("method must be 'auto', 'exact' or 'approx' (use "
                          "quantile_sketch_by_group for the deterministic "
                          "bounded-memory sketch)")
     names = [f"p{round(q * 100)}" for q in qs]

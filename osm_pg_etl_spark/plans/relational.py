@@ -1089,8 +1089,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import quantiles_by_group  # noqa: PLC0415
 
     ev = t(spark, sf_dir, "events")
+    # method pinned: the winsorize CONTRACT is exact thresholds (the
+    # oracle clamps against quantile_cont) — auto's approx flip at scale
+    # would silently move the clamp bounds
     qs = quantiles_by_group(ev, ["event_type"], "value",
-                            qs=(0.05, 0.95), scale=6)
+                            qs=(0.05, 0.95), scale=6, method="exact")
     clamped = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
     return (ev.join(F.broadcast(qs), "event_type")
             .groupBy("event_type")
@@ -1134,7 +1137,13 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact skew that kills at 100 TB). The shipped plan partial-aggregates
     map-side on every input split and only merges maps, so it is the one
     you'd run on a cluster; for unbounded-cardinality columns swap
-    F.percentile_approx (same call shape, mergeable KLL-style sketch)."""
+    F.percentile_approx (same call shape, mergeable KLL-style sketch).
+
+    r12 (VERDICT task 4): the gate now rides ``method="auto"`` — exact
+    below the 64 MB input-size crossover (the sf0.01 oracle check and
+    the sf0.1 headline bench stay on the hash-reproducible exact path),
+    ``percentile_approx`` above it (sf1's 119 MB scan flips to the
+    bounded-memory sketch; rank error ≤ 1e-4 at accuracy 10 000)."""
     from ..operators.stats import quantiles_by_group  # noqa: PLC0415
 
     li = t(spark, sf_dir, "lineitem")

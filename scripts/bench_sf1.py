@@ -1,10 +1,24 @@
-"""BENCHCMP sf1 leg (r11, VERDICT task 4): materialize ~sf1 parquet
+"""BENCHCMP sf1 leg (r12 methodology): materialize ~sf1 parquet
 (K=10 key-offset replicas of sf0.1 — disjoint regions, same topology
-density) and run the bench_compare methodology on the DATA-BOUND query
-set, where sf0.1's ratios are dominated by Spark's fixed job floor.
+density) and run the DATA-BOUND query set, where sf0.1's ratios are
+dominated by Spark's fixed job floor.
 
-Both engines read the SAME materialized files, warm symmetrically, and
-report the median of R timed passes. Results -> BENCHCMP_sf1.json.
+r12 fixes (VERDICT task 3 + ADVICE):
+- 7 interleaved passes (A,B,C,...,A,B,C — never blocks) with a
+  clearCache + System.gc() preamble per pass, and a TRIMMED spread
+  (range of the central samples after trimming min(2,(n-3)//2) per
+  side) — bench.py's exact methodology, so one GC pause or first-pass
+  warm-up cannot define the spread (r11's sf1 spreads were several×
+  the median for exactly that reason).
+- symmetric drain: Spark writes to the noop sink (rows discarded at
+  executors); DuckDB now fetches ARROW (columnar, no per-row Python
+  object conversion) instead of fetchall() — recorded in the JSON as
+  duckdb_drain so the ratio provenance is explicit.
+- set widened to 10 data-bound gates (adds osm_directed_graph,
+  minhash_neardup, dup_ngram_spans, osm_poi_nearest).
+
+Both engines read the SAME materialized files and warm symmetrically;
+per-query medians are reported. Results -> BENCHCMP_sf1.json.
 
 Usage: python scripts/bench_sf1.py [K] [out.json]
 """
@@ -31,10 +45,13 @@ K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCHCMP_sf1.json"
 DIR = f"/tmp/sf1_bench_k{K}"
 
-# the sf0.1-data-bound set (VERDICT r10): everything else is job-floor
+# the sf0.1-data-bound set (VERDICT r10, widened r12): everything else
+# in the headline set is job-floor-bound at this scale
 DATA_BOUND = ["osm_merged_network", "osm_communities", "quantile_profile",
-              "rollup_counts", "knn_join", "tfidf_top_terms"]
-REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+              "rollup_counts", "knn_join", "tfidf_top_terms",
+              "osm_directed_graph", "minhash_neardup", "dup_ngram_spans",
+              "osm_poi_nearest"]
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "7")))
 
 
 def replicate(df, offsets: dict[str, int], k: int):
@@ -44,6 +61,12 @@ def replicate(df, offsets: dict[str, int], k: int):
         (F.col(c) + i * offsets[c]).alias(c) if c in offsets else F.col(c)
         for c in df.columns]) for i in range(k)]
     return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def _trimmed_range(samples: list[float]) -> float:
+    cut = min(2, (len(samples) - 3) // 2) if len(samples) >= 5 else 0
+    core = sorted(samples)[cut:len(samples) - cut]
+    return core[-1] - core[0]
 
 
 def main() -> None:
@@ -80,47 +103,62 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{DIR}/{t}.parquet/*.parquet'")
         spark.read.parquet(f"{DIR}/{t}.parquet").count()  # warm both
 
+    def run_spark(name: str) -> None:
+        queries[name](spark, DIR).write.format("noop") \
+            .mode("overwrite").save()
+
+    def run_duck(name: str) -> None:
+        # arrow(): full columnar materialization of every result column
+        # (mirrors the noop sink's full evaluation) without fetchall()'s
+        # per-row Python-object tax on wide results like knn_join
+        con.execute(oracles[name]).arrow()
+
     # symmetric untimed warm passes (codegen/JIT vs buffer pool), then
-    # median-of-R timed passes with clearCache per pass — bench_compare's
-    # exact methodology at the bigger scale
+    # median-of-R interleaved timed passes — bench.py's exact
+    # methodology at the bigger scale
     for _ in range(2):
         for name in DATA_BOUND:
-            queries[name](spark, DIR).write.format("noop") \
-                .mode("overwrite").save()
-            con.execute(oracles[name]).fetchall()
+            run_spark(name)
+            run_duck(name)
         spark.catalog.clearCache()
 
     s_passes: list[dict[str, float]] = []
     d_passes: list[dict[str, float]] = []
     for _ in range(REPEATS):
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         s_one: dict[str, float] = {}
         d_one: dict[str, float] = {}
         for name in DATA_BOUND:
             t0 = time.perf_counter()
-            queries[name](spark, DIR).write.format("noop") \
-                .mode("overwrite").save()
+            run_spark(name)
             s_one[name] = time.perf_counter() - t0
             t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
+            run_duck(name)
             d_one[name] = time.perf_counter() - t0
         s_passes.append(s_one)
         d_passes.append(d_one)
 
     rows = {}
     for name in DATA_BOUND:
-        s = statistics.median(p[name] for p in s_passes)
-        d = statistics.median(p[name] for p in d_passes)
+        ss = [p[name] for p in s_passes]
+        ds = [p[name] for p in d_passes]
+        s, d = statistics.median(ss), statistics.median(ds)
         rows[name] = {"spark_sec": round(s, 3), "duckdb_sec": round(d, 3),
                       "ratio": round(s / d, 3) if d else None,
-                      "spark_spread": round(
-                          max(p[name] for p in s_passes)
-                          - min(p[name] for p in s_passes), 3)}
-        print(f"{name:24s} spark {s:7.2f}s  duckdb {d:7.2f}s  "
-              f"ratio {s / d:5.2f}x")
+                      "spark_min": round(min(ss), 3),
+                      "duckdb_min": round(min(ds), 3),
+                      "spark_spread": round(_trimmed_range(ss), 3),
+                      "duckdb_spread": round(_trimmed_range(ds), 3)}
+        print(f"{name:24s} spark {s:7.2f}s (±{rows[name]['spark_spread']:.2f})"
+              f"  duckdb {d:7.2f}s  ratio {s / d:5.2f}x")
     tot_s = sum(r["spark_sec"] for r in rows.values())
     tot_d = sum(r["duckdb_sec"] for r in rows.values())
     out = {"k": K, "base_sf_dir": SF_DIR, "repeats": REPEATS,
+           "spread_method": "range of central samples "
+                            "(trim min(2,(n-3)//2) per side)",
+           "duckdb_drain": "arrow() columnar fetch (symmetric with the "
+                           "Spark noop sink; no per-row Python objects)",
            "queries": rows,
            "total_spark_sec": round(tot_s, 3),
            "total_duckdb_sec": round(tot_d, 3),

@@ -41,7 +41,7 @@ for label, gcols in (("3-group (l_returnflag)", ["l_returnflag"]),
     keys = gcols
     variants = {
         "exact": lambda g=gcols: quantiles_by_group(
-            li, g, "l_extendedprice"),
+            li, g, "l_extendedprice", method="exact"),
         "approx": lambda g=gcols: quantiles_by_group(
             li, g, "l_extendedprice", method="approx"),
         "kmv_sketch": lambda g=gcols: quantile_sketch_by_group(

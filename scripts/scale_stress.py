@@ -167,7 +167,8 @@ def run_aggs(k: int) -> None:
     n_li, n_ev = li.count(), ev.count()
 
     t0 = time.perf_counter()
-    quantiles_by_group(li, ["l_returnflag"], "l_extendedprice") \
+    quantiles_by_group(li, ["l_returnflag"], "l_extendedprice",
+                       method="exact") \
         .write.format("noop").mode("overwrite").save()
     t1 = time.perf_counter()
     (li.rollup("l_returnflag", "l_linestatus")

@@ -159,6 +159,36 @@ def test_quantiles_by_group_approx_method(spark):
         quantiles_by_group(df, ["g"], "x", method="bogus")
 
 
+def test_quantiles_by_group_auto_crossover(spark):
+    """r12 (VERDICT task 4): method='auto' resolves by Catalyst's input
+    size estimate — exact below the threshold (hash-reproducible, what
+    the sf0.01 gate sees), percentile_approx above it (the 100-TB
+    memory-safe path). The resolution is visible in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.stats import _plan_size_bytes
+
+    df = (spark.range(5_000)
+          .select(F.lit("g").alias("g"),
+                  (F.col("id") % 97).cast("double").alias("x")))
+    size = _plan_size_bytes(df)
+    assert size is not None and size > 0
+
+    def plan(method, thresh):
+        return quantiles_by_group(
+            df, ["g"], "x", method=method, auto_approx_bytes=thresh
+        )._jdf.queryExecution().optimizedPlan().toString()
+
+    # small data (threshold far above the estimate) -> exact aggregate
+    assert "percentile_approx" not in plan("auto", size * 100)
+    # "big" data (threshold below the estimate) -> approx sketch
+    assert "percentile_approx" in plan("auto", max(size // 100, 1))
+    # and auto == exact numerically on the small side
+    auto = quantiles_by_group(df, ["g"], "x").collect()[0]
+    exact = quantiles_by_group(df, ["g"], "x", method="exact").collect()[0]
+    assert auto == exact
+
+
 def test_duplicate_ngram_spans(spark):
     shared = "one two three four"          # the only cross-doc 4-gram
     docs = [
