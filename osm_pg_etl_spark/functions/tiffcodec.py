@@ -4,15 +4,20 @@ surface (netpbm/BMP/PNG/JPEG/GIF already decode for real; the reference
 never decodes media — ``osm-pg-etl.md:31-105`` — so this is
 training-data extension surface like its siblings).
 
-Scope: TIFF 6.0 baseline, both byte orders (II/MM), 8-bit grayscale and
-RGB, strip organization (any RowsPerStrip), compression None (1),
-PackBits (32773) and LZW (5) — the TIFF LZW variant: MSB-first bit
-packing, Clear=256/EOI=257, and the EARLY code-width change (the width
-bumps one code sooner than GIF's — the classic interop trap), plus the
-horizontal-differencing predictor (tag 317 = 2) LZW files usually pair
-with. Multi-IFD (multi-page) files decode to a list of pages. Tiled
-TIFFs, 16-bit samples, and the JPEG-in-TIFF / CCITT fax compressions
-raise ``NotImplementedError`` loudly — the honest-boundary pattern.
+Scope: TIFF 6.0 baseline + tiles, both byte orders (II/MM), 8- and
+16-bit grayscale and RGB, strip organization (any RowsPerStrip) AND the
+tiled layout (tags 322-325, edge tiles padded — the satellite/deep-zoom
+shape), compression None (1), PackBits (32773) and LZW (5) — the TIFF
+LZW variant: MSB-first bit packing, Clear=256/EOI=257, and the EARLY
+code-width change (the width bumps one code sooner than GIF's — the
+classic interop trap), plus the horizontal-differencing predictor
+(tag 317 = 2) LZW files usually pair with, applied on SAMPLE values so
+it is depth-correct for 16-bit. PhotometricInterpretation 0/1/2
+(WhiteIsZero inverted on decode). Multi-IFD (multi-page) files decode
+to a list of pages; 16-bit pages come back as uint16 arrays (callers
+see the true dynamic range). JPEG-in-TIFF / CCITT fax compressions,
+palette/CMYK/YCbCr photometrics, and mixed-depth channels raise
+``NotImplementedError`` loudly — the honest-boundary pattern.
 
 Lossless throughout: any image round-trips bit-exactly, so gates pin
 true gradients, not special cases.
@@ -167,17 +172,31 @@ _COMPRESSORS = {
 }
 
 
+def _diff_predict(block: np.ndarray, spp: int, mod: int) -> np.ndarray:
+    """Horizontal differencing (predictor 2) per row, per sample plane,
+    on SAMPLE values (so it works for 8- and 16-bit alike)."""
+    r3 = block.astype(np.int64).reshape(block.shape[0], -1, spp)
+    r3[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % mod
+    return r3.reshape(block.shape[0], -1)
+
+
 def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                 compression: int = 5,
                 predictor: int = 2, rows_per_strip: int = 16,
-                byte_order: str = "II") -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 — or a LIST of such arrays for
-    a multi-page file (the scan-corpus shape: one IFD per page, chained)
-    -> TIFF bytes. ``compression``: 1 (none), 5 (LZW), 32773 (PackBits).
-    ``predictor`` (LZW only): 1 = none, 2 = horizontal differencing.
-    ``byte_order``: ``"II"`` (little-endian) or ``"MM"`` (big-endian) —
-    both real-world shapes, so the decoder's MM path is testable against
-    genuine files."""
+                byte_order: str = "II",
+                tile_size: tuple[int, int] | None = None) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB — uint8 OR uint16 samples — or a
+    LIST of such arrays for a multi-page file (the scan-corpus shape:
+    one IFD per page, chained) -> TIFF bytes. ``compression``: 1 (none),
+    5 (LZW), 32773 (PackBits). ``predictor`` (LZW only): 1 = none,
+    2 = horizontal differencing (applied on sample values, so it is
+    depth-correct for 16-bit too). ``byte_order``: ``"II"``
+    (little-endian) or ``"MM"`` (big-endian) — both real-world shapes,
+    so the decoder's MM path is testable against genuine files.
+    ``tile_size``: None writes the strip layout; ``(tile_w, tile_h)``
+    (multiples of 16 per TIFF6 §15) writes the TILED layout — edge
+    tiles zero-padded to full tile size, tags 322-325 instead of
+    273/278/279."""
     pages = (rgb_or_gray if isinstance(rgb_or_gray, (list, tuple))
              else [rgb_or_gray])
     if not pages:
@@ -186,36 +205,51 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         raise ValueError(f"unsupported compression {compression}")
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
+    if tile_size is not None and (tile_size[0] % 16 or tile_size[1] % 16
+                                  or tile_size[0] <= 0 or tile_size[1] <= 0):
+        raise ValueError("tile dimensions must be positive multiples of 16")
     bo = "<" if byte_order == "II" else ">"
     magic = b"II*\x00" if byte_order == "II" else b"MM\x00*"
     out = bytearray(magic + struct.pack(bo + "I", 8))
     next_ptr_pos = 4       # where the pointer to the next IFD lives
     for page in pages:
         a = np.asarray(page)
-        if a.dtype != np.uint8 or a.ndim not in (2, 3):
-            raise ValueError("encoder expects (h, w[, 3]) uint8 pages")
+        if a.dtype not in (np.uint8, np.uint16) or a.ndim not in (2, 3):
+            raise ValueError("encoder expects (h, w[, 3]) uint8/uint16 "
+                             "pages")
         spp = 1 if a.ndim == 2 else a.shape[2]
         if spp not in (1, 3):
             raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
         if a.shape[0] == 0 or a.shape[1] == 0:
             raise ValueError("cannot encode an empty page")
+        bps = 8 * a.dtype.itemsize
+        mod = 1 << bps
+        sample_dt = np.dtype(bo + ("u1" if bps == 8 else "u2"))
         h, w = a.shape[:2]
         px = a.reshape(h, w * spp)
         use_pred = 2 if (compression == 5 and predictor == 2) else 1
-        strips: list[bytes] = []
+        chunks: list[bytes] = []
         enc = _COMPRESSORS[compression][0]
-        for y0 in range(0, h, rows_per_strip):
-            rows = px[y0:y0 + rows_per_strip].astype(np.int16)
-            if use_pred == 2:
-                # horizontal differencing per row, per sample plane
-                r3 = rows.reshape(rows.shape[0], -1, spp)
-                r3[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
-                rows = r3.reshape(rows.shape[0], -1)
-            strips.append(enc(rows.astype(np.uint8).tobytes()))
+        if tile_size is None:
+            for y0 in range(0, h, rows_per_strip):
+                rows = px[y0:y0 + rows_per_strip]
+                if use_pred == 2:
+                    rows = _diff_predict(rows, spp, mod)
+                chunks.append(enc(rows.astype(sample_dt).tobytes()))
+        else:
+            tw, th = tile_size
+            for ty in range(0, h, th):
+                for tx in range(0, w, tw):
+                    tile = np.zeros((th, tw * spp), dtype=a.dtype)
+                    blk = px[ty:ty + th, tx * spp:(tx + tw) * spp]
+                    tile[:blk.shape[0], :blk.shape[1]] = blk
+                    if use_pred == 2:
+                        tile = _diff_predict(tile, spp, mod)
+                    chunks.append(enc(tile.astype(sample_dt).tobytes()))
 
-        # page layout: IFD + out-of-line values + strips, all at
+        # page layout: IFD + out-of-line values + chunks, all at
         # absolute offsets from the file start
-        n_entries = 11  # the fixed tag set written below
+        n_entries = 11 if tile_size is None else 12
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
         ifd_size = 2 + n_entries * 12 + 4
@@ -227,24 +261,24 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             extra.extend(data)
             return off
 
-        n_strips = len(strips)
-        fmt_l = bo + "I" * n_strips
+        n_chunks = len(chunks)
+        fmt_l = bo + "I" * n_chunks
         if spp == 3:
-            bps_off = val_offset(struct.pack(bo + "3H", 8, 8, 8))
-        strip_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
-            if n_strips > 1 else None
-        counts = [len(s) for s in strips]
+            bps_off = val_offset(struct.pack(bo + "3H", bps, bps, bps))
+        chunk_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_chunks))) \
+            if n_chunks > 1 else None
+        counts = [len(s) for s in chunks]
         counts_off = val_offset(struct.pack(fmt_l, *counts)) \
-            if n_strips > 1 else None
+            if n_chunks > 1 else None
         data_base = extra_base + len(extra)
         offs = []
         p = data_base
-        for s in strips:
+        for s in chunks:
             offs.append(p)
             p += len(s)
-        if strip_off_pos is not None:
-            extra[strip_off_pos - extra_base:strip_off_pos - extra_base
-                  + 4 * n_strips] = struct.pack(fmt_l, *offs)
+        if chunk_off_pos is not None:
+            extra[chunk_off_pos - extra_base:chunk_off_pos - extra_base
+                  + 4 * n_chunks] = struct.pack(fmt_l, *offs)
 
         def entry(tag: int, typ: int, count: int, value: int) -> bytes:
             # inline values shorter than 4 bytes are LEFT-justified in
@@ -261,22 +295,32 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         if spp == 3:
             e.append(entry(258, 3, 3, bps_off))
         else:
-            e.append(entry(258, 3, 1, 8))
+            e.append(entry(258, 3, 1, bps))
         e.append(entry(259, 3, 1, compression))
         e.append(entry(262, 3, 1, 2 if spp == 3 else 1))
-        e.append(entry(273, 4, n_strips,
-                       offs[0] if n_strips == 1 else strip_off_pos))
         e.append(entry(274, 3, 1, 1))           # Orientation: top-left
         e.append(entry(277, 3, 1, spp))
-        e.append(entry(278, 4, 1, rows_per_strip))
-        e.append(entry(279, 4, n_strips,
-                       counts[0] if n_strips == 1 else counts_off))
+        if tile_size is None:
+            e.append(entry(273, 4, n_chunks,
+                           offs[0] if n_chunks == 1 else chunk_off_pos))
+            e.append(entry(278, 4, 1, rows_per_strip))
+            e.append(entry(279, 4, n_chunks,
+                           counts[0] if n_chunks == 1 else counts_off))
+        else:
+            e.append(entry(322, 4, 1, tile_size[0]))
+            e.append(entry(323, 4, 1, tile_size[1]))
+            e.append(entry(324, 4, n_chunks,
+                           offs[0] if n_chunks == 1 else chunk_off_pos))
+            e.append(entry(325, 4, n_chunks,
+                           counts[0] if n_chunks == 1 else counts_off))
         e.append(entry(317, 3, 1, use_pred))
+        e.sort(key=lambda b: struct.unpack(bo + "H", b[:2])[0])  # TIFF6:
+        # entries must be ascending by tag
         assert len(e) == n_entries, (len(e), n_entries)
         next_ptr_pos = ifd_off + 2 + n_entries * 12
         out += (struct.pack(bo + "H", n_entries) + b"".join(e)
                 + struct.pack(bo + "I", 0) + bytes(extra)
-                + b"".join(strips))
+                + b"".join(chunks))
     return bytes(out)
 
 
@@ -333,11 +377,18 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 buf = payload[o:o + total]
             return list(struct.unpack(bo + fmt * count, buf))
 
-        dims = values(256), values(257), values(273), values(279)
+        tiled = 322 in tags or 323 in tags
+        if tiled:
+            dims = values(256), values(257), values(324), values(325)
+            missing = ("ImageWidth/ImageLength/TileOffsets/"
+                       "TileByteCounts")
+        else:
+            dims = values(256), values(257), values(273), values(279)
+            missing = ("ImageWidth/ImageLength/StripOffsets/"
+                       "StripByteCounts")
         if any(v is None for v in dims):
             raise ValueError(
-                "malformed TIFF: missing a mandatory tag "
-                "(ImageWidth/ImageLength/StripOffsets/StripByteCounts)")
+                f"malformed TIFF: missing a mandatory tag ({missing})")
         w, h, offs, cnts = dims[0][0], dims[1][0], dims[2], dims[3]
         bps = values(258, [8])
         comp = values(259, [1])[0]
@@ -353,33 +404,64 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 "unsupported (WhiteIsZero/BlackIsZero gray or RGB only)")
         rps = values(278, [2 ** 32 - 1])[0]
         pred = values(317, [1])[0]
-        if any(b != 8 for b in bps):
-            raise NotImplementedError("8-bit TIFF samples only")
+        if len(set(bps)) != 1 or bps[0] not in (8, 16):
+            raise NotImplementedError(
+                f"TIFF BitsPerSample {bps} unsupported (uniform 8- or "
+                "16-bit samples only)")
+        depth = bps[0]
+        mod = 1 << depth
+        sample_dt = np.dtype((bo if depth == 16 else "") + f"u{depth // 8}")
+        out_dt = np.uint8 if depth == 8 else np.uint16
         if comp not in _COMPRESSORS:
             raise NotImplementedError(
                 f"TIFF compression {comp} unsupported (baseline "
                 "none/LZW/PackBits only — no CCITT/JPEG-in-TIFF)")
-        if 322 in tags or 323 in tags:
-            raise NotImplementedError("tiled TIFF unsupported; strips only")
         if spp not in (1, 3):
             raise NotImplementedError(f"{spp} samples per pixel")
         dec = _COMPRESSORS[comp][1]
-        rows = np.zeros((h, w * spp), dtype=np.uint8)
-        y = 0
-        for so, sc in zip(offs, cnts):
-            nrows = min(rps, h - y)
-            raw = dec(payload[so:so + sc], nrows * w * spp)
-            strip = np.frombuffer(raw, np.uint8).reshape(nrows, w * spp)
+
+        def unpredict(block_bytes: bytes, nrows: int,
+                      row_w: int) -> np.ndarray:
+            blk = np.frombuffer(block_bytes, sample_dt) \
+                .reshape(nrows, row_w * spp)
             if pred == 2:
-                strip = strip.reshape(nrows, w, spp) \
-                    .astype(np.int64).cumsum(axis=1) % 256
-                strip = strip.reshape(nrows, w * spp).astype(np.uint8)
-            rows[y:y + nrows] = strip
-            y += nrows
+                blk = (blk.reshape(nrows, row_w, spp)
+                       .astype(np.int64).cumsum(axis=1) % mod) \
+                    .reshape(nrows, row_w * spp)
+            return blk.astype(out_dt)
+
+        rows = np.zeros((h, w * spp), dtype=out_dt)
+        if not tiled:
+            y = 0
+            for so, sc in zip(offs, cnts):
+                nrows = min(rps, h - y)
+                raw = dec(payload[so:so + sc],
+                          nrows * w * spp * (depth // 8))
+                rows[y:y + nrows] = unpredict(raw, nrows, w)
+                y += nrows
+        else:
+            tw = values(322, [w])[0]
+            th = values(323, [h])[0]
+            tiles_across = -(-w // tw)
+            expect = -(-w // tw) * -(-h // th)
+            if len(offs) != expect or len(cnts) != expect:
+                raise ValueError(
+                    f"malformed tiled TIFF: {len(offs)} tiles for a "
+                    f"{tiles_across}x{-(-h // th)} grid")
+            for i, (so, sc) in enumerate(zip(offs, cnts)):
+                ty = (i // tiles_across) * th
+                tx = (i % tiles_across) * tw
+                raw = dec(payload[so:so + sc],
+                          th * tw * spp * (depth // 8))
+                tile = unpredict(raw, th, tw)
+                ch = min(th, h - ty)
+                cw = min(tw, w - tx)
+                rows[ty:ty + ch, tx * spp:(tx + cw) * spp] = \
+                    tile[:ch, :cw * spp]
         if spp == 1:
             g = rows.reshape(h, w)
             if photometric == 0:          # WhiteIsZero: invert to the
-                g = 255 - g               # BlackIsZero convention used
+                g = (mod - 1) - g         # BlackIsZero convention used
             pages.append(np.stack([g, g, g], axis=2))
         else:
             pages.append(rows.reshape(h, w, 3))

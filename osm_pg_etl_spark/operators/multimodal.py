@@ -328,15 +328,24 @@ def attach_synthetic_gif(df: DataFrame, id_col: str = "doc_id",
 
 def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                           ) -> DataFrame:
-    """REAL TIFF payloads (r11, :mod:`..functions.tiffcodec`): one
-    little-endian strip TIFF per row — a GRADIENT gray image (pixel =
-    base + x + y, base = 19·id mod 103, bounded < 256) — cycling the
-    three baseline compressions by id (none / LZW with the horizontal-
-    differencing predictor / PackBits) and a small RowsPerStrip so
-    multi-strip assembly decodes too. TIFF is lossless, so the
-    closed-form oracle (base + (w−1)/2 + (h−1)/2) pins the IFD parse,
-    strip math, early-change LZW and predictor inversion on every
-    pixel."""
+    """REAL TIFF payloads (r11/r12, :mod:`..functions.tiffcodec`): one
+    TIFF per row — a GRADIENT gray image (8-bit pixel = base + x + y,
+    base = 19·id mod 103, bounded < 256) — cycling the three baseline
+    compressions by id (none / LZW with the horizontal-differencing
+    predictor / PackBits), BOTH byte orders (MM on odd ids), and (r12)
+    the layout/depth classes by id mod 5:
+
+    - 0: TILED 8-bit, (id%14+20) × (id%10+18) so the 16×16 tile grid is
+      2×2 with genuinely padded edge tiles (tags 322-325);
+    - 1: strip 16-BIT — the 8-bit gradient × 257 (full-scale uint16);
+    - 2: tiled 16-bit (both extensions composed);
+    - 3, 4: the original small strip layout (RowsPerStrip 4, so
+      multi-strip assembly decodes too).
+
+    TIFF is lossless at every depth, so the closed-form oracle
+    ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes) pins the
+    IFD parse, strip AND tile math, padding crop, early-change LZW and
+    depth-correct predictor inversion on every pixel."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
@@ -348,20 +357,32 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
         out = []
         for i in ids:
             i = int(i)
-            w, h = i % 14 + 1, i % 10 + 1
+            cls = i % 5
+            big = cls in (0, 2)
+            w = i % 14 + (20 if big else 1)
+            h = i % 10 + (18 if big else 1)
             base = i * 19 % 103
             gray = (base + np.arange(w)[None, :]
-                    + np.arange(h)[:, None]).astype(np.uint8)
+                    + np.arange(h)[:, None]).astype(np.uint16)
+            if cls in (1, 2):
+                gray = gray * np.uint16(257)     # full-scale 16-bit
+            else:
+                gray = gray.astype(np.uint8)
             comp = (1, 5, 32773)[i % 3]
-            out.append(encode_tiff(gray, compression=comp,
-                                   rows_per_strip=4))
+            out.append(encode_tiff(
+                gray, compression=comp, rows_per_strip=4,
+                byte_order="MM" if i % 2 else "II",
+                tile_size=(16, 16) if big else None))
         return pd.Series(out)
 
+    big = (F.col(id_col) % 5).isin(0, 2)
     meta = F.struct(
         F.lit("image").alias("kind"),
         F.lit("image/tiff").alias("mime"),
-        (F.col(id_col) % 14 + 1).cast("int").alias("width"),
-        (F.col(id_col) % 10 + 1).cast("int").alias("height"),
+        (F.col(id_col) % 14 + F.when(big, 20).otherwise(1))
+        .cast("int").alias("width"),
+        (F.col(id_col) % 10 + F.when(big, 18).otherwise(1))
+        .cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"))
     return df.select(F.col(id_col).alias("doc_id"),
                      make_tiff(F.col(id_col)).alias("content"),

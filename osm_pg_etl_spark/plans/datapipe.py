@@ -1734,14 +1734,17 @@ FROM p
 
 def q_media_image_features_tiff(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """REAL TIFF decode (r11): every doc_id becomes a genuine strip TIFF
-    — the document/scan-corpus format — cycling baseline compressions by
-    id (none / early-change LZW with the horizontal-differencing
-    predictor / PackBits), decoded by :mod:`functions.tiffcodec` inside
-    mapInPandas via the sniffing dispatch. Lossless, so the closed-form
-    gradient oracle pins IFD parsing, multi-strip assembly, LZW's
-    one-code-early width change and the predictor cumsum on every
-    pixel."""
+    """REAL TIFF decode (r11, widened r12): every doc_id becomes a
+    genuine TIFF — the document/scan-corpus format — cycling baseline
+    compressions (none / early-change LZW with the horizontal-
+    differencing predictor / PackBits), byte orders (MM on odd ids),
+    and by id mod 5 the layout/depth classes: tiled with padded edge
+    tiles (0), 16-bit strip (1), tiled 16-bit (2), small multi-strip
+    (3-4) — decoded by :mod:`functions.tiffcodec` inside mapInPandas
+    via the sniffing dispatch. Lossless at every depth, so the
+    closed-form gradient oracle (× 257 for 16-bit classes) pins IFD
+    parsing, strip AND tile assembly, LZW's one-code-early width change
+    and the depth-correct predictor cumsum on every pixel."""
     docs = docs_t(spark, sf_dir)
     media = multimodal.attach_synthetic_tiff(docs.select("doc_id"))
     feats = multimodal.extract_image_features(media)
@@ -1753,14 +1756,22 @@ def q_media_image_features_tiff(spark: SparkSession,
 
 
 SQL_MEDIA_IMAGE_FEATURES_TIFF = """
-WITH p AS (
+WITH d AS (
   SELECT doc_id,
-         CAST(doc_id * 19 % 103 AS DOUBLE)
-           + (doc_id % 14) / 2.0 + (doc_id % 10) / 2.0 AS m
-  FROM documents)
+         doc_id % 14
+           + CASE WHEN doc_id % 5 IN (0, 2) THEN 20 ELSE 1 END AS w,
+         doc_id % 10
+           + CASE WHEN doc_id % 5 IN (0, 2) THEN 18 ELSE 1 END AS h,
+         CASE WHEN doc_id % 5 IN (1, 2) THEN 257 ELSE 1 END AS scale
+  FROM documents),
+p AS (
+  SELECT doc_id, w, h,
+         (CAST(doc_id * 19 % 103 AS DOUBLE)
+           + (w - 1) / 2.0 + (h - 1) / 2.0) * scale AS m
+  FROM d)
 SELECT doc_id,
-       CAST(doc_id % 14 + 1 AS INT) AS width,
-       CAST(doc_id % 10 + 1 AS INT) AS height,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        ROUND(m, 6) AS mean_r,
        ROUND(m, 6) AS mean_g,
        ROUND(m, 6) AS mean_b,

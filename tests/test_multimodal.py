@@ -1077,6 +1077,63 @@ def test_tiff_roundtrip_exact():
         i = bad.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
         bad[i + 8] = 2
         decode_tiff(bytes(bad))
+    # r12 (VERDICT task 8): TILED layout — edge tiles padded, tags
+    # 322-325, predictor per tile row — bit-exact across compressions,
+    # byte orders, gray/RGB, and non-multiple image sizes
+    for trial in range(8):
+        h, w = int(rng.integers(5, 90)), int(rng.integers(5, 90))
+        gray_t = trial % 2 == 0
+        img = rng.integers(0, 256, (h, w) if gray_t else (h, w, 3),
+                           dtype=np.uint8)
+        comp = (1, 5, 32773)[trial % 3]
+        bo = ("II", "MM")[trial % 2]
+        out = decode_tiff(encode_tiff(img, compression=comp,
+                                      byte_order=bo,
+                                      tile_size=(16, 32)))[0]
+        want = np.stack([img] * 3, 2) if gray_t else img
+        assert np.array_equal(out, want), ("tiled", trial, comp, bo)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(grad, tile_size=(10, 16))
+    # a tiled file missing TileByteCounts fails loudly
+    miss = bytearray(encode_tiff(grad, compression=1, tile_size=(16, 16)))
+    i = miss.find((325).to_bytes(2, "little") + (4).to_bytes(2, "little"))
+    _struct.pack_into("<H", miss, i, 999)  # rename the tag away
+    with pytest.raises(ValueError, match="mandatory"):
+        decode_tiff(bytes(miss))
+
+    # r12 (VERDICT task 8): 16-BIT samples — uint16 roundtrips exactly
+    # (predictor mod 65536, byte-order-correct sample decode), strip and
+    # tiled layouts, gray and RGB, both byte orders
+    for trial in range(8):
+        h, w = int(rng.integers(3, 50)), int(rng.integers(3, 50))
+        gray_t = trial % 2 == 0
+        img16 = rng.integers(0, 65536, (h, w) if gray_t else (h, w, 3),
+                             dtype=np.uint16)
+        comp = (1, 5, 32773)[trial % 3]
+        bo = ("II", "MM")[trial % 2]
+        ts = (16, 16) if trial % 3 == 0 else None
+        out = decode_tiff(encode_tiff(img16, compression=comp,
+                                      byte_order=bo, tile_size=ts))[0]
+        assert out.dtype == np.uint16, trial
+        want = np.stack([img16] * 3, 2) if gray_t else img16
+        assert np.array_equal(out, want), ("16bit", trial, comp, bo, ts)
+    # 16-bit WhiteIsZero inverts against the 16-bit ceiling
+    g16 = rng.integers(0, 65536, (7, 9), dtype=np.uint16)
+    inv16 = bytearray(encode_tiff(g16, compression=1))
+    i = inv16.find((262).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    inv16[i + 8] = 0
+    assert np.array_equal(decode_tiff(bytes(inv16))[0][:, :, 0],
+                          65535 - g16)
+    # mixed/unsupported depths raise loudly
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        encode_tiff(g16.astype(np.int32))
+    bad24 = bytearray(encode_tiff(
+        rng.integers(0, 256, (5, 5), dtype=np.uint8), compression=1))
+    i = bad24.find((258).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    bad24[i + 8] = 24
+    with pytest.raises(NotImplementedError, match="BitsPerSample"):
+        decode_tiff(bytes(bad24))
+
     # PhotometricInterpretation (r12 advice): WhiteIsZero grayscale —
     # the scanned-document shape — must decode INVERTED, not silently
     # pass raw sample values through; palette (3) must raise
@@ -1092,8 +1149,10 @@ def test_tiff_roundtrip_exact():
 
 
 def test_tiff_gate_matches_closed_form(spark):
-    """The media_image_features_tiff gate: real IFD/strip/LZW/predictor
-    decode of the synthesized gradient TIFFs matches the closed form."""
+    """The media_image_features_tiff gate: real IFD/strip/tile/LZW/
+    predictor decode of the synthesized gradient TIFFs — including the
+    r12 tiled (padded edge tiles) and 16-bit (× 257) classes — matches
+    the closed form."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -1104,10 +1163,13 @@ def test_tiff_gate_matches_closed_form(spark):
     feats = {r["doc_id"]: r for r in extract_image_features(
         attach_synthetic_tiff(docs)).collect()}
     for i in range(25):
-        w, h = i % 14 + 1, i % 10 + 1
-        want = i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0
+        big = i % 5 in (0, 2)
+        w = i % 14 + (20 if big else 1)
+        h = i % 10 + (18 if big else 1)
+        scale = 257 if i % 5 in (1, 2) else 1
+        want = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
         r = feats[i]
-        assert (r["width"], r["height"]) == (w, h)
+        assert (r["width"], r["height"]) == (w, h), i
         for c in ("mean_r", "mean_g", "mean_b"):
             assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
 
