@@ -44,7 +44,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench/test noise); SPARK_GRAFT_UI=true turns
+        # it on so harnesses can read stage shuffle metrics from the
+        # /api/v1 REST endpoint (scripts/scale_stress.py flagship mode)
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # extra driver/executor jars (e.g. the org.postgresql JDBC driver from

@@ -52,6 +52,31 @@ def replicate(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     return out
 
 
+def _shuffle_totals(spark) -> tuple[int, int] | None:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over completed
+    stages, from the UI REST API — only when SPARK_GRAFT_UI=true
+    enabled the UI (scripts pass it; the default session keeps the UI
+    off). None when unavailable."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications",
+                                    timeout=10) as r:
+            app_id = _json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages"
+                "?status=complete", timeout=10) as r:
+            stages = _json.load(r)
+        return (sum(s.get("shuffleReadBytes", 0) for s in stages),
+                sum(s.get("shuffleWriteBytes", 0) for s in stages))
+    except Exception:
+        return None
+
+
 def run(k: int) -> None:
     spark = get_spark(app_name=f"scale-stress-{k}x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,6 +84,7 @@ def run(k: int) -> None:
     li = replicate(read_testdata(spark, SF_DIR, "lineitem"),
                    ["l_orderkey", "l_partkey"], k)
 
+    sh0 = _shuffle_totals(spark)
     t0 = time.perf_counter()
     d = derive_osm_from(part, li)
     cn = car_network(d["ways"]).cache()
@@ -79,11 +105,18 @@ def run(k: int) -> None:
     n_comp_nodes = comps.count()
     t4 = time.perf_counter()
     n_li = li.count()
+    sh1 = _shuffle_totals(spark)
+    shuffle = ""
+    if sh0 is not None and sh1 is not None:
+        rd = (sh1[0] - sh0[0]) / 1e9
+        wr = (sh1[1] - sh0[1]) / 1e9
+        shuffle = f"  shuffle_rd={rd:6.2f}GB  shuffle_wr={wr:6.2f}GB"
     print(f"k={k:>2}  lineitem={n_li:>8}  car_ways={n_ways:>7}  "
           f"cc_nodes={n_comp_nodes:>7}  "
           f"derive+filter={t1 - t0:6.1f}s  split/merge={t2 - t1:6.1f}s  "
           f"directed={t3 - t2:6.1f}s  components={t4 - t3:6.1f}s  "
-          f"total={t4 - t0:6.1f}s", flush=True)
+          f"total={t4 - t0:6.1f}s  "
+          f"rows_per_s={n_li / (t4 - t0):,.0f}{shuffle}", flush=True)
     # fresh caches per K so runs are independent
     spark.catalog.clearCache()
 
