@@ -501,7 +501,13 @@ cni AS (SELECT c.edge_id, c.highway, c.oneway,
         FROM cn c LEFT JOIN med m ON c.highway = m.highway)
 """, _WAYLEN_SQL, _WAYENDS_SQL, _TOPOLOGY_SQL,
     _MERGED_SQL.replace("JOIN cn c", "JOIN cni c")
-               .replace("FROM cn c", "FROM cni c")) + """
+               .replace("FROM cn c", "FROM cni c")
+    # MATERIALIZED: the 4-slice union below references `merged` four
+    # times; DuckDB inlines CTEs by default, so without this it replays
+    # the whole split/merge derivation 4x (measured at sf1: >60 GB of
+    # spill, then allocator death). Single evaluation matches what the
+    # Spark side does with its cached merged network.
+    .replace("merged AS (", "merged AS MATERIALIZED (", 1)) + """
 , expanded AS (
   SELECT start_node, end_node, length, speed_limit FROM merged
     WHERE (oneway IS NULL OR oneway = 'no') AND highway != 'motorway'

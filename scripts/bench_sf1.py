@@ -98,6 +98,12 @@ def main() -> None:
     queries, oracles = all_queries(), all_oracles()
 
     con = duckdb.connect()
+    # bounded memory + disk spill: the heavier oracles (the directed-
+    # graph derivation replay) OOM-killed the default allocator at sf1
+    # sharing the box with the Spark JVM; spilling is symmetric with
+    # Spark's shuffle-spill behavior
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in ("part", "lineitem", "orders", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{DIR}/{t}.parquet/*.parquet'")
@@ -116,8 +122,9 @@ def main() -> None:
     # symmetric untimed warm passes (codegen/JIT vs buffer pool), then
     # median-of-R interleaved timed passes — bench.py's exact
     # methodology at the bigger scale
-    for _ in range(2):
+    for i in range(2):
         for name in DATA_BOUND:
+            print(f"warm {i} {name}", file=sys.stderr, flush=True)
             run_spark(name)
             run_duck(name)
         spark.catalog.clearCache()
