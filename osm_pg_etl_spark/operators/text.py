@@ -106,6 +106,17 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # but shuffles the whole tf table on the term key, putting every
     # document's "the" row on one reducer: exactly the skew a large corpus
     # can't survive. Broadcast keeps the big side term-shuffle-free.
+    #
+    # r12 persist A/B (interleaved, sf1 replicas, 5 reps each): persist
+    # 1.68 s median vs no-persist 1.53 s — locally no-persist wins ~9%
+    # because re-tokenizing 500 k docs is cheaper than materializing tf.
+    # But the UI stage metrics show NO exchange reuse without the persist
+    # (shuffle 47.3 MB vs 37.6 MB, source scanned twice), so at corpus
+    # scale no-persist doubles the dominant token shuffle + scan; the
+    # persist stays as the scale-conservative single-scan plan. The
+    # residual sf1 gap vs DuckDB (~2-2.8x at a 1-2 s absolute) is
+    # constant-factor string handling + job floor, not plan shape —
+    # recorded in SCALING.md.
     tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
           .persist())
     # df_docs is vocabulary-sized — broadcast it back so the big tf table
