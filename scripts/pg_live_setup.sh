@@ -38,4 +38,9 @@ psql -h "$PGSOCK" -U "$PGUSER_NAME" -d postgres -tAc \
     "SELECT 1 FROM pg_database WHERE datname='test'" | grep -q 1 ||
     psql -h "$PGSOCK" -U "$PGUSER_NAME" -d postgres -c "CREATE DATABASE test"
 
+# hstore is a contrib extension; the reference schema (pgsnapshot) and the
+# parity suite's tags columns need it.
+psql -h "$PGSOCK" -U "$PGUSER_NAME" -d test -c \
+    "CREATE EXTENSION IF NOT EXISTS hstore" >/dev/null
+
 echo "ready: OSM_PG_TEST_DSN='host=$PGSOCK user=$PGUSER_NAME dbname=test'"
