@@ -687,14 +687,22 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
 
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals — (flag, status), (flag), grand total — with
-    GROUPING marker columns; subtotals come from the same single shuffle as
-    the leaf groups (partial aggregation feeds every level)."""
+    GROUPING marker columns. Uses re-aggregation (operators/rollup.py)
+    instead of Spark's Expand plan: one fact-table pass computes the leaf
+    groups, and the coarser levels re-aggregate the tiny leaf table —
+    Expand would push 3x the rows through the exact-decimal accumulator."""
+    from ..operators.rollup import rollup_agg  # noqa: PLC0415
+
     li = t(spark, sf_dir, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
-                 F.grouping("l_linestatus").cast("int").alias("g_status"),
-                 F.count(F.lit(1)).alias("n"),
-                 dsum("l_quantity").alias("sum_qty")))
+    out = rollup_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        {"n": (F.count(F.lit(1)), "count"),
+         "_s": (F.sum(F.col("l_quantity").cast("decimal(28,6)")), "sum")})
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("g_l_returnflag").alias("g_flag"),
+        F.col("g_l_linestatus").alias("g_status"),
+        "n", F.round(F.col("_s").cast("double"), 4).alias("sum_qty"))
 
 
 SQL_ROLLUP_COUNTS = f"""
@@ -786,14 +794,21 @@ SELECT 'never', k FROM (
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping levels
     including the column-only marginals ROLLUP can't produce — with
-    GROUPING markers; like ROLLUP, every level is fed by one partial
-    aggregation, so the whole lattice costs a single shuffle."""
+    GROUPING markers. Re-aggregated like q_rollup_counts: a cube's Expand
+    plan would push 4x the fact rows through the decimal accumulator; the
+    re-agg form derives all 2^k levels from one leaf aggregate."""
+    from ..operators.rollup import cube_agg  # noqa: PLC0415
+
     li = t(spark, sf_dir, "lineitem")
-    return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
-                 F.grouping("l_linestatus").cast("int").alias("g_status"),
-                 F.count(F.lit(1)).alias("n"),
-                 dsum("l_quantity").alias("sum_qty")))
+    out = cube_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        {"n": (F.count(F.lit(1)), "count"),
+         "_s": (F.sum(F.col("l_quantity").cast("decimal(28,6)")), "sum")})
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("g_l_returnflag").alias("g_flag"),
+        F.col("g_l_linestatus").alias("g_status"),
+        "n", F.round(F.col("_s").cast("double"), 4).alias("sum_qty"))
 
 
 SQL_CUBE_COUNTS = f"""
