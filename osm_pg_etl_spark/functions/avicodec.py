@@ -12,8 +12,11 @@ Scope: single-video-stream AVI ('MJPG'/'mjpg' fourcc or a
 BITMAPINFOHEADER whose frames sniff as JPEG), ``LIST movi`` chunk walk
 with word-aligned chunk padding, ``rec `` sub-list recursion, optional
 ``idx1`` ignored (the frames are read in stream order). Frame rate from
-the main AVI header's dwMicroSecPerFrame. Other codecs (actual
-inter-frame compression: MPEG/H.26x) raise ``NotImplementedError``
+the main AVI header's dwMicroSecPerFrame. Since r12 the walker also
+dispatches CRAM/MSVC/WHAM 16-bit streams to :mod:`.msvideo1` — REAL
+INTER-FRAME decoding (skip blocks copy from the previous frame), so the
+"no inter-frame codecs" boundary is gone; what remains out of scope is
+transform-coded video (MPEG/H.26x), which raises ``NotImplementedError``
 loudly — the honest-boundary pattern every codec here follows.
 
 Determinism: the container walk is pure byte arithmetic and each frame
@@ -75,19 +78,73 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
-    """Motion-JPEG AVI bytes -> (list of (h, w, 3) uint8 RGB frames,
-    fps). Walks the RIFF chunk tree (word-aligned), recurses into
-    ``movi``'s ``rec `` sub-lists, decodes every ``..dc``/``..db`` video
-    chunk with the real JPEG decoder, and rejects non-JPEG codecs
-    loudly."""
+def encode_avi_msvc(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """(h, w, 3) uint8 frames -> MS Video 1 (CRAM, 16-bit) AVI bytes —
+    the INTER-FRAME sibling of :func:`encode_avi_mjpeg`: frame 0 is
+    intra, every later frame encodes only the 4x4 blocks that changed
+    (unchanged blocks become skip runs referencing the previous frame).
+    Frames are quantized to RGB555; dimensions must be multiples of 4."""
+    from .msvideo1 import encode_msvc_frame, rgb888_to_rgb555
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one (h, w)")
+    # bottom-up (DIB) row order inside the codec; flip on the way in
+    planes = [rgb888_to_rgb555(f)[::-1] for f in frames]
+    payloads = []
+    prev = None
+    for p in planes:
+        payloads.append(encode_msvc_frame(p, prev))
+        prev = p
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(round(1_000_000 / fps))
+    max_bytes = max(len(p) for p in payloads)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", usec, max_bytes * int(round(fps)), 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"CRAM" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0,
+        len(payloads), max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 16, b"CRAM", w * h * 2,
+        0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+_MSVC_FOURCCS = (b"CRAM", b"MSVC", b"WHAM", b"cram", b"msvc", b"wham")
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """AVI bytes -> (list of (h, w, 3) uint8 RGB frames, fps). Walks the
+    RIFF chunk tree (word-aligned), recurses into ``movi``'s ``rec ``
+    sub-lists, and dispatches the video stream by codec: JPEG-sniffing
+    frames decode as Motion-JPEG; a CRAM/MSVC/WHAM 16-bit stream decodes
+    as MS Video 1 with the previous-frame state threaded through (the
+    inter-frame path). Other codecs raise loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI payload")
     usec_per_frame = 0
+    compression = b""
+    bit_count = 0
+    dims = (0, 0)                     # (width, height) from strf
     frames: list[np.ndarray] = []
+    msvc_prev: np.ndarray | None = None
 
     def walk(data: bytes, pos: int, end: int) -> None:
-        nonlocal usec_per_frame
+        nonlocal usec_per_frame, compression, bit_count, dims, msvc_prev
         while pos + 8 <= end:
             fourcc = data[pos:pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -100,6 +157,15 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
             elif fourcc == b"avih":
                 (usec_per_frame,) = struct.unpack(
                     "<I", data[body_start:body_start + 4])
+            elif fourcc == b"strf" and size >= 16:
+                # BITMAPINFOHEADER: biWidth/biHeight at 4/8,
+                # biBitCount at 14, biCompression at 16
+                bw, bh = struct.unpack("<ii", data[body_start + 4:
+                                                   body_start + 12])
+                dims = (bw, bh)
+                (bit_count,) = struct.unpack(
+                    "<H", data[body_start + 14:body_start + 16])
+                compression = data[body_start + 16:body_start + 20]
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frame = data[body_start:body_end]
                 if not frame:
@@ -107,12 +173,31 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
                     # real capture devices emit; a compliant reader skips
                     pos = body_start
                     continue
-                if frame[:2] != b"\xFF\xD8":
+                if frame[:2] == b"\xFF\xD8":
+                    frames.append(decode_jpeg(frame))
+                elif compression in _MSVC_FOURCCS:
+                    from .msvideo1 import (decode_msvc_frame,
+                                           rgb555_to_rgb888)
+
+                    if bit_count != 16:
+                        raise NotImplementedError(
+                            "only the 16-bit (RGB555) MS Video 1 variant "
+                            f"decodes (biBitCount={bit_count}; the 8-bit "
+                            "palettized variant is out of scope)")
+                    w, h = dims[0], dims[1]
+                    if h < 0:
+                        raise NotImplementedError(
+                            "top-down (negative biHeight) MS Video 1 AVIs "
+                            "are not supported")
+                    msvc_prev = decode_msvc_frame(frame, w, h, msvc_prev)
+                    # codec space is bottom-up; flip to image order
+                    frames.append(rgb555_to_rgb888(msvc_prev[::-1]))
+                else:
                     raise NotImplementedError(
-                        "AVI video chunk is not a JPEG frame — only "
-                        "Motion-JPEG AVIs are supported (no inter-frame "
-                        "codecs)")
-                frames.append(decode_jpeg(frame))
+                        "AVI video chunk is neither a Motion-JPEG frame "
+                        "nor an MS Video 1 stream — no other codecs "
+                        f"decode without a video library (biCompression="
+                        f"{compression!r})")
             pos = body_start + size + (size % 2)  # chunks are word-aligned
 
     walk(payload, 12, len(payload))
@@ -120,6 +205,12 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
         raise ValueError("AVI contained no video frames")
     fps = 1_000_000 / usec_per_frame if usec_per_frame else 0.0
     return frames, fps
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Back-compat name: :func:`decode_avi` with codec dispatch (MJPEG
+    and MS Video 1 both decode; anything else raises loudly)."""
+    return decode_avi(payload)
 
 
 def video_features(frames: list[np.ndarray], fps: float,

@@ -436,6 +436,63 @@ def attach_synthetic_mjpeg(df: DataFrame, id_col: str = "doc_id"
                      meta.alias("media_meta"))
 
 
+def attach_synthetic_msvc(df: DataFrame, id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """REAL INTER-FRAME video payloads (r12,
+    :mod:`..functions.msvideo1`): one MS Video 1 (CRAM 16-bit) AVI per
+    row. Frame grid is wb = id mod 2 + 2 by 2 blocks of 4x4 gray
+    pixels; n = id mod 3 + 2 frames at 10 fps. Frame 0 is all-solid at
+    5-bit level q0 = 7·id mod 20; in frame f ≥ 1 the odd checkerboard
+    cells (exactly wb of the 2·wb cells) change to level q0 + f while
+    the even cells stay put — so the encoder emits genuine SKIP blocks
+    (temporal references to the previous frame) for half of every
+    non-key frame, and the decode is pixel-exact because every level is
+    on the RGB555 lattice (8-bit value G(q) = 8q + q//4). Features stay
+    closed-form: per-channel sums are integers, mean and motion are
+    single divisions of those integers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make_avi(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.avicodec import encode_avi_msvc
+        from ..functions.msvideo1 import rgb555_to_rgb888
+
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, n, q0 = i % 2 + 2, i % 3 + 2, 7 * i % 20
+
+            def gray(q):
+                return np.uint16((q << 10) | (q << 5) | q)
+
+            frames = []
+            base = np.full((8, wb * 4), gray(q0), dtype=np.uint16)
+            frames.append(base)
+            for f in range(1, n):
+                nxt = frames[-1].copy()
+                for by in range(2):
+                    for bx in range(wb):
+                        if (bx + by) % 2 == 1:
+                            nxt[by * 4:by * 4 + 4,
+                                bx * 4:bx * 4 + 4] = gray(q0 + f)
+                frames.append(nxt)
+            out.append(encode_avi_msvc(
+                [rgb555_to_rgb888(fr) for fr in frames], fps=10.0))
+        return pd.Series(out)
+
+    meta = F.struct(
+        F.lit("video").alias("kind"),
+        F.lit("video/x-msvideo").alias("mime"),
+        ((F.col(id_col) % 2 + 2) * 4).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+        ((F.col(id_col) % 3 + 2) * 100).cast("int").alias("duration_ms"))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     make_avi(F.col(id_col)).alias("content"),
+                     meta.alias("media_meta"))
+
+
 def extract_video_features(media: DataFrame,
                            sample_stride: int = 1) -> DataFrame:
     """REAL video decode → feature extraction over ``mapInPandas``:
@@ -458,12 +515,12 @@ def extract_video_features(media: DataFrame,
     ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.avicodec import decode_avi_mjpeg, video_features
+        from ..functions.avicodec import decode_avi, video_features
 
         for pdf in it:
             feats = []
             for p in pdf["content"]:
-                frames, fps = decode_avi_mjpeg(bytes(p))
+                frames, fps = decode_avi(bytes(p))
                 feats.append(video_features(frames, fps,
                                             sample_stride=sample_stride))
             yield pd.DataFrame({

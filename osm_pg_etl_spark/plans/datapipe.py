@@ -1822,6 +1822,66 @@ FROM p
 """
 
 
+def q_media_video_features_msvc(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL INTER-FRAME video decode (r12): every doc_id becomes a
+    genuine MS Video 1 (CRAM 16-bit) AVI whose non-key frames encode
+    only the changed checkerboard cells — the unchanged half of each
+    frame is SKIP blocks, i.e. temporal references the decoder resolves
+    against its previous-frame state (:mod:`functions.msvideo1`). All
+    levels sit on the RGB555 lattice so decode is pixel-exact and the
+    features are closed forms of doc_id: with wb = id%2+2, n = id%3+2,
+    q0 = 7·id%20 and G(q) = 8q + q//4, the per-channel mean is
+    (32·wb·G(q0) + 16·wb·((n-1)·G(q0) + Σ_{f=1}^{n-1} G(q0+f))) /
+    (32·wb·n) and motion telescopes to (G(q0+n-1) − G(q0)) / (2(n-1)).
+    A hash match proves the executor-side decoder really replayed the
+    skip-block deltas."""
+    docs = docs_t(spark, sf_dir)
+    media = multimodal.attach_synthetic_msvc(docs.select("doc_id"))
+    feats = multimodal.extract_video_features(media)
+    return feats.select("doc_id", "n_frames", "fps",
+                        F.round("duration_ms", 6).alias("duration_ms"),
+                        "width", "height",
+                        F.round("mean_luma", 6).alias("mean_luma"),
+                        F.round("motion", 6).alias("motion"))
+
+
+SQL_MEDIA_VIDEO_FEATURES_MSVC = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 + 2 AS wb,
+         CAST(doc_id % 3 + 2 AS INT) AS n,
+         7 * doc_id % 20 AS q0
+  FROM documents),
+g AS (
+  SELECT doc_id, wb, n, q0,
+         8 * q0 + q0 // 4 AS g0,
+         CASE WHEN n >= 2 THEN 8 * (q0+1) + (q0+1) // 4 ELSE 0 END
+         + CASE WHEN n >= 3 THEN 8 * (q0+2) + (q0+2) // 4 ELSE 0 END
+         + CASE WHEN n >= 4 THEN 8 * (q0+3) + (q0+3) // 4 ELSE 0 END
+           AS sg,
+         8 * (q0 + n - 1) + (q0 + n - 1) // 4 AS glast
+  FROM p),
+m AS (
+  SELECT doc_id, wb, n,
+         CAST(32 * wb * g0 + 16 * wb * ((n - 1) * g0 + sg) AS DOUBLE)
+           / (32 * wb * n) AS mean_c,
+         CAST(16 * wb * (glast - g0) AS DOUBLE)
+           / (32 * wb * (n - 1)) AS mad_c
+  FROM g)
+SELECT doc_id,
+       n AS n_frames,
+       CAST(10.0 AS DOUBLE) AS fps,
+       ROUND(n / CAST(10.0 AS DOUBLE) * 1000.0, 6) AS duration_ms,
+       CAST(wb * 4 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       ROUND(0.299 * mean_c + 0.587 * mean_c + 0.114 * mean_c, 6)
+         AS mean_luma,
+       ROUND(0.299 * mad_c + 0.587 * mad_c + 0.114 * mad_c, 6) AS motion
+FROM m
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow-batched pipeline: every
     doc_id becomes a genuine PCM WAV square wave (attach_synthetic_wav)
@@ -2262,6 +2322,7 @@ QUERIES = {
     "media_image_features_gif": q_media_image_features_gif,
     "media_image_features_tiff": q_media_image_features_tiff,
     "media_video_features": q_media_video_features,
+    "media_video_features_msvc": q_media_video_features_msvc,
     "media_audio_features_ulaw": q_media_audio_features_ulaw,
     "media_audio_features_flac": q_media_audio_features_flac,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -2320,6 +2381,7 @@ ORACLES = {
     "media_image_features_gif": SQL_MEDIA_IMAGE_FEATURES_GIF,
     "media_image_features_tiff": SQL_MEDIA_IMAGE_FEATURES_TIFF,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
+    "media_video_features_msvc": SQL_MEDIA_VIDEO_FEATURES_MSVC,
     "media_audio_features_ulaw": _sql_media_audio_features_ulaw(),
     "media_audio_features_flac": SQL_MEDIA_AUDIO_FEATURES,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

@@ -1,0 +1,193 @@
+"""functions/msvideo1 + the avicodec CRAM dispatch: real INTER-FRAME
+video decode. The walk order (bottom-up DIB, bit 0 = bottom-left) is
+pinned by a hand-crafted stream, independent of our own encoder; the
+encoder round-trips every intra mode exactly on RGB555-representable
+frames; skip blocks genuinely copy from the previous frame."""
+
+import numpy as np
+import pytest
+
+from osm_pg_etl_spark.functions.avicodec import (
+    decode_avi, encode_avi_msvc, video_features)
+from osm_pg_etl_spark.functions.msvideo1 import (
+    decode_msvc_frame, encode_msvc_frame, rgb555_to_rgb888,
+    rgb888_to_rgb555)
+
+RED, BLUE = 0x7C00, 0x001F
+
+
+def rep5(q):
+    """The representable 8-bit level for a 5-bit channel value."""
+    return (q << 3) | (q >> 2)
+
+
+def gray555(q):
+    """Solid gray frame value: all three channels at 5-bit level q."""
+    return (q << 10) | (q << 5) | q
+
+
+def frame_from_555(packed):
+    """(h, w) uint16 bottom-up buffer -> top-down RGB888 frame."""
+    return rgb555_to_rgb888(np.asarray(packed, dtype=np.uint16)[::-1])
+
+
+def test_handcrafted_two_color_pins_walk_order():
+    """flags=0x0001 with colors (red, blue): exactly ONE red pixel, at
+    the block's first-walked position = the IMAGE's bottom-left (the
+    DIB walk starts at the bottom row)."""
+    stream = bytes([0x01, 0x00]) + RED.to_bytes(2, "little") \
+        + BLUE.to_bytes(2, "little")
+    buf = decode_msvc_frame(stream, 4, 4, None)
+    img = rgb555_to_rgb888(buf[::-1])
+    assert tuple(img[3, 0]) == (255, 0, 0)          # bottom-left red
+    assert (img.reshape(-1, 3) == (0, 0, 255)).all(axis=1).sum() == 15
+
+
+def test_handcrafted_eight_color_quadrants():
+    """8-color: first color's bit 15 set; each 2x2 quadrant has its own
+    pair; quadrant index ((y&2)<<1)|(x&2) in walk space."""
+    pairs = [(0x8000 | gray555(10), gray555(1)),
+             (gray555(11), gray555(2)),
+             (gray555(12), gray555(3)),
+             (gray555(13), gray555(4))]
+    flags = 0x00FF               # first two walked rows all bit-set
+    stream = flags.to_bytes(2, "little") + b"".join(
+        hi.to_bytes(2, "little") + lo.to_bytes(2, "little")
+        for hi, lo in pairs)
+    buf = decode_msvc_frame(stream, 4, 4, None)
+    img = rgb555_to_rgb888(buf[::-1])
+    # walk rows 0-1 (image rows 3-2): hi colors; rows 2-3 (image 1-0): lo
+    assert img[3, 0, 0] == rep5(10) and img[3, 2, 0] == rep5(11)
+    assert img[2, 1, 0] == rep5(10) and img[2, 3, 0] == rep5(11)
+    assert img[1, 0, 0] == rep5(3) and img[1, 2, 0] == rep5(4)
+    assert img[0, 3, 0] == rep5(4)
+
+
+def test_solid_and_skip_inter_frame():
+    """Frame 2 = frame 1 except one block: its stream is skip-dominated
+    and strictly smaller; the unchanged blocks are copies of frame 1."""
+    f1 = np.full((8, 8), gray555(5), dtype=np.uint16)
+    f2 = f1.copy()
+    f2[0:4, 4:8] = gray555(9)
+    s1 = encode_msvc_frame(f1, None)
+    s2 = encode_msvc_frame(f2, f1)
+    assert len(s2) < len(s1)
+    d1 = decode_msvc_frame(s1, 8, 8, None)
+    d2 = decode_msvc_frame(s2, 8, 8, d1)
+    assert np.array_equal(rgb555_to_rgb888(d2), rgb555_to_rgb888(f2))
+    # and the second frame's stream really starts with a skip code
+    assert (s2[1] & 0xFC) == 0x84
+
+
+def test_skip_run_longer_than_1023_blocks():
+    """A fully-unchanged 1088-block frame needs two skip codes."""
+    f = np.full((136, 128), gray555(7), dtype=np.uint16)
+    s = encode_msvc_frame(f, f)
+    assert len(s) == 4                                # two skip words
+    assert (s[1] & 0xFC) == 0x84 and (s[3] & 0xFC) == 0x84
+    d = decode_msvc_frame(s, 128, 136, f)
+    assert np.array_equal(d, f)
+
+
+def test_solid_red1_aliases_skip_and_is_escaped():
+    """Solid colors with red == 1 would collide with skip codes; the
+    encoder must emit them as an equal-pair 2-color block instead."""
+    color = (1 << 10) | (20 << 5) | 3
+    f = np.full((4, 4), color, dtype=np.uint16)
+    s = encode_msvc_frame(f, None)
+    assert (s[1] & 0xFC) != 0x84                      # NOT a skip code
+    d = decode_msvc_frame(s, 4, 4, None)
+    assert np.array_equal(d & 0x7FFF, f)
+
+
+def test_all_intra_modes_roundtrip_exactly():
+    """solid + 2-color + 8-color blocks in one frame, all exact."""
+    f = np.zeros((8, 8), dtype=np.uint16)
+    f[0:4, 0:4] = gray555(20)                          # solid
+    f[0:4, 4:8] = gray555(3)                           # 2-color checker
+    f[0:4, 4:8][::2, ::2] = gray555(28)
+    for qi, (qy, qx) in enumerate([(4, 0), (4, 2), (6, 0), (6, 2)]):
+        f[qy:qy + 2, qx:qx + 2] = gray555(qi + 1)      # 8-color quads
+        f[qy, qx] = gray555(qi + 10)
+    f[4:8, 4:8] = gray555(15)
+    s = encode_msvc_frame(f, None)
+    d = decode_msvc_frame(s, 8, 8, None)
+    assert np.array_equal(d & 0x7FFF, f)
+
+
+def test_lossy_fallback_is_deterministic_and_two_color():
+    """>2 colors per quadrant exceeds the format: the luma-split
+    fallback emits a valid 2-color block, deterministically."""
+    f = np.arange(16, dtype=np.uint16).reshape(4, 4) * 97 % 0x8000
+    s1 = encode_msvc_frame(f, None)
+    s2 = encode_msvc_frame(f.copy(), None)
+    assert s1 == s2
+    d = decode_msvc_frame(s1, 4, 4, None)
+    assert len(np.unique(d)) <= 2
+
+
+def test_avi_container_roundtrip_and_fps():
+    """End-to-end: RGB frames -> CRAM AVI -> decode_avi. Inputs use
+    only representable levels, so the round-trip is pixel-exact; the
+    static checkerboard cells of later frames become true skips."""
+    frames = []
+    for f in range(3):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                q = 6 if (bx + by) % 2 == 0 else 6 + f
+                img[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = rep5(q)
+        frames.append(img)
+    avi = encode_avi_msvc(frames, fps=10.0)
+    dec, fps = decode_avi(avi)
+    assert fps == 10.0 and len(dec) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    feats = video_features(dec, fps)
+    assert feats["n_frames"] == 3 and feats["duration_ms"] == 300.0
+    # half the pixels move by rep5(q+1)-rep5(q) per step
+    d1, d2 = rep5(7) - rep5(6), rep5(8) - rep5(7)
+    mad = (d1 + d2) / 2.0 / 2
+    assert feats["motion"] == 0.299 * mad + 0.587 * mad + 0.114 * mad
+
+
+def test_boundaries_raise_loudly():
+    with pytest.raises(NotImplementedError, match="multiples of 4"):
+        encode_msvc_frame(np.zeros((5, 4), dtype=np.uint16), None)
+    with pytest.raises(NotImplementedError, match="multiples of 4"):
+        decode_msvc_frame(b"", 6, 4, None)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_msvc_frame(b"\x00", 4, 4, None)
+    with pytest.raises(ValueError, match="skip of 0"):
+        decode_msvc_frame(bytes([0x00, 0x84]), 4, 4, None)
+    f = np.zeros((4, 4, 3), dtype=np.uint8)
+    avi = bytearray(encode_avi_msvc([f]))
+    i = avi.find(b"strf")
+    avi[i + 8 + 14:i + 8 + 16] = (8).to_bytes(2, "little")  # biBitCount=8
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_avi(bytes(avi))
+
+
+def test_roundtrip_random_representable_frames():
+    """Randomized (seeded) frames drawn from the RGB555 lattice with
+    inter-frame block reuse: container round-trip stays pixel-exact."""
+    rng = np.random.default_rng(55)
+    base555 = np.zeros((16, 12), dtype=np.uint16)
+    for by in range(4):              # each block: random 2-color pattern
+        for bx in range(3):          # (the format is lossy beyond that)
+            qa, qb = rng.integers(0, 32, 2)
+            patt = rng.integers(0, 2, (4, 4))
+            base555[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                np.where(patt == 1, gray555(int(qa)), gray555(int(qb)))
+    frames = [rgb555_to_rgb888(base555)]
+    for _ in range(3):
+        nxt = frames[-1].copy()
+        # mutate a random block to a random 2-color pattern
+        by, bx = rng.integers(0, 4), rng.integers(0, 3)
+        q1, q2 = rng.integers(0, 32, 2)
+        patt = rng.integers(0, 2, (4, 4), dtype=np.uint16)
+        block = np.where(patt == 1, gray555(int(q1)), gray555(int(q2)))
+        nxt[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+            rgb555_to_rgb888(block.astype(np.uint16))
+        frames.append(nxt)
+    dec, _ = decode_avi(encode_avi_msvc(frames))
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
