@@ -13,10 +13,12 @@ code-width change (the width bumps one code sooner than GIF's — the
 classic interop trap), plus the horizontal-differencing predictor
 (tag 317 = 2) LZW files usually pair with, applied on SAMPLE values so
 it is depth-correct for 16-bit. PhotometricInterpretation 0/1/2
-(WhiteIsZero inverted on decode). Multi-IFD (multi-page) files decode
-to a list of pages; 16-bit pages come back as uint16 arrays (callers
-see the true dynamic range). JPEG-in-TIFF / CCITT fax compressions,
-palette/CMYK/YCbCr photometrics, and mixed-depth channels raise
+(WhiteIsZero inverted on decode), 3 (palette — 16-bit ColorMap lookup,
+the scanned-map shape) and 5 (CMYK, converted with the exact integer
+``(255-c)*(255-k)//255``). Multi-IFD (multi-page) files decode to a
+list of pages; 16-bit pages come back as uint16 arrays (callers see
+the true dynamic range). JPEG-in-TIFF / CCITT fax compressions, YCbCr,
+16-bit palette/CMYK, and mixed-depth channels raise
 ``NotImplementedError`` loudly — the honest-boundary pattern.
 
 Lossless throughout: any image round-trips bit-exactly, so gates pin
@@ -184,7 +186,8 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                 compression: int = 5,
                 predictor: int = 2, rows_per_strip: int = 16,
                 byte_order: str = "II",
-                tile_size: tuple[int, int] | None = None) -> bytes:
+                tile_size: tuple[int, int] | None = None,
+                palette: np.ndarray | None = None) -> bytes:
     """(h, w) gray or (h, w, 3) RGB — uint8 OR uint16 samples — or a
     LIST of such arrays for a multi-page file (the scan-corpus shape:
     one IFD per page, chained) -> TIFF bytes. ``compression``: 1 (none),
@@ -196,7 +199,11 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
     ``tile_size``: None writes the strip layout; ``(tile_w, tile_h)``
     (multiples of 16 per TIFF6 §15) writes the TILED layout — edge
     tiles zero-padded to full tile size, tags 322-325 instead of
-    273/278/279."""
+    273/278/279. ``palette``: a (256, 3) uint8 colormap — pages must
+    then be (h, w) uint8 INDEX arrays; writes photometric 3 with the
+    spec's 16-bit ColorMap tag (channel values stored as v*257, the
+    replicated-byte convention). A (h, w, 4) uint8 page writes CMYK
+    (photometric 5, 4 samples/px)."""
     pages = (rgb_or_gray if isinstance(rgb_or_gray, (list, tuple))
              else [rgb_or_gray])
     if not pages:
@@ -218,10 +225,20 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             raise ValueError("encoder expects (h, w[, 3]) uint8/uint16 "
                              "pages")
         spp = 1 if a.ndim == 2 else a.shape[2]
-        if spp not in (1, 3):
-            raise ValueError("1 (gray) or 3 (RGB) samples per pixel only")
+        if spp not in (1, 3, 4):
+            raise ValueError("1 (gray/palette), 3 (RGB) or 4 (CMYK) "
+                             "samples per pixel only")
         if a.shape[0] == 0 or a.shape[1] == 0:
             raise ValueError("cannot encode an empty page")
+        if palette is not None:
+            pal = np.asarray(palette)
+            if spp != 1 or a.dtype != np.uint8:
+                raise ValueError("palette pages must be (h, w) uint8 "
+                                 "index arrays")
+            if pal.shape != (256, 3) or pal.dtype != np.uint8:
+                raise ValueError("palette must be a (256, 3) uint8 array")
+        if spp == 4 and a.dtype != np.uint8:
+            raise ValueError("CMYK pages must be uint8")
         bps = 8 * a.dtype.itemsize
         mod = 1 << bps
         sample_dt = np.dtype(bo + ("u1" if bps == 8 else "u2"))
@@ -249,7 +266,8 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
 
         # page layout: IFD + out-of-line values + chunks, all at
         # absolute offsets from the file start
-        n_entries = 11 if tile_size is None else 12
+        n_entries = (11 if tile_size is None else 12) \
+            + (1 if palette is not None else 0)
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
         ifd_size = 2 + n_entries * 12 + 4
@@ -263,8 +281,14 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
 
         n_chunks = len(chunks)
         fmt_l = bo + "I" * n_chunks
-        if spp == 3:
-            bps_off = val_offset(struct.pack(bo + "3H", bps, bps, bps))
+        if spp > 1:
+            bps_off = val_offset(struct.pack(bo + f"{spp}H",
+                                             *([bps] * spp)))
+        if palette is not None:
+            # ColorMap: 3*256 SHORTs, plane-major R then G then B,
+            # 8-bit channels replicated to 16-bit as v*257
+            cmap16 = (pal.astype(np.uint32) * 257).T.reshape(-1)
+            cmap_off = val_offset(struct.pack(bo + "768H", *cmap16))
         chunk_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_chunks))) \
             if n_chunks > 1 else None
         counts = [len(s) for s in chunks]
@@ -292,12 +316,20 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         # dimensions/RowsPerStrip as LONG: SHORT silently truncates
         # anything > 65535 (satellite-strip sizes are real)
         e = [entry(256, 4, 1, w), entry(257, 4, 1, h)]
-        if spp == 3:
-            e.append(entry(258, 3, 3, bps_off))
+        if spp > 1:
+            e.append(entry(258, 3, spp, bps_off))
         else:
             e.append(entry(258, 3, 1, bps))
         e.append(entry(259, 3, 1, compression))
-        e.append(entry(262, 3, 1, 2 if spp == 3 else 1))
+        if spp == 4:
+            photometric = 5              # CMYK (separated)
+        elif palette is not None:
+            photometric = 3              # palette-color
+        else:
+            photometric = 2 if spp == 3 else 1
+        e.append(entry(262, 3, 1, photometric))
+        if palette is not None:
+            e.append(entry(320, 3, 768, cmap_off))
         e.append(entry(274, 3, 1, 1))           # Orientation: top-left
         e.append(entry(277, 3, 1, spp))
         if tile_size is None:
@@ -394,14 +426,16 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
         comp = values(259, [1])[0]
         spp = values(277, [1])[0]
         # PhotometricInterpretation: 0 = WhiteIsZero (scanned docs),
-        # 1 = BlackIsZero, 2 = RGB. Defaulting by spp when absent;
-        # anything else (palette, CMYK, YCbCr...) raises loudly rather
-        # than decoding silently-wrong intensities.
+        # 1 = BlackIsZero, 2 = RGB, 3 = palette (ColorMap lookup),
+        # 5 = CMYK (separated). Defaulting by spp when absent; anything
+        # else (YCbCr, CIELab...) raises loudly rather than decoding
+        # silently-wrong intensities.
         photometric = values(262, [1 if spp == 1 else 2])[0]
-        if photometric not in ((0, 1) if spp == 1 else (2,)):
+        allowed = {1: (0, 1, 3), 3: (2,), 4: (5,)}.get(spp, ())
+        if photometric not in allowed:
             raise NotImplementedError(
                 f"TIFF photometric {photometric} with {spp} samples/px "
-                "unsupported (WhiteIsZero/BlackIsZero gray or RGB only)")
+                "unsupported (gray/palette, RGB, or CMYK only)")
         rps = values(278, [2 ** 32 - 1])[0]
         pred = values(317, [1])[0]
         if len(set(bps)) != 1 or bps[0] not in (8, 16):
@@ -409,6 +443,9 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 f"TIFF BitsPerSample {bps} unsupported (uniform 8- or "
                 "16-bit samples only)")
         depth = bps[0]
+        if photometric in (3, 5) and depth != 8:
+            raise NotImplementedError(
+                f"{depth}-bit palette/CMYK TIFF unsupported (8-bit only)")
         mod = 1 << depth
         sample_dt = np.dtype((bo if depth == 16 else "") + f"u{depth // 8}")
         out_dt = np.uint8 if depth == 8 else np.uint16
@@ -416,7 +453,7 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
             raise NotImplementedError(
                 f"TIFF compression {comp} unsupported (baseline "
                 "none/LZW/PackBits only — no CCITT/JPEG-in-TIFF)")
-        if spp not in (1, 3):
+        if spp not in (1, 3, 4):
             raise NotImplementedError(f"{spp} samples per pixel")
         dec = _COMPRESSORS[comp][1]
 
@@ -458,11 +495,31 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 cw = min(tw, w - tx)
                 rows[ty:ty + ch, tx * spp:(tx + cw) * spp] = \
                     tile[:ch, :cw * spp]
-        if spp == 1:
+        if spp == 1 and photometric == 3:
+            cmap = values(320)
+            if cmap is None or len(cmap) != 3 * mod:
+                raise ValueError(
+                    "malformed palette TIFF: ColorMap missing or not "
+                    f"3*{mod} entries")
+            # plane-major 16-bit R,G,B planes; >>8 inverts the v*257
+            # replicated-byte convention exactly
+            planes = (np.asarray(cmap, dtype=np.uint32)
+                      .reshape(3, mod) >> 8).astype(np.uint8)
+            idx = rows.reshape(h, w)
+            pages.append(np.stack([planes[0][idx], planes[1][idx],
+                                   planes[2][idx]], axis=2))
+        elif spp == 1:
             g = rows.reshape(h, w)
             if photometric == 0:          # WhiteIsZero: invert to the
                 g = (mod - 1) - g         # BlackIsZero convention used
             pages.append(np.stack([g, g, g], axis=2))
+        elif spp == 4:
+            cmyk = rows.reshape(h, w, 4).astype(np.uint32)
+            inv_k = 255 - cmyk[:, :, 3]
+            rgb = np.stack(
+                [((255 - cmyk[:, :, c]) * inv_k) // 255
+                 for c in range(3)], axis=2).astype(np.uint8)
+            pages.append(rgb)
         else:
             pages.append(rows.reshape(h, w, 3))
     if not pages:

@@ -333,19 +333,27 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     base = 19·id mod 103, bounded < 256) — cycling the three baseline
     compressions by id (none / LZW with the horizontal-differencing
     predictor / PackBits), BOTH byte orders (MM on odd ids), and (r12)
-    the layout/depth classes by id mod 5:
+    the layout/depth/photometric classes by id mod 7:
 
     - 0: TILED 8-bit, (id%14+20) × (id%10+18) so the 16×16 tile grid is
       2×2 with genuinely padded edge tiles (tags 322-325);
     - 1: strip 16-BIT — the 8-bit gradient × 257 (full-scale uint16);
     - 2: tiled 16-bit (both extensions composed);
     - 3, 4: the original small strip layout (RowsPerStrip 4, so
-      multi-strip assembly decodes too).
+      multi-strip assembly decodes too);
+    - 5: PALETTE (photometric 3): the gradient as INDEX values with the
+      affine ColorMap R = 255−i, G = i, B = 255−i — channel means stay
+      closed-form (255−m, m, 255−m) and the asymmetry pins the
+      plane-major ColorMap order;
+    - 6: CMYK (photometric 5): C = M = Y = 255−v, K = 0, whose exact
+      integer conversion recovers (v, v, v) — spp=4 strip math and the
+      4-sample predictor, identity in the mean.
 
     TIFF is lossless at every depth, so the closed-form oracle
-    ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes) pins the
-    IFD parse, strip AND tile math, padding crop, early-change LZW and
-    depth-correct predictor inversion on every pixel."""
+    ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes, affine
+    for the palette class) pins the IFD parse, strip AND tile math,
+    padding crop, early-change LZW and depth-correct predictor
+    inversion on every pixel."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
@@ -354,28 +362,37 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
 
         from ..functions.tiffcodec import encode_tiff
 
+        lut = np.arange(256, dtype=np.uint8)
+        pal = np.stack([255 - lut, lut, 255 - lut], axis=1)
         out = []
         for i in ids:
             i = int(i)
-            cls = i % 5
+            cls = i % 7
             big = cls in (0, 2)
             w = i % 14 + (20 if big else 1)
             h = i % 10 + (18 if big else 1)
             base = i * 19 % 103
             gray = (base + np.arange(w)[None, :]
                     + np.arange(h)[:, None]).astype(np.uint16)
-            if cls in (1, 2):
-                gray = gray * np.uint16(257)     # full-scale 16-bit
-            else:
-                gray = gray.astype(np.uint8)
             comp = (1, 5, 32773)[i % 3]
-            out.append(encode_tiff(
-                gray, compression=comp, rows_per_strip=4,
-                byte_order="MM" if i % 2 else "II",
-                tile_size=(16, 16) if big else None))
+            kwargs = dict(compression=comp, rows_per_strip=4,
+                          byte_order="MM" if i % 2 else "II",
+                          tile_size=(16, 16) if big else None)
+            if cls in (1, 2):
+                page = gray * np.uint16(257)     # full-scale 16-bit
+            elif cls == 5:
+                page = gray.astype(np.uint8)     # palette indices
+                kwargs["palette"] = pal
+            elif cls == 6:
+                v = gray.astype(np.uint8)
+                page = np.stack([255 - v, 255 - v, 255 - v,
+                                 np.zeros_like(v)], axis=2)
+            else:
+                page = gray.astype(np.uint8)
+            out.append(encode_tiff(page, **kwargs))
         return pd.Series(out)
 
-    big = (F.col(id_col) % 5).isin(0, 2)
+    big = (F.col(id_col) % 7).isin(0, 2)
     meta = F.struct(
         F.lit("image").alias("kind"),
         F.lit("image/tiff").alias("mime"),

@@ -1738,13 +1738,17 @@ def q_media_image_features_tiff(spark: SparkSession,
     genuine TIFF — the document/scan-corpus format — cycling baseline
     compressions (none / early-change LZW with the horizontal-
     differencing predictor / PackBits), byte orders (MM on odd ids),
-    and by id mod 5 the layout/depth classes: tiled with padded edge
-    tiles (0), 16-bit strip (1), tiled 16-bit (2), small multi-strip
-    (3-4) — decoded by :mod:`functions.tiffcodec` inside mapInPandas
-    via the sniffing dispatch. Lossless at every depth, so the
-    closed-form gradient oracle (× 257 for 16-bit classes) pins IFD
-    parsing, strip AND tile assembly, LZW's one-code-early width change
-    and the depth-correct predictor cumsum on every pixel."""
+    and by id mod 7 the layout/depth/photometric classes: tiled with
+    padded edge tiles (0), 16-bit strip (1), tiled 16-bit (2), small
+    multi-strip (3-4), PALETTE with an affine ColorMap (5 — channel
+    means 255−m / m / 255−m pin the plane-major LUT), CMYK whose exact
+    integer conversion is the identity (6 — spp=4 strips and the
+    4-sample predictor) — decoded by :mod:`functions.tiffcodec` inside
+    mapInPandas via the sniffing dispatch. Lossless at every depth, so
+    the closed-form gradient oracle (× 257 for 16-bit classes, affine
+    for palette) pins IFD parsing, strip AND tile assembly, LZW's
+    one-code-early width change and the depth-correct predictor cumsum
+    on every pixel."""
     docs = docs_t(spark, sf_dir)
     media = multimodal.attach_synthetic_tiff(docs.select("doc_id"))
     feats = multimodal.extract_image_features(media)
@@ -1758,25 +1762,32 @@ def q_media_image_features_tiff(spark: SparkSession,
 SQL_MEDIA_IMAGE_FEATURES_TIFF = """
 WITH d AS (
   SELECT doc_id,
+         doc_id % 7 AS cls,
          doc_id % 14
-           + CASE WHEN doc_id % 5 IN (0, 2) THEN 20 ELSE 1 END AS w,
+           + CASE WHEN doc_id % 7 IN (0, 2) THEN 20 ELSE 1 END AS w,
          doc_id % 10
-           + CASE WHEN doc_id % 5 IN (0, 2) THEN 18 ELSE 1 END AS h,
-         CASE WHEN doc_id % 5 IN (1, 2) THEN 257 ELSE 1 END AS scale
+           + CASE WHEN doc_id % 7 IN (0, 2) THEN 18 ELSE 1 END AS h,
+         CASE WHEN doc_id % 7 IN (1, 2) THEN 257 ELSE 1 END AS scale
   FROM documents),
 p AS (
-  SELECT doc_id, w, h,
+  SELECT doc_id, w, h, cls,
          (CAST(doc_id * 19 % 103 AS DOUBLE)
            + (w - 1) / 2.0 + (h - 1) / 2.0) * scale AS m
-  FROM d)
+  FROM d),
+c AS (
+  SELECT doc_id, w, h,
+         CASE WHEN cls = 5 THEN 255 - m ELSE m END AS mr,
+         m AS mg,
+         CASE WHEN cls = 5 THEN 255 - m ELSE m END AS mb
+  FROM p)
 SELECT doc_id,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
-       ROUND(m, 6) AS mean_r,
-       ROUND(m, 6) AS mean_g,
-       ROUND(m, 6) AS mean_b,
-       ROUND(0.299 * m + 0.587 * m + 0.114 * m, 6) AS luma
-FROM p
+       ROUND(mr, 6) AS mean_r,
+       ROUND(mg, 6) AS mean_g,
+       ROUND(mb, 6) AS mean_b,
+       ROUND(0.299 * mr + 0.587 * mg + 0.114 * mb, 6) AS luma
+FROM c
 """
 
 

@@ -204,13 +204,13 @@ def run_aggs(k: int) -> None:
                        method="exact") \
         .write.format("noop").mode("overwrite").save()
     t1 = time.perf_counter()
-    (li.rollup("l_returnflag", "l_linestatus")
-       .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
-            .alias("sum_qty"))
-       .write.format("noop").mode("overwrite").save())
+    # the shipped plan (r12): leaf re-aggregation, not Expand
+    from osm_pg_etl_spark.operators.rollup import rollup_agg
+    (rollup_agg(li, ["l_returnflag", "l_linestatus"],
+                {"n": (F.count(F.lit(1)), "count"),
+                 "sum_qty": (F.sum(F.col("l_quantity")
+                                   .cast("decimal(28,6)")), "sum")})
+     .write.format("noop").mode("overwrite").save())
     t2 = time.perf_counter()
     x = ((F.unix_micros(F.col("ts").cast("timestamp"))
           - F.lit(1_704_067_200_000_000)) / F.lit(3_600_000_000.0))

@@ -1143,9 +1143,58 @@ def test_tiff_roundtrip_exact():
     assert inv[i + 8] == 1  # encoder wrote BlackIsZero for gray
     inv[i + 8] = 0          # flip to WhiteIsZero
     assert np.array_equal(decode_tiff(bytes(inv))[0][:, :, 0], 255 - gray)
-    inv[i + 8] = 3          # palette-color: unsupported, raise loudly
+    inv[i + 8] = 3          # palette-color WITHOUT a ColorMap: malformed
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(inv))
+    inv[i + 8] = 6          # YCbCr: unsupported, raise loudly
     with pytest.raises(NotImplementedError, match="photometric"):
         decode_tiff(bytes(inv))
+
+
+def test_tiff_palette_and_cmyk():
+    """r12: photometric 3 (ColorMap lookup, the scanned-map shape) and
+    photometric 5 (CMYK) decode for real — exact LUT/integer-transform
+    round-trips through every compression, both byte orders."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(47)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (11, 17), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for bo in ("II", "MM"):
+            out = decode_tiff(encode_tiff(idx, compression=comp,
+                                          byte_order=bo, palette=pal))[0]
+            assert np.array_equal(out, pal[idx])
+    # multi-page palette file: one LUT, two pages
+    idx2 = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    pages = decode_tiff(encode_tiff([idx, idx2], palette=pal))
+    assert len(pages) == 2 and np.array_equal(pages[1], pal[idx2])
+
+    cmyk = rng.integers(0, 256, (13, 7, 4), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        out = decode_tiff(encode_tiff(cmyk, compression=comp))[0]
+        c = cmyk.astype(np.uint32)
+        exp = np.stack([((255 - c[:, :, i]) * (255 - c[:, :, 3])) // 255
+                        for i in range(3)], axis=2).astype(np.uint8)
+        assert np.array_equal(out, exp)
+    # tiled CMYK exercises the spp=4 tile assembly
+    big = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(big, tile_size=(16, 16)))[0]
+    b = big.astype(np.uint32)
+    exp = np.stack([((255 - b[:, :, i]) * (255 - b[:, :, 3])) // 255
+                    for i in range(3)], axis=2).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+    # boundaries stay loud: 16-bit palette/CMYK, bad palette shapes
+    with pytest.raises(ValueError, match="uint8 index"):
+        encode_tiff(idx.astype(np.uint16), palette=pal)
+    with pytest.raises(ValueError, match="\\(256, 3\\)"):
+        encode_tiff(idx, palette=pal[:128])
+    with pytest.raises(ValueError, match="CMYK pages"):
+        encode_tiff(cmyk.astype(np.uint16))
 
 
 def test_tiff_gate_matches_closed_form(spark):
@@ -1159,19 +1208,24 @@ def test_tiff_gate_matches_closed_form(spark):
     from osm_pg_etl_spark.operators.multimodal import (
         attach_synthetic_tiff, extract_image_features)
 
-    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 28).select(F.col("id").alias("doc_id"))
     feats = {r["doc_id"]: r for r in extract_image_features(
         attach_synthetic_tiff(docs)).collect()}
-    for i in range(25):
-        big = i % 5 in (0, 2)
+    for i in range(28):
+        cls = i % 7
+        big = cls in (0, 2)
         w = i % 14 + (20 if big else 1)
         h = i % 10 + (18 if big else 1)
-        scale = 257 if i % 5 in (1, 2) else 1
-        want = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
+        scale = 257 if cls in (1, 2) else 1
+        m = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
+        # palette class (5): affine LUT R=255-i, G=i, B=255-i
+        want = {"mean_r": 255 - m if cls == 5 else m,
+                "mean_g": m,
+                "mean_b": 255 - m if cls == 5 else m}
         r = feats[i]
         assert (r["width"], r["height"]) == (w, h), i
         for c in ("mean_r", "mean_g", "mean_b"):
-            assert r[c] == pytest.approx(want, abs=1e-9), (i, c)
+            assert r[c] == pytest.approx(want[c], abs=1e-9), (i, c)
 
 
 def test_mjpeg_avi_roundtrip_and_features():
