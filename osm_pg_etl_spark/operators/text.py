@@ -477,8 +477,15 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
         bucket_of, range_boundaries)
 
     if boundaries is None:
+        # only id_col survives column pruning into the two sampling
+        # scans, so tokenization does NOT run there
         boundaries = range_boundaries(base, id_col)
-    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries))
+    # persisted: bucketed feeds BOTH the offsets aggregate and the join
+    # big side — without it the tokenize scan runs twice. The persisted
+    # set is narrow (id, token count, bucket id), a tiny fraction of the
+    # corpus it summarizes, so this holds at any scale.
+    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries)) \
+        .persist()
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (bucketed.groupBy("_pid").agg(F.sum("_n").alias("_c"))
             .select("_pid", F.coalesce(F.sum("_c").over(w_off),
@@ -533,8 +540,13 @@ def length_batches(df: DataFrame, budget: int, text_col: str = "text",
         F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))
                        .cast("double"))).cast("int"))
     if boundaries is None:
+        # id-only sampling scans: column pruning drops the tokenizer
         boundaries = range_boundaries(base, id_col)
-    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries))
+    # persisted for the same reason as pack_positions: the offsets
+    # aggregate and the join big side would otherwise tokenize twice;
+    # the persisted set is (id, n_tokens, bucket, _pid) — narrow
+    bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries)) \
+        .persist()
     w_off = (Window.partitionBy("bucket").orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offs = (bucketed.groupBy("bucket", "_pid")
