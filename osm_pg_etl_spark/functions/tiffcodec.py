@@ -17,8 +17,11 @@ it is depth-correct for 16-bit. PhotometricInterpretation 0/1/2
 the scanned-map shape) and 5 (CMYK, converted with the exact integer
 ``(255-c)*(255-k)//255``). Multi-IFD (multi-page) files decode to a
 list of pages; 16-bit pages come back as uint16 arrays (callers see
-the true dynamic range). JPEG-in-TIFF / CCITT fax compressions, YCbCr,
-16-bit palette/CMYK, and mixed-depth channels raise
+the true dynamic range). New-style JPEG-in-TIFF (compression 7, TIFF
+Tech Note 2) decodes for real through :mod:`.jpegcodec` — full-JFIF
+strips or abbreviated strips with shared JPEGTables (tag 347) spliced
+back per strip. CCITT fax compressions, non-JPEG YCbCr, 16-bit
+palette/CMYK, JPEG-in-TIFF tiles, and mixed-depth channels raise
 ``NotImplementedError`` loudly — the honest-boundary pattern.
 
 Lossless throughout: any image round-trips bit-exactly, so gates pin
@@ -356,6 +359,142 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split one JFIF stream into (tables, abbreviated) per TIFF Tech
+    Note 2: ``tables`` = SOI + every DQT/DHT segment + EOI, and
+    ``abbreviated`` = the stream with those segments removed. Walking
+    length-prefixed segments up to SOS is exact; entropy data follows
+    SOS and is copied verbatim."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("malformed JPEG segment stream")
+        marker = stream[pos + 1]
+        (seg_len,) = struct.unpack(">H", stream[pos + 2:pos + 4])
+        seg = stream[pos:pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):          # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seg_len
+        if marker == 0xDA:                  # SOS: entropy data follows
+            rest += stream[pos:]
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
+                     quant: np.ndarray | None = None,
+                     subsample: str = "444",
+                     rows_per_strip: int | None = None,
+                     use_jpeg_tables: bool = False,
+                     byte_order: str = "II") -> bytes:
+    """(h, w, 3) uint8 RGB page(s) -> TIFF bytes with compression 7
+    (new-style JPEG-in-TIFF, TIFF Tech Note 2): each strip is a genuine
+    JFIF datastream from :func:`..jpegcodec.encode_jpeg`, photometric 6
+    (YCbCr — the JPEG stream owns the color model, as real writers
+    emit). ``rows_per_strip`` must be a multiple of 8 (the JPEG MCU
+    height; 16 for "420"); None writes one strip. ``use_jpeg_tables``
+    moves the shared DQT/DHT segments into the JPEGTables tag (347) and
+    writes ABBREVIATED per-strip streams — the table-sharing layout
+    libtiff produces (sound here because the JPEG encoder uses the
+    fixed Annex K tables, so every strip shares one table set)."""
+    from .jpegcodec import encode_jpeg
+
+    pages = (rgb_pages if isinstance(rgb_pages, (list, tuple))
+             else [rgb_pages])
+    if not pages:
+        raise ValueError("need at least one page")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    mcu_h = 16 if subsample == "420" else 8
+    bo = "<" if byte_order == "II" else ">"
+    magic = b"II*\x00" if byte_order == "II" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(bo + "I", 8))
+    next_ptr_pos = 4
+    for page in pages:
+        a = np.asarray(page)
+        if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("JPEG-in-TIFF pages must be (h, w, 3) uint8")
+        h, w = a.shape[:2]
+        rps = h if rows_per_strip is None else rows_per_strip
+        if rows_per_strip is not None and rps % mcu_h:
+            raise ValueError(
+                f"rows_per_strip must be a multiple of {mcu_h} "
+                f"(the JPEG MCU height for subsample={subsample})")
+        strips = [encode_jpeg(a[y:y + rps], quant=quant,
+                              subsample=subsample)
+                  for y in range(0, h, rps)]
+        tables = b""
+        if use_jpeg_tables:
+            split = [_split_jpeg_tables(s) for s in strips]
+            tables = split[0][0]
+            strips = [s[1] for s in split]
+
+        n_entries = 10 + (1 if use_jpeg_tables else 0)
+        ifd_off = len(out)
+        struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
+        extra = bytearray()
+        extra_base = ifd_off + 2 + n_entries * 12 + 4
+
+        def val_offset(data: bytes) -> int:
+            off = extra_base + len(extra)
+            extra.extend(data)
+            return off
+
+        n_strips = len(strips)
+        fmt_l = bo + "I" * n_strips
+        bps_off = val_offset(struct.pack(bo + "3H", 8, 8, 8))
+        tables_off = val_offset(tables) if use_jpeg_tables else None
+        if len(extra) % 2:
+            extra.append(0)              # keep offsets word-aligned
+        off_pos = val_offset(struct.pack(fmt_l, *([0] * n_strips))) \
+            if n_strips > 1 else None
+        counts = [len(s) for s in strips]
+        counts_off = val_offset(struct.pack(fmt_l, *counts)) \
+            if n_strips > 1 else None
+        data_base = extra_base + len(extra)
+        offs, p = [], data_base
+        for s in strips:
+            offs.append(p)
+            p += len(s)
+        if off_pos is not None:
+            extra[off_pos - extra_base:off_pos - extra_base
+                  + 4 * n_strips] = struct.pack(fmt_l, *offs)
+
+        def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+            if typ == 3 and count == 1:
+                val = struct.pack(bo + "HH", value, 0)
+            else:
+                val = struct.pack(bo + "I", value)
+            return struct.pack(bo + "HHI", tag, typ, count) + val
+
+        e = [entry(256, 4, 1, w), entry(257, 4, 1, h),
+             entry(258, 3, 3, bps_off),
+             entry(259, 3, 1, 7),            # new-style JPEG
+             entry(262, 3, 1, 6),            # YCbCr: JPEG owns color
+             entry(274, 3, 1, 1),
+             entry(277, 3, 1, 3),
+             entry(273, 4, n_strips,
+                   offs[0] if n_strips == 1 else off_pos),
+             entry(278, 4, 1, rps),
+             entry(279, 4, n_strips,
+                   counts[0] if n_strips == 1 else counts_off)]
+        if use_jpeg_tables:
+            e.append(entry(347, 7, len(tables), tables_off))
+        e.sort(key=lambda b: struct.unpack(bo + "H", b[:2])[0])
+        assert len(e) == n_entries
+        next_ptr_pos = ifd_off + 2 + n_entries * 12
+        out += (struct.pack(bo + "H", n_entries) + b"".join(e)
+                + struct.pack(bo + "I", 0) + bytes(extra)
+                + b"".join(strips))
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> list[np.ndarray]:
     """TIFF bytes -> list of (h, w, 3) uint8 RGB pages (gray replicated),
     one per IFD."""
@@ -425,6 +564,49 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
         bps = values(258, [8])
         comp = values(259, [1])[0]
         spp = values(277, [1])[0]
+        if comp == 7:
+            # new-style JPEG-in-TIFF (Tech Note 2): every strip is a
+            # JPEG datastream — full JFIF, or abbreviated with the
+            # shared DQT/DHT segments in JPEGTables (347), spliced back
+            # in right after each strip's SOI. The JPEG stream owns the
+            # color model (photometric 6/YCbCr per the spec; 1 for
+            # grayscale streams), so the decoded RGB is used as-is.
+            from .jpegcodec import decode_jpeg
+
+            if tiled:
+                raise NotImplementedError(
+                    "JPEG-in-TIFF tile layout unsupported (strips only)")
+            pm = values(262, [6])[0]
+            if pm not in (1, 2, 6):
+                raise NotImplementedError(
+                    f"JPEG-in-TIFF photometric {pm} unsupported")
+            tables = None
+            if 347 in tags:
+                typ, count, raw = tags[347]
+                if typ not in (1, 7):
+                    raise ValueError("malformed JPEGTables tag")
+                if count <= 4:
+                    tables = raw[:count]
+                else:
+                    (o,) = struct.unpack(bo + "I", raw)
+                    tables = payload[o:o + count]
+            parts = []
+            y = 0
+            for so, sc in zip(offs, cnts):
+                stream = payload[so:so + sc]
+                if stream[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG-in-TIFF strip missing SOI")
+                if tables is not None and len(tables) > 4:
+                    stream = stream[:2] + tables[2:-2] + stream[2:]
+                img = decode_jpeg(stream)
+                parts.append(img[:min(img.shape[0], h - y)])
+                y += parts[-1].shape[0]
+            page = np.concatenate(parts, axis=0)
+            if page.shape[0] != h or page.shape[1] < w:
+                raise ValueError(
+                    "JPEG-in-TIFF strips do not cover the image")
+            pages.append(page[:, :w])
+            continue
         # PhotometricInterpretation: 0 = WhiteIsZero (scanned docs),
         # 1 = BlackIsZero, 2 = RGB, 3 = palette (ColorMap lookup),
         # 5 = CMYK (separated). Defaulting by spp when absent; anything
@@ -452,7 +634,7 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
         if comp not in _COMPRESSORS:
             raise NotImplementedError(
                 f"TIFF compression {comp} unsupported (baseline "
-                "none/LZW/PackBits only — no CCITT/JPEG-in-TIFF)")
+                "none/LZW/PackBits + new-style JPEG only — no CCITT)")
         if spp not in (1, 3, 4):
             raise NotImplementedError(f"{spp} samples per pixel")
         dec = _COMPRESSORS[comp][1]

@@ -333,7 +333,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     base = 19·id mod 103, bounded < 256) — cycling the three baseline
     compressions by id (none / LZW with the horizontal-differencing
     predictor / PackBits), BOTH byte orders (MM on odd ids), and (r12)
-    the layout/depth/photometric classes by id mod 7:
+    the layout/depth/photometric classes by id mod 8:
 
     - 0: TILED 8-bit, (id%14+20) × (id%10+18) so the 16×16 tile grid is
       2×2 with genuinely padded edge tiles (tags 322-325);
@@ -347,7 +347,11 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
       plane-major ColorMap order;
     - 6: CMYK (photometric 5): C = M = Y = 255−v, K = 0, whose exact
       integer conversion recovers (v, v, v) — spp=4 strip math and the
-      4-sample predictor, identity in the mean.
+      4-sample predictor, identity in the mean;
+    - 7: JPEG-IN-TIFF (compression 7, Tech Note 2): 8×8-block-constant
+      gray at flat quantization (bit-exact JPEG inversion), (id%3+1)×2
+      blocks in 8-row strips, abbreviated streams + shared JPEGTables
+      on odd ids — mean = base + (wb−1)/2 + 1/2.
 
     TIFF is lossless at every depth, so the closed-form oracle
     ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes, affine
@@ -362,16 +366,29 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
 
         from ..functions.tiffcodec import encode_tiff
 
+        from ..functions.tiffcodec import encode_tiff_jpeg
+
         lut = np.arange(256, dtype=np.uint8)
         pal = np.stack([255 - lut, lut, 255 - lut], axis=1)
         out = []
         for i in ids:
             i = int(i)
-            cls = i % 7
+            cls = i % 8
+            base = i * 19 % 103
+            if cls == 7:
+                wb = i % 3 + 1
+                blocks = (base + np.arange(wb)[None, :]
+                          + np.arange(2)[:, None]).astype(np.uint8)
+                gray8 = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                out.append(encode_tiff_jpeg(
+                    np.stack([gray8] * 3, axis=2),
+                    quant=np.ones((8, 8)), rows_per_strip=8,
+                    use_jpeg_tables=bool(i % 2),
+                    byte_order="MM" if i % 2 else "II"))
+                continue
             big = cls in (0, 2)
             w = i % 14 + (20 if big else 1)
             h = i % 10 + (18 if big else 1)
-            base = i * 19 % 103
             gray = (base + np.arange(w)[None, :]
                     + np.arange(h)[:, None]).astype(np.uint16)
             comp = (1, 5, 32773)[i % 3]
@@ -392,13 +409,16 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
             out.append(encode_tiff(page, **kwargs))
         return pd.Series(out)
 
-    big = (F.col(id_col) % 7).isin(0, 2)
+    cls = F.col(id_col) % 8
+    big = cls.isin(0, 2)
     meta = F.struct(
         F.lit("image").alias("kind"),
         F.lit("image/tiff").alias("mime"),
-        (F.col(id_col) % 14 + F.when(big, 20).otherwise(1))
+        F.when(cls == 7, (F.col(id_col) % 3 + 1) * 8)
+        .otherwise(F.col(id_col) % 14 + F.when(big, 20).otherwise(1))
         .cast("int").alias("width"),
-        (F.col(id_col) % 10 + F.when(big, 18).otherwise(1))
+        F.when(cls == 7, 16)
+        .otherwise(F.col(id_col) % 10 + F.when(big, 18).otherwise(1))
         .cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"))
     return df.select(F.col(id_col).alias("doc_id"),

@@ -1738,17 +1738,20 @@ def q_media_image_features_tiff(spark: SparkSession,
     genuine TIFF — the document/scan-corpus format — cycling baseline
     compressions (none / early-change LZW with the horizontal-
     differencing predictor / PackBits), byte orders (MM on odd ids),
-    and by id mod 7 the layout/depth/photometric classes: tiled with
+    and by id mod 8 the layout/depth/photometric classes: tiled with
     padded edge tiles (0), 16-bit strip (1), tiled 16-bit (2), small
     multi-strip (3-4), PALETTE with an affine ColorMap (5 — channel
     means 255−m / m / 255−m pin the plane-major LUT), CMYK whose exact
     integer conversion is the identity (6 — spp=4 strips and the
-    4-sample predictor) — decoded by :mod:`functions.tiffcodec` inside
-    mapInPandas via the sniffing dispatch. Lossless at every depth, so
-    the closed-form gradient oracle (× 257 for 16-bit classes, affine
-    for palette) pins IFD parsing, strip AND tile assembly, LZW's
-    one-code-early width change and the depth-correct predictor cumsum
-    on every pixel."""
+    4-sample predictor), and JPEG-IN-TIFF (7 — block-constant at flat
+    quantization so the real per-strip JPEG decode inverts bit-exactly,
+    with shared JPEGTables splicing on odd ids) — decoded by
+    :mod:`functions.tiffcodec` inside mapInPandas via the sniffing
+    dispatch. Every class decodes exactly, so the closed-form oracle
+    (× 257 for 16-bit classes, affine for palette, block-mean for
+    JPEG) pins IFD parsing, strip AND tile assembly, LZW's
+    one-code-early width change, the depth-correct predictor cumsum,
+    and the Tech Note 2 table splice on every pixel."""
     docs = docs_t(spark, sf_dir)
     media = multimodal.attach_synthetic_tiff(docs.select("doc_id"))
     feats = multimodal.extract_image_features(media)
@@ -1762,17 +1765,26 @@ def q_media_image_features_tiff(spark: SparkSession,
 SQL_MEDIA_IMAGE_FEATURES_TIFF = """
 WITH d AS (
   SELECT doc_id,
-         doc_id % 7 AS cls,
-         doc_id % 14
-           + CASE WHEN doc_id % 7 IN (0, 2) THEN 20 ELSE 1 END AS w,
-         doc_id % 10
-           + CASE WHEN doc_id % 7 IN (0, 2) THEN 18 ELSE 1 END AS h,
-         CASE WHEN doc_id % 7 IN (1, 2) THEN 257 ELSE 1 END AS scale
+         doc_id % 8 AS cls,
+         CASE WHEN doc_id % 8 = 7 THEN (doc_id % 3 + 1) * 8
+              ELSE doc_id % 14
+                + CASE WHEN doc_id % 8 IN (0, 2) THEN 20 ELSE 1 END
+         END AS w,
+         CASE WHEN doc_id % 8 = 7 THEN 16
+              ELSE doc_id % 10
+                + CASE WHEN doc_id % 8 IN (0, 2) THEN 18 ELSE 1 END
+         END AS h,
+         CASE WHEN doc_id % 8 IN (1, 2) THEN 257 ELSE 1 END AS scale
   FROM documents),
 p AS (
   SELECT doc_id, w, h, cls,
-         (CAST(doc_id * 19 % 103 AS DOUBLE)
-           + (w - 1) / 2.0 + (h - 1) / 2.0) * scale AS m
+         CASE WHEN cls = 7
+              -- block-constant: mean = base + (wb-1)/2 + (hb-1)/2
+              THEN CAST(doc_id * 19 % 103 AS DOUBLE)
+                   + (doc_id % 3) / 2.0 + 0.5
+              ELSE (CAST(doc_id * 19 % 103 AS DOUBLE)
+                   + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
+         END AS m
   FROM d),
 c AS (
   SELECT doc_id, w, h,

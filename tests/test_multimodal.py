@@ -1197,6 +1197,55 @@ def test_tiff_palette_and_cmyk():
         encode_tiff(cmyk.astype(np.uint16))
 
 
+def test_tiff_jpeg_compression7():
+    """r12: new-style JPEG-in-TIFF (Tech Note 2) decodes for real —
+    per-strip JFIF streams through the genuine JPEG codec, both the
+    self-contained and the shared-JPEGTables (abbreviated, spliced)
+    layouts, single- and multi-strip, both byte orders, multi-page.
+    Block-constant flat-quant content inverts bit-exactly; textured
+    default-table content matches a direct JPEG round-trip."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.jpegcodec import (decode_jpeg,
+                                                      encode_jpeg)
+    from osm_pg_etl_spark.functions.tiffcodec import (decode_tiff,
+                                                      encode_tiff_jpeg)
+
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(30, 200, (4, 5)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.stack([img] * 3, 2)
+    flat = np.ones((8, 8))
+
+    t_single = encode_tiff_jpeg(rgb, quant=flat)
+    assert np.array_equal(decode_tiff(t_single)[0], rgb)
+    t_multi = encode_tiff_jpeg(rgb, quant=flat, rows_per_strip=8)
+    assert np.array_equal(decode_tiff(t_multi)[0], rgb)
+    t_tables = encode_tiff_jpeg(rgb, quant=flat, rows_per_strip=16,
+                                use_jpeg_tables=True)
+    assert np.array_equal(decode_tiff(t_tables)[0], rgb)
+    # the shared-tables layout is genuinely abbreviated
+    assert len(t_tables) < len(t_multi)
+    t_mm = encode_tiff_jpeg(rgb, quant=flat, byte_order="MM",
+                            use_jpeg_tables=True)
+    assert np.array_equal(decode_tiff(t_mm)[0], rgb)
+
+    tex = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff_jpeg(tex))[0],
+                          decode_jpeg(encode_jpeg(tex)))
+
+    pages = decode_tiff(encode_tiff_jpeg([rgb, rgb[:8]], quant=flat))
+    assert len(pages) == 2 and np.array_equal(pages[1], rgb[:8])
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        encode_tiff_jpeg(rgb, rows_per_strip=12)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        encode_tiff_jpeg(rgb, rows_per_strip=24, subsample="420")
+    with pytest.raises(ValueError, match="\\(h, w, 3\\) uint8"):
+        encode_tiff_jpeg(img)                 # gray page: RGB required
+
+
 def test_tiff_gate_matches_closed_form(spark):
     """The media_image_features_tiff gate: real IFD/strip/tile/LZW/
     predictor decode of the synthesized gradient TIFFs — including the
@@ -1208,16 +1257,20 @@ def test_tiff_gate_matches_closed_form(spark):
     from osm_pg_etl_spark.operators.multimodal import (
         attach_synthetic_tiff, extract_image_features)
 
-    docs = spark.range(0, 28).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 32).select(F.col("id").alias("doc_id"))
     feats = {r["doc_id"]: r for r in extract_image_features(
         attach_synthetic_tiff(docs)).collect()}
-    for i in range(28):
-        cls = i % 7
-        big = cls in (0, 2)
-        w = i % 14 + (20 if big else 1)
-        h = i % 10 + (18 if big else 1)
-        scale = 257 if cls in (1, 2) else 1
-        m = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
+    for i in range(32):
+        cls = i % 8
+        if cls == 7:               # JPEG-in-TIFF, block-constant
+            w, h = (i % 3 + 1) * 8, 16
+            m = i * 19 % 103 + (i % 3) / 2.0 + 0.5
+        else:
+            big = cls in (0, 2)
+            w = i % 14 + (20 if big else 1)
+            h = i % 10 + (18 if big else 1)
+            scale = 257 if cls in (1, 2) else 1
+            m = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
         # palette class (5): affine LUT R=255-i, G=i, B=255-i
         want = {"mean_r": 255 - m if cls == 5 else m,
                 "mean_g": m,
