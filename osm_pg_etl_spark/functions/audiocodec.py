@@ -67,12 +67,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         lin = ulaw_decode(np.frombuffer(data, dtype=np.uint8, count=count))
         return (_truncate(lin.reshape(-1, channels).astype(np.float64)
                           / 32768.0), rate)
-    if tag == 0x11:  # IMA ADPCM (DVI4), mono
-        if channels != 1:
+    if tag == 0x11:  # IMA ADPCM (DVI4), mono or stereo
+        if channels == 1:
+            lin = adpcm_decode(data, block_align)[:, None]
+        elif channels == 2:
+            lin = adpcm_decode_stereo(data, block_align)
+        else:
             raise NotImplementedError(
-                "IMA ADPCM decode is mono-only without an audio library")
-        lin = adpcm_decode(data, block_align)
-        return _truncate(lin[:, None].astype(np.float64) / 32768.0), rate
+                "IMA ADPCM decode supports 1 or 2 channels only")
+        return _truncate(lin.astype(np.float64) / 32768.0), rate
     if tag != 1:
         raise NotImplementedError(
             f"only PCM / μ-law / IMA-ADPCM WAV decodes without an audio "
@@ -219,6 +222,48 @@ def adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int32)
 
 
+def adpcm_decode_stereo(data: bytes, block_align: int) -> np.ndarray:
+    """Stereo IMA ADPCM blocks → (n, 2) int32 linear samples. The
+    standard WAV interleave: per block, a 4-byte header per channel
+    (left then right), then the codes in 4-byte (8-nibble) groups
+    alternating left/right — each channel decodes as an independent
+    IMA state machine."""
+    if block_align < 16 or block_align % 8:
+        raise ValueError(
+            f"stereo IMA ADPCM block_align {block_align} invalid "
+            "(needs >= 16 and a multiple of 8)")
+    chans: tuple[list[int], list[int]] = ([], [])
+    for off in range(0, len(data), block_align):
+        end = min(off + block_align, len(data))
+        if end - off < 8:
+            raise ValueError(
+                f"stereo IMA ADPCM stream ends in a {end - off}-byte "
+                f"fragment (two block headers need 8 bytes)")
+        state = []
+        for c in range(2):
+            pred = int.from_bytes(data[off + 4 * c:off + 4 * c + 2],
+                                  "little", signed=True)
+            index = max(0, min(88, data[off + 4 * c + 2]))
+            chans[c].append(pred)
+            state.append((pred, index))
+        pos = off + 8
+        while pos < end:
+            if end - pos < 8:
+                raise ValueError(
+                    "stereo IMA ADPCM block ends mid-group (codes come "
+                    "in 4-byte-per-channel pairs)")
+            for c in range(2):
+                pred, index = state[c]
+                for b in data[pos + 4 * c:pos + 4 * c + 4]:
+                    for nib in (b & 0x0F, b >> 4):
+                        pred, index = _adpcm_step(pred, index, nib)
+                        chans[c].append(pred)
+                state[c] = (pred, index)
+            pos += 8
+    return np.stack([np.asarray(c, dtype=np.int32) for c in chans],
+                    axis=1)
+
+
 def adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
     """int16 mono linear → IMA ADPCM blocks (the standard quantizer:
     greedy bit-by-bit against the current step). Forward path written
@@ -264,23 +309,88 @@ def adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
     return bytes(out)
 
 
+def adpcm_encode_stereo(samples: np.ndarray,
+                        block_align: int = 256) -> bytes:
+    """(n, 2) int16-range linear → stereo IMA ADPCM blocks: a 4-byte
+    header per channel, then 4-byte nibble groups alternating L/R —
+    the inverse layout of :func:`adpcm_decode_stereo`, written forward
+    from the spec so a round trip is a two-sided check."""
+    if block_align < 16 or block_align % 8:
+        raise ValueError(
+            f"stereo IMA ADPCM block_align {block_align} invalid "
+            "(needs >= 16 and a multiple of 8)")
+    pcm = np.asarray(samples, dtype=np.int32)
+    if pcm.ndim != 2 or pcm.shape[1] != 2:
+        raise ValueError("stereo encoder expects (n, 2) samples")
+    per_block = block_align - 8 + 1          # per channel, incl. header
+    out = bytearray()
+    for off in range(0, len(pcm), per_block):
+        chunk = pcm[off:off + per_block]
+        nibbles: list[list[int]] = []
+        for c in range(2):
+            pred = int(chunk[0, c])
+            index = 0
+            if len(chunk) > 1:
+                d0 = abs(int(chunk[1, c]) - pred)
+                index = int(np.searchsorted(_ADPCM_STEPS, max(d0, 7)))
+                index = max(0, min(88, index))
+            out += int(pred).to_bytes(2, "little", signed=True)
+            out.append(index)
+            out.append(0)
+            nibs: list[int] = []
+            for s in chunk[1:, c]:
+                step = _ADPCM_STEPS[index]
+                diff = int(s) - pred
+                code = 0x8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                pred, index = _adpcm_step(pred, index, code)
+                nibs.append(code)
+            nibs += [0] * ((per_block - 1) - len(nibs))
+            nibbles.append(nibs)
+        for g in range(0, per_block - 1, 8):
+            for c in range(2):
+                grp = nibbles[c][g:g + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    out.append(lo | (hi << 4))
+    return bytes(out)
+
+
 def encode_wav_adpcm(samples: np.ndarray, rate: int,
                      block_align: int = 256) -> bytes:
-    """(n,) float in [-1, 1] → mono IMA ADPCM WAV (format tag 0x11)."""
-    a = np.asarray(samples, dtype=np.float64).reshape(-1)
+    """(n,) or (n, 2) float in [-1, 1] → mono/stereo IMA ADPCM WAV
+    (format tag 0x11, standard L/R 4-byte-group interleave when
+    stereo)."""
+    a = np.asarray(samples, dtype=np.float64)
+    channels = 2 if a.ndim == 2 and a.shape[1] == 2 else 1
     pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int32)
-    data = adpcm_encode(pcm, block_align)
-    per_block = (block_align - 4) * 2 + 1
+    if channels == 1:
+        pcm = pcm.reshape(-1)
+        data = adpcm_encode(pcm, block_align)
+        per_block = (block_align - 4) * 2 + 1
+        n_samples = len(pcm)
+    else:
+        data = adpcm_encode_stereo(pcm, block_align)
+        per_block = block_align - 7
+        n_samples = pcm.shape[0]
     fmt = (b"fmt " + (20).to_bytes(4, "little")
-           + (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (0x11).to_bytes(2, "little") + channels.to_bytes(2, "little")
            + rate.to_bytes(4, "little")
            + (rate * block_align // per_block + 1).to_bytes(4, "little")
            + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
            + (2).to_bytes(2, "little")          # cbSize
            + per_block.to_bytes(2, "little"))   # samples per block
-    # fact chunk (required for non-PCM): the true sample count, so the
-    # decoder drops the encoder's zero-padded final-block tail
-    fact = b"fact" + (4).to_bytes(4, "little") + len(pcm).to_bytes(4, "little")
+    # fact chunk (required for non-PCM): the true per-channel sample
+    # count, so the decoder drops the zero-padded final-block tail
+    fact = (b"fact" + (4).to_bytes(4, "little")
+            + n_samples.to_bytes(4, "little"))
     body = (b"WAVE" + fmt + fact
             + b"data" + len(data).to_bytes(4, "little") + data)
     return b"RIFF" + len(body).to_bytes(4, "little") + body

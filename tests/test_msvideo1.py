@@ -191,3 +191,43 @@ def test_roundtrip_random_representable_frames():
         frames.append(nxt)
     dec, _ = decode_avi(encode_avi_msvc(frames))
     assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+
+
+def test_stereo_adpcm_roundtrip():
+    """r12: stereo IMA ADPCM — per-channel headers, 4-byte-group L/R
+    interleave, independent state machines. (Lives here with the other
+    r12 codec additions.)"""
+    import numpy as np
+
+    from osm_pg_etl_spark.functions.audiocodec import (
+        adpcm_decode_stereo, adpcm_encode_stereo, decode_wav,
+        encode_wav_adpcm)
+
+    t = np.arange(2000) / 8000.0
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    right = 0.25 * np.sin(2 * np.pi * 220 * t + 1.0)
+    sig = np.stack([left, right], axis=1)
+
+    wav = encode_wav_adpcm(sig, 8000)
+    dec, rate = decode_wav(wav)
+    assert rate == 8000 and dec.shape == (2000, 2)
+    # lossy but tracking: per-channel RMS error small vs signal RMS
+    for c in range(2):
+        err = np.sqrt(np.mean((dec[:, c] - sig[:, c]) ** 2))
+        assert err < 0.02, (c, err)
+    # channels stay independent: wildly different content per channel
+    assert abs(np.std(dec[:, 0]) / np.std(dec[:, 1]) - 2.0) < 0.2
+
+    # raw block layer: constant channels decode near-exactly after seed
+    pcm = np.stack([np.full(500, 1000), np.full(500, -2000)], axis=1)
+    raw = adpcm_encode_stereo(pcm.astype(np.int32), 64)
+    out = adpcm_decode_stereo(raw, 64)[:500]
+    assert np.abs(out - pcm).max() <= 16
+
+    import pytest
+    with pytest.raises(ValueError, match="multiple of 8"):
+        adpcm_encode_stereo(pcm.astype(np.int32), 60)
+    with pytest.raises(ValueError, match="fragment"):
+        adpcm_decode_stereo(raw[:4], 64)
+    with pytest.raises(ValueError, match="mid-group"):
+        adpcm_decode_stereo(raw[:14], 64)
