@@ -1379,6 +1379,60 @@ FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): ONE
+    corpus pass builds the word-frequency table, then 6 merge rounds
+    each run a vocabulary-sized pair-count aggregate, a single-row
+    argmax collect, and a literal space-wrapped substring rewrite —
+    the Sennrich trainer's exact greedy semantics, engine-portable by
+    construction. The DuckDB oracle replays all 6 rounds unrolled with
+    the identical encoding and (count DESC, pair ASC) tie-break, so a
+    hash match pins the whole iterative algorithm, not just one
+    aggregation."""
+    from ..operators.bpe import bpe_train  # noqa: PLC0415
+
+    return bpe_train(docs_t(spark, sf_dir), n_merges=6)
+
+
+def _sql_bpe_merges(n_merges: int = 6) -> str:
+    """Unrolled DuckDB replay of bpe_train: s{k} = symbol table after k
+    merges, p{k} = overlapping pair counts, b{k} = that round's argmax."""
+    ctes = ["""words AS (
+  SELECT t AS w
+  FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+  WHERE t <> ''),
+s0 AS (
+  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> ' ' || w[i:i] || ' '),
+                         '') AS symbols,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words GROUP BY w)"""]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, arr[i] || ' ' || arr[i + 1] AS pair
+    FROM (SELECT freq, string_split(trim(symbols), '  ') AS arr FROM s{k}),
+         UNNEST(generate_series(1, len(arr) - 1)) AS g(i))
+  GROUP BY pair),
+b{k} AS (
+  SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+         cnt
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        if k + 1 < n_merges:
+            ctes.append(f"""s{k + 1} AS (
+  SELECT replace(symbols, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS symbols, freq
+  FROM s{k}, b{k} b)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS \"left\", "
+        f"r AS \"right\", l || r AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(n_merges))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_BPE_MERGES = _sql_bpe_merges(6)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self unigram LM fluency score per document."""
     return text.unigram_logprob(docs_t(spark, sf_dir))
@@ -2336,6 +2390,7 @@ QUERIES = {
     "training_order": q_training_order,
     "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
+    "bpe_merges": q_bpe_merges,
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
     "media_image_features_png": q_media_image_features_png,
@@ -2395,6 +2450,7 @@ ORACLES = {
     "training_order": SQL_TRAINING_ORDER,
     "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bpe_merges": SQL_BPE_MERGES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,

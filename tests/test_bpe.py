@@ -1,0 +1,61 @@
+"""operators/bpe: distributed BPE trainer semantics pinned by hand —
+the classic Sennrich low/lower/newest/widest corpus, greedy left-to-
+right merge application, overlapping pair counts, (count DESC, pair
+ASC) tie-breaks."""
+
+from pyspark.sql import functions as F
+
+from osm_pg_etl_spark.operators.bpe import bpe_train, bpe_word_frequencies
+
+
+def _corpus(spark):
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_word_frequencies_space_wrapped(spark):
+    rows = {r["symbols"]: r["freq"]
+            for r in bpe_word_frequencies(_corpus(spark)).collect()}
+    assert rows[" l  o  w "] == 5
+    assert rows[" n  e  w  e  s  t "] == 6
+    assert len(rows) == 4
+
+
+def test_sennrich_corpus_merge_order(spark):
+    """Hand-computed: es(9) -> est(9, tie with 's t' broken by pair
+    ASC) -> lo(7, tie with 'o w') -> low(7) -> ew(6, tie among three)
+    -> ewest(6)."""
+    out = [tuple(r) for r in bpe_train(_corpus(spark), n_merges=6)
+           .orderBy("step").collect()]
+    assert out == [
+        (0, "e", "s", "es", 9),
+        (1, "es", "t", "est", 9),
+        (2, "l", "o", "lo", 7),
+        (3, "lo", "w", "low", 7),
+        (4, "e", "w", "ew", 6),
+        (5, "ew", "est", "ewest", 6),
+    ]
+
+
+def test_greedy_nonoverlapping_apply(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right pairs up as
+    (aa)(aa), never the overlapping middle — and the overlapping COUNT
+    still sees 3 pairs in round one."""
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_train(df, n_merges=2)
+           .orderBy("step").collect()]
+    # round 1: (a,a) count 3 per word x2 words = 6
+    assert out[0] == (0, "a", "a", "aa", 6)
+    # after merge each word is 'aa aa' -> round 2 merges (aa,aa) x2
+    assert out[1] == (1, "aa", "aa", "aaaa", 2)
+
+
+def test_single_char_words_and_early_stop(spark):
+    """Single-symbol words carry no pairs; when the vocabulary runs
+    dry the trainer stops early instead of erroring."""
+    df = spark.createDataFrame([(1, "a b a b ab")],
+                               "doc_id long, text string")
+    out = [tuple(r) for r in bpe_train(df, n_merges=4)
+           .orderBy("step").collect()]
+    assert out == [(0, "a", "b", "ab", 1)]   # only 'ab' had a pair
