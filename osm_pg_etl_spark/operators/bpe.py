@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_word_frequencies", "bpe_train"]
+__all__ = ["bpe_word_frequencies", "bpe_train", "bpe_subword_counts"]
 
 
 def _chars(col):
@@ -98,3 +98,35 @@ def bpe_train(df: DataFrame, n_merges: int = 6,
         merges,
         "step int, left string, right string, merged string, "
         "pair_count bigint")
+
+
+def bpe_subword_counts(df: DataFrame, merges: list[tuple[str, str]],
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Apply learned BPE merges and count subwords per document:
+    (id_col, n_words, n_subwords). ``merges`` is the ordered (left,
+    right) list from :func:`bpe_train` (driver-side, bounded — it IS
+    the tokenizer).
+
+    Scale shape: the K chained replaces — pure Column expressions, no
+    UDF — run over the DISTINCT vocabulary, not the corpus; per-word
+    subword counts broadcast back onto the exploded words. The corpus
+    is scanned once and shuffled only by the id for the final count."""
+    from .text import tokens  # noqa: PLC0415
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+    sym = F.concat_ws("", F.transform(
+        _chars(F.col("w")),
+        lambda c: F.concat(F.lit(" "), c, F.lit(" "))))
+    for left, right in merges:
+        sym = F.replace(sym, F.lit(f" {left}  {right} "),
+                        F.lit(f" {left}{right} "))
+    vocab = (words.select("w").distinct()
+             .select("w", F.size(F.split(F.trim(sym), "  "))
+                     .alias("n_sub")))
+    return (words.join(F.broadcast(vocab), "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").alias("n_subwords")))

@@ -1433,6 +1433,51 @@ b{k} AS (
 SQL_BPE_MERGES = _sql_bpe_merges(6)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY (operators/bpe.py:bpe_subword_counts): train 6 merges,
+    then tokenize the corpus with them — the K chained literal replaces
+    run over the DISTINCT vocabulary only (pure Column exprs, no UDF)
+    and per-word subword counts broadcast back onto the exploded words,
+    so the corpus is scanned once. Output (doc_id, n_words,
+    n_subwords); the oracle re-learns the same 6 merges and re-applies
+    them in SQL, so the hash pins train AND apply end to end."""
+    from ..operators.bpe import bpe_subword_counts, bpe_train  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(docs, n_merges=6)
+              .orderBy("step").collect()]        # bounded: 6 rows
+    return bpe_subword_counts(docs, merges)
+
+
+def _sql_bpe_tokenize(n_merges: int = 6) -> str:
+    base = _sql_bpe_merges(n_merges)
+    ctes = base[len("WITH "):base.rindex("\nSELECT CAST(0")]
+    wrap = ("array_to_string(list_transform(generate_series(1, "
+            "length(w)), i -> ' ' || w[i:i] || ' '), '')")
+    applied = wrap
+    for k in range(n_merges):
+        applied = (f"replace({applied}, ' ' || b{k}.l || '  ' || b{k}.r "
+                   f"|| ' ', ' ' || b{k}.l || b{k}.r || ' ')")
+    bs = ", ".join(f"b{k}" for k in range(n_merges))
+    return f"""WITH {ctes},
+docwords AS (
+  SELECT doc_id, t AS w
+  FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+  WHERE t <> ''),
+vocab AS (
+  SELECT w, len(string_split(trim({applied}), '  ')) AS n_sub
+  FROM (SELECT DISTINCT w FROM docwords), {bs})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+FROM docwords JOIN vocab USING (w)
+GROUP BY doc_id
+"""
+
+
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize(6)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self unigram LM fluency score per document."""
     return text.unigram_logprob(docs_t(spark, sf_dir))
@@ -2391,6 +2436,7 @@ QUERIES = {
     "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "multimodal_features": q_multimodal_features,
     "media_image_features": q_media_image_features,
     "media_image_features_png": q_media_image_features_png,
@@ -2451,6 +2497,7 @@ ORACLES = {
     "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_image_features_png": SQL_MEDIA_IMAGE_FEATURES_PNG,

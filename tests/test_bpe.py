@@ -59,3 +59,20 @@ def test_single_char_words_and_early_stop(spark):
     out = [tuple(r) for r in bpe_train(df, n_merges=4)
            .orderBy("step").collect()]
     assert out == [(0, "a", "b", "ab", 1)]   # only 'ab' had a pair
+
+
+def test_subword_counts_broadcast_apply(spark):
+    """Apply path: counts per doc match a hand tokenization; the
+    chained replaces run on the distinct vocabulary."""
+    from osm_pg_etl_spark.operators.bpe import bpe_subword_counts
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest newest widest")],
+        "doc_id long, text string")
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    out = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+           for r in bpe_subword_counts(df, merges).collect()}
+    # low -> [low] (1); lower -> [low, e, r] (3)
+    assert out[1] == (2, 4)
+    # newest -> [n, e, w, est] (4) x2; widest -> [w, i, d, est] (4)
+    assert out[2] == (3, 12)
