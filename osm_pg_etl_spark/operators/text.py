@@ -480,12 +480,14 @@ def pack_positions(df: DataFrame, capacity: int, text_col: str = "text",
         # only id_col survives column pruning into the two sampling
         # scans, so tokenization does NOT run there
         boundaries = range_boundaries(base, id_col)
-    # persisted: bucketed feeds BOTH the offsets aggregate and the join
-    # big side — without it the tokenize scan runs twice. The persisted
-    # set is narrow (id, token count, bucket id), a tiny fraction of the
-    # corpus it summarizes, so this holds at any scale.
+    # lazily local-checkpointed: bucketed feeds BOTH the offsets
+    # aggregate and the join big side — without it the tokenize scan
+    # runs twice. The materialized set is narrow (id, token count,
+    # bucket id), a tiny fraction of the corpus it summarizes, so this
+    # holds at any scale; localCheckpoint (not persist) so no cache pin
+    # outlives the query (test_no_cache_left_behind).
     bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries)) \
-        .persist()
+        .localCheckpoint(eager=False)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (bucketed.groupBy("_pid").agg(F.sum("_n").alias("_c"))
             .select("_pid", F.coalesce(F.sum("_c").over(w_off),
@@ -542,11 +544,12 @@ def length_batches(df: DataFrame, budget: int, text_col: str = "text",
     if boundaries is None:
         # id-only sampling scans: column pruning drops the tokenizer
         boundaries = range_boundaries(base, id_col)
-    # persisted for the same reason as pack_positions: the offsets
-    # aggregate and the join big side would otherwise tokenize twice;
-    # the persisted set is (id, n_tokens, bucket, _pid) — narrow
+    # lazily local-checkpointed for the same reason as pack_positions:
+    # the offsets aggregate and the join big side would otherwise
+    # tokenize twice; the set is (id, n_tokens, bucket, _pid) — narrow —
+    # and localCheckpoint leaves no cache pin behind
     bucketed = base.withColumn("_pid", bucket_of(id_col, boundaries)) \
-        .persist()
+        .localCheckpoint(eager=False)
     w_off = (Window.partitionBy("bucket").orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offs = (bucketed.groupBy("bucket", "_pid")
