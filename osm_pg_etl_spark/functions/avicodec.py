@@ -165,7 +165,11 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 dims = (bw, bh)
                 (bit_count,) = struct.unpack(
                     "<H", data[body_start + 14:body_start + 16])
-                compression = data[body_start + 16:body_start + 20]
+                # biCompression exists only in the 40-byte+ header form;
+                # a 16-byte BITMAPCOREHEADER-style strf must not read
+                # the next chunk's bytes as a fourcc
+                compression = (data[body_start + 16:body_start + 20]
+                               if size >= 20 else b"")
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frame = data[body_start:body_end]
                 if not frame:
@@ -173,9 +177,10 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     # real capture devices emit; a compliant reader skips
                     pos = body_start
                     continue
-                if frame[:2] == b"\xFF\xD8":
-                    frames.append(decode_jpeg(frame))
-                elif compression in _MSVC_FOURCCS:
+                # dispatch on the DECLARED codec first: an MS Video 1
+                # frame can legitimately begin FF D8 (a 1-color block
+                # with that RGB555 word) and must not be JPEG-sniffed
+                if compression in _MSVC_FOURCCS:
                     from .msvideo1 import (decode_msvc_frame,
                                            rgb555_to_rgb888)
 
@@ -192,6 +197,8 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     msvc_prev = decode_msvc_frame(frame, w, h, msvc_prev)
                     # codec space is bottom-up; flip to image order
                     frames.append(rgb555_to_rgb888(msvc_prev[::-1]))
+                elif frame[:2] == b"\xFF\xD8":
+                    frames.append(decode_jpeg(frame))
                 else:
                     raise NotImplementedError(
                         "AVI video chunk is neither a Motion-JPEG frame "

@@ -219,11 +219,16 @@ def encode_msvc_frame(frame555: np.ndarray,
                 for qi, q in enumerate(quads):
                     u = np.unique(q)
                     hi, lo = int(u[-1]), int(u[0])
-                    if qi == 3 and hi != lo and int(block[3, 3]) == hi:
+                    if qi == 3:
                         # bit-15 constraint: pixel (3, 3) is quadrant 3's
                         # last pixel and must map to the pair's SECOND
                         # color, or the flags word stops being < 0x8000
-                        hi, lo = lo, hi
+                        if hi == lo:
+                            # solid quadrant: make the first slot a
+                            # never-matching dummy so all its bits stay 0
+                            hi = lo ^ 1
+                        elif int(block[3, 3]) == hi:
+                            hi, lo = lo, hi
                     pairs.append((hi, lo))
                 flags = 0
                 for py in range(4):

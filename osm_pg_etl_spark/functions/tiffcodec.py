@@ -577,9 +577,13 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 raise NotImplementedError(
                     "JPEG-in-TIFF tile layout unsupported (strips only)")
             pm = values(262, [6])[0]
-            if pm not in (1, 2, 6):
+            if pm not in (1, 6):
+                # pm 2 (RGB-stored JPEG components, no color transform)
+                # would need decode_jpeg to SKIP its JFIF YCbCr matrix;
+                # decoding it anyway would yield silently wrong colors
                 raise NotImplementedError(
-                    f"JPEG-in-TIFF photometric {pm} unsupported")
+                    f"JPEG-in-TIFF photometric {pm} unsupported "
+                    "(YCbCr (6) or grayscale (1) streams only)")
             tables = None
             if 347 in tags:
                 typ, count, raw = tags[347]

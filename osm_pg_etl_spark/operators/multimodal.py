@@ -11,12 +11,13 @@ honestly: netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG, baseline AND
 progressive JPEG (:mod:`..functions.jpegcodec`), GIF
 (:mod:`..functions.gifcodec`), PCM/μ-law/ADPCM WAV
 (:mod:`..functions.audiocodec`), FLAC (:mod:`..functions.flaccodec`)
-and Motion-JPEG AVI video (:mod:`..functions.avicodec`) all
+and AVI video — Motion-JPEG and the INTER-FRAME MS Video 1
+(:mod:`..functions.avicodec` / :mod:`..functions.msvideo1`) — all
 decode/resize/feature-extract for REAL through pure-numpy codecs (see
 ``extract_image_features`` / ``extract_audio_features`` /
-``extract_video_features`` / ``resize_images``); only inter-frame video
-codecs (MPEG/H.26x), arithmetic-coded JPEG and lossy audio (MP3/AAC)
-remain behind ``decode_stub`` because no media library exists in this
+``extract_video_features`` / ``resize_images``); only transform-coded
+video (MPEG/H.26x), arithmetic-coded JPEG and MP3/Vorbis audio remain
+behind ``decode_stub`` because no media library exists in this
 container — a PIL/libav deployment replaces only
 ``functions.imagecodec.decode_image``'s fallback branch.
 
@@ -332,7 +333,8 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     TIFF per row — a GRADIENT gray image (8-bit pixel = base + x + y,
     base = 19·id mod 103, bounded < 256) — cycling the three baseline
     compressions by id (none / LZW with the horizontal-differencing
-    predictor / PackBits), BOTH byte orders (MM on odd ids), and (r12)
+    predictor / PackBits), BOTH byte orders (MM keyed on id//8, so
+    every class sees both), and (r12)
     the layout/depth/photometric classes by id mod 8:
 
     - 0: TILED 8-bit, (id%14+20) × (id%10+18) so the 16×16 tile grid is
@@ -375,6 +377,11 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
             i = int(i)
             cls = i % 8
             base = i * 19 % 103
+            # byte order keyed on i//8, NOT i%2: cls = i%8 fixes the id's
+            # parity per class, so a parity-keyed option would weld each
+            # class to ONE byte order (tiled never-MM, JPEG always-MM)
+            # and leave those branch combinations gate-invisible
+            mm = (i // 8) % 2
             if cls == 7:
                 wb = i % 3 + 1
                 blocks = (base + np.arange(wb)[None, :]
@@ -383,8 +390,8 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                 out.append(encode_tiff_jpeg(
                     np.stack([gray8] * 3, axis=2),
                     quant=np.ones((8, 8)), rows_per_strip=8,
-                    use_jpeg_tables=bool(i % 2),
-                    byte_order="MM" if i % 2 else "II"))
+                    use_jpeg_tables=bool((i // 16) % 2),
+                    byte_order="MM" if mm else "II"))
                 continue
             big = cls in (0, 2)
             w = i % 14 + (20 if big else 1)
@@ -393,7 +400,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                     + np.arange(h)[:, None]).astype(np.uint16)
             comp = (1, 5, 32773)[i % 3]
             kwargs = dict(compression=comp, rows_per_strip=4,
-                          byte_order="MM" if i % 2 else "II",
+                          byte_order="MM" if mm else "II",
                           tile_size=(16, 16) if big else None)
             if cls in (1, 2):
                 page = gray * np.uint16(257)     # full-scale 16-bit

@@ -1417,12 +1417,18 @@ s0 AS (
 b{k} AS (
   SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
          cnt
-  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
-        if k + 1 < n_merges:
-            ctes.append(f"""s{k + 1} AS (
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+bf{k} AS (
+  -- never-empty fallback: when the vocabulary runs out of pairs before
+  -- round {k}, a no-op merge ('', '') keeps the downstream cross joins
+  -- populated (the 4-space pattern cannot occur in the wrap encoding)
+  SELECT l, r FROM b{k}
+  UNION ALL
+  SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM b{k}))""")
+        ctes.append(f"""s{k + 1} AS (
   SELECT replace(symbols, ' ' || b.l || '  ' || b.r || ' ',
                  ' ' || b.l || b.r || ' ') AS symbols, freq
-  FROM s{k}, b{k} b)""")
+  FROM s{k}, bf{k} b)""")
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, l AS \"left\", "
         f"r AS \"right\", l || r AS merged, cnt AS pair_count FROM b{k}"
@@ -1455,11 +1461,14 @@ def _sql_bpe_tokenize(n_merges: int = 6) -> str:
     ctes = base[len("WITH "):base.rindex("\nSELECT CAST(0")]
     wrap = ("array_to_string(list_transform(generate_series(1, "
             "length(w)), i -> ' ' || w[i:i] || ' '), '')")
+    # bf{k} (the never-empty fallback), NOT b{k}: an early-stopped
+    # training run must tokenize with the merges that exist, not
+    # produce an empty cross join
     applied = wrap
     for k in range(n_merges):
-        applied = (f"replace({applied}, ' ' || b{k}.l || '  ' || b{k}.r "
-                   f"|| ' ', ' ' || b{k}.l || b{k}.r || ' ')")
-    bs = ", ".join(f"b{k}" for k in range(n_merges))
+        applied = (f"replace({applied}, ' ' || bf{k}.l || '  ' || bf{k}.r "
+                   f"|| ' ', ' ' || bf{k}.l || bf{k}.r || ' ')")
+    bs = ", ".join(f"bf{k}" for k in range(n_merges))
     return f"""WITH {ctes},
 docwords AS (
   SELECT doc_id, t AS w

@@ -48,7 +48,8 @@ def get_spark(
         # it on so harnesses can read stage shuffle metrics from the
         # /api/v1 REST endpoint (scripts/scale_stress.py flagship mode)
         .config("spark.ui.enabled",
-                os.environ.get("SPARK_GRAFT_UI", "false"))
+                "true" if os.environ.get("SPARK_GRAFT_UI", "false")
+                .lower() in ("true", "1", "yes") else "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # extra driver/executor jars (e.g. the org.postgresql JDBC driver from

@@ -114,6 +114,16 @@ def decode_warc(payload: bytes) -> list[dict]:
     return records
 
 
+def _hv(value) -> str:
+    """Validate one WARC header value: headers are CRLF-framed, so an
+    embedded CR/LF in a caller-supplied value would desync the header
+    block from Content-Length and silently corrupt the record framing."""
+    s = str(value)
+    if "\r" in s or "\n" in s:
+        raise ValueError(f"WARC header value contains CR/LF: {s!r}")
+    return s
+
+
 def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     """Record dicts -> WARC/1.0 bytes. Each dict: ``type`` (response /
     resource / warcinfo...), optional ``uri``/``date``/``record_id``,
@@ -134,16 +144,6 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
         else:
             block = r["payload"]
             ctype = r.get("content_type", "application/octet-stream")
-        def _hv(value) -> str:
-            # headers are CRLF-framed: an embedded CR/LF in a
-            # caller-supplied value would desync the header block from
-            # Content-Length and silently corrupt the record framing
-            s = str(value)
-            if "\r" in s or "\n" in s:
-                raise ValueError(
-                    f"WARC header value contains CR/LF: {s!r}")
-            return s
-
         hdr = [f"WARC/1.0",
                f"WARC-Type: {_hv(r.get('type', 'response'))}"]
         if r.get("uri"):

@@ -13,10 +13,16 @@ Usage: python scripts/scale_stress.py [K ...]   (default: 1 2 5 10)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# the shuffle-byte columns need the UI REST API; enable it before the
+# first (process-wide) SparkSession is built so a plain
+# `python scripts/scale_stress.py` run actually reports them
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from pyspark.sql import DataFrame, functions as F
 

@@ -231,3 +231,30 @@ def test_stereo_adpcm_roundtrip():
         adpcm_decode_stereo(raw[:4], 64)
     with pytest.raises(ValueError, match="mid-group"):
         adpcm_decode_stereo(raw[:14], 64)
+
+
+def test_eight_color_solid_last_quadrant():
+    """Review regression (r12): an 8-color block whose bottom-right 2x2
+    quadrant is SOLID must still satisfy the bit-15 flags constraint —
+    the encoder emits a never-matching dummy first color for that pair
+    instead of tripping its own assertion / emitting a corrupt word."""
+    f = np.zeros((4, 4), dtype=np.uint16)
+    f[0:2, 0:2] = gray555(1)
+    f[0, 0] = gray555(2)            # quad 0: two colors
+    f[0:2, 2:4] = gray555(3)        # quad 1: solid
+    f[2:4, 0:2] = gray555(4)        # quad 2: solid
+    f[2:4, 2:4] = gray555(5)        # quad 3: SOLID (the regression)
+    s = encode_msvc_frame(f, None)
+    assert (s[1] & 0x80) == 0       # a valid 2/8-color flags word
+    d = decode_msvc_frame(s, 4, 4, None)
+    assert np.array_equal(d & 0x7FFF, f)
+
+
+def test_msvc_frame_starting_with_jpeg_soi_bytes():
+    """Review regression (r12): a CRAM frame whose first code word is
+    the 1-color block 0xD8FF (bytes FF D8 — the JPEG SOI marker) must
+    dispatch on the DECLARED codec, not the JPEG byte sniff."""
+    color = 0x58FF                   # solid word 0x8000|0x58FF = 0xD8FF
+    f = rgb555_to_rgb888(np.full((4, 4), color, dtype=np.uint16))
+    dec, _ = decode_avi(encode_avi_msvc([f]))
+    assert np.array_equal(dec[0], f)
