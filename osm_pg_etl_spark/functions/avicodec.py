@@ -207,7 +207,12 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                         f"{compression!r})")
             pos = body_start + size + (size % 2)  # chunks are word-aligned
 
-    walk(payload, 12, len(payload))
+    try:
+        walk(payload, 12, len(payload))
+    except (struct.error, IndexError) as e:
+        # a truncated header chunk must fail as a clean parse error,
+        # the same contract as decode_tiff
+        raise ValueError(f"truncated AVI payload: {e}") from e
     if not frames:
         raise ValueError("AVI contained no video frames")
     fps = 1_000_000 / usec_per_frame if usec_per_frame else 0.0

@@ -396,3 +396,47 @@ def test_stereo_adpcm_channels_independent(left, right):
     for c in range(2):
         for off in range(0, n, per_block):
             assert dec[off, c] == pcm[off, c]
+
+
+@given(st.integers(0, 400), st.integers(1, 4))
+@settings(max_examples=120, deadline=None)
+def test_msvideo1_truncation_never_hangs_or_misparses(cut, nframes):
+    """Truncating a valid CRAM AVI at any byte must either decode the
+    prefix that survives intact or raise a clean ValueError /
+    NotImplementedError — never hang, never return malformed frames."""
+    from osm_pg_etl_spark.functions.avicodec import (decode_avi,
+                                                     encode_avi_msvc)
+
+    frames = []
+    for f in range(nframes):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[0:4, 0:4] = (f * 8) % 248
+        frames.append(img)
+    avi = encode_avi_msvc(frames)
+    payload = avi[:min(cut, len(avi))]
+    try:
+        dec, _ = decode_avi(payload)
+    except (ValueError, NotImplementedError):
+        return
+    for d in dec:
+        assert d.shape == (8, 8, 3) and d.dtype == np.uint8
+
+
+@given(st.integers(0, 600))
+@settings(max_examples=120, deadline=None)
+def test_tiff_jpeg_truncation_raises_cleanly(cut):
+    """Truncated JPEG-in-TIFF payloads raise ValueError (or decode an
+    intact prefix) — the IFD walk and strip splice never read out of
+    bounds silently."""
+    from osm_pg_etl_spark.functions.tiffcodec import (decode_tiff,
+                                                      encode_tiff_jpeg)
+
+    img = np.full((16, 16, 3), 100, dtype=np.uint8)
+    t = encode_tiff_jpeg(img, quant=np.ones((8, 8)), rows_per_strip=8,
+                         use_jpeg_tables=True)
+    payload = t[:min(cut, len(t))]
+    try:
+        pages = decode_tiff(payload)
+    except (ValueError, NotImplementedError):
+        return
+    assert pages and pages[0].shape == (16, 16, 3)
