@@ -571,6 +571,41 @@ def length_batches(df: DataFrame, budget: int, text_col: str = "text",
                     "docs_per_batch"))
 
 
+def hashed_linear_score(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        seed: int = 0) -> DataFrame:
+    """Hash-trick LINEAR model scoring — the plumbing of a
+    fastText/CCNet-style quality filter (Joulin et al. 2016 hashing
+    trick; Wenzek et al. 2019 CCNet filtering), with the weight TABLE
+    replaced by a weight FUNCTION of the md5 hash family so the score
+    is a pure, engine-portable function of the text (a deployment
+    swaps ``w(t)`` for a broadcast-joined learned weight table; the
+    plan shape — one scan, per-token map, per-doc aggregate — is
+    identical).
+
+    w(t) = (md5_u32(seed|t) mod 2001) − 1000  ∈ [−1000, 1000];
+    logit = Σ w(lower(t)); score = logit / (1000 · n_tokens).
+
+    Everything up to the final division is exact integer arithmetic, so
+    a SQL oracle computing the same expression hash-matches bit for
+    bit. Pure Column expressions: no UDF, no shuffle except the final
+    nothing — this is a map-only operator (the per-doc aggregate is
+    ``F.aggregate`` over the token array, inside the row).
+
+    Returns (id_col, n_tokens, logit, score); empty docs score 0.0."""
+    from ..functions.hashing import md5_long  # noqa: PLC0415
+
+    toks = tokens(F.lower(F.col(text_col)))
+    w = lambda t: (md5_long(t, seed=seed) % 2001 - 1000)  # noqa: E731
+    logit = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + w(t))
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col), n.alias("n_tokens"), logit.alias("logit"),
+        F.when(n > 0, F.round(logit.cast("double") / (1000.0 * n), 6))
+        .otherwise(F.lit(0.0)).alias("score"))
+
+
 def word_ngrams(text: Column | str, n: int = 5) -> Column:
     """Distinct lowercased word n-grams of a document (docs shorter than
     ``n`` tokens contribute their whole text as one gram, mirroring the

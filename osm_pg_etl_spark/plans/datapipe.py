@@ -1379,6 +1379,38 @@ FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """
 
 
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-trick linear quality scoring (operators/text.py:
+    hashed_linear_score): the fastText/CCNet filter plumbing as a
+    MAP-ONLY operator — per-token md5-derived weights, per-doc
+    ``F.aggregate`` inside the row, zero shuffles, no UDF. Integer
+    logit is exact, so the oracle hash-matches bit for bit."""
+    from ..operators.text import hashed_linear_score  # noqa: PLC0415
+
+    return hashed_linear_score(docs_t(spark, sf_dir))
+
+
+SQL_QUALITY_MODEL_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(
+             w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001
+                     - 1000)), 0) AS BIGINT) AS logit
+  FROM toks)
+SELECT doc_id, n_tokens, logit,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(logit AS DOUBLE) / (1000.0 * n_tokens), 6)
+            ELSE 0.0 END AS score
+FROM s
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): ONE
     corpus pass builds the word-frequency table, then 6 merge rounds
@@ -2444,6 +2476,7 @@ QUERIES = {
     "training_order": q_training_order,
     "datapipe_e2e": q_datapipe_e2e,
     "unigram_logprob": q_unigram_logprob,
+    "quality_model_score": q_quality_model_score,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "multimodal_features": q_multimodal_features,
@@ -2505,6 +2538,7 @@ ORACLES = {
     "training_order": SQL_TRAINING_ORDER,
     "datapipe_e2e": SQL_DATAPIPE_E2E,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "quality_model_score": SQL_QUALITY_MODEL_SCORE,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

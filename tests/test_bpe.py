@@ -76,3 +76,26 @@ def test_subword_counts_broadcast_apply(spark):
     assert out[1] == (2, 4)
     # newest -> [n, e, w, est] (4) x2; widest -> [w, i, d, est] (4)
     assert out[2] == (3, 12)
+
+
+def test_hashed_linear_score_exact(spark):
+    """Hash-trick scorer: logit is the exact md5-derived weight sum
+    (verified against hashlib), empty docs score 0.0."""
+    import hashlib
+
+    from osm_pg_etl_spark.operators.text import hashed_linear_score
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) \
+            % 2001 - 1000
+
+    df = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA"), (2, ""), (3, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    exp1 = w("alpha") + w("beta") + w("gamma")
+    assert (out[1]["n_tokens"], out[1]["logit"]) == (3, exp1)
+    assert out[1]["score"] == round(exp1 / 3000.0, 6)
+    assert (out[2]["n_tokens"], out[2]["logit"], out[2]["score"]) \
+        == (0, 0, 0.0)
+    assert out[3]["logit"] == w("x")
