@@ -13,8 +13,9 @@ BITMAPINFOHEADER whose frames sniff as JPEG), ``LIST movi`` chunk walk
 with word-aligned chunk padding, ``rec `` sub-list recursion, optional
 ``idx1`` ignored (the frames are read in stream order). Frame rate from
 the main AVI header's dwMicroSecPerFrame. Since r12 the walker also
-dispatches CRAM/MSVC/WHAM 16-bit streams to :mod:`.msvideo1` — REAL
-INTER-FRAME decoding (skip blocks copy from the previous frame), so the
+dispatches CRAM/MSVC/WHAM streams to :mod:`.msvideo1` — REAL
+INTER-FRAME decoding (skip blocks copy from the previous frame), in
+both the 16-bit RGB555 and (r13) 8-bit palettized variants, so the
 "no inter-frame codecs" boundary is gone; what remains out of scope is
 transform-coded video (MPEG/H.26x), which raises ``NotImplementedError``
 loudly — the honest-boundary pattern every codec here follows.
@@ -127,24 +128,88 @@ def encode_avi_msvc(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
 _MSVC_FOURCCS = (b"CRAM", b"MSVC", b"WHAM", b"cram", b"msvc", b"wham")
 
 
+def encode_avi_msvc8(frames_idx: list[np.ndarray], palette: np.ndarray,
+                     fps: float = 10.0) -> bytes:
+    """(h, w) uint8 PALETTE-INDEX frames + (n, 3) uint8 RGB palette ->
+    MS Video 1 (CRAM, 8-bit palettized) AVI bytes — the palettized
+    sibling of :func:`encode_avi_msvc`. The strf chunk carries the
+    BITMAPINFOHEADER (biBitCount=8, biClrUsed=len(palette)) followed by
+    the RGBQUAD color table (B, G, R, 0 byte order), exactly the layout
+    Video-for-Windows writes. Frame 0 is intra; later frames emit skip
+    runs for unchanged 4x4 blocks (temporal prediction)."""
+    from .msvideo1 import encode_msvc_frame8
+
+    if not frames_idx:
+        raise ValueError("need at least one frame")
+    h, w = frames_idx[0].shape
+    if any(f.shape != (h, w) for f in frames_idx):
+        raise ValueError("all frames must share one (h, w)")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 \
+            or not 1 <= palette.shape[0] <= 256:
+        raise ValueError("palette must be (n<=256, 3) uint8 RGB")
+    planes = [f[::-1] for f in frames_idx]  # bottom-up (DIB) order
+    payloads = []
+    prev = None
+    for p in planes:
+        payloads.append(encode_msvc_frame8(p, prev))
+        prev = p
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(round(1_000_000 / fps))
+    max_bytes = max(len(p) for p in payloads)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", usec, max_bytes * int(round(fps)), 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"CRAM" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0,
+        len(payloads), max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    # RGBQUAD table: (blue, green, red, reserved) per entry
+    quads = b"".join(bytes((int(b), int(g), int(r), 0))
+                     for r, g, b in palette.tolist())
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8, b"CRAM", w * h,
+        0, 0, len(palette), 0) + quads)
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     """AVI bytes -> (list of (h, w, 3) uint8 RGB frames, fps). Walks the
     RIFF chunk tree (word-aligned), recurses into ``movi``'s ``rec ``
     sub-lists, and dispatches the video stream by codec: JPEG-sniffing
-    frames decode as Motion-JPEG; a CRAM/MSVC/WHAM 16-bit stream decodes
-    as MS Video 1 with the previous-frame state threaded through (the
-    inter-frame path). Other codecs raise loudly."""
+    frames decode as Motion-JPEG; a CRAM/MSVC/WHAM stream decodes as
+    MS Video 1 — 16-bit RGB555 or 8-bit palettized (the strf's RGBQUAD
+    table maps indices to RGB) — with the previous-frame state threaded
+    through (the inter-frame path). Codec fields latch only from the
+    VIDEO stream's strf (the preceding strh's fccType gates it), so an
+    audio stream's WAVEFORMATEX can never clobber the dispatch; a second
+    video stream raises loudly rather than sharing one prev-frame
+    buffer. Other codecs raise loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI payload")
     usec_per_frame = 0
     compression = b""
     bit_count = 0
     dims = (0, 0)                     # (width, height) from strf
+    palette: np.ndarray | None = None  # (n, 3) uint8 RGB for 8-bit
+    last_fcc_type = b""               # fccType of the preceding strh
+    vids_streams = 0
     frames: list[np.ndarray] = []
     msvc_prev: np.ndarray | None = None
 
     def walk(data: bytes, pos: int, end: int) -> None:
-        nonlocal usec_per_frame, compression, bit_count, dims, msvc_prev
+        nonlocal usec_per_frame, compression, bit_count, dims, \
+            palette, last_fcc_type, vids_streams, msvc_prev
         while pos + 8 <= end:
             fourcc = data[pos:pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -157,9 +222,20 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
             elif fourcc == b"avih":
                 (usec_per_frame,) = struct.unpack(
                     "<I", data[body_start:body_start + 4])
-            elif fourcc == b"strf" and size >= 16:
+            elif fourcc == b"strh":
+                last_fcc_type = data[body_start:body_start + 4]
+                if last_fcc_type == b"vids":
+                    vids_streams += 1
+                    if vids_streams > 1:
+                        raise NotImplementedError(
+                            "multi-video-stream AVIs are not supported "
+                            "(one prev-frame state per file)")
+            elif fourcc == b"strf" and size >= 16 \
+                    and last_fcc_type == b"vids":
                 # BITMAPINFOHEADER: biWidth/biHeight at 4/8,
-                # biBitCount at 14, biCompression at 16
+                # biBitCount at 14, biCompression at 16. Only the VIDEO
+                # stream's strf may latch these — an audio strf is a
+                # WAVEFORMATEX whose bytes would misparse here.
                 bw, bh = struct.unpack("<ii", data[body_start + 4:
                                                    body_start + 12])
                 dims = (bw, bh)
@@ -170,6 +246,19 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 # the next chunk's bytes as a fourcc
                 compression = (data[body_start + 16:body_start + 20]
                                if size >= 20 else b"")
+                if bit_count == 8 and size >= 40:
+                    (bi_size,) = struct.unpack(
+                        "<I", data[body_start:body_start + 4])
+                    (clr_used,) = struct.unpack(
+                        "<I", data[body_start + 32:body_start + 36])
+                    n_entries = clr_used or 256
+                    tbl = data[body_start + bi_size:
+                               body_start + bi_size + 4 * n_entries]
+                    if len(tbl) < 4 * n_entries:
+                        raise ValueError(
+                            "truncated AVI palette (RGBQUAD table)")
+                    q = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 4)
+                    palette = q[:, [2, 1, 0]].copy()  # BGRX -> RGB
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frame = data[body_start:body_end]
                 if not frame:
@@ -182,21 +271,32 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 # with that RGB555 word) and must not be JPEG-sniffed
                 if compression in _MSVC_FOURCCS:
                     from .msvideo1 import (decode_msvc_frame,
+                                           decode_msvc_frame8,
                                            rgb555_to_rgb888)
 
-                    if bit_count != 16:
+                    if bit_count not in (8, 16):
                         raise NotImplementedError(
-                            "only the 16-bit (RGB555) MS Video 1 variant "
-                            f"decodes (biBitCount={bit_count}; the 8-bit "
-                            "palettized variant is out of scope)")
+                            "only the 16-bit (RGB555) and 8-bit "
+                            "palettized MS Video 1 variants decode "
+                            f"(biBitCount={bit_count})")
                     w, h = dims[0], dims[1]
                     if h < 0:
                         raise NotImplementedError(
                             "top-down (negative biHeight) MS Video 1 AVIs "
                             "are not supported")
-                    msvc_prev = decode_msvc_frame(frame, w, h, msvc_prev)
-                    # codec space is bottom-up; flip to image order
-                    frames.append(rgb555_to_rgb888(msvc_prev[::-1]))
+                    if bit_count == 16:
+                        msvc_prev = decode_msvc_frame(frame, w, h,
+                                                      msvc_prev)
+                        # codec space is bottom-up; flip to image order
+                        frames.append(rgb555_to_rgb888(msvc_prev[::-1]))
+                    else:
+                        if palette is None:
+                            raise ValueError(
+                                "8-bit MS Video 1 stream without an "
+                                "RGBQUAD palette in strf")
+                        msvc_prev = decode_msvc_frame8(frame, w, h,
+                                                       msvc_prev)
+                        frames.append(palette[msvc_prev[::-1]])
                 elif frame[:2] == b"\xFF\xD8":
                     frames.append(decode_jpeg(frame))
                 else:

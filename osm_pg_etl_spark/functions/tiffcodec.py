@@ -364,8 +364,14 @@ def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
     Note 2: ``tables`` = SOI + every DQT/DHT segment + EOI, and
     ``abbreviated`` = the stream with those segments removed. Walking
     length-prefixed segments up to SOS is exact; entropy data follows
-    SOS and is copied verbatim."""
-    assert stream[:2] == b"\xff\xd8"
+    SOS and is copied verbatim. Standalone (length-less) markers that
+    may legally appear pre-SOS in foreign streams — TEM (0x01) and
+    RSTn/SOI/EOI (0xD0-0xD9) — pass through to the abbreviated stream
+    rather than misreading the next bytes as a segment length (r13;
+    also the SOI precondition is a real ValueError, not an assert
+    stripped under ``python -O``)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("JPEG stream does not start with SOI")
     tables = bytearray(b"\xff\xd8")
     rest = bytearray(b"\xff\xd8")
     pos = 2
@@ -373,6 +379,11 @@ def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
         if stream[pos] != 0xFF:
             raise ValueError("malformed JPEG segment stream")
         marker = stream[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone marker: no length word follows
+            rest += stream[pos:pos + 2]
+            pos += 2
+            continue
         (seg_len,) = struct.unpack(">H", stream[pos + 2:pos + 4])
         seg = stream[pos:pos + 2 + seg_len]
         if marker in (0xDB, 0xC4):          # DQT / DHT

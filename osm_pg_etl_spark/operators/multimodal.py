@@ -333,7 +333,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     TIFF per row — a GRADIENT gray image (8-bit pixel = base + x + y,
     base = 19·id mod 103, bounded < 256) — cycling the three baseline
     compressions by id (none / LZW with the horizontal-differencing
-    predictor / PackBits), BOTH byte orders (MM keyed on id//8, so
+    predictor / PackBits), BOTH byte orders (MM keyed on (id//8) % 2, so
     every class sees both), and (r12)
     the layout/depth/photometric classes by id mod 8:
 
@@ -353,7 +353,8 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     - 7: JPEG-IN-TIFF (compression 7, Tech Note 2): 8×8-block-constant
       gray at flat quantization (bit-exact JPEG inversion), (id%3+1)×2
       blocks in 8-row strips, abbreviated streams + shared JPEGTables
-      on odd ids — mean = base + (wb−1)/2 + 1/2.
+      keyed on (id//16) % 2 (so the class-7 residue still sees both
+      table layouts) — mean = base + (wb−1)/2 + 1/2.
 
     TIFF is lossless at every depth, so the closed-form oracle
     ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes, affine
@@ -482,56 +483,79 @@ def attach_synthetic_mjpeg(df: DataFrame, id_col: str = "doc_id"
 
 def attach_synthetic_msvc(df: DataFrame, id_col: str = "doc_id"
                           ) -> DataFrame:
-    """REAL INTER-FRAME video payloads (r12,
-    :mod:`..functions.msvideo1`): one MS Video 1 (CRAM 16-bit) AVI per
-    row. Frame grid is wb = id mod 2 + 2 by 2 blocks of 4x4 gray
-    pixels; n = id mod 3 + 2 frames at 10 fps. Frame 0 is all-solid at
-    5-bit level q0 = 7·id mod 20; in frame f ≥ 1 the odd checkerboard
-    cells (exactly wb of the 2·wb cells) change to level q0 + f while
-    the even cells stay put — so the encoder emits genuine SKIP blocks
-    (temporal references to the previous frame) for half of every
-    non-key frame, and the decode is pixel-exact because every level is
-    on the RGB555 lattice (8-bit value G(q) = 8q + q//4). Features stay
-    closed-form: per-channel sums are integers, mean and motion are
-    single divisions of those integers."""
+    """REAL INTER-FRAME video payloads (r12, widened r13,
+    :mod:`..functions.msvideo1`): one MS Video 1 AVI per row, cycling
+    BOTH published variants by id parity — even ids get the 16-bit
+    RGB555 stream, odd ids the 8-bit PALETTIZED stream (identity gray
+    RGBQUAD table in strf, so index q decodes to (q, q, q)).
+
+    Shared geometry, with k = id // 2: the frame grid is
+    wb = k mod 2 + 2 by 2 blocks of 4x4 gray pixels, n = k mod 3 + 2
+    frames at 10 fps, level step s = k mod 3 + 1. Frame 0 is all-solid
+    at level q0 (7·id mod 20 for even ids on the 5-bit lattice,
+    7·id mod 200 for odd ids in palette-index space); in frame f ≥ 1
+    the odd checkerboard cells (exactly wb of the 2·wb cells) change to
+    level q0 + f·s while the even cells stay put — so the encoder emits
+    genuine SKIP blocks (temporal references to the previous frame) for
+    half of every non-key frame, in both variants. Decode is
+    pixel-exact: the 16-bit path lands on the RGB555 lattice (8-bit
+    value G(q) = 8q + q//4, max level 19 + 3·3 = 28 < 32), the 8-bit
+    path reads the identity palette (G(q) = q, max 199 + 9 < 256).
+    Features stay closed-form: per-channel sums are integers, mean and
+    motion are single divisions of those integers."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
     def make_avi(ids: pd.Series) -> pd.Series:
         import numpy as np
 
-        from ..functions.avicodec import encode_avi_msvc
+        from ..functions.avicodec import encode_avi_msvc, encode_avi_msvc8
         from ..functions.msvideo1 import rgb555_to_rgb888
 
+        gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         out = []
         for i in ids:
             i = int(i)
-            wb, n, q0 = i % 2 + 2, i % 3 + 2, 7 * i % 20
+            k = i // 2
+            wb, n, s = k % 2 + 2, k % 3 + 2, k % 3 + 1
+            if i % 2 == 0:            # 16-bit RGB555 leg
+                q0 = 7 * i % 20
 
-            def gray(q):
-                return np.uint16((q << 10) | (q << 5) | q)
+                def gray(q):
+                    return np.uint16((q << 10) | (q << 5) | q)
 
-            frames = []
-            base = np.full((8, wb * 4), gray(q0), dtype=np.uint16)
-            frames.append(base)
+                dtype = np.uint16
+            else:                     # 8-bit palettized leg
+                q0 = 7 * i % 200
+
+                def gray(q):
+                    return np.uint8(q)
+
+                dtype = np.uint8
+            frames = [np.full((8, wb * 4), gray(q0), dtype=dtype)]
             for f in range(1, n):
                 nxt = frames[-1].copy()
                 for by in range(2):
                     for bx in range(wb):
                         if (bx + by) % 2 == 1:
                             nxt[by * 4:by * 4 + 4,
-                                bx * 4:bx * 4 + 4] = gray(q0 + f)
+                                bx * 4:bx * 4 + 4] = gray(q0 + f * s)
                 frames.append(nxt)
-            out.append(encode_avi_msvc(
-                [rgb555_to_rgb888(fr) for fr in frames], fps=10.0))
+            if i % 2 == 0:
+                out.append(encode_avi_msvc(
+                    [rgb555_to_rgb888(fr) for fr in frames], fps=10.0))
+            else:
+                out.append(encode_avi_msvc8(frames, gray_pal, fps=10.0))
         return pd.Series(out)
 
     meta = F.struct(
         F.lit("video").alias("kind"),
         F.lit("video/x-msvideo").alias("mime"),
-        ((F.col(id_col) % 2 + 2) * 4).cast("int").alias("width"),
+        (((F.col(id_col) / 2).cast("long") % 2 + 2) * 4)
+        .cast("int").alias("width"),
         F.lit(8).cast("int").alias("height"),
-        ((F.col(id_col) % 3 + 2) * 100).cast("int").alias("duration_ms"))
+        (((F.col(id_col) / 2).cast("long") % 3 + 2) * 100)
+        .cast("int").alias("duration_ms"))
     return df.select(F.col(id_col).alias("doc_id"),
                      make_avi(F.col(id_col)).alias("content"),
                      meta.alias("media_meta"))

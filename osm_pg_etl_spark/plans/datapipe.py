@@ -1877,7 +1877,8 @@ def q_media_image_features_tiff(spark: SparkSession,
     """REAL TIFF decode (r11, widened r12): every doc_id becomes a
     genuine TIFF — the document/scan-corpus format — cycling baseline
     compressions (none / early-change LZW with the horizontal-
-    differencing predictor / PackBits), byte orders (MM on odd ids),
+    differencing predictor / PackBits), byte orders (MM keyed on
+    (doc_id//8) % 2 so every id-mod-8 class sees both),
     and by id mod 8 the layout/depth/photometric classes: tiled with
     padded edge tiles (0), 16-bit strip (1), tiled 16-bit (2), small
     multi-strip (3-4), PALETTE with an affine ColorMap (5 — channel
@@ -1885,7 +1886,8 @@ def q_media_image_features_tiff(spark: SparkSession,
     integer conversion is the identity (6 — spp=4 strips and the
     4-sample predictor), and JPEG-IN-TIFF (7 — block-constant at flat
     quantization so the real per-strip JPEG decode inverts bit-exactly,
-    with shared JPEGTables splicing on odd ids) — decoded by
+    with shared JPEGTables splicing keyed on (doc_id//16) % 2) —
+    decoded by
     :mod:`functions.tiffcodec` inside mapInPandas via the sniffing
     dispatch. Every class decodes exactly, so the closed-form oracle
     (× 257 for 16-bit classes, affine for palette, block-mean for
@@ -1987,18 +1989,21 @@ FROM p
 
 def q_media_video_features_msvc(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """REAL INTER-FRAME video decode (r12): every doc_id becomes a
-    genuine MS Video 1 (CRAM 16-bit) AVI whose non-key frames encode
-    only the changed checkerboard cells — the unchanged half of each
+    """REAL INTER-FRAME video decode (r12, widened r13 to BOTH MS
+    Video 1 variants by id parity): every doc_id becomes a genuine MS
+    Video 1 AVI — CRAM 16-bit RGB555 for even ids, 8-bit PALETTIZED
+    (RGBQUAD table in strf) for odd ids — whose non-key frames encode
+    only the changed checkerboard cells; the unchanged half of each
     frame is SKIP blocks, i.e. temporal references the decoder resolves
-    against its previous-frame state (:mod:`functions.msvideo1`). All
-    levels sit on the RGB555 lattice so decode is pixel-exact and the
-    features are closed forms of doc_id: with wb = id%2+2, n = id%3+2,
-    q0 = 7·id%20 and G(q) = 8q + q//4, the per-channel mean is
-    (32·wb·G(q0) + 16·wb·((n-1)·G(q0) + Σ_{f=1}^{n-1} G(q0+f))) /
-    (32·wb·n) and motion telescopes to (G(q0+n-1) − G(q0)) / (2(n-1)).
-    A hash match proves the executor-side decoder really replayed the
-    skip-block deltas."""
+    against its previous-frame state (:mod:`functions.msvideo1`). Both
+    legs are pixel-exact (RGB555 lattice / identity gray palette) and
+    the features are closed forms of doc_id: with k = id//2,
+    wb = k%2+2, n = k%3+2, s = k%3+1, q0 = 7·id%20 (even) or 7·id%200
+    (odd), and G(q) = 8q + q//4 (even) or q (odd), the per-channel mean
+    is (32·wb·G(q0) + 16·wb·((n-1)·G(q0) + Σ_{f=1}^{n-1} G(q0+f·s))) /
+    (32·wb·n) and motion telescopes to (G(q0+(n-1)·s) − G(q0)) /
+    (2(n-1)). A hash match proves the executor-side decoder really
+    replayed the skip-block deltas in both bit depths."""
     docs = docs_t(spark, sf_dir)
     media = multimodal.attach_synthetic_msvc(docs.select("doc_id"))
     feats = multimodal.extract_video_features(media)
@@ -2012,18 +2017,30 @@ def q_media_video_features_msvc(spark: SparkSession,
 SQL_MEDIA_VIDEO_FEATURES_MSVC = """
 WITH p AS (
   SELECT doc_id,
-         doc_id % 2 + 2 AS wb,
-         CAST(doc_id % 3 + 2 AS INT) AS n,
-         7 * doc_id % 20 AS q0
+         (doc_id // 2) % 2 + 2 AS wb,
+         CAST((doc_id // 2) % 3 + 2 AS INT) AS n,
+         (doc_id // 2) % 3 + 1 AS s,
+         CASE WHEN doc_id % 2 = 0 THEN 7 * doc_id % 20
+              ELSE 7 * doc_id % 200 END AS q0,
+         doc_id % 2 = 0 AS hi
   FROM documents),
 g AS (
   SELECT doc_id, wb, n, q0,
-         8 * q0 + q0 // 4 AS g0,
-         CASE WHEN n >= 2 THEN 8 * (q0+1) + (q0+1) // 4 ELSE 0 END
-         + CASE WHEN n >= 3 THEN 8 * (q0+2) + (q0+2) // 4 ELSE 0 END
-         + CASE WHEN n >= 4 THEN 8 * (q0+3) + (q0+3) // 4 ELSE 0 END
+         CASE WHEN hi THEN 8 * q0 + q0 // 4 ELSE q0 END AS g0,
+         CASE WHEN n >= 2 THEN
+           CASE WHEN hi THEN 8 * (q0+s) + (q0+s) // 4 ELSE q0+s END
+         ELSE 0 END
+         + CASE WHEN n >= 3 THEN
+             CASE WHEN hi THEN 8 * (q0+2*s) + (q0+2*s) // 4
+                  ELSE q0+2*s END
+           ELSE 0 END
+         + CASE WHEN n >= 4 THEN
+             CASE WHEN hi THEN 8 * (q0+3*s) + (q0+3*s) // 4
+                  ELSE q0+3*s END
+           ELSE 0 END
            AS sg,
-         8 * (q0 + n - 1) + (q0 + n - 1) // 4 AS glast
+         CASE WHEN hi THEN 8 * (q0 + (n-1)*s) + (q0 + (n-1)*s) // 4
+              ELSE q0 + (n-1)*s END AS glast
   FROM p),
 m AS (
   SELECT doc_id, wb, n,

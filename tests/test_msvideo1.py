@@ -162,8 +162,14 @@ def test_boundaries_raise_loudly():
     f = np.zeros((4, 4, 3), dtype=np.uint8)
     avi = bytearray(encode_avi_msvc([f]))
     i = avi.find(b"strf")
-    avi[i + 8 + 14:i + 8 + 16] = (8).to_bytes(2, "little")  # biBitCount=8
+    avi[i + 8 + 14:i + 8 + 16] = (4).to_bytes(2, "little")  # biBitCount=4
     with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_avi(bytes(avi))
+    # 8-bit decodes since r13 — but an 8-bit strf that carries no
+    # RGBQUAD table (biClrUsed=0 -> 256 expected entries, none present)
+    # is a truncated palette
+    avi[i + 8 + 14:i + 8 + 16] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="palette"):
         decode_avi(bytes(avi))
 
 
@@ -258,3 +264,184 @@ def test_msvc_frame_starting_with_jpeg_soi_bytes():
     f = rgb555_to_rgb888(np.full((4, 4), color, dtype=np.uint16))
     dec, _ = decode_avi(encode_avi_msvc([f]))
     assert np.array_equal(dec[0], f)
+
+
+# ---------------------------------------------------------------- 8-bit
+
+def test_msvc8_handcrafted_two_color_pins_walk_order():
+    """8-bit 2-color: flags=0x0001 with index bytes (7, 9) — exactly ONE
+    pixel reads index 7, at the block's BOTTOM-LEFT corner (bit 0 of the
+    mask is the first pixel of the bottom-up walk)."""
+    from osm_pg_etl_spark.functions.msvideo1 import decode_msvc_frame8
+
+    stream = bytes([0x01, 0x00, 7, 9])
+    d = decode_msvc_frame8(stream, 4, 4, None)
+    assert d[0, 0] == 7                 # bottom-up row 0 = bottom row
+    assert (d == 9).sum() == 15
+
+
+def test_msvc8_handcrafted_eight_color_and_one_color():
+    """8-bit 8-color: the CODE WORD ITSELF is the mask (byte_b >= 0x90)
+    and eight index bytes follow, one (set, clear) pair per quadrant;
+    1-color carries its index in byte_a with a free marker byte."""
+    from osm_pg_etl_spark.functions.msvideo1 import decode_msvc_frame8
+
+    # mask 0x9000: bits 12 and 15 set -> pixels (3,0) and (3,3) read
+    # their quadrant pair's FIRST index, everything else the second
+    stream = bytes([0x00, 0x90, 1, 2, 3, 4, 5, 6, 7, 8])
+    d = decode_msvc_frame8(stream, 4, 4, None)
+    assert d[3, 0] == 5 and d[3, 3] == 7     # quads 2, 3 first colors
+    assert d[0, 0] == 2 and d[0, 3] == 4     # quads 0, 1 second colors
+    assert d[3, 1] == 6 and d[3, 2] == 8
+    # 1-color: index 0xAB, marker 0x80
+    d2 = decode_msvc_frame8(bytes([0xAB, 0x80]), 4, 4, None)
+    assert (d2 == 0xAB).all()
+
+
+def test_msvc8_all_intra_modes_roundtrip_exactly():
+    from osm_pg_etl_spark.functions.msvideo1 import (
+        decode_msvc_frame8, encode_msvc_frame8)
+
+    rng = np.random.RandomState(11)
+    f = np.zeros((8, 16), dtype=np.uint8)
+    f[0:4, 0:4] = 200                                      # solid
+    f[0:4, 4:8] = np.where(rng.rand(4, 4) > .5, 3, 250)    # 2-color
+    for qi, (qy, qx) in enumerate([(0, 0), (0, 2), (2, 0), (2, 2)]):
+        f[qy:qy + 2, 8 + qx:8 + qx + 2] = \
+            np.where(rng.rand(2, 2) > .5, 20 * qi + 1, 20 * qi + 2)
+    f[0:4, 12:16] = np.where(rng.rand(4, 4) > .5, 0, 255)
+    f[4:8, :] = 99
+    d = decode_msvc_frame8(encode_msvc_frame8(f, None), 16, 8, None)
+    assert np.array_equal(d, f)
+
+
+def test_msvc8_skip_blocks_copy_previous_frame():
+    from osm_pg_etl_spark.functions.msvideo1 import (
+        decode_msvc_frame8, encode_msvc_frame8)
+
+    f0 = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8) // 16 * 50
+    f1 = f0.copy()
+    f1[4:8, 0:4] = 222
+    e0, e1 = encode_msvc_frame8(f0, None), encode_msvc_frame8(f1, f0)
+    assert len(e1) < len(e0) + 4        # unchanged blocks became skips
+    d0 = decode_msvc_frame8(e0, 8, 8, None)
+    d1 = decode_msvc_frame8(e1, 8, 8, d0)
+    assert np.array_equal(d1, f1)
+    # strictness: a skip run past the last block raises (r13)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_msvc_frame8(bytes([5, 0x84]), 8, 8, d0)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_msvc_frame(bytes([5, 0x84]), 8, 8, None)
+
+
+def test_msvc8_eight_color_solid_anchor_quadrants():
+    """An 8-color block whose quads 2/3 are SOLID must still produce a
+    mask word >= 0x9000 (the variant's mode marker)."""
+    from osm_pg_etl_spark.functions.msvideo1 import (
+        decode_msvc_frame8, encode_msvc_frame8)
+
+    f = np.zeros((4, 4), dtype=np.uint8)
+    f[0:2, 0:2] = np.array([[1, 2], [2, 1]])
+    f[0:2, 2:4] = 3
+    f[2:4, 0:2] = 4
+    f[2:4, 2:4] = 5
+    s = encode_msvc_frame8(f, None)
+    assert s[1] >= 0x90                 # valid 8-color marker
+    assert np.array_equal(decode_msvc_frame8(s, 4, 4, None), f)
+
+
+def test_msvc8_avi_container_palette_roundtrip():
+    """encode_avi_msvc8 -> decode_avi: the RGBQUAD palette in strf maps
+    indices to RGB; inter-frame state threads across 00dc chunks."""
+    from osm_pg_etl_spark.functions.avicodec import encode_avi_msvc8
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:, 0] = np.arange(256)                    # R = index
+    pal[:, 2] = 255 - np.arange(256)              # B = 255 - index
+    f0 = np.full((8, 8), 10, dtype=np.uint8)
+    f1 = f0.copy()
+    f1[0:4, 4:8] = 30
+    avi = encode_avi_msvc8([f0, f1], pal, fps=5.0)
+    frames, fps = decode_avi(avi)
+    assert fps == 5.0 and len(frames) == 2
+    assert np.array_equal(frames[0], pal[f0])
+    assert np.array_equal(frames[1], pal[f1])
+    feats = video_features(frames, fps)
+    assert feats["n_frames"] == 2 and feats["motion"] > 0
+
+
+def test_msvc8_missing_palette_raises():
+    from osm_pg_etl_spark.functions.avicodec import encode_avi_msvc8
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    avi = bytearray(encode_avi_msvc8(
+        [np.full((4, 4), 9, dtype=np.uint8)], pal))
+    # zero out biClrUsed AND truncate: easier — rebuild with clr_used=0
+    # by patching the strf's biClrUsed field to 0 and dropping the table
+    # is fiddly; instead corrupt the table length via biClrUsed bump
+    idx = bytes(avi).find(b"strf")
+    # biClrUsed sits at strf body offset 32
+    import struct as _s
+    avi[idx + 8 + 32:idx + 8 + 36] = _s.pack("<I", 300)
+    with pytest.raises(ValueError, match="palette"):
+        decode_avi(bytes(avi))
+
+
+def test_audio_strf_does_not_clobber_video_codec():
+    """Review fix (r13): an AUDIO stream's strf (WAVEFORMATEX) after the
+    video strl must NOT latch compression/bit_count/dims — only strf
+    chunks preceded by a 'vids' strh dispatch the video codec."""
+    import struct as _s
+
+    f = rgb555_to_rgb888(np.full((4, 4), gray555(6), dtype=np.uint16))
+    avi = encode_avi_msvc([f])
+    # splice an audio strl (strh 'auds' + a WAVEFORMATEX-ish strf) right
+    # after the video strl inside hdrl
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    strh_a = chunk(b"strh", b"auds" + b"\x00" * 52)
+    # 18-byte WAVEFORMATEX: wFormatTag=1 pcm, 2ch, 8000Hz, ... — bytes
+    # that would misparse as a BITMAPINFOHEADER if latched
+    wf = _s.pack("<HHIIHHH", 1, 2, 8000, 32000, 4, 16, 0)
+    strf_a = chunk(b"strf", wf)
+    strl_a = chunk(b"LIST", b"strl" + strh_a + strf_a)
+    i = avi.find(b"LIST", avi.find(b"hdrl"))      # first strl LIST
+    i = avi.find(b"LIST", i + 4)                   # the strl itself
+    (sz,) = _s.unpack("<I", avi[i + 4:i + 8])
+    end = i + 8 + sz + (sz % 2)
+    patched = bytearray(avi[:end] + strl_a + avi[end:])
+    # grow the enclosing hdrl LIST and RIFF sizes
+    h = patched.find(b"hdrl") - 8
+    (hsz,) = _s.unpack("<I", patched[h + 4:h + 8])
+    patched[h + 4:h + 8] = _s.pack("<I", hsz + len(strl_a))
+    (rsz,) = _s.unpack("<I", patched[4:8])
+    patched[4:8] = _s.pack("<I", rsz + len(strl_a))
+    frames, _ = decode_avi(bytes(patched))
+    assert np.array_equal(frames[0], f)
+
+
+def test_second_video_stream_raises():
+    import struct as _s
+
+    f = rgb555_to_rgb888(np.full((4, 4), gray555(6), dtype=np.uint16))
+    avi = encode_avi_msvc([f])
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    strl_v2 = chunk(b"LIST", b"strl" + chunk(b"strh", b"vids" + b"\x00" * 52))
+    i = avi.find(b"LIST", avi.find(b"hdrl"))
+    i = avi.find(b"LIST", i + 4)
+    (sz,) = _s.unpack("<I", avi[i + 4:i + 8])
+    end = i + 8 + sz + (sz % 2)
+    patched = bytearray(avi[:end] + strl_v2 + avi[end:])
+    h = patched.find(b"hdrl") - 8
+    (hsz,) = _s.unpack("<I", patched[h + 4:h + 8])
+    patched[h + 4:h + 8] = _s.pack("<I", hsz + len(strl_v2))
+    (rsz,) = _s.unpack("<I", patched[4:8])
+    patched[4:8] = _s.pack("<I", rsz + len(strl_v2))
+    with pytest.raises(NotImplementedError, match="multi-video"):
+        decode_avi(bytes(patched))
