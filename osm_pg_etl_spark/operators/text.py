@@ -95,34 +95,36 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     join: the inverted-index shape that scales to any corpus.
 
     Returns (id_col, term, tf, df_docs, score)."""
+    # ONE data-sized exchange for the whole query (r13): repartition the
+    # RAW DOCUMENTS by id up front. Everything downstream then needs no
+    # further big-side exchange — HashPartitioning(id) satisfies the
+    # ClusteredDistribution of groupBy(id, term) AND of the final
+    # row_number window, and the one Exchange node is REUSED by both of
+    # its consumers (the broadcast df_docs subtree and the scored join),
+    # so the parquet scan runs once and nothing is persisted/pinned.
+    # Tokenization runs twice (once per consumer of the reused shuffle
+    # output) — deliberately traded for dropping BOTH the (id, term)
+    # partial-agg exchange and the window's re-shuffle of tf, plus the
+    # r12 persist's materialization cost. doc_id is a uniform key, so
+    # the exchange has none of the term-key skew ("the" on one reducer)
+    # that keeps the window-by-term plan off the table at corpus scale.
+    #
+    # r13 interleaved A/B (sf1 replicas, 5 reps each, DuckDB alongside):
+    # this plan 1.15 s (1.56x DuckDB) vs r12 persist plan 2.18 s
+    # (2.95x), no-persist 1.69 s, repartition-after-explode 1.33 s —
+    # shuffling whole docs (one row per doc) moves fewer bytes than
+    # shuffling exploded tokens and keeps partial tokenize/explode work
+    # partition-local. Recorded in SCALING.md.
+    #
     # lower() the whole document BEFORE split/explode: one bulk pass per
     # doc instead of one call per token (equivalent — lowercasing never
     # creates or removes whitespace, so split boundaries are unchanged;
     # measured -12% on the sf0.1 corpus, 5 interleaved reps)
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(F.lower(F.col(text_col))))
-                      .alias("term"))
-    # persisted: tf feeds BOTH the broadcast df_docs subtree and the scored
-    # join — without it the tokenize+aggregate scan runs twice (once under
-    # the BroadcastExchange, once in the main stage). MEMORY_AND_DISK so a
-    # large tf spills instead of recomputing. The single-scan alternative —
-    # a count() window partitioned BY TERM — measured faster at toy scale
-    # but shuffles the whole tf table on the term key, putting every
-    # document's "the" row on one reducer: exactly the skew a large corpus
-    # can't survive. Broadcast keeps the big side term-shuffle-free.
-    #
-    # r12 persist A/B (interleaved, sf1 replicas, 5 reps each): persist
-    # 1.68 s median vs no-persist 1.53 s — locally no-persist wins ~9%
-    # because re-tokenizing 500 k docs is cheaper than materializing tf.
-    # But the UI stage metrics show NO exchange reuse without the persist
-    # (shuffle 47.3 MB vs 37.6 MB, source scanned twice), so at corpus
-    # scale no-persist doubles the dominant token shuffle + scan; the
-    # persist stays as the scale-conservative single-scan plan. The
-    # residual sf1 gap vs DuckDB (~2-2.8x at a 1-2 s absolute) is
-    # constant-factor string handling + job floor, not plan shape —
-    # recorded in SCALING.md.
-    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-          .persist())
+    toks = (df.repartition(F.col(id_col))
+            .select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # df_docs is vocabulary-sized — broadcast it back so the big tf table
     # is never shuffled by term (the r3 sort-merge join was 4-5x slower);
     # hot terms stay harmless: the groupBy's map-side combine collapses

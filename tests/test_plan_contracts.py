@@ -49,6 +49,33 @@ def test_tfidf_broadcasts_vocabulary(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_tfidf_single_big_exchange(spark):
+    """The r13 tfidf plan: ONE data-sized exchange (documents
+    repartitioned by doc_id) that both consumers reuse; groupBy(id, term)
+    and the top-k window then run exchange-free because
+    HashPartitioning(id) satisfies their clustering. A regression that
+    re-introduces the per-term or per-(id, term) big-side shuffle (or
+    breaks the exchange reuse into a second scan) fails here."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    df = all_queries()["tfidf_top_terms"](spark, SF)
+    df.collect()                     # AQE resolves reuse at runtime
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    # the one deliberate doc-keyed exchange, reused by the second consumer
+    assert final.count("ReusedExchange") >= 1, "doc exchange not reused"
+    # no ENSURE_REQUIREMENTS exchange may be keyed on doc_id — that is
+    # the window/groupBy re-shuffle of the big side this plan removes
+    # (dfreq's term exchange and the scalar-count SinglePartition are ok)
+    for key, kind in re.findall(
+            r"Exchange hashpartitioning\((\w+)[^)]*\), (\w+)", final):
+        assert not (key.startswith("doc_id") and kind != "REPARTITION_BY_COL"), \
+            f"big-side re-shuffle crept back: {key} {kind}"
+    # top-k pushdown: the rank filter must prune inside the sort
+    assert "WindowGroupLimit" in final
+
+
 def test_no_row_python_udfs_in_gated_plans(spark):
     """No gated plan may fall back to row-at-a-time Python
     (BatchEvalPython); Python is allowed only Arrow-batched
