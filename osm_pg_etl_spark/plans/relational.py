@@ -690,14 +690,19 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPING marker columns. Uses re-aggregation (operators/rollup.py)
     instead of Spark's Expand plan: one fact-table pass computes the leaf
     groups, and the coarser levels re-aggregate the tiny leaf table —
-    Expand would push 3x the rows through the exact-decimal accumulator."""
-    from ..operators.rollup import rollup_agg  # noqa: PLC0415
+    Expand would push 3x the rows through the exact-decimal accumulator.
+    r13: the fact pass itself sums SCALED LONGS per input partition
+    (fixed_point_presum) and pays decimal cost only on the tiny
+    partials — exactness unchanged, the hot loop leaves BigDecimal."""
+    from ..operators.rollup import fixed_point_presum, rollup_agg  # noqa: PLC0415
 
     li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    fact = fixed_point_presum(li, keys, "l_quantity")
     out = rollup_agg(
-        li, ["l_returnflag", "l_linestatus"],
-        {"n": (F.count(F.lit(1)), "count"),
-         "_s": (F.sum(F.col("l_quantity").cast("decimal(28,6)")), "sum")})
+        fact, keys,
+        {"n": (F.coalesce(F.sum("_n"), F.lit(0).cast("bigint")), "count"),
+         "_s": (F.sum("_q"), "sum")})
     return out.select(
         "l_returnflag", "l_linestatus",
         F.col("g_l_returnflag").alias("g_flag"),
@@ -796,14 +801,18 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the column-only marginals ROLLUP can't produce — with
     GROUPING markers. Re-aggregated like q_rollup_counts: a cube's Expand
     plan would push 4x the fact rows through the decimal accumulator; the
-    re-agg form derives all 2^k levels from one leaf aggregate."""
-    from ..operators.rollup import cube_agg  # noqa: PLC0415
+    re-agg form derives all 2^k levels from one leaf aggregate. r13: the
+    fact pass sums scaled longs per input partition (fixed_point_presum),
+    decimal only on the partials."""
+    from ..operators.rollup import cube_agg, fixed_point_presum  # noqa: PLC0415
 
     li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    fact = fixed_point_presum(li, keys, "l_quantity")
     out = cube_agg(
-        li, ["l_returnflag", "l_linestatus"],
-        {"n": (F.count(F.lit(1)), "count"),
-         "_s": (F.sum(F.col("l_quantity").cast("decimal(28,6)")), "sum")})
+        fact, keys,
+        {"n": (F.coalesce(F.sum("_n"), F.lit(0).cast("bigint")), "count"),
+         "_s": (F.sum("_q"), "sum")})
     return out.select(
         "l_returnflag", "l_linestatus",
         F.col("g_l_returnflag").alias("g_flag"),

@@ -85,3 +85,27 @@ def test_int_keys_keep_dtype(spark):
     dt = dict(out.dtypes)
     assert dt["a"] == "int" and dt["b"] == "int"
     assert _canon(out) == _canon(_native(df, "cube"))
+
+
+def test_fixed_point_presum_exactness(spark):
+    """fixed_point_presum must reproduce COUNT(*)/decimal-exact SUM for
+    fixed-point doubles (including binary-unrepresentable ones like 0.1
+    and negatives), skip NULLs like SUM, and survive values scattered
+    across partitions."""
+    from decimal import Decimal
+
+    from osm_pg_etl_spark.operators.rollup import fixed_point_presum
+
+    rows = [("x", 0.1), ("x", 0.2), ("x", None), ("y", -1.7),
+            ("y", 50.000001), ("x", 0.3)] * 7
+    df = spark.createDataFrame(rows, "k string, v double").repartition(5)
+    pre = fixed_point_presum(df, ["k"], "v")
+    out = {r["k"]: (r["_n"], r["_q"]) for r in
+           pre.groupBy("k").agg(F.sum("_n").alias("_n"),
+                                F.sum("_q").alias("_q")).collect()}
+    assert out["x"] == (28, Decimal("4.200000"))       # 7*(0.1+0.2+0.3)
+    assert out["y"] == (14, Decimal("338.100007"))     # 7*48.300001
+    # empty input: no rows at all (the grand-total NULL/0 behavior is
+    # rollup_agg's job, exercised above)
+    empty = spark.createDataFrame([], "k string, v double")
+    assert fixed_point_presum(empty, ["k"], "v").count() == 0
