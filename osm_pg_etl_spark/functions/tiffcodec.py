@@ -20,9 +20,13 @@ list of pages; 16-bit pages come back as uint16 arrays (callers see
 the true dynamic range). New-style JPEG-in-TIFF (compression 7, TIFF
 Tech Note 2) decodes for real through :mod:`.jpegcodec` — full-JFIF
 strips or abbreviated strips with shared JPEGTables (tag 347) spliced
-back per strip. CCITT fax compressions, non-JPEG YCbCr, 16-bit
-palette/CMYK, JPEG-in-TIFF tiles, and mixed-depth channels raise
-``NotImplementedError`` loudly — the honest-boundary pattern.
+back per strip. RAW (non-JPEG) YCbCr — photometric 6 with subsampled
+macropixel data units per TIFF6 §21, tags 529/530/532 — decodes for
+real since r13 (Rec.601/full-range only, the tag defaults), as does
+16-bit CMYK. CCITT fax compressions, 16-bit palette, JPEG-in-TIFF
+tiles, non-Rec.601 matrices/headroom ReferenceBlackWhite, and
+mixed-depth channels raise ``NotImplementedError`` loudly — the
+honest-boundary pattern.
 
 Lossless throughout: any image round-trips bit-exactly, so gates pin
 true gradients, not special cases.
@@ -190,7 +194,8 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                 predictor: int = 2, rows_per_strip: int = 16,
                 byte_order: str = "II",
                 tile_size: tuple[int, int] | None = None,
-                palette: np.ndarray | None = None) -> bytes:
+                palette: np.ndarray | None = None,
+                ycbcr_subsampling: tuple[int, int] | None = None) -> bytes:
     """(h, w) gray or (h, w, 3) RGB — uint8 OR uint16 samples — or a
     LIST of such arrays for a multi-page file (the scan-corpus shape:
     one IFD per page, chained) -> TIFF bytes. ``compression``: 1 (none),
@@ -205,8 +210,14 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
     273/278/279. ``palette``: a (256, 3) uint8 colormap — pages must
     then be (h, w) uint8 INDEX arrays; writes photometric 3 with the
     spec's 16-bit ColorMap tag (channel values stored as v*257, the
-    replicated-byte convention). A (h, w, 4) uint8 page writes CMYK
-    (photometric 5, 4 samples/px)."""
+    replicated-byte convention). A (h, w, 4) uint8 OR uint16 page
+    writes CMYK (photometric 5, 4 samples/px). ``ycbcr_subsampling``
+    (r13): (hs, vs) in {(1,1), (2,1), (2,2)} writes photometric 6 raw
+    YCbCr — pages must be (h, w, 3) uint8 RGB, converted with the JFIF
+    Rec.601 transform, chroma box-averaged per macropixel, packed in
+    TIFF6 §21 data units (hs·vs Y samples + Cb + Cr), with explicit
+    YCbCrCoefficients and full-range ReferenceBlackWhite tags; the
+    predictor does not apply and strips round up to a multiple of vs."""
     pages = (rgb_or_gray if isinstance(rgb_or_gray, (list, tuple))
              else [rgb_or_gray])
     if not pages:
@@ -240,17 +251,55 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
                                  "index arrays")
             if pal.shape != (256, 3) or pal.dtype != np.uint8:
                 raise ValueError("palette must be a (256, 3) uint8 array")
-        if spp == 4 and a.dtype != np.uint8:
-            raise ValueError("CMYK pages must be uint8")
+        if ycbcr_subsampling is not None:
+            if spp != 3 or a.dtype != np.uint8:
+                raise ValueError("YCbCr pages must be (h, w, 3) uint8 RGB")
+            if palette is not None or tile_size is not None:
+                raise ValueError("ycbcr_subsampling excludes palette "
+                                 "and tile layouts")
+            if tuple(ycbcr_subsampling) not in ((1, 1), (2, 1), (2, 2)):
+                raise ValueError("ycbcr_subsampling must be (1,1), "
+                                 "(2,1) or (2,2)")
         bps = 8 * a.dtype.itemsize
         mod = 1 << bps
         sample_dt = np.dtype(bo + ("u1" if bps == 8 else "u2"))
         h, w = a.shape[:2]
         px = a.reshape(h, w * spp)
-        use_pred = 2 if (compression == 5 and predictor == 2) else 1
+        use_pred = 2 if (compression == 5 and predictor == 2
+                         and ycbcr_subsampling is None) else 1
         chunks: list[bytes] = []
         enc = _COMPRESSORS[compression][0]
-        if tile_size is None:
+        if ycbcr_subsampling is not None:
+            hs, vs = ycbcr_subsampling
+            r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+            yf = 0.299 * r + 0.587 * g + 0.114 * b
+            cbf = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            crf = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            ph = -(-h // vs) * vs
+            pw = -(-w // hs) * hs
+
+            def pad(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+            yq = np.clip(np.round(pad(yf)), 0, 255).astype(np.uint8)
+
+            def subq(p):
+                blk = pad(p).reshape(ph // vs, vs, pw // hs, hs)
+                return np.clip(np.round(blk.mean(axis=(1, 3))),
+                               0, 255).astype(np.uint8)
+
+            cbq, crq = subq(cbf), subq(crf)
+            rps_y = -(-rows_per_strip // vs) * vs
+            for y0 in range(0, ph, rps_y):
+                nrows = min(rps_y, ph - y0)
+                nbr, nbc = nrows // vs, pw // hs
+                yb = (yq[y0:y0 + nrows].reshape(nbr, vs, nbc, hs)
+                      .transpose(0, 2, 1, 3).reshape(nbr, nbc, vs * hs))
+                unit = np.concatenate(
+                    [yb, cbq[y0 // vs:y0 // vs + nbr][:, :, None],
+                     crq[y0 // vs:y0 // vs + nbr][:, :, None]], axis=2)
+                chunks.append(enc(unit.tobytes()))
+        elif tile_size is None:
             for y0 in range(0, h, rows_per_strip):
                 rows = px[y0:y0 + rows_per_strip]
                 if use_pred == 2:
@@ -270,7 +319,8 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         # page layout: IFD + out-of-line values + chunks, all at
         # absolute offsets from the file start
         n_entries = (11 if tile_size is None else 12) \
-            + (1 if palette is not None else 0)
+            + (1 if palette is not None else 0) \
+            + (3 if ycbcr_subsampling is not None else 0)
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
         ifd_size = 2 + n_entries * 12 + 4
@@ -292,6 +342,14 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             # 8-bit channels replicated to 16-bit as v*257
             cmap16 = (pal.astype(np.uint32) * 257).T.reshape(-1)
             cmap_off = val_offset(struct.pack(bo + "768H", *cmap16))
+        if ycbcr_subsampling is not None:
+            # explicit colorimetry: Rec.601 coefficients (the tag-529
+            # default, written anyway so foreign readers need not guess)
+            # and the full-range JFIF ReferenceBlackWhite
+            coe_off = val_offset(struct.pack(
+                bo + "6I", 299, 1000, 587, 1000, 114, 1000))
+            rbw_off = val_offset(struct.pack(
+                bo + "12I", 0, 1, 255, 1, 128, 1, 255, 1, 128, 1, 255, 1))
         chunk_off_pos = val_offset(struct.pack(fmt_l, *([0] * n_chunks))) \
             if n_chunks > 1 else None
         counts = [len(s) for s in chunks]
@@ -307,11 +365,13 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             extra[chunk_off_pos - extra_base:chunk_off_pos - extra_base
                   + 4 * n_chunks] = struct.pack(fmt_l, *offs)
 
-        def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        def entry(tag: int, typ: int, count: int, value) -> bytes:
             # inline values shorter than 4 bytes are LEFT-justified in
             # the value field (TIFF6 §2) — load-bearing for MM files
             if typ == 3 and count == 1:
                 val = struct.pack(bo + "HH", value, 0)
+            elif typ == 3 and count == 2:   # two SHORTs fit inline
+                val = struct.pack(bo + "HH", value[0], value[1])
             else:   # a LONG value or an offset (always full 4 bytes)
                 val = struct.pack(bo + "I", value)
             return struct.pack(bo + "HHI", tag, typ, count) + val
@@ -324,7 +384,9 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         else:
             e.append(entry(258, 3, 1, bps))
         e.append(entry(259, 3, 1, compression))
-        if spp == 4:
+        if ycbcr_subsampling is not None:
+            photometric = 6              # raw YCbCr
+        elif spp == 4:
             photometric = 5              # CMYK (separated)
         elif palette is not None:
             photometric = 3              # palette-color
@@ -333,12 +395,20 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         e.append(entry(262, 3, 1, photometric))
         if palette is not None:
             e.append(entry(320, 3, 768, cmap_off))
+        if ycbcr_subsampling is not None:
+            e.append(entry(529, 5, 3, coe_off))
+            e.append(entry(530, 3, 2, tuple(ycbcr_subsampling)))
+            e.append(entry(532, 5, 6, rbw_off))
         e.append(entry(274, 3, 1, 1))           # Orientation: top-left
         e.append(entry(277, 3, 1, spp))
         if tile_size is None:
             e.append(entry(273, 4, n_chunks,
                            offs[0] if n_chunks == 1 else chunk_off_pos))
-            e.append(entry(278, 4, 1, rows_per_strip))
+            e.append(entry(278, 4, 1,
+                           rows_per_strip if ycbcr_subsampling is None
+                           else -(-rows_per_strip
+                                  // ycbcr_subsampling[1])
+                           * ycbcr_subsampling[1]))
             e.append(entry(279, 4, n_chunks,
                            counts[0] if n_chunks == 1 else counts_off))
         else:
@@ -506,6 +576,114 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
     return bytes(out)
 
 
+def _rationals(payload: bytes, bo: str,
+               tags: dict, tag: int) -> list[tuple[int, int]] | None:
+    """Read a RATIONAL (type 5) tag as (numerator, denominator) pairs;
+    None when absent."""
+    if tag not in tags:
+        return None
+    typ, count, raw = tags[tag]
+    if typ != 5:
+        raise ValueError(f"TIFF tag {tag}: expected RATIONAL, got {typ}")
+    (o,) = struct.unpack(bo + "I", raw)     # 8 bytes each: never inline
+    vals = struct.unpack(bo + "I" * (2 * count),
+                         payload[o:o + 8 * count])
+    return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
+
+
+# Rec.601 luma coefficients — tag 529's spec DEFAULT, and the only
+# matrix this decoder supports (matches jpegcodec's JFIF transform so
+# YCbCr pixels decode identically whether they arrived via comp-7 JPEG
+# strips or raw photometric-6 strips).
+_REC601 = ((299, 1000), (587, 1000), (114, 1000))
+# full-range ReferenceBlackWhite (tag 532): Y [0, 255], chroma centered
+# on 128 — the JFIF convention
+_FULL_RANGE_RBW = ((0, 1), (255, 1), (128, 1), (255, 1), (128, 1),
+                   (255, 1))
+
+
+def _rat_eq(got: list[tuple[int, int]],
+            want: tuple[tuple[int, int], ...]) -> bool:
+    return (len(got) == len(want)
+            and all(gn * wd == wn * gd
+                    for (gn, gd), (wn, wd) in zip(got, want)))
+
+
+def _decode_ycbcr_page(payload: bytes, bo: str, values, tags: dict,
+                       w: int, h: int, offs: list[int], cnts: list[int],
+                       bps: list[int], comp: int, spp: int,
+                       tiled: bool) -> np.ndarray:
+    """One photometric-6 (raw YCbCr) IFD -> (h, w, 3) uint8 RGB.
+
+    Layout per TIFF6 §21: with YCbCrSubSampling (hs, vs) the image is
+    stored as macropixel data units — hs x vs Y samples (row-major)
+    followed by one Cb and one Cr — walked left-to-right, top-to-bottom
+    over a grid padded up to multiples of (hs, vs); RowsPerStrip must be
+    a multiple of vs. Chroma upsamples by replication and converts with
+    the same JFIF/Rec.601 arithmetic as :mod:`.jpegcodec` (coefficients
+    pinned to the tag-529 DEFAULT; headroom ReferenceBlackWhite raises
+    rather than rescaling silently-wrong)."""
+    if spp != 3 or bps != [8, 8, 8]:
+        raise NotImplementedError(
+            f"YCbCr TIFF needs 3x8-bit samples (got spp={spp}, "
+            f"bps={bps})")
+    if tiled:
+        raise NotImplementedError("tiled YCbCr TIFF unsupported "
+                                  "(strip layout only)")
+    if values(317, [1])[0] != 1:
+        raise NotImplementedError(
+            "predictor with YCbCr data is not in TIFF6")
+    if comp not in _COMPRESSORS:
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported for YCbCr strips")
+    sub = values(530, [2, 2])
+    if len(sub) != 2 or (sub[0], sub[1]) not in ((1, 1), (2, 1), (2, 2),
+                                                 (4, 1), (4, 2)):
+        raise NotImplementedError(f"YCbCrSubSampling {sub} unsupported")
+    hs, vs = sub
+    coe = _rationals(payload, bo, tags, 529)
+    if coe is not None and not _rat_eq(coe, _REC601):
+        raise NotImplementedError(
+            f"YCbCrCoefficients {coe} unsupported (Rec.601 only)")
+    rbw = _rationals(payload, bo, tags, 532)
+    if rbw is not None and not _rat_eq(rbw, _FULL_RANGE_RBW):
+        raise NotImplementedError(
+            f"ReferenceBlackWhite {rbw} unsupported (full-range "
+            "JFIF convention only)")
+    ph = -(-h // vs) * vs
+    pw = -(-w // hs) * hs
+    rps = values(278, [2 ** 32 - 1])[0]
+    if rps < ph and rps % vs:
+        raise ValueError(
+            f"RowsPerStrip {rps} is not a multiple of the vertical "
+            f"subsampling {vs}")
+    dec = _COMPRESSORS[comp][1]
+    out = np.zeros((ph, pw, 3), dtype=np.uint8)
+    y0 = 0
+    for so, sc in zip(offs, cnts):
+        nrows = min(rps, ph - y0)
+        nbr, nbc = nrows // vs, pw // hs
+        raw = dec(payload[so:so + sc], nbr * nbc * (hs * vs + 2))
+        u = np.frombuffer(raw, np.uint8).reshape(nbr, nbc, hs * vs + 2)
+        ys = u[:, :, :hs * vs].reshape(nbr, nbc, vs, hs)
+        y = (ys.transpose(0, 2, 1, 3).reshape(nrows, pw)
+             .astype(np.float64))
+        cb = np.repeat(np.repeat(u[:, :, -2], vs, 0), hs, 1) \
+            .astype(np.float64) - 128.0
+        cr = np.repeat(np.repeat(u[:, :, -1], vs, 0), hs, 1) \
+            .astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        out[y0:y0 + nrows] = np.stack(
+            [np.clip(np.round(x), 0, 255).astype(np.uint8)
+             for x in (r, g, b)], axis=2)
+        y0 += nrows
+    if y0 < ph:
+        raise ValueError("YCbCr strips do not cover the image")
+    return out[:h, :w]
+
+
 def decode_tiff(payload: bytes) -> list[np.ndarray]:
     """TIFF bytes -> list of (h, w, 3) uint8 RGB pages (gray replicated),
     one per IFD."""
@@ -624,15 +802,23 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
             continue
         # PhotometricInterpretation: 0 = WhiteIsZero (scanned docs),
         # 1 = BlackIsZero, 2 = RGB, 3 = palette (ColorMap lookup),
-        # 5 = CMYK (separated). Defaulting by spp when absent; anything
-        # else (YCbCr, CIELab...) raises loudly rather than decoding
-        # silently-wrong intensities.
+        # 5 = CMYK (separated), 6 = YCbCr (r13 — raw subsampled
+        # macropixel strips, the digital-camera/scanner shape; the
+        # JPEG-in-TIFF YCbCr case is handled by the comp==7 branch
+        # above). Defaulting by spp when absent; anything else
+        # (CIELab...) raises loudly rather than decoding silently-wrong
+        # intensities.
         photometric = values(262, [1 if spp == 1 else 2])[0]
+        if photometric == 6:
+            pages.append(_decode_ycbcr_page(
+                payload, bo, values, tags, w, h, offs, cnts, bps, comp,
+                spp, tiled))
+            continue
         allowed = {1: (0, 1, 3), 3: (2,), 4: (5,)}.get(spp, ())
         if photometric not in allowed:
             raise NotImplementedError(
                 f"TIFF photometric {photometric} with {spp} samples/px "
-                "unsupported (gray/palette, RGB, or CMYK only)")
+                "unsupported (gray/palette, RGB, CMYK or YCbCr only)")
         rps = values(278, [2 ** 32 - 1])[0]
         pred = values(317, [1])[0]
         if len(set(bps)) != 1 or bps[0] not in (8, 16):
@@ -640,9 +826,10 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 f"TIFF BitsPerSample {bps} unsupported (uniform 8- or "
                 "16-bit samples only)")
         depth = bps[0]
-        if photometric in (3, 5) and depth != 8:
+        if photometric == 3 and depth != 8:
             raise NotImplementedError(
-                f"{depth}-bit palette/CMYK TIFF unsupported (8-bit only)")
+                f"{depth}-bit palette TIFF unsupported (a 3x65536-entry "
+                "ColorMap; 8-bit indices only)")
         mod = 1 << depth
         sample_dt = np.dtype((bo if depth == 16 else "") + f"u{depth // 8}")
         out_dt = np.uint8 if depth == 8 else np.uint16
@@ -711,11 +898,14 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 g = (mod - 1) - g         # BlackIsZero convention used
             pages.append(np.stack([g, g, g], axis=2))
         elif spp == 4:
-            cmyk = rows.reshape(h, w, 4).astype(np.uint32)
-            inv_k = 255 - cmyk[:, :, 3]
+            # exact integer separation inverse, depth-generic (r13:
+            # 16-bit CMYK decodes too; uint64 holds 65535^2 exactly)
+            maxv = mod - 1
+            cmyk = rows.reshape(h, w, 4).astype(np.uint64)
+            inv_k = maxv - cmyk[:, :, 3]
             rgb = np.stack(
-                [((255 - cmyk[:, :, c]) * inv_k) // 255
-                 for c in range(3)], axis=2).astype(np.uint8)
+                [((maxv - cmyk[:, :, c]) * inv_k) // maxv
+                 for c in range(3)], axis=2).astype(out_dt)
             pages.append(rgb)
         else:
             pages.append(rows.reshape(h, w, 3))

@@ -334,8 +334,8 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     base = 19·id mod 103, bounded < 256) — cycling the three baseline
     compressions by id (none / LZW with the horizontal-differencing
     predictor / PackBits), BOTH byte orders (MM keyed on (id//8) % 2, so
-    every class sees both), and (r12)
-    the layout/depth/photometric classes by id mod 8:
+    every class sees both), and (r12, widened r13)
+    the layout/depth/photometric classes by id mod 10:
 
     - 0: TILED 8-bit, (id%14+20) × (id%10+18) so the 16×16 tile grid is
       2×2 with genuinely padded edge tiles (tags 322-325);
@@ -354,7 +354,15 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
       gray at flat quantization (bit-exact JPEG inversion), (id%3+1)×2
       blocks in 8-row strips, abbreviated streams + shared JPEGTables
       keyed on (id//16) % 2 (so the class-7 residue still sees both
-      table layouts) — mean = base + (wb−1)/2 + 1/2.
+      table layouts) — mean = base + (wb−1)/2 + 1/2;
+    - 8 (r13): RAW YCbCr (photometric 6, TIFF6 §21 macropixel data
+      units, tags 529/530/532): a gray gradient, so chroma is exactly
+      128 and decode is BIT-EXACT through every subsampling
+      ((1,1)/(2,1)/(2,2) cycled by (id//2) % 3) — mean = the plain
+      gradient closed form;
+    - 9 (r13): 16-BIT CMYK: C = M = Y = 65535−v·257, K = 0, whose exact
+      integer conversion recovers (v·257, …) — the ×257 closed form
+      through spp=4 16-bit strip math.
 
     TIFF is lossless at every depth, so the closed-form oracle
     ((base + (w−1)/2 + (h−1)/2), × 257 for the 16-bit classes, affine
@@ -376,13 +384,39 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
         out = []
         for i in ids:
             i = int(i)
-            cls = i % 8
+            cls = i % 10
             base = i * 19 % 103
-            # byte order keyed on i//8, NOT i%2: cls = i%8 fixes the id's
-            # parity per class, so a parity-keyed option would weld each
-            # class to ONE byte order (tiled never-MM, JPEG always-MM)
-            # and leave those branch combinations gate-invisible
+            # byte order keyed on i//8, NOT i%2: cls = i%10 fixes the
+            # id's parity per class, so a parity-keyed option would weld
+            # each class to ONE byte order (JPEG always-MM) and leave
+            # those branch combinations gate-invisible
             mm = (i // 8) % 2
+            if cls == 8:
+                # raw (non-JPEG) YCbCr, photometric 6: gray gradient so
+                # chroma is exactly 128 and decode is bit-exact through
+                # every subsampling (Y carries the full-res gradient)
+                w, h = i % 14 + 1, i % 10 + 1
+                gray8 = (base + np.arange(w)[None, :]
+                         + np.arange(h)[:, None]).astype(np.uint8)
+                out.append(encode_tiff(
+                    np.stack([gray8] * 3, axis=2),
+                    compression=(1, 5, 32773)[i % 3], rows_per_strip=4,
+                    byte_order="MM" if mm else "II",
+                    ycbcr_subsampling=((1, 1), (2, 1), (2, 2))
+                    [(i // 2) % 3]))
+                continue
+            if cls == 9:
+                # 16-bit CMYK: C=M=Y = 65535-v16, K=0 — the exact
+                # integer separation inverse recovers (v16, v16, v16)
+                w, h = i % 14 + 1, i % 10 + 1
+                v16 = ((base + np.arange(w)[None, :]
+                        + np.arange(h)[:, None]) * 257).astype(np.uint16)
+                out.append(encode_tiff(
+                    np.stack([65535 - v16, 65535 - v16, 65535 - v16,
+                              np.zeros_like(v16)], axis=2),
+                    compression=(1, 5, 32773)[i % 3], rows_per_strip=4,
+                    byte_order="MM" if mm else "II"))
+                continue
             if cls == 7:
                 wb = i % 3 + 1
                 blocks = (base + np.arange(wb)[None, :]
@@ -417,7 +451,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
             out.append(encode_tiff(page, **kwargs))
         return pd.Series(out)
 
-    cls = F.col(id_col) % 8
+    cls = F.col(id_col) % 10
     big = cls.isin(0, 2)
     meta = F.struct(
         F.lit("image").alias("kind"),

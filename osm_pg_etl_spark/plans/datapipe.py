@@ -1874,26 +1874,30 @@ FROM p
 
 def q_media_image_features_tiff(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """REAL TIFF decode (r11, widened r12): every doc_id becomes a
-    genuine TIFF — the document/scan-corpus format — cycling baseline
+    """REAL TIFF decode (r11, widened r12 and r13): every doc_id becomes
+    a genuine TIFF — the document/scan-corpus format — cycling baseline
     compressions (none / early-change LZW with the horizontal-
     differencing predictor / PackBits), byte orders (MM keyed on
-    (doc_id//8) % 2 so every id-mod-8 class sees both),
-    and by id mod 8 the layout/depth/photometric classes: tiled with
+    (doc_id//8) % 2 so every id-mod-10 class sees both),
+    and by id mod 10 the layout/depth/photometric classes: tiled with
     padded edge tiles (0), 16-bit strip (1), tiled 16-bit (2), small
     multi-strip (3-4), PALETTE with an affine ColorMap (5 — channel
     means 255−m / m / 255−m pin the plane-major LUT), CMYK whose exact
     integer conversion is the identity (6 — spp=4 strips and the
-    4-sample predictor), and JPEG-IN-TIFF (7 — block-constant at flat
+    4-sample predictor), JPEG-IN-TIFF (7 — block-constant at flat
     quantization so the real per-strip JPEG decode inverts bit-exactly,
-    with shared JPEGTables splicing keyed on (doc_id//16) % 2) —
-    decoded by
-    :mod:`functions.tiffcodec` inside mapInPandas via the sniffing
+    with shared JPEGTables splicing keyed on (doc_id//16) % 2),
+    RAW YCbCr (8, r13 — photometric 6 macropixel data units with
+    (1,1)/(2,1)/(2,2) subsampling; the gray gradient makes chroma
+    exactly 128, so the subsampled decode is bit-exact), and 16-BIT
+    CMYK (9, r13 — the exact separation inverse at depth 16) — decoded
+    by :mod:`functions.tiffcodec` inside mapInPandas via the sniffing
     dispatch. Every class decodes exactly, so the closed-form oracle
     (× 257 for 16-bit classes, affine for palette, block-mean for
     JPEG) pins IFD parsing, strip AND tile assembly, LZW's
     one-code-early width change, the depth-correct predictor cumsum,
-    and the Tech Note 2 table splice on every pixel."""
+    the Tech Note 2 table splice, and the §21 macropixel walk on every
+    pixel."""
     docs = docs_t(spark, sf_dir)
     media = multimodal.attach_synthetic_tiff(docs.select("doc_id"))
     feats = multimodal.extract_image_features(media)
@@ -1907,16 +1911,16 @@ def q_media_image_features_tiff(spark: SparkSession,
 SQL_MEDIA_IMAGE_FEATURES_TIFF = """
 WITH d AS (
   SELECT doc_id,
-         doc_id % 8 AS cls,
-         CASE WHEN doc_id % 8 = 7 THEN (doc_id % 3 + 1) * 8
+         doc_id % 10 AS cls,
+         CASE WHEN doc_id % 10 = 7 THEN (doc_id % 3 + 1) * 8
               ELSE doc_id % 14
-                + CASE WHEN doc_id % 8 IN (0, 2) THEN 20 ELSE 1 END
+                + CASE WHEN doc_id % 10 IN (0, 2) THEN 20 ELSE 1 END
          END AS w,
-         CASE WHEN doc_id % 8 = 7 THEN 16
+         CASE WHEN doc_id % 10 = 7 THEN 16
               ELSE doc_id % 10
-                + CASE WHEN doc_id % 8 IN (0, 2) THEN 18 ELSE 1 END
+                + CASE WHEN doc_id % 10 IN (0, 2) THEN 18 ELSE 1 END
          END AS h,
-         CASE WHEN doc_id % 8 IN (1, 2) THEN 257 ELSE 1 END AS scale
+         CASE WHEN doc_id % 10 IN (1, 2, 9) THEN 257 ELSE 1 END AS scale
   FROM documents),
 p AS (
   SELECT doc_id, w, h, cls,

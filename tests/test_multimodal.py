@@ -1146,9 +1146,9 @@ def test_tiff_roundtrip_exact():
     inv[i + 8] = 3          # palette-color WITHOUT a ColorMap: malformed
     with pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(bytes(inv))
-    inv[i + 8] = 6          # YCbCr: unsupported, raise loudly
-    with pytest.raises(NotImplementedError, match="photometric"):
-        decode_tiff(bytes(inv))
+    inv[i + 8] = 6          # YCbCr declared on a 1-sample gray page:
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        decode_tiff(bytes(inv))     # malformed combination, raise loudly
 
 
 def test_tiff_palette_and_cmyk():
@@ -1188,13 +1188,21 @@ def test_tiff_palette_and_cmyk():
                     for i in range(3)], axis=2).astype(np.uint8)
     assert np.array_equal(out, exp)
 
-    # boundaries stay loud: 16-bit palette/CMYK, bad palette shapes
+    # 16-bit CMYK decodes since r13: exact 16-bit separation inverse
+    cmyk16 = rng.integers(0, 65536, (9, 8, 4), dtype=np.uint16)
+    out16 = decode_tiff(encode_tiff(cmyk16, compression=5,
+                                    byte_order="MM"))[0]
+    c16 = cmyk16.astype(np.uint64)
+    exp16 = np.stack(
+        [((65535 - c16[:, :, i]) * (65535 - c16[:, :, 3])) // 65535
+         for i in range(3)], axis=2).astype(np.uint16)
+    assert out16.dtype == np.uint16 and np.array_equal(out16, exp16)
+
+    # boundaries stay loud: 16-bit palette, bad palette shapes
     with pytest.raises(ValueError, match="uint8 index"):
         encode_tiff(idx.astype(np.uint16), palette=pal)
     with pytest.raises(ValueError, match="\\(256, 3\\)"):
         encode_tiff(idx, palette=pal[:128])
-    with pytest.raises(ValueError, match="CMYK pages"):
-        encode_tiff(cmyk.astype(np.uint16))
 
 
 def test_tiff_jpeg_compression7():
@@ -1257,11 +1265,11 @@ def test_tiff_gate_matches_closed_form(spark):
     from osm_pg_etl_spark.operators.multimodal import (
         attach_synthetic_tiff, extract_image_features)
 
-    docs = spark.range(0, 32).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
     feats = {r["doc_id"]: r for r in extract_image_features(
         attach_synthetic_tiff(docs)).collect()}
-    for i in range(32):
-        cls = i % 8
+    for i in range(40):
+        cls = i % 10
         if cls == 7:               # JPEG-in-TIFF, block-constant
             w, h = (i % 3 + 1) * 8, 16
             m = i * 19 % 103 + (i % 3) / 2.0 + 0.5
@@ -1269,7 +1277,7 @@ def test_tiff_gate_matches_closed_form(spark):
             big = cls in (0, 2)
             w = i % 14 + (20 if big else 1)
             h = i % 10 + (18 if big else 1)
-            scale = 257 if cls in (1, 2) else 1
+            scale = 257 if cls in (1, 2, 9) else 1
             m = (i * 19 % 103 + (w - 1) / 2.0 + (h - 1) / 2.0) * scale
         # palette class (5): affine LUT R=255-i, G=i, B=255-i
         want = {"mean_r": 255 - m if cls == 5 else m,
@@ -1519,3 +1527,61 @@ def test_ulaw_wav_rejects_zero_channels():
     wav[22:24] = (0).to_bytes(2, "little")  # channels = 0
     with _pytest.raises(ValueError, match="layout"):
         decode_wav(bytes(wav))
+
+
+def test_tiff_raw_ycbcr():
+    """r13: RAW (non-JPEG) YCbCr, photometric 6 — TIFF6 §21 macropixel
+    data units with subsampling, tags 529/530/532. Gray gradients decode
+    BIT-exactly through every subsampling (chroma is exactly 128);
+    block-constant color round-trips within rounding; colorimetry other
+    than the Rec.601/full-range defaults raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    g = (np.arange(13)[None, :] + np.arange(9)[:, None] + 40) \
+        .astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=2)
+    for sub in ((1, 1), (2, 1), (2, 2)):
+        for bo in ("II", "MM"):
+            for comp in (1, 5, 32773):
+                out = decode_tiff(encode_tiff(
+                    rgb, compression=comp, byte_order=bo,
+                    rows_per_strip=4, ycbcr_subsampling=sub))[0]
+                assert np.array_equal(out, rgb), (sub, bo, comp)
+
+    # block-constant color: chroma means are exact, only the final
+    # round can move a channel by <=2
+    rng = np.random.RandomState(3)
+    col = np.repeat(np.repeat(
+        rng.randint(0, 256, (4, 6, 3), dtype=np.uint8), 2, 0), 2, 1)
+    out = decode_tiff(encode_tiff(col, compression=1,
+                                  ycbcr_subsampling=(2, 2)))[0]
+    assert np.abs(out.astype(int) - col.astype(int)).max() <= 2
+
+    # odd dims exercise the padded macropixel grid + final crop
+    odd = np.stack([g[:7, :11]] * 3, axis=2)
+    out = decode_tiff(encode_tiff(odd, compression=5,
+                                  ycbcr_subsampling=(2, 2)))[0]
+    assert np.array_equal(out, odd)
+
+    # boundaries: unsupported subsampling / non-RGB input at encode
+    with pytest.raises(ValueError, match="ycbcr_subsampling"):
+        encode_tiff(rgb, ycbcr_subsampling=(3, 1))
+    with pytest.raises(ValueError, match="uint8 RGB"):
+        encode_tiff(g, ycbcr_subsampling=(2, 2))
+
+    # non-Rec.601 coefficients raise at decode: patch tag 529's first
+    # rational (299/1000 -> 2126/10000, the Rec.709 LumaRed)
+    payload = bytearray(encode_tiff(rgb, compression=1,
+                                    ycbcr_subsampling=(2, 2)))
+    # find the coefficient block (little-endian 299,1000 pair)
+    pat = struct.pack("<II", 299, 1000)
+    at = bytes(payload).find(pat)
+    assert at > 0
+    payload[at:at + 8] = struct.pack("<II", 2126, 10000)
+    with pytest.raises(NotImplementedError, match="Rec.601"):
+        decode_tiff(bytes(payload))
