@@ -48,6 +48,59 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep_pattern: str = "\n{1,2}",
+                     join_sep: str = "\n") -> DataFrame:
+    """Exact PARAGRAPH-level dedup, keep-first (r13): the C4/RefinedWeb
+    boilerplate pass — a paragraph duplicated anywhere in the corpus
+    (cookie banners, nav bars, license blurbs) survives only at its
+    FIRST occurrence (lowest ``(doc_id, position)``); every later copy
+    is cut and the documents are reassembled from their surviving
+    paragraphs in original order.
+
+    Returns (id_col, clean_text, n_paras, n_kept) for EVERY input row
+    (a fully-boilerplate document comes back with ``clean_text = ''``
+    and ``n_kept = 0``).
+
+    Scale shape: posexplode paragraphs (narrow) → one md5-keyed window
+    for the global first-occurrence rank (the only corpus-sized
+    exchange; a viral paragraph is one hot key, which AQE's skew
+    handling splits, and the rows are skinny — hash + id + position,
+    never the text twice) → one groupBy(id) to reassemble. Blank
+    paragraphs (only separators between them) are dropped before
+    ranking, like every public implementation of this pass."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep_pattern))
+                       .alias("_pos", "_para"))
+             .filter(F.trim(F.col("_para")) != ""))
+    w = Window.partitionBy(md5_hex(F.col("_para"))) \
+        .orderBy(F.col(id_col), F.col("_pos"))
+    ranked = paras.withColumn("_rn", F.row_number().over(w))
+    kept = (ranked.filter(F.col("_rn") == 1)
+            .groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_pos"), F.col("_para")))),
+                    lambda s: s["_para"]), join_sep).alias("clean_text"),
+                F.count(F.lit(1)).alias("n_kept")))
+    totals = (paras.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_paras")))
+    return (df.select(id_col)
+            .join(totals, id_col, "left")
+            .join(kept.select(id_col, "clean_text", "n_kept"),
+                  id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_paras", F.lit(0)).cast("int")
+                    .alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept")))
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct lowercase word n-grams. Documents shorter than ``n`` tokens
     yield a single shingle of the whole (lowercased) token sequence, so no

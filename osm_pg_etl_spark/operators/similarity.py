@@ -527,6 +527,62 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     return out.distinct()
 
 
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
+                   num_centroids: int = 16, refine_iters: int = 1,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic deduplication by clustering. Vectors are partitioned into
+    IVF cells (deterministic sampled centroids + ``refine_iters`` Lloyd
+    passes, the same quantizer as :func:`ivf_topk`); within each cell a
+    vector is DROPPED when an EARLIER (lower-id) cell-mate has cosine
+    ≥ ``threshold`` — the keep-earliest greedy the paper's released
+    pipeline uses. Cross-cell near-dups are deliberately not compared:
+    that recall/cost trade *is* the method.
+
+    Returns (id_col, ivf_cell, kept) for every input row.
+
+    Scale shape: assignment is a narrow map (centroids are literals);
+    the only data exchange groups each cell for the same Arrow pairwise
+    kernel as :func:`embedding_near_duplicates`, emitting skinny
+    (dropped-id, raw-cosine) rows. The kernel is O(|cell|²), so
+    ``num_centroids`` is the knob that bounds cell size — production
+    SemDeDup runs k in the tens of thousands precisely so |cell| stays
+    ~constant as the corpus grows; rounding + the threshold filter stay
+    Spark-side so acceptance semantics are engine-checked."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    centroids = ivf_centroids(embeddings, num_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        centroids = ivf_refine(embeddings, centroids, refine_iters, vec_col)
+    asn = (ivf_assign(embeddings.select(id_col, vec_col), centroids,
+                      vec_col)
+           .select(F.col(id_col).alias("_id"),
+                   _as_double_array(F.col(vec_col)).alias("_v"),
+                   "ivf_cell"))
+    thr = threshold - 1e-6
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def cell_drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        scored = _bucket_cosines(pdf, "_id", "_v")
+        if scored is None:
+            return pd.DataFrame({"_vid": pdf["_id"].iloc[:0],
+                                 "_raw": np.empty(0, np.float64)})
+        ids, cos = scored
+        ia, ib = np.where((cos >= thr)
+                          & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"_vid": ids[ib], "_raw": cos[ia, ib]})
+
+    drops = (asn.groupBy("ivf_cell")
+             .applyInPandas(cell_drops, f"_vid {id_type}, _raw double")
+             .filter(F.round("_raw", 6) >= threshold)
+             .select("_vid").distinct())
+    return (asn.join(drops, asn["_id"] == drops["_vid"], "left")
+            .select(F.col("_id").alias(id_col), "ivf_cell",
+                    F.col("_vid").isNull().alias("kept")))
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization — the storage/bandwidth lever for 100 TB ANN
 # ---------------------------------------------------------------------------

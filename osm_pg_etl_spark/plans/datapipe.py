@@ -588,22 +588,24 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                refine_iters=1)
 
 
-def _sql_ivf_topk(num_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+def _sql_cos(a: str, b: str) -> str:
     # cosine with the exact same expression grouping as operators.similarity:
     # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — identical IEEE results.
-    # The Lloyd step mirrors ivf_refine bit-for-bit: DECIMAL(38,18) sums are
-    # exact, and decimal→double + the /n division are correctly rounded in
-    # both engines.
-    def cos(a: str, b: str) -> str:
-        return (f"CASE WHEN sqrt(list_dot_product({a}, {a})) "
-                f"* sqrt(list_dot_product({b}, {b})) > 0 "
-                f"THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
-                f"* sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END")
+    return (f"CASE WHEN sqrt(list_dot_product({a}, {a})) "
+            f"* sqrt(list_dot_product({b}, {b})) > 0 "
+            f"THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+            f"* sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END")
 
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+def _sql_ivf_cell_ctes(num_centroids: int = 16) -> str:
+    """CTE chain ending in ``asn1(vec_id, v, cid)`` — the IVF cell
+    assignment with one Lloyd refinement, shared by the ivf_topk and
+    semantic_dedup oracles. The Lloyd step mirrors ivf_refine
+    bit-for-bit: DECIMAL(38,18) sums are exact, and decimal→double +
+    the /n division are correctly rounded in both engines."""
+    cos = _sql_cos
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {num_centroids}),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 asn0 AS (
   SELECT vec_id, v, cid,
          ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -627,14 +629,107 @@ asn AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY {cos('v', 'cv')} DESC, cid) AS rn
   FROM e CROSS JOIN c),
+asn1 AS (SELECT vec_id, v, cid FROM asn WHERE rn = 1)"""
+
+
+def _sql_ivf_topk(num_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+    cos = _sql_cos
+    return f"""
+WITH {_sql_ivf_cell_ctes(num_centroids)},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cid FROM c CROSS JOIN q
   ORDER BY {cos('qv', 'cv')} DESC, cid LIMIT {nprobe})
 SELECT vec_id, ROUND({cos('v', 'qv')}, 6) AS cosine_sim
-FROM asn JOIN probe USING (cid) CROSS JOIN q
-WHERE rn = 1
+FROM asn1 JOIN probe USING (cid) CROSS JOIN q
 ORDER BY cosine_sim DESC, vec_id
 LIMIT {k}
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    IVF cells from the deterministic sampled+Lloyd quantizer, then drop
+    any vector whose cell holds an EARLIER vector with cosine ≥ 0.3
+    (keep-earliest greedy; 0.3 sits at the ~p99 of the synthetic
+    corpus's within-cell cosines — max 0.51 — so the gate exercises
+    real drops, where a production run on normalized text embeddings
+    would use ~0.8-0.95). The oracle replays the full quantizer (the
+    shared asn1 CTE chain) and the within-cell pair pruning in SQL, so
+    a hash match pins assignment, the pairwise kernel, and the
+    keep/drop decision per vector."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.3,
+                                     num_centroids=16, refine_iters=1)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_sql_ivf_cell_ctes(16)},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM asn1 a JOIN asn1 b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND({_sql_cos('a.v', 'b.v')}, 6) >= 0.3)
+SELECT s.vec_id, s.cid AS ivf_cell,
+       d.vec_id IS NULL AS kept
+FROM asn1 s LEFT JOIN drops d USING (vec_id)
+"""
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style exact paragraph dedup, keep-first: documents
+    are recast as newline-joined pseudo-paragraphs (groups of 4
+    whitespace tokens — small enough that the synthetic corpus really
+    does repeat some), then any paragraph seen earlier anywhere in the
+    corpus (lowest (doc_id, position)) is cut from later documents and
+    the survivors are reassembled in order
+    (:func:`operators.dedup.dedup_paragraphs`). The oracle replays the
+    grouping, the global first-occurrence rank, and the ordered
+    reassembly — a hash match pins the keep/cut decision and the
+    rebuilt text byte-for-byte."""
+    from ..operators.dedup import dedup_paragraphs
+
+    docs = docs_t(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    n = F.size(toks)
+    grouped = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), (F.ceil(n / 4) - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "))) \
+        .otherwise(F.array().cast("array<string>"))
+    prepared = docs.select("doc_id",
+                           F.array_join(grouped, "\n").alias("text"))
+    return dedup_paragraphs(prepared)
+
+
+SQL_DEDUP_PARAGRAPHS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents),
+ex AS (
+  SELECT doc_id, unnest(w) AS x, generate_subscripts(w, 1) AS pos
+  FROM toks),
+paras AS (
+  SELECT doc_id, (pos - 1) // 4 AS grp,
+         string_agg(x, ' ' ORDER BY pos) AS para
+  FROM ex GROUP BY doc_id, (pos - 1) // 4),
+ranked AS (
+  SELECT doc_id, grp, para,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, grp) AS rn
+  FROM paras),
+kept AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY grp) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(t.n_paras, 0) AS INT) AS n_paras,
+       CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -2472,6 +2567,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "knn_join": q_knn_join,
     "knn_join_exact": q_knn_join_exact,
     "ann_recall": q_ann_recall,
@@ -2531,6 +2628,8 @@ ORACLES = {
     "simhash_neardup": _sql_simhash_neardup(),
     "similarity_lsh_topk": _sql_lsh_topk(),
     "similarity_ivf_topk": _sql_ivf_topk(),
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "knn_join": _sql_knn_join(),
     "knn_join_exact": SQL_KNN_JOIN_EXACT,
     "ann_recall": _sql_ann_recall(),

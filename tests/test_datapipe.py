@@ -902,3 +902,55 @@ def test_warc_roundtrip_and_spark_parse(spark):
     # the parse plan is exchange-free (one mapInPandas over the scan)
     plan = warc_records(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """r13: C4-style paragraph dedup — a paragraph repeated anywhere in
+    the corpus survives only at its lowest (doc_id, position); docs are
+    reassembled in order; an all-boilerplate doc comes back empty."""
+    from osm_pg_etl_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha beta\ncookie banner\ngamma"),
+        (2, "cookie banner\ndelta"),            # banner cut (first in 1)
+        (3, "cookie banner"),                   # fully boilerplate
+        (4, "alpha beta\nalpha beta"),          # within-doc repeat
+        (5, ""),                                # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["clean_text"] == "alpha beta\ncookie banner\ngamma"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "delta"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    # "alpha beta" already kept in doc 1 -> both copies in doc 4 cut
+    assert out[4]["clean_text"] == "" and out[4]["n_paras"] == 2
+    assert out[5]["clean_text"] == "" and out[5]["n_paras"] == 0
+    assert len(out) == 5
+
+
+def test_semantic_dedup_keep_earliest(emb):
+    """r13: SemDeDup — within an IVF cell, a vector with an earlier
+    cell-mate above the cosine threshold is dropped; cell singletons and
+    below-threshold mates are kept; the earliest of a near-dup pair
+    always survives."""
+    from osm_pg_etl_spark.operators.similarity import semantic_dedup
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, num_centroids=2,
+                          refine_iters=1).collect()}
+    assert len(out) == 5
+    # vec 1 [1,0,0,0] and vec 2 [0.9,0.1,0,0] are near-identical: the
+    # earlier one (1) must be kept; 2's fate depends on sharing a cell
+    assert out[1]["kept"]
+    if out[1]["ivf_cell"] == out[2]["ivf_cell"]:
+        assert not out[2]["kept"]
+    # every drop must have an earlier kept-or-dropped cell-mate; and
+    # lowering the threshold only ever drops MORE
+    loose = {r["vec_id"]: r["kept"] for r in
+             semantic_dedup(emb, threshold=0.5, num_centroids=2,
+                            refine_iters=1).collect()}
+    for vid, r in out.items():
+        if not r["kept"]:
+            assert not loose[vid]
