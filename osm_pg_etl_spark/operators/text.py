@@ -608,6 +608,79 @@ def hashed_linear_score(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit(0.0)).alias("score"))
 
 
+def bigram_pairs(text: Column | str) -> Column:
+    """Ordered (w1, w2) bigrams of the lowercased whitespace tokens, as
+    an array of structs; fewer than two tokens yields an empty array.
+    Pure Column expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = tokens(F.lower(c))
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     add_k: tuple[int, int] = (1, 2)) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    2019 use a KenLM 5-gram; this is the same filter with a bigram LM
+    trained ON THE CORPUS ITSELF in one pass): documents whose token
+    transitions are improbable under the corpus LM score a high average
+    negative log-likelihood and get filtered. Perplexity is
+    ``exp(avg_nll)`` — monotone in the returned score, so thresholds
+    transfer.
+
+    Model: add-k smoothing with k = a/b (default 1/2),
+    ``p(w2|w1) = (b·c(w1,w2) + a) / (b·n(w1) + a·V)`` — kept as ONE
+    double division of exact integers so both engines compute the
+    identical probability; per-bigram terms are ``round(-ln p, 9)``
+    summed as exact DECIMAL (order-independent), so the whole score is
+    engine-portable despite the transcendental.
+
+    Scale shape: ONE tokenize pass feeds both the LM (bigram groupBy —
+    map-side combinable; context totals derive from the bigram table,
+    not a second scan) and the scoring side, which equi-joins the
+    exploded bigrams to the LM on (w1, w2) — vocabulary²-bounded dim
+    table, inverted-index shape, never all-pairs; hot bigrams are AQE
+    skew-join territory. The vocabulary size rides along as a
+    broadcast one-row cross join (no separate driver action).
+
+    Returns (id_col, n_bigrams, avg_nll); docs with < 2 tokens come
+    back with ``n_bigrams = 0`` and ``avg_nll = 0.0``."""
+    a, b = add_k
+    bi = (df.select(F.col(id_col), F.explode(bigram_pairs(text_col))
+                    .alias("_b"))
+          .select(id_col, F.col("_b.w1").alias("w1"),
+                  F.col("_b.w2").alias("w2")))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    nw = bc.groupBy("w1").agg(F.sum("_c").alias("_n"))
+    vocab = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("_t"))
+             .agg(F.countDistinct("_t").alias("_v")))
+    lm = (bc.join(nw, "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  ((b * F.col("_c") + a).cast("double")
+                   / (b * F.col("_n") + a * F.col("_v"))).alias("_p")))
+    terms = (bi.join(lm, ["w1", "w2"])
+             .select(id_col,
+                     F.round(-F.log(F.col("_p")), 9)
+                     .cast("decimal(28,12)").alias("_q")))
+    agg = (terms.groupBy(id_col)
+           .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_nb")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_nb", F.lit(0)).cast("int")
+                    .alias("n_bigrams"),
+                    F.coalesce(
+                        F.round(F.col("_s").cast("double") / F.col("_nb"),
+                                6), F.lit(0.0)).alias("avg_nll")))
+
+
 def word_ngrams(text: Column | str, n: int = 5) -> Column:
     """Distinct lowercased word n-grams of a document (docs shorter than
     ``n`` tokens contribute their whole text as one gram, mirroring the

@@ -733,6 +733,50 @@ LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: train a bigram LM on the corpus in
+    one pass (add-1/2 smoothing) and score every document's average
+    negative log-likelihood under it — perplexity is exp(avg_nll). The
+    probability is one double division of exact integers and each
+    per-bigram term is round(-ln p, 9) summed as exact decimal, so the
+    score is engine-portable despite ln (same discipline as the tfidf
+    ln score)."""
+    docs = docs_t(spark, sf_dir)
+    return text.bigram_lm_scores(docs)
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents),
+ex AS (
+  SELECT doc_id, unnest(w) AS x, generate_subscripts(w, 1) AS pos
+  FROM toks),
+bi0 AS (
+  SELECT doc_id, x AS w1,
+         LEAD(x) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM ex),
+bi AS (SELECT doc_id, w1, w2 FROM bi0 WHERE w2 IS NOT NULL),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+nw AS (SELECT w1, SUM(c) AS n FROM bc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT x) AS v FROM ex),
+lm AS (
+  SELECT w1, w2, CAST(2 * c + 1 AS DOUBLE) / (2 * n + v) AS p
+  FROM bc JOIN nw USING (w1) CROSS JOIN v),
+terms AS (
+  SELECT doc_id, CAST(ROUND(-ln(p), 9) AS DECIMAL(28,12)) AS q
+  FROM bi JOIN lm USING (w1, w2)),
+agg AS (SELECT doc_id, SUM(q) AS s, COUNT(*) AS nb
+        FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nb, 0) AS INT) AS n_bigrams,
+       COALESCE(ROUND(CAST(s AS DOUBLE) / nb, 6), 0.0) AS avg_nll
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --- text analysis --------------------------------------------------------------------------
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,6 +2613,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "semantic_dedup": q_semantic_dedup,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "lm_perplexity": q_lm_perplexity,
     "knn_join": q_knn_join,
     "knn_join_exact": q_knn_join_exact,
     "ann_recall": q_ann_recall,
@@ -2630,6 +2675,7 @@ ORACLES = {
     "similarity_ivf_topk": _sql_ivf_topk(),
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "knn_join": _sql_knn_join(),
     "knn_join_exact": SQL_KNN_JOIN_EXACT,
     "ann_recall": _sql_ann_recall(),

@@ -954,3 +954,29 @@ def test_semantic_dedup_keep_earliest(emb):
     for vid, r in out.items():
         if not r["kept"]:
             assert not loose[vid]
+
+
+def test_bigram_lm_scores(spark):
+    """r13: CCNet-style bigram-LM scoring — add-1/2 smoothed
+    probabilities from the corpus itself, per-doc mean negative log
+    likelihood; hand-checked on a 3-token vocabulary."""
+    import math
+
+    from osm_pg_etl_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "A b"), (3, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # bigram counts: (a,b)=2, (b,a)=1; contexts n(a)=2, n(b)=1; V=3
+    p_ab = (2 * 2 + 1) / (2 * 2 + 3)         # 5/7
+    p_ba = (2 * 1 + 1) / (2 * 1 + 3)         # 3/5
+    q = lambda p: round(-math.log(p), 9)      # noqa: E731
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_nll"] == round((q(p_ab) + q(p_ba)) / 2, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == round(q(p_ab), 6)
+    assert (out[3]["n_bigrams"], out[3]["avg_nll"]) == (0, 0.0)
+    # rarer transitions must score WORSE (higher nll): doc2 repeats the
+    # corpus's common bigram, doc1 also pays for the rarer (b,a)
+    assert out[1]["avg_nll"] > out[2]["avg_nll"]
