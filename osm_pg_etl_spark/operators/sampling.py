@@ -30,6 +30,32 @@ def hash_uniform(c: Column | str, seed: int = 0) -> Column:
     return md5_long(c, seed).cast("double") / F.lit(_HASH_RANGE)
 
 
+def quantile_buckets(df: DataFrame, score_col: str,
+                     qs: tuple[float, ...] = (0.3333333333333333,
+                                              0.6666666666666666),
+                     labels: tuple[str, ...] = ("head", "middle", "tail"),
+                     bucket_col: str = "bucket") -> DataFrame:
+    """Bucket rows by global score quantiles — the CCNet head/middle/
+    tail split (Wenzek et al. 2019 cut their corpus at the LM-perplexity
+    terciles and keep the cleaner buckets). Boundaries come from ONE
+    exact ``percentile`` aggregate (a row of len(qs) doubles) broadcast
+    back via a cross join — no global sort, no NTILE single-partition
+    window, so the bucketing stays a narrow map at any corpus size. A
+    row lands in the first bucket whose cut ≥ its score (ties go to the
+    cleaner bucket); ``len(labels) == len(qs) + 1``."""
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need exactly one more label than cut points")
+    cuts = df.agg(F.percentile(
+        F.col(score_col),
+        F.array(*[F.lit(float(q)) for q in qs])).alias("_cuts"))
+    expr = F.lit(labels[-1])
+    for i in range(len(qs) - 1, -1, -1):
+        expr = F.when(F.col(score_col) <= F.element_at("_cuts", i + 1),
+                      F.lit(labels[i])).otherwise(expr)
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn(bucket_col, expr).drop("_cuts"))
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                splits: tuple[tuple[str, float], ...] = (
                    ("train", 0.9), ("val", 0.05), ("test", 0.05)),

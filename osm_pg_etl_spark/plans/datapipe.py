@@ -745,8 +745,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(docs)
 
 
-SQL_LM_PERPLEXITY = r"""
-WITH toks AS (
+# CTE chain ending in scored(doc_id, n_bigrams, avg_nll) — the bigram-LM
+# scoring shared by the lm_perplexity and ccnet_buckets oracles.
+_SQL_LM_CTES = r"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS w
@@ -769,11 +770,46 @@ terms AS (
   SELECT doc_id, CAST(ROUND(-ln(p), 9) AS DECIMAL(28,12)) AS q
   FROM bi JOIN lm USING (w1, w2)),
 agg AS (SELECT doc_id, SUM(q) AS s, COUNT(*) AS nb
-        FROM terms GROUP BY doc_id)
-SELECT d.doc_id,
-       CAST(COALESCE(nb, 0) AS INT) AS n_bigrams,
-       COALESCE(ROUND(CAST(s AS DOUBLE) / nb, 6), 0.0) AS avg_nll
-FROM documents d LEFT JOIN agg USING (doc_id)
+        FROM terms GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(nb, 0) AS INT) AS n_bigrams,
+         COALESCE(ROUND(CAST(s AS DOUBLE) / nb, 6), 0.0) AS avg_nll
+  FROM documents d LEFT JOIN agg USING (doc_id))"""
+
+SQL_LM_PERPLEXITY = f"""
+WITH {_SQL_LM_CTES}
+SELECT doc_id, n_bigrams, avg_nll FROM scored
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet quality split, composed: bigram-LM avg-nll scores
+    (q_lm_perplexity's operator) cut at the exact global TERCILES into
+    head/middle/tail, with tail marked dropped — Wenzek et al. 2019's
+    perplexity bucketing as one plan. The tercile boundaries are a
+    single exact percentile aggregate broadcast back (no global sort);
+    a hash match pins the LM, the interpolated quantiles, and every
+    per-document bucket decision."""
+    from ..operators.sampling import quantile_buckets
+
+    docs = docs_t(spark, sf_dir)
+    scores = text.bigram_lm_scores(docs)
+    b = quantile_buckets(scores, "avg_nll")
+    return b.select("doc_id", "avg_nll", "bucket",
+                    (F.col("bucket") != "tail").alias("kept"))
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH {_SQL_LM_CTES},
+cuts AS (SELECT quantile_cont(avg_nll,
+  [0.3333333333333333, 0.6666666666666666]) AS c FROM scored)
+SELECT doc_id, avg_nll,
+       CASE WHEN avg_nll <= c[1] THEN 'head'
+            WHEN avg_nll <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       avg_nll <= c[2] AS kept
+FROM scored CROSS JOIN cuts
 """
 
 
@@ -2614,6 +2650,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "dedup_paragraphs": q_dedup_paragraphs,
     "lm_perplexity": q_lm_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
     "knn_join": q_knn_join,
     "knn_join_exact": q_knn_join_exact,
     "ann_recall": q_ann_recall,
@@ -2676,6 +2713,7 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "knn_join": _sql_knn_join(),
     "knn_join_exact": SQL_KNN_JOIN_EXACT,
     "ann_recall": _sql_ann_recall(),

@@ -980,3 +980,28 @@ def test_bigram_lm_scores(spark):
     # rarer transitions must score WORSE (higher nll): doc2 repeats the
     # corpus's common bigram, doc1 also pays for the rarer (b,a)
     assert out[1]["avg_nll"] > out[2]["avg_nll"]
+
+
+def test_quantile_buckets(spark):
+    """r13: CCNet head/middle/tail split — exact percentile cuts
+    broadcast back, ties to the cleaner bucket, label/cut arity
+    checked."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 10)],
+                               "doc_id long, s double")
+    out = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(df, "s").collect()}
+    # terciles of 1..9 interpolate to (3.666.., 6.333..)
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # boundary tie goes to the cleaner bucket
+    df2 = spark.createDataFrame([(1, 0.0), (2, 1.0), (3, 2.0)],
+                                "doc_id long, s double")
+    out2 = {r["doc_id"]: r["bucket"] for r in quantile_buckets(
+        df2, "s", qs=(0.5,), labels=("keep", "drop")).collect()}
+    assert out2 == {1: "keep", 2: "keep", 3: "drop"}
+    with pytest.raises(ValueError, match="one more label"):
+        quantile_buckets(df, "s", qs=(0.5,), labels=("a", "b", "c"))
