@@ -216,6 +216,66 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard_sim") >= threshold))
 
 
+def dedup_against_reference(df: DataFrame, reference: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            num_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.5) -> DataFrame:
+    """CROSS-CORPUS dedup (r13): flag documents of ``df`` that are
+    MinHash-near-duplicates of ANY document in ``reference`` — the pass
+    a pipeline runs when folding a new crawl into a corpus already
+    trained on, or screening against a benchmark/blocklist corpus.
+    Corpora are expected id-disjoint (self-pairs are not special-cased).
+
+    Same shingle→signature→band geometry as
+    :func:`minhash_near_duplicates`, but the band-bucket join is
+    ASYMMETRIC (new × reference): candidate volume is bounded by
+    reference bucket occupancy, the reference side is typically the
+    smaller precomputed signature table, and no new×new pairs are ever
+    generated. Verification is exact Jaccard on the shingle sets,
+    joined back per deduplicated candidate pair.
+
+    Returns every ``df`` row as (id_col, kept, ref_id, ref_jaccard):
+    ``kept`` is false when some reference doc reaches the threshold,
+    with the best match (highest Jaccard, then lowest ref id) attached
+    for audit; unmatched rows carry NULL ref columns."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands "
+            f"({bands})")
+    rpb = num_hashes // bands
+
+    def prep(d: DataFrame, alias: str):
+        sh = (spread(d.select(F.col(id_col), F.col(text_col)))
+              .select(F.col(id_col).alias(alias),
+                      word_shingles(text_col, n).alias(f"_sh_{alias}"))
+              .cache())
+        buckets = (sh.withColumn(
+            "_sig", minhash_signature(F.col(f"_sh_{alias}"), num_hashes))
+            .select(alias, F.explode(
+                _band_keys(F.col("_sig"), bands, rpb)).alias("bucket")))
+        return sh, buckets
+
+    sh_n, b_n = prep(df, "_id")
+    sh_r, b_r = prep(reference, "_rid")
+    cand = (b_n.join(b_r, "bucket")
+            .select("_id", "_rid").distinct())
+    ver = (cand.join(sh_n, "_id").join(sh_r, "_rid")
+           .select("_id", "_rid",
+                   jaccard(F.col("_sh__id"), F.col("_sh__rid"))
+                   .alias("_j"))
+           .filter(F.col("_j") >= threshold))
+    best = (ver.groupBy("_id")
+            .agg(F.max(F.struct(F.col("_j"), (-F.col("_rid")).alias("_nr")))
+                 .alias("_b")))
+    return (df.select(F.col(id_col))
+            .join(best, F.col(id_col) == F.col("_id"), "left")
+            .select(id_col,
+                    F.col("_b").isNull().alias("kept"),
+                    (-F.col("_b._nr")).alias("ref_id"),
+                    F.round(F.col("_b._j"), 6).alias("ref_jaccard")))
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint over lowercase tokens: per-bit majority vote of
     token-hash bits, packed into a long. Pure per-row expression.

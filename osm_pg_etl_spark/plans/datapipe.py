@@ -97,9 +97,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-def _minhash_ctes() -> str:
-    """The shared CTE chain ending in ``mh_pairs`` (near-dup pair list) —
-    consumed by both the pair oracle and the clustering oracle."""
+def _minhash_bucket_ctes() -> str:
+    """CTE chain ending in ``buckets(doc_id, sh, bucket)`` — the MinHash
+    banding shared by the pair/cluster oracles and the cross-corpus
+    dedup oracle."""
     from ..operators.dedup import MINHASH_P, minhash_coefficients
 
     rpb = _MH_HASHES // _MH_BANDS
@@ -122,7 +123,13 @@ sig AS (
          {sigs}
   FROM base),
 buckets AS (
-  SELECT doc_id, sh, unnest([{band_keys}]) AS bucket FROM sig),
+  SELECT doc_id, sh, unnest([{band_keys}]) AS bucket FROM sig)"""
+
+
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in ``mh_pairs`` (near-dup pair list) —
+    consumed by both the pair oracle and the clustering oracle."""
+    return f"""{_minhash_bucket_ctes()},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -644,6 +651,51 @@ SELECT vec_id, ROUND({cos('v', 'qv')}, 6) AS cosine_sim
 FROM asn1 JOIN probe USING (cid) CROSS JOIN q
 ORDER BY cosine_sim DESC, vec_id
 LIMIT {k}
+"""
+
+
+def q_dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash dedup: the documents with doc_id % 7 != 0
+    play the NEW CRAWL, the % 7 == 0 slice the already-trained
+    REFERENCE corpus; any new doc whose shingle Jaccard against some
+    reference doc reaches 0.5 is flagged dropped, with the best match
+    attached. The asymmetric band-bucket join never generates new×new
+    pairs. A hash match pins the banding, the candidate join, the exact
+    Jaccard verification, and the keep/drop + best-match decision."""
+    docs = docs_t(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    return dedup.dedup_against_reference(
+        new, ref, n=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=0.5)
+
+
+def _sql_dedup_against_reference() -> str:
+    return f"""
+WITH {_minhash_bucket_ctes()},
+nb AS (SELECT * FROM buckets WHERE doc_id % 7 <> 0),
+rb AS (SELECT * FROM buckets WHERE doc_id % 7 = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id, b.doc_id AS rid
+  FROM nb a JOIN rb b ON a.bucket = b.bucket),
+ver AS (
+  SELECT c.id, c.rid,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           AS j
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id
+  JOIN sig sb ON sb.doc_id = c.rid),
+best AS (
+  SELECT id, rid, j,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY j DESC, rid) AS rn
+  FROM ver WHERE j >= 0.5)
+SELECT d.doc_id,
+       b.rid IS NULL AS kept,
+       b.rid AS ref_id,
+       ROUND(b.j, 6) AS ref_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = d.doc_id
 """
 
 
@@ -2649,6 +2701,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "semantic_dedup": q_semantic_dedup,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "dedup_against_reference": q_dedup_against_reference,
     "lm_perplexity": q_lm_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
     "knn_join": q_knn_join,
@@ -2712,6 +2765,7 @@ ORACLES = {
     "similarity_ivf_topk": _sql_ivf_topk(),
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "dedup_against_reference": _sql_dedup_against_reference(),
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "knn_join": _sql_knn_join(),

@@ -1005,3 +1005,39 @@ def test_quantile_buckets(spark):
     assert out2 == {1: "keep", 2: "keep", 3: "drop"}
     with pytest.raises(ValueError, match="one more label"):
         quantile_buckets(df, "s", qs=(0.5,), labels=("a", "b", "c"))
+
+
+def test_dedup_against_reference(spark):
+    """r13: cross-corpus MinHash dedup — a new-crawl doc near-duplicating
+    a reference doc is flagged with its best match; unrelated docs keep;
+    no new x new pairs are consulted."""
+    from osm_pg_etl_spark.operators.dedup import dedup_against_reference
+
+    new = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "the quick brown fox jumps over the lazy cat"),
+        (12, "completely unrelated text about spark engines"),
+        (13, "the quick brown fox jumps over the lazy dog"),  # dup of 10
+    ], "doc_id long, text string")
+    ref = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "el gato y el perro en la casa"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_against_reference(
+        new, ref, n=3, threshold=0.5).collect()}
+    assert len(out) == 4
+    assert not out[10]["kept"] and out[10]["ref_id"] == 1 \
+        and out[10]["ref_jaccard"] == 1.0
+    assert not out[13]["kept"] and out[13]["ref_id"] == 1
+    assert out[12]["kept"] and out[12]["ref_id"] is None \
+        and out[12]["ref_jaccard"] is None
+    # 11 near-duplicates ref 1 (jaccard 0.75) but LSH capture at s=0.75
+    # with 4 bands x 4 rows is probabilistic (~0.78): the CONTRACT is
+    # no false flags — anything flagged must verify >= threshold with a
+    # real reference doc — not perfect recall (exact dups, sharing all
+    # bands, are always caught: docs 10/13 above)
+    for r in out.values():
+        if not r["kept"]:
+            assert r["ref_jaccard"] >= 0.5 and r["ref_id"] in (1, 2)
+        else:
+            assert r["ref_id"] is None and r["ref_jaccard"] is None
