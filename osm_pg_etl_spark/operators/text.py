@@ -669,7 +669,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     terms = (bi.join(lm, ["w1", "w2"])
              .select(id_col,
                      F.round(-F.log(F.col("_p")), 9)
-                     .cast("decimal(28,12)").alias("_q")))
+                     .cast("decimal(28,9)").alias("_q")))
     agg = (terms.groupBy(id_col)
            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_nb")))
     return (df.select(id_col).join(agg, id_col, "left")

@@ -819,7 +819,7 @@ lm AS (
   SELECT w1, w2, CAST(2 * c + 1 AS DOUBLE) / (2 * n + v) AS p
   FROM bc JOIN nw USING (w1) CROSS JOIN v),
 terms AS (
-  SELECT doc_id, CAST(ROUND(-ln(p), 9) AS DECIMAL(28,12)) AS q
+  SELECT doc_id, CAST(ROUND(-ln(p), 9) AS DECIMAL(28,9)) AS q
   FROM bi JOIN lm USING (w1, w2)),
 agg AS (SELECT doc_id, SUM(q) AS s, COUNT(*) AS nb
         FROM terms GROUP BY doc_id),

@@ -70,6 +70,10 @@ _HIGH_SCALE_ALLOW = {
     # nests the similarity_ivf_topk oracle verbatim as a CTE (the recall
     # measurement replays it) — same exception, same reasoning
     "ann_recall",
+    # nests the same IVF Lloyd CTE chain (_sql_ivf_cell_ctes) — the
+    # DECIMAL(38,18) sums are over float32-derived components, exactly
+    # the similarity_ivf_topk case
+    "semantic_dedup",
 }
 
 
