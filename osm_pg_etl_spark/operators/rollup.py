@@ -73,7 +73,18 @@ def fixed_point_presum(df: DataFrame, keys: Sequence[str],
     exactly (COUNT(*), dsum(value)) over ``df`` — feed it to
     :func:`rollup_agg` / :func:`cube_agg` as the fact table."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    scaled = F.round(c * F.lit(float(10 ** scale))).cast("long")
+    # HALF_UP via sign-aware half-adjust + truncating cast, NOT F.round:
+    # Spark's Round on DoubleType allocates a BigDecimal per row, which
+    # put the exact cost this function exists to avoid right back in the
+    # hot loop (measured r14: 1.48 s vs 0.33 s on a 120 M-row pass).
+    # Identical results: cast truncates toward zero, so +-0.5 reproduces
+    # HALF_UP's away-from-zero ties; representation error (~1e-9
+    # relative) cannot cross an integer boundary because scale-exact
+    # inputs scale to integers, and the double multiply bounds exactness
+    # at 2^53 exactly as the old round(double) path did.
+    scaled_d = c * F.lit(float(10 ** scale))
+    scaled = (scaled_d + F.when(scaled_d >= 0, F.lit(0.5))
+              .otherwise(F.lit(-0.5))).cast("long")
     pre = df.groupBy(F.spark_partition_id().alias("_pid"), *keys).agg(
         F.count(F.lit(1)).alias(n_name), F.sum(scaled).alias("_ls"))
     return pre.select(
