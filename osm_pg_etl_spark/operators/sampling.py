@@ -34,20 +34,46 @@ def quantile_buckets(df: DataFrame, score_col: str,
                      qs: tuple[float, ...] = (0.3333333333333333,
                                               0.6666666666666666),
                      labels: tuple[str, ...] = ("head", "middle", "tail"),
-                     bucket_col: str = "bucket") -> DataFrame:
+                     bucket_col: str = "bucket",
+                     method: str = "auto",
+                     accuracy: int = 10000) -> DataFrame:
     """Bucket rows by global score quantiles — the CCNet head/middle/
     tail split (Wenzek et al. 2019 cut their corpus at the LM-perplexity
     terciles and keep the cleaner buckets). Boundaries come from ONE
-    exact ``percentile`` aggregate (a row of len(qs) doubles) broadcast
-    back via a cross join — no global sort, no NTILE single-partition
-    window, so the bucketing stays a narrow map at any corpus size. A
-    row lands in the first bucket whose cut ≥ its score (ties go to the
-    cleaner bucket); ``len(labels) == len(qs) + 1``."""
+    ``percentile`` aggregate (a row of len(qs) doubles) broadcast back
+    via a cross join — no global sort, no NTILE single-partition window,
+    so the bucketing stays a narrow map at any corpus size. A row lands
+    in the first bucket whose cut ≥ its score (ties go to the cleaner
+    bucket); ``len(labels) == len(qs) + 1``.
+
+    ``method`` rides the same exact/approx crossover as
+    ``stats.quantiles_by_group`` (r14): ``"auto"`` computes the cuts
+    exactly below ``stats.AUTO_APPROX_BYTES`` of Catalyst-estimated
+    input and flips to ``F.percentile_approx`` (mergeable GK sketch,
+    memory O(``accuracy``)) above it, because exact ``F.percentile``
+    buffers a value→count map for the WHOLE corpus in one aggregate
+    group: on a mostly-distinct score column at 100 TB that map is the
+    data. Note Catalyst OVER-estimates derived (join/agg) plans, so
+    auto errs toward the bounded-memory approx path there; pin
+    ``"exact"`` when bit-reproducible cuts are the contract (the
+    ccnet_buckets gate does)."""
     if len(labels) != len(qs) + 1:
         raise ValueError("need exactly one more label than cut points")
-    cuts = df.agg(F.percentile(
-        F.col(score_col),
-        F.array(*[F.lit(float(q)) for q in qs])).alias("_cuts"))
+    from .stats import AUTO_APPROX_BYTES, _plan_size_bytes  # noqa: PLC0415
+
+    if method == "auto":
+        size = _plan_size_bytes(df)
+        method = ("approx" if size is not None
+                  and size > AUTO_APPROX_BYTES else "exact")
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    if method == "exact":
+        cut_agg = F.percentile(F.col(score_col), q_arr)
+    elif method == "approx":
+        cut_agg = F.percentile_approx(F.col(score_col), q_arr,
+                                      F.lit(accuracy)).cast("array<double>")
+    else:
+        raise ValueError("method must be 'auto', 'exact' or 'approx'")
+    cuts = df.agg(cut_agg.alias("_cuts"))
     expr = F.lit(labels[-1])
     for i in range(len(qs) - 1, -1, -1):
         expr = F.when(F.col(score_col) <= F.element_at("_cuts", i + 1),

@@ -842,12 +842,18 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity bucketing as one plan. The tercile boundaries are a
     single exact percentile aggregate broadcast back (no global sort);
     a hash match pins the LM, the interpolated quantiles, and every
-    per-document bucket decision."""
+    per-document bucket decision.
+
+    ``method="exact"`` is pinned (r14): the gate's contract is
+    bit-reproducible cuts, and the auto crossover keys on Catalyst's
+    size estimate, which over-estimates derived plans like this
+    join-heavy score frame (erring toward the bounded-memory approx
+    path — right for production, wrong for a hash gate)."""
     from ..operators.sampling import quantile_buckets
 
     docs = docs_t(spark, sf_dir)
     scores = text.bigram_lm_scores(docs)
-    b = quantile_buckets(scores, "avg_nll")
+    b = quantile_buckets(scores, "avg_nll", method="exact")
     return b.select("doc_id", "avg_nll", "bucket",
                     (F.col("bucket") != "tail").alias("kept"))
 

@@ -1007,6 +1007,33 @@ def test_quantile_buckets(spark):
         quantile_buckets(df, "s", qs=(0.5,), labels=("a", "b", "c"))
 
 
+def test_quantile_buckets_approx_crossover(spark):
+    """r14: the cuts ride the quantiles_by_group exact/approx crossover —
+    forced approx agrees with exact on small data (GK sketch is exact
+    when everything fits one buffer), auto on a tiny frame stays exact,
+    and a bogus method raises."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 10)],
+                               "doc_id long, s double")
+    exact = {r["doc_id"]: r["bucket"]
+             for r in quantile_buckets(df, "s", method="exact").collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in quantile_buckets(df, "s", method="approx").collect()}
+    auto = {r["doc_id"]: r["bucket"]
+            for r in quantile_buckets(df, "s").collect()}
+    assert exact == auto  # tiny input: auto must take the exact path
+    # approx buckets stay monotone head<=middle<=tail and cover all rows
+    assert set(approx.values()) <= {"head", "middle", "tail"}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranked = [order[approx[i]] for i in range(1, 10)]
+    assert ranked == sorted(ranked)
+    with pytest.raises(ValueError, match="method must be"):
+        quantile_buckets(df, "s", method="banana")
+
+
 def test_dedup_against_reference(spark):
     """r13: cross-corpus MinHash dedup — a new-crawl doc near-duplicating
     a reference doc is flagged with its best match; unrelated docs keep;
