@@ -487,6 +487,136 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                     .otherwise(F.lit(0.0)).alias("dup_frac")))
 
 
+def _lcp(a: Column, b: Column) -> Column:
+    """Longest common prefix length of two string arrays, as one Column
+    expression: zip the arrays with an equality lambda (the longer side's
+    tail zips against null → false) and take the index before the first
+    mismatch; no mismatch means the shorter array is a full prefix."""
+    z = F.zip_with(a, b, lambda x, y: x.isNotNull() & x.eqNullSafe(y))
+    p = F.array_position(z, F.lit(False))
+    return F.when(p > 0, p - 1).otherwise(
+        F.least(F.size(a), F.size(b)).cast("long"))
+
+
+def exact_substring_overlaps(train: DataFrame, eval_df: DataFrame,
+                             min_tokens: int = 50,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring decontamination report (Lee et al. 2022,
+    arXiv:2107.06499 §4: drop any training example sharing a long
+    verbatim token run with the eval set — their threshold 50 tokens):
+    for every training document with a verbatim overlap of
+    ``min_tokens`` or more whitespace tokens with ANY eval document,
+    the maximal such overlap. Returns one row per contaminated
+    (train, eval) pair: ``(id_col, eval_id, overlap_tokens, t_start,
+    e_start)`` with 1-based token offsets of the maximal span
+    (longest overlap wins; ties take the smallest t_start then
+    e_start).
+
+    Scale shape — a length-extending fingerprint join, never all-pairs
+    and never an L-times token blowup:
+
+    1. **Seed** with ``m = min_tokens // 2``-token windows: the TRAIN
+       side fingerprints only stride-``s`` start positions
+       (``s = min_tokens - m + 1``, so ``m + s - 1 <= min_tokens``);
+       the EVAL side fingerprints every position. Any shared run of
+       ``min_tokens`` tokens contains m-windows at ``s`` consecutive
+       train starts, exactly one of which is stride-aligned — the
+       guarantee is exact, not probabilistic. Train shuffle volume is
+       one 32-byte digest per ``s`` tokens (~token volume at L=50,
+       vs ``L x`` for exploding L-windows); the eval side is the small
+       set by construction.
+    2. **Join** train and eval fingerprints on the digest — a bucketed
+       inverted-index equi-join; 25-token verbatim grams have no
+       boilerplate skew worth salting.
+    3. **Diagonal dedup**: anchors of one maximal match share
+       ``i - j``; one ``groupBy(t, e, diag).min(i)`` keeps a single
+       extension per diagonal.
+    4. **Extend** each surviving anchor by anchored comparison: token
+       arrays are equi-joined back for candidate docs only
+       (semi-join-sized, not corpus-sized), and the overlap is
+       ``lcp(reversed prefixes) + lcp(suffixes from the anchor start)``
+       — the right lcp re-compares the anchor's own tokens, so a digest
+       collision can never manufacture a match.
+
+    Oracle replay: every step is deterministic md5 + integer arithmetic;
+    the DuckDB oracle recomputes the identical seeds, diagonals and
+    extensions (gate ``exact_substring_decontam``)."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    m = min_tokens // 2
+    s = min_tokens - m + 1
+
+    def anchors(d: DataFrame, out_id: str, stride: int,
+                pos_name: str) -> DataFrame:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        base = (d.select(F.col(id_col).alias(out_id),
+                         toks.alias("_w"))
+                .filter(F.size("_w") >= m))
+        starts = F.sequence(F.lit(1), F.size("_w") - (m - 1), F.lit(stride))
+        gram = lambda i: F.array_join(F.slice("_w", i, m), " ")  # noqa: E731
+        return (base.select(
+            out_id,
+            F.explode(F.transform(
+                starts,
+                lambda i: F.struct(i.alias(pos_name),
+                                   md5_hex(gram(i)).alias("gh"))))
+            .alias("_a"))
+            .select(out_id, f"_a.{pos_name}", "_a.gh"))
+
+    t_fp = anchors(spread(train), "_tid", s, "i")
+    e_fp = anchors(eval_df, "_eid", 1, "j")
+    cand = (t_fp.join(e_fp, "gh")
+            .groupBy("_tid", "_eid",
+                     (F.col("i") - F.col("j")).alias("_diag"))
+            .agg(F.min("i").alias("i"))
+            .select("_tid", "_eid", "i",
+                    (F.col("i") - F.col("_diag")).alias("j")))
+
+    def toks_of(d: DataFrame, out_id: str, arr: str) -> DataFrame:
+        w = F.transform(tokens(text_col), lambda t: F.lower(t))
+        return d.select(F.col(id_col).alias(out_id), w.alias(arr))
+
+    big = F.lit(1 << 30)
+    ext = (cand
+           .join(toks_of(train, "_tid", "_tw"), "_tid")
+           .join(toks_of(eval_df, "_eid", "_ew"), "_eid")
+           .select(
+               "_tid", "_eid", "i", "j",
+               _lcp(F.reverse(F.slice("_tw", 1, F.col("i") - 1)),
+                    F.reverse(F.slice("_ew", 1, F.col("j") - 1)))
+               .alias("_left"),
+               _lcp(F.slice("_tw", F.col("i"), big),
+                    F.slice("_ew", F.col("j"), big)).alias("_right")))
+    spans = (ext.select(
+        "_tid", "_eid",
+        (F.col("_left") + F.col("_right")).alias("_len"),
+        (F.col("i") - F.col("_left")).alias("_ts"),
+        (F.col("j") - F.col("_left")).alias("_es"))
+        .filter(F.col("_len") >= min_tokens))
+    best = (spans.groupBy("_tid", "_eid")
+            .agg(F.max(F.struct(F.col("_len"), (-F.col("_ts")).alias("_nts"),
+                                (-F.col("_es")).alias("_nes"))).alias("_b")))
+    return best.select(
+        F.col("_tid").alias(id_col), F.col("_eid").alias("eval_id"),
+        F.col("_b._len").cast("bigint").alias("overlap_tokens"),
+        (-F.col("_b._nts")).cast("bigint").alias("t_start"),
+        (-F.col("_b._nes")).cast("bigint").alias("e_start"))
+
+
+def decontaminate_exact_substring(train: DataFrame, eval_df: DataFrame,
+                                  min_tokens: int = 50,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Training rows that survive exact-substring decontamination: drop
+    every doc :func:`exact_substring_overlaps` flags (>= ``min_tokens``
+    verbatim tokens shared with any eval doc), keep the rest — the
+    published eval-leak removal pass, as one anti-join."""
+    hits = exact_substring_overlaps(train, eval_df, min_tokens,
+                                    text_col, id_col).select(id_col)
+    return train.join(hits, id_col, "left_anti")
+
+
 def fuzzy_value_pairs(df: DataFrame, value_col: str,
                       max_dist: int = 3) -> DataFrame:
     """Blocked fuzzy (edit-distance) self-join for entity resolution: the

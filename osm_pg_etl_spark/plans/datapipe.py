@@ -2691,9 +2691,120 @@ FROM g LEFT JOIN dup d USING (doc_id)
 """
 
 
+_ESD_MOD = 5        # eval slice: doc_id % 5 == 0 (the 101-slice shares no
+                    # long runs in the synthetic corpus; 5 yields real hits)
+_ESD_MIN = 50       # Lee et al. 2022's published 50-token threshold
+_ESD_M = _ESD_MIN // 2
+_ESD_S = _ESD_MIN - _ESD_M + 1
+
+
+def q_exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination report (Lee et al. 2022,
+    arXiv:2107.06499): every training doc (doc_id % 5 != 0) sharing a
+    >=50-token verbatim run with the eval slice (doc_id % 5 == 0), with
+    the maximal overlap's length and 1-based token offsets. Seeded by a
+    stride-26 fingerprint join over 25-token windows, extended by
+    anchored lcp — the oracle replays seeds, diagonals and extensions
+    exactly."""
+    docs = docs_t(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % _ESD_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % _ESD_MOD == 0)
+    return dedup.exact_substring_overlaps(train, ev, min_tokens=_ESD_MIN)
+
+
+# lcp of two DuckDB lists via the same first-mismatch scan Spark runs;
+# {a}/{b} must be list-typed SQL expressions already projected to columns
+def _sql_lcp(a: str, b: str) -> str:
+    return (f"CASE WHEN list_position(list_transform("
+            f"range(1, least(len({a}), len({b})) + 1), "
+            f"k -> {a}[k] = {b}[k]), false) > 0 "
+            f"THEN list_position(list_transform("
+            f"range(1, least(len({a}), len({b})) + 1), "
+            f"k -> {a}[k] = {b}[k]), false) - 1 "
+            f"ELSE least(len({a}), len({b})) END")
+
+
+_SQL_ESD_SPANS = rf"""
+tr AS (SELECT doc_id, w FROM toks
+       WHERE doc_id % {_ESD_MOD} != 0 AND len(w) >= {_ESD_M}),
+ev AS (SELECT doc_id, w FROM toks
+       WHERE doc_id % {_ESD_MOD} = 0 AND len(w) >= {_ESD_M}),
+tg AS (
+  SELECT doc_id AS tid, i,
+         md5(array_to_string(w[i:i+{_ESD_M - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {_ESD_M - 2}, {_ESD_S})) AS i
+        FROM tr)),
+eg AS (
+  SELECT doc_id AS eid, j,
+         md5(array_to_string(w[j:j+{_ESD_M - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {_ESD_M - 2}, 1)) AS j
+        FROM ev)),
+cand AS (
+  SELECT tid, eid, i - j AS diag, MIN(i) AS i
+  FROM tg JOIN eg USING (gh) GROUP BY 1, 2, 3),
+arrs AS (
+  SELECT c.tid, c.eid, c.i, c.i - c.diag AS j,
+         list_reverse(t.w[1:c.i-1]) AS la,
+         list_reverse(e.w[1:(c.i - c.diag)-1]) AS lb,
+         t.w[c.i:] AS ra, e.w[(c.i - c.diag):] AS rb
+  FROM cand c
+  JOIN tr t ON t.doc_id = c.tid
+  JOIN ev e ON e.doc_id = c.eid),
+ext AS (
+  SELECT tid, eid, i, j,
+         {_sql_lcp('la', 'lb')} AS l,
+         {_sql_lcp('ra', 'rb')} AS r
+  FROM arrs),
+spans AS (
+  SELECT tid, eid, l + r AS olen, i - l AS ts, j - l AS es
+  FROM ext WHERE l + r >= {_ESD_MIN})"""
+
+SQL_EXACT_SUBSTRING_DECONTAM = rf"""
+WITH {_TOKS_SQL.strip()},
+{_SQL_ESD_SPANS},
+best AS (
+  SELECT tid, eid, olen, ts, es,
+         ROW_NUMBER() OVER (PARTITION BY tid, eid
+                            ORDER BY olen DESC, ts, es) AS rn
+  FROM spans)
+SELECT tid AS doc_id, eid AS eval_id,
+       CAST(olen AS BIGINT) AS overlap_tokens,
+       CAST(ts AS BIGINT) AS t_start, CAST(es AS BIGINT) AS e_start
+FROM best WHERE rn = 1
+"""
+
+
+def q_exact_substring_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated training set itself: training docs that share NO
+    >=50-token verbatim run with the eval slice (the anti-join over
+    q_exact_substring_decontam's flags), with token counts — the pass a
+    pretraining pipeline actually ships."""
+    docs = docs_t(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % _ESD_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % _ESD_MOD == 0)
+    kept = dedup.decontaminate_exact_substring(train, ev,
+                                               min_tokens=_ESD_MIN)
+    return kept.select("doc_id", text.token_count("text").cast("bigint")
+                       .alias("n_tokens"))
+
+
+SQL_EXACT_SUBSTRING_KEPT = rf"""
+WITH {_TOKS_SQL.strip()},
+{_SQL_ESD_SPANS}
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+FROM toks
+WHERE doc_id % {_ESD_MOD} != 0
+  AND doc_id NOT IN (SELECT tid FROM spans)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "exact_substring_decontam": q_exact_substring_decontam,
+    "exact_substring_kept": q_exact_substring_kept,
     "fingerprint_dupes": q_fingerprint_dupes,
     "minhash_neardup": q_minhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -2761,6 +2872,8 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "exact_substring_decontam": SQL_EXACT_SUBSTRING_DECONTAM,
+    "exact_substring_kept": SQL_EXACT_SUBSTRING_KEPT,
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
     "dedup_clusters": _sql_dedup_clusters(),

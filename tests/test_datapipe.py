@@ -1034,6 +1034,52 @@ def test_quantile_buckets_approx_crossover(spark):
         quantile_buckets(df, "s", method="banana")
 
 
+def test_exact_substring_decontam(spark):
+    """r14: Lee et al. exact-substring decontamination — a >=L-token
+    verbatim run is found with its maximal extent and 1-based offsets,
+    an (L-1)-token run is NOT flagged, stride seeding still catches runs
+    at arbitrary alignment, and the anti-join keeps exactly the clean
+    docs."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.dedup import (
+        decontaminate_exact_substring, exact_substring_overlaps)
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    near = " ".join(f"s{i}" for i in range(49))
+    filler = lambda p, k: " ".join(f"{p}{i}" for i in range(k))  # noqa: E731
+    train = spark.createDataFrame([
+        (1, filler("a", 30) + " " + shared + " " + filler("b", 20)),
+        (2, filler("c", 40)),            # clean
+        (3, near + " " + filler("d", 30)),   # 49 < 50 -> clean
+        (4, shared),                      # run at position 1 (edge)
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, filler("z", 7) + " " + shared)],
+        "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           exact_substring_overlaps(train, ev, min_tokens=50).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["overlap_tokens"] == 60
+    assert (out[1]["t_start"], out[1]["e_start"]) == (31, 8)
+    assert out[4]["overlap_tokens"] == 60
+    assert (out[4]["t_start"], out[4]["e_start"]) == (1, 8)
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_exact_substring(train, ev, 50).collect())
+    assert kept == [2, 3]
+    # exactly-L run is flagged (boundary), L+1 alignment-shifted too
+    exact_l = " ".join(f"t{i}" for i in range(50))
+    tr2 = spark.createDataFrame(
+        [(10, filler("x", 13) + " " + exact_l)], "doc_id long, text string")
+    ev2 = spark.createDataFrame(
+        [(200, exact_l + " " + filler("y", 5))], "doc_id long, text string")
+    hit = exact_substring_overlaps(tr2, ev2, min_tokens=50).collect()
+    assert len(hit) == 1 and hit[0]["overlap_tokens"] == 50
+    with pytest.raises(ValueError, match="min_tokens"):
+        exact_substring_overlaps(tr2, ev2, min_tokens=1)
+
+
 def test_dedup_against_reference(spark):
     """r13: cross-corpus MinHash dedup — a new-crawl doc near-duplicating
     a reference doc is flagged with its best match; unrelated docs keep;
