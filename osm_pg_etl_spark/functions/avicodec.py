@@ -296,6 +296,15 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                                 "RGBQUAD palette in strf")
                         msvc_prev = decode_msvc_frame8(frame, w, h,
                                                        msvc_prev)
+                        if int(msvc_prev.max(initial=0)) >= len(palette):
+                            # a foreign stream may carry indices past
+                            # biClrUsed; without this the numpy fancy
+                            # index raises an IndexError that the walk()
+                            # wrapper misdescribes as a truncated payload
+                            raise ValueError(
+                                "MS Video 1 palette index "
+                                f"{int(msvc_prev.max())} out of range for "
+                                f"the {len(palette)}-entry RGBQUAD table")
                         frames.append(palette[msvc_prev[::-1]])
                 elif frame[:2] == b"\xFF\xD8":
                     frames.append(decode_jpeg(frame))

@@ -661,6 +661,11 @@ def _decode_ycbcr_page(payload: bytes, bo: str, values, tags: dict,
     out = np.zeros((ph, pw, 3), dtype=np.uint8)
     y0 = 0
     for so, sc in zip(offs, cnts):
+        if y0 >= ph:
+            # more strips than the padded height needs: nrows would go
+            # <= 0 and die in a cryptic numpy reshape — fail loudly like
+            # the too-few-strips case below
+            raise ValueError("YCbCr strips exceed the image")
         nrows = min(rps, ph - y0)
         nbr, nbc = nrows // vs, pw // hs
         raw = dec(payload[so:so + sc], nbr * nbc * (hs * vs + 2))

@@ -238,7 +238,16 @@ def dedup_against_reference(df: DataFrame, reference: DataFrame,
     Returns every ``df`` row as (id_col, kept, ref_id, ref_jaccard):
     ``kept`` is false when some reference doc reaches the threshold,
     with the best match (highest Jaccard, then lowest ref id) attached
-    for audit; unmatched rows carry NULL ref columns."""
+    for audit; unmatched rows carry NULL ref columns.
+
+    Both shingle tables are ``cache()``d intentionally — each feeds its
+    band explode AND the Jaccard verification join, and at corpus scale
+    these are the signature tables an industrial pipeline persists
+    rather than recomputes (same contract as
+    :func:`minhash_near_duplicates`). They stay pinned for the session;
+    a caller screening many crawls against one reference should
+    precompute the reference table once anyway, and can
+    ``spark.catalog.clearCache()`` between unrelated corpora."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a multiple of bands "

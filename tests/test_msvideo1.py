@@ -387,6 +387,25 @@ def test_msvc8_missing_palette_raises():
         decode_avi(bytes(avi))
 
 
+def test_msvc8_palette_index_out_of_range_message():
+    """Review fix (r14): a stream carrying palette indices >= biClrUsed
+    raises a dedicated palette-range ValueError, not the misleading
+    'truncated AVI payload' that numpy's IndexError used to surface
+    as."""
+    import struct as _s
+
+    from osm_pg_etl_spark.functions.avicodec import encode_avi_msvc8
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    avi = bytearray(encode_avi_msvc8(
+        [np.full((4, 4), 200, dtype=np.uint8)], pal))
+    idx = bytes(avi).find(b"strf")
+    # shrink biClrUsed (strf body offset 32) below the stream's indices
+    avi[idx + 8 + 32:idx + 8 + 36] = _s.pack("<I", 16)
+    with pytest.raises(ValueError, match="palette index 200 out of range"):
+        decode_avi(bytes(avi))
+
+
 def test_audio_strf_does_not_clobber_video_codec():
     """Review fix (r13): an AUDIO stream's strf (WAVEFORMATEX) after the
     video strl must NOT latch compression/bit_count/dims — only strf

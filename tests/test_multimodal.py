@@ -1585,3 +1585,17 @@ def test_tiff_raw_ycbcr():
     payload[at:at + 8] = struct.pack("<II", 2126, 10000)
     with pytest.raises(NotImplementedError, match="Rec.601"):
         decode_tiff(bytes(payload))
+
+    # review fix (r14): more strips than the padded height needs raises
+    # the codec's loud-ValueError pattern, not a numpy reshape error —
+    # shrink ImageLength (tag 257) so the encoded strips overshoot
+    mal = bytearray(encode_tiff(rgb, compression=1, rows_per_strip=4,
+                                ycbcr_subsampling=(2, 2)))
+    off = struct.unpack("<I", mal[4:8])[0]
+    n = struct.unpack("<H", mal[off:off + 2])[0]
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if struct.unpack("<H", mal[e:e + 2])[0] == 257:
+            mal[e + 8:e + 12] = struct.pack("<I", 4)
+    with pytest.raises(ValueError, match="strips exceed"):
+        decode_tiff(bytes(mal))
