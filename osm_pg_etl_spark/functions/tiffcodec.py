@@ -246,11 +246,14 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             raise ValueError("cannot encode an empty page")
         if palette is not None:
             pal = np.asarray(palette)
-            if spp != 1 or a.dtype != np.uint8:
-                raise ValueError("palette pages must be (h, w) uint8 "
-                                 "index arrays")
-            if pal.shape != (256, 3) or pal.dtype != np.uint8:
-                raise ValueError("palette must be a (256, 3) uint8 array")
+            if spp != 1:
+                raise ValueError("palette pages must be (h, w) uint8 or "
+                                 "uint16 index arrays")
+            nidx = 1 << (8 * a.dtype.itemsize)
+            if pal.shape != (nidx, 3) or pal.dtype != np.uint8:
+                raise ValueError(
+                    f"palette must be a ({nidx}, 3) uint8 array matching "
+                    f"the page's {8 * a.dtype.itemsize}-bit index depth")
         if ycbcr_subsampling is not None:
             if spp != 3 or a.dtype != np.uint8:
                 raise ValueError("YCbCr pages must be (h, w, 3) uint8 RGB")
@@ -338,10 +341,12 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             bps_off = val_offset(struct.pack(bo + f"{spp}H",
                                              *([bps] * spp)))
         if palette is not None:
-            # ColorMap: 3*256 SHORTs, plane-major R then G then B,
-            # 8-bit channels replicated to 16-bit as v*257
+            # ColorMap: 3*2^depth SHORTs, plane-major R then G then B,
+            # 8-bit channels replicated to 16-bit as v*257 (r14: a
+            # uint16 index page writes the full 3x65536-entry table)
             cmap16 = (pal.astype(np.uint32) * 257).T.reshape(-1)
-            cmap_off = val_offset(struct.pack(bo + "768H", *cmap16))
+            cmap_off = val_offset(
+                cmap16.astype(np.dtype(bo + "u2")).tobytes())
         if ycbcr_subsampling is not None:
             # explicit colorimetry: Rec.601 coefficients (the tag-529
             # default, written anyway so foreign readers need not guess)
@@ -394,7 +399,7 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
             photometric = 2 if spp == 3 else 1
         e.append(entry(262, 3, 1, photometric))
         if palette is not None:
-            e.append(entry(320, 3, 768, cmap_off))
+            e.append(entry(320, 3, 3 * len(pal), cmap_off))
         if ycbcr_subsampling is not None:
             e.append(entry(529, 5, 3, coe_off))
             e.append(entry(530, 3, 2, tuple(ycbcr_subsampling)))
@@ -473,7 +478,8 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
                      subsample: str = "444",
                      rows_per_strip: int | None = None,
                      use_jpeg_tables: bool = False,
-                     byte_order: str = "II") -> bytes:
+                     byte_order: str = "II",
+                     tile_size: tuple[int, int] | None = None) -> bytes:
     """(h, w, 3) uint8 RGB page(s) -> TIFF bytes with compression 7
     (new-style JPEG-in-TIFF, TIFF Tech Note 2): each strip is a genuine
     JFIF datastream from :func:`..jpegcodec.encode_jpeg`, photometric 6
@@ -483,7 +489,12 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
     moves the shared DQT/DHT segments into the JPEGTables tag (347) and
     writes ABBREVIATED per-strip streams — the table-sharing layout
     libtiff produces (sound here because the JPEG encoder uses the
-    fixed Annex K tables, so every strip shares one table set)."""
+    fixed Annex K tables, so every strip shares one table set).
+    ``tile_size`` (r14): ``(tile_w, tile_h)`` — positive multiples of
+    16, always MCU-aligned — writes the TILED layout instead (tags
+    322-325, one JPEG stream per tile, edge tiles padded by edge
+    replication so ringing never bleeds into kept pixels); mutually
+    exclusive with ``rows_per_strip``."""
     from .jpegcodec import encode_jpeg
 
     pages = (rgb_pages if isinstance(rgb_pages, (list, tuple))
@@ -493,6 +504,14 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
     mcu_h = 16 if subsample == "420" else 8
+    if tile_size is not None:
+        if rows_per_strip is not None:
+            raise ValueError("tile_size and rows_per_strip are mutually "
+                             "exclusive")
+        if (tile_size[0] % 16 or tile_size[1] % 16
+                or tile_size[0] <= 0 or tile_size[1] <= 0):
+            raise ValueError("tile dimensions must be positive multiples "
+                             "of 16")
     bo = "<" if byte_order == "II" else ">"
     magic = b"II*\x00" if byte_order == "II" else b"MM\x00*"
     out = bytearray(magic + struct.pack(bo + "I", 8))
@@ -507,16 +526,28 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
             raise ValueError(
                 f"rows_per_strip must be a multiple of {mcu_h} "
                 f"(the JPEG MCU height for subsample={subsample})")
-        strips = [encode_jpeg(a[y:y + rps], quant=quant,
-                              subsample=subsample)
-                  for y in range(0, h, rps)]
+        if tile_size is not None:
+            tw, th = tile_size
+            ph = -(-h // th) * th
+            pw = -(-w // tw) * tw
+            padded = np.pad(a, ((0, ph - h), (0, pw - w), (0, 0)),
+                            mode="edge")
+            strips = [encode_jpeg(padded[ty:ty + th, tx:tx + tw],
+                                  quant=quant, subsample=subsample)
+                      for ty in range(0, ph, th)
+                      for tx in range(0, pw, tw)]
+        else:
+            strips = [encode_jpeg(a[y:y + rps], quant=quant,
+                                  subsample=subsample)
+                      for y in range(0, h, rps)]
         tables = b""
         if use_jpeg_tables:
             split = [_split_jpeg_tables(s) for s in strips]
             tables = split[0][0]
             strips = [s[1] for s in split]
 
-        n_entries = 10 + (1 if use_jpeg_tables else 0)
+        n_entries = ((11 if tile_size is not None else 10)
+                     + (1 if use_jpeg_tables else 0))
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
         extra = bytearray()
@@ -559,12 +590,20 @@ def encode_tiff_jpeg(rgb_pages: np.ndarray | list[np.ndarray],
              entry(259, 3, 1, 7),            # new-style JPEG
              entry(262, 3, 1, 6),            # YCbCr: JPEG owns color
              entry(274, 3, 1, 1),
-             entry(277, 3, 1, 3),
-             entry(273, 4, n_strips,
-                   offs[0] if n_strips == 1 else off_pos),
-             entry(278, 4, 1, rps),
-             entry(279, 4, n_strips,
-                   counts[0] if n_strips == 1 else counts_off)]
+             entry(277, 3, 1, 3)]
+        if tile_size is not None:
+            e += [entry(322, 4, 1, tile_size[0]),
+                  entry(323, 4, 1, tile_size[1]),
+                  entry(324, 4, n_strips,
+                        offs[0] if n_strips == 1 else off_pos),
+                  entry(325, 4, n_strips,
+                        counts[0] if n_strips == 1 else counts_off)]
+        else:
+            e += [entry(273, 4, n_strips,
+                        offs[0] if n_strips == 1 else off_pos),
+                  entry(278, 4, 1, rps),
+                  entry(279, 4, n_strips,
+                        counts[0] if n_strips == 1 else counts_off)]
         if use_jpeg_tables:
             e.append(entry(347, 7, len(tables), tables_off))
         e.sort(key=lambda b: struct.unpack(bo + "H", b[:2])[0])
@@ -767,9 +806,6 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
             # grayscale streams), so the decoded RGB is used as-is.
             from .jpegcodec import decode_jpeg
 
-            if tiled:
-                raise NotImplementedError(
-                    "JPEG-in-TIFF tile layout unsupported (strips only)")
             pm = values(262, [6])[0]
             if pm not in (1, 6):
                 # pm 2 (RGB-stored JPEG components, no color transform)
@@ -788,15 +824,45 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 else:
                     (o,) = struct.unpack(bo + "I", raw)
                     tables = payload[o:o + count]
+            def jpeg_stream(so: int, sc: int) -> bytes:
+                stream = payload[so:so + sc]
+                if stream[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG-in-TIFF chunk missing SOI")
+                if tables is not None and len(tables) > 4:
+                    stream = stream[:2] + tables[2:-2] + stream[2:]
+                return stream
+
+            if tiled:
+                # r14: tiled layout — each tile is its own JPEG stream
+                # padded to the full tile size (tile dims are multiples
+                # of 16, so always MCU-aligned); assemble the grid in
+                # row-major tile order (TIFF6 §15) and crop edges
+                tw = values(322, [w])[0]
+                th = values(323, [h])[0]
+                ta = -(-w // tw)
+                expect = ta * (-(-h // th))
+                if len(offs) != expect or len(cnts) != expect:
+                    raise ValueError(
+                        f"malformed tiled TIFF: {len(offs)} tiles for "
+                        f"a {ta}x{-(-h // th)} grid")
+                page = np.zeros((h, w, 3), dtype=np.uint8)
+                for i, (so, sc) in enumerate(zip(offs, cnts)):
+                    img = decode_jpeg(jpeg_stream(so, sc))
+                    ty = (i // ta) * th
+                    tx = (i % ta) * tw
+                    ch = min(th, h - ty)
+                    cw = min(tw, w - tx)
+                    if img.shape[0] < ch or img.shape[1] < cw:
+                        raise ValueError(
+                            "JPEG-in-TIFF tile smaller than its grid "
+                            "cell")
+                    page[ty:ty + ch, tx:tx + cw] = img[:ch, :cw]
+                pages.append(page)
+                continue
             parts = []
             y = 0
             for so, sc in zip(offs, cnts):
-                stream = payload[so:so + sc]
-                if stream[:2] != b"\xff\xd8":
-                    raise ValueError("JPEG-in-TIFF strip missing SOI")
-                if tables is not None and len(tables) > 4:
-                    stream = stream[:2] + tables[2:-2] + stream[2:]
-                img = decode_jpeg(stream)
+                img = decode_jpeg(jpeg_stream(so, sc))
                 parts.append(img[:min(img.shape[0], h - y)])
                 y += parts[-1].shape[0]
             page = np.concatenate(parts, axis=0)
@@ -831,10 +897,9 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
                 f"TIFF BitsPerSample {bps} unsupported (uniform 8- or "
                 "16-bit samples only)")
         depth = bps[0]
-        if photometric == 3 and depth != 8:
-            raise NotImplementedError(
-                f"{depth}-bit palette TIFF unsupported (a 3x65536-entry "
-                "ColorMap; 8-bit indices only)")
+        # r14: 16-bit palette decodes too — the lookup below is
+        # depth-generic (ColorMap must carry 3*2^depth entries, indices
+        # come out of the raster path as uint16)
         mod = 1 << depth
         sample_dt = np.dtype((bo if depth == 16 else "") + f"u{depth // 8}")
         out_dt = np.uint8 if depth == 8 else np.uint16

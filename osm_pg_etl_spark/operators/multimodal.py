@@ -346,15 +346,19 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
     - 5: PALETTE (photometric 3): the gradient as INDEX values with the
       affine ColorMap R = 255−i, G = i, B = 255−i — channel means stay
       closed-form (255−m, m, 255−m) and the asymmetry pins the
-      plane-major ColorMap order;
+      plane-major ColorMap order; (id//4) % 2 flips to the 16-BIT
+      palette (r14): index v·257 into a replicated 3×65536 ColorMap
+      with identical means;
     - 6: CMYK (photometric 5): C = M = Y = 255−v, K = 0, whose exact
       integer conversion recovers (v, v, v) — spp=4 strip math and the
       4-sample predictor, identity in the mean;
     - 7: JPEG-IN-TIFF (compression 7, Tech Note 2): 8×8-block-constant
       gray at flat quantization (bit-exact JPEG inversion), (id%3+1)×2
-      blocks in 8-row strips, abbreviated streams + shared JPEGTables
-      keyed on (id//16) % 2 (so the class-7 residue still sees both
-      table layouts) — mean = base + (wb−1)/2 + 1/2;
+      blocks in 8-row strips — or 16×16 JPEG TILES keyed on (id//4) % 2
+      (r14; block-aligned tiling keeps flat-quant decode bit-exact) —
+      abbreviated streams + shared JPEGTables keyed on (id//16) % 2 (so
+      the class-7 residue still sees both table layouts) —
+      mean = base + (wb−1)/2 + 1/2;
     - 8 (r13): RAW YCbCr (photometric 6, TIFF6 §21 macropixel data
       units, tags 529/530/532): a gray gradient, so chroma is exactly
       128 and decode is BIT-EXACT through every subsampling
@@ -422,11 +426,18 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                 blocks = (base + np.arange(wb)[None, :]
                           + np.arange(2)[:, None]).astype(np.uint8)
                 gray8 = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                # r14: cycle the TILED JPEG layout on (i//4)%2 — tiles
+                # cut on 16-px boundaries keep 8x8 blocks intact and
+                # edge padding replicates constant blocks, so the
+                # flat-quant decode stays bit-exact and the closed form
+                # is unchanged
+                layout = (dict(tile_size=(16, 16)) if (i // 4) % 2
+                          else dict(rows_per_strip=8))
                 out.append(encode_tiff_jpeg(
                     np.stack([gray8] * 3, axis=2),
-                    quant=np.ones((8, 8)), rows_per_strip=8,
+                    quant=np.ones((8, 8)),
                     use_jpeg_tables=bool((i // 16) % 2),
-                    byte_order="MM" if mm else "II"))
+                    byte_order="MM" if mm else "II", **layout))
                 continue
             big = cls in (0, 2)
             w = i % 14 + (20 if big else 1)
@@ -440,8 +451,17 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
             if cls in (1, 2):
                 page = gray * np.uint16(257)     # full-scale 16-bit
             elif cls == 5:
-                page = gray.astype(np.uint8)     # palette indices
-                kwargs["palette"] = pal
+                if (i // 4) % 2:
+                    # r14: 16-BIT palette — index v*257 into a 65536-
+                    # entry LUT that replicates the 8-bit one
+                    # (pal16[j] = pal[j // 257], so pal16[v*257] =
+                    # pal[v]): full 3x65536 ColorMap exercised, means
+                    # and closed form unchanged
+                    page = (gray * np.uint16(257)).astype(np.uint16)
+                    kwargs["palette"] = pal[np.arange(65536) // 257]
+                else:
+                    page = gray.astype(np.uint8)     # palette indices
+                    kwargs["palette"] = pal
             elif cls == 6:
                 v = gray.astype(np.uint8)
                 page = np.stack([255 - v, 255 - v, 255 - v,

@@ -1198,11 +1198,26 @@ def test_tiff_palette_and_cmyk():
          for i in range(3)], axis=2).astype(np.uint16)
     assert out16.dtype == np.uint16 and np.array_equal(out16, exp16)
 
-    # boundaries stay loud: 16-bit palette, bad palette shapes
-    with pytest.raises(ValueError, match="uint8 index"):
+    # boundaries stay loud: palette/index depth mismatch both ways
+    with pytest.raises(ValueError, match="\\(65536, 3\\)"):
         encode_tiff(idx.astype(np.uint16), palette=pal)
     with pytest.raises(ValueError, match="\\(256, 3\\)"):
         encode_tiff(idx, palette=pal[:128])
+
+    # r14: 16-BIT palette decodes/encodes — full 3x65536 ColorMap,
+    # uint16 index raster, both byte orders, strip and tile layouts
+    rng16 = np.random.default_rng(7)
+    pal16 = rng16.integers(0, 256, (65536, 3), dtype=np.uint8)
+    idx16 = rng16.integers(0, 65536, (9, 13), dtype=np.uint16)
+    for bo in ("II", "MM"):
+        for comp in (1, 5, 32773):
+            got = decode_tiff(encode_tiff(idx16, compression=comp,
+                                          byte_order=bo,
+                                          palette=pal16))[0]
+            assert np.array_equal(got, pal16[idx16]), (bo, comp)
+    got = decode_tiff(encode_tiff(idx16, tile_size=(16, 16),
+                                  palette=pal16))[0]
+    assert np.array_equal(got, pal16[idx16])
 
 
 def test_tiff_jpeg_compression7():
@@ -1252,6 +1267,29 @@ def test_tiff_jpeg_compression7():
         encode_tiff_jpeg(rgb, rows_per_strip=24, subsample="420")
     with pytest.raises(ValueError, match="\\(h, w, 3\\) uint8"):
         encode_tiff_jpeg(img)                 # gray page: RGB required
+
+    # r14: JPEG-compressed TILES (tags 322-325, one stream per tile).
+    # Block-constant flat-quant content inverts bit-exactly through the
+    # tile grid (16-px tiles align with 8x8 blocks; edge padding
+    # replicates constant blocks), with and without shared JPEGTables,
+    # including non-multiple dims (padded grid + crop).
+    t_tiled = encode_tiff_jpeg(rgb, quant=flat, tile_size=(32, 16))
+    assert np.array_equal(decode_tiff(t_tiled)[0], rgb)
+    crop = rgb[:37, :51]
+    t_crop = encode_tiff_jpeg(crop, quant=flat, tile_size=(16, 16),
+                              use_jpeg_tables=True, byte_order="MM")
+    assert np.array_equal(decode_tiff(t_crop)[0], crop)
+    # textured content equals the per-tile JPEG round-trip exactly
+    tex2 = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    got = decode_tiff(encode_tiff_jpeg(tex2, tile_size=(16, 16)))[0]
+    exp2 = np.concatenate(
+        [decode_jpeg(encode_jpeg(tex2[:, x:x + 16]))
+         for x in (0, 16)], axis=1)
+    assert np.array_equal(got, exp2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_tiff_jpeg(rgb, rows_per_strip=8, tile_size=(16, 16))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff_jpeg(rgb, tile_size=(8, 16))
 
 
 def test_tiff_gate_matches_closed_form(spark):
