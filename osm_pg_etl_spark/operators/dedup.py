@@ -626,6 +626,115 @@ def decontaminate_exact_substring(train: DataFrame, eval_df: DataFrame,
     return train.join(hits, id_col, "left_anti")
 
 
+def remove_duplicate_spans(df: DataFrame, min_tokens: int = 50,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-corpus exact-substring dedup with span REMOVAL (Lee et
+    al. 2022, arXiv:2107.06499 — ExactSubstr: cut every verbatim token
+    run of ``min_tokens``+ that also occurs elsewhere in the corpus,
+    keeping the first occurrence), via the window-marking construction
+    the public deduplicate-text-datasets reproductions use: an
+    L-token window is REMOVED from (doc, pos) iff the same window
+    content has a lexicographically earlier occurrence (smaller doc id,
+    or same doc and smaller position); a duplicated run of length >= L
+    is covered by its marked windows exactly, and the kept (first)
+    occurrence never marks itself. Removed windows merge into maximal
+    spans per document; the text is rebuilt with covered tokens cut.
+
+    Returns every input row as ``(id_col, clean_text, n_tokens,
+    n_removed, n_spans)`` — unaffected docs pass through with
+    ``n_removed = 0`` and their (whitespace-normalized) token join as
+    ``clean_text``.
+
+    Scale shape — the same grid discipline as
+    :func:`duplicate_ngram_spans`, plus a per-document interval merge:
+
+    1. one tokenize pass explodes ONE 16-byte md5 per token position
+       (window text never shuffles; rows ~= token count, not L x);
+    2. per-gram occurrence count and first occurrence come from windows
+       over the gram-hash partition — a single gram-keyed exchange;
+    3. marked positions merge into spans with the classic island scan
+       (running max of span ends) — a per-document window, bounded by
+       document length like dedup_paragraphs' reassembly;
+    4. spans collect to a per-doc array (merged-disjoint, so small) and
+       one Column filter rebuilds the token stream — no row-Python.
+
+    Engine-exactness note: first-occurrence ordering uses the packed
+    key ``doc_id * 2^20 + pos``, so positions must stay below 2^20
+    tokens per document (chunk longer docs first) and ids below 2^43 —
+    both loudly outside any curated-corpus shape."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    L = min_tokens
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = (spread(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), toks.alias("_w")))
+
+    grams = F.when(
+        F.size("_w") >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (L - 1)),
+            lambda i: F.struct(
+                i.alias("p"),
+                md5_hex(F.array_join(F.slice("_w", i, L), " "))
+                .alias("gh")))
+    ).otherwise(F.expr(
+        "CAST(array() AS array<struct<p:int,gh:string>>)"))
+    pos = (base.select(F.col(id_col), F.explode(grams).alias("_g"))
+           .select(id_col, F.col("_g.p").alias("p"),
+                   F.col("_g.gh").alias("gh"),
+                   (F.col(id_col) * F.lit(1 << 20) + F.col("_g.p"))
+                   .alias("_k")))
+    wg = Window.partitionBy("gh")
+    marked = (pos.withColumn("_n", F.count(F.lit(1)).over(wg))
+              .withColumn("_first", F.min("_k").over(wg))
+              .filter((F.col("_n") > 1) & (F.col("_k") != F.col("_first")))
+              .select(id_col, "p"))
+
+    # island merge: a marked window [p, p+L) extends the current span
+    # when p <= running-max-end; spans are maximal by construction
+    wd = (Window.partitionBy(id_col).orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (marked
+               .withColumn("_pe", F.max(F.col("p") + L).over(wd))
+               .withColumn("_new", F.when(
+                   F.col("_pe").isNull()
+                   | (F.col("p") > F.col("_pe")), 1).otherwise(0))
+               .withColumn("_isl", F.sum("_new").over(
+                   Window.partitionBy(id_col).orderBy("p")
+                   .rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (islands.groupBy(id_col, "_isl")
+             .agg(F.min("p").alias("s"),
+                  (F.max("p") + F.lit(L - 1)).alias("e")))
+    span_arr = (spans.groupBy(id_col)
+                .agg(F.sort_array(F.collect_list(
+                    F.struct(F.col("s"), F.col("e")))).alias("_spans"),
+                    F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1).alias("n_removed")))
+
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp["s"]) & (i <= sp["e"]))
+    kept_tokens = F.filter(
+        F.transform(F.col("_w"),
+                    lambda t, i: F.when(covered(i + 1), F.lit(None))
+                    .otherwise(t)),
+        lambda t: t.isNotNull())
+    return (base.join(span_arr, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("_spans").isNull(), F.array_join("_w", " "))
+                .otherwise(F.array_join(kept_tokens, " "))
+                .alias("clean_text"),
+                F.size("_w").cast("bigint").alias("n_tokens"),
+                F.coalesce("n_removed", F.lit(0)).cast("bigint")
+                .alias("n_removed"),
+                F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                .alias("n_spans")))
+
+
 def fuzzy_value_pairs(df: DataFrame, value_col: str,
                       max_dist: int = 3) -> DataFrame:
     """Blocked fuzzy (edit-distance) self-join for entity resolution: the

@@ -681,6 +681,122 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                                 6), F.lit(0.0)).alias("avg_nll")))
 
 
+def dsir_importance(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    buckets: int = 4096,
+                    ns: tuple[int, ...] = (1, 2),
+                    seed: int = 0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection with Importance Resampling): score every RAW
+    document by how much likelier its hashed n-gram features are under
+    the TARGET distribution than under the raw distribution,
+
+        log w(x) = Σ_b f_b(x) · (ln p̂_target(b) − ln p̂_raw(b)),
+
+    where ``f_b(x)`` counts the document's (default uni+bi)gram hits in
+    hash bucket ``b`` and both bucket distributions are add-1 smoothed
+    (``p(b) = (c_b + 1) / (total + buckets)``). Selecting the top-w (or
+    Gumbel-resampling on w) documents is the paper's
+    domain-adaptation pass; this returns the scores, which compose
+    with :func:`..operators.sampling.quantile_buckets` or top-k.
+
+    Engine-exactness follows :func:`bigram_lm_scores`: each bucket
+    probability is ONE double division of exact integers, each log is
+    ``round(ln p, 9)`` cast to exact decimal, the per-bucket term is a
+    difference of exact decimals, and the per-doc sum is
+    count × decimal — order-independent and oracle-replayable.
+
+    Scale shape: one tokenize pass per corpus; features collapse to
+    (doc, bucket) counts (md5-uniform keys, map-side combinable); both
+    bucket tables and totals DERIVE from those aggregates (no second
+    scan); the ≤ ``buckets``-row ratio table full-outer-merges the two
+    and BROADCASTS back onto the per-doc counts — the only data-sized
+    shuffle is the doc-gram collapse.
+
+    Returns every raw row as ``(id_col, n_grams, log_ratio)``;
+    token-free docs carry (0, 0.0)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be positive n-gram orders, got {ns}")
+    from ..functions.hashing import md5_long  # noqa: PLC0415
+
+    def doc_grams() -> Column:
+        w = F.transform(tokens(text_col), lambda t: F.lower(t))
+
+        def gram_fn(n: int):
+            # bind n via a closure factory — NOT `lambda i, n=n:`, whose
+            # two-parameter signature makes F.transform arity-sniff it
+            # as an (element, index) lambda and silently pass the array
+            # INDEX as n (garbage grams; caught by the r14 oracle)
+            return lambda i: F.array_join(F.slice(w, i, n), " ")
+
+        parts = []
+        for n in ns:
+            if n == 1:
+                parts.append(w)
+            else:
+                parts.append(F.when(
+                    F.size(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        gram_fn(n))
+                ).otherwise(F.expr("CAST(array() AS array<string>)")))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    def bucket_of_grams(d: DataFrame) -> DataFrame:
+        return (d.select(F.col(id_col), F.explode(doc_grams()).alias("_g"))
+                .select(id_col,
+                        F.pmod(md5_long("_g", seed), F.lit(buckets))
+                        .alias("_b")))
+
+    f_raw = (bucket_of_grams(raw)
+             .groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c")))
+    c_raw = f_raw.groupBy("_b").agg(F.sum("_c").alias("_cr"))
+    c_tgt = (bucket_of_grams(target)
+             .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")))
+    t_raw = c_raw.agg(F.sum("_cr").alias("_tr"))
+    t_tgt = c_tgt.agg(F.sum("_ct").alias("_tt"))
+
+    dec = "decimal(28,9)"
+    ratio = (c_raw.join(c_tgt, "_b", "full_outer")
+             .select(F.col("_b"),
+                     F.coalesce("_cr", F.lit(0)).alias("_cr"),
+                     F.coalesce("_ct", F.lit(0)).alias("_ct"))
+             .crossJoin(F.broadcast(t_raw))
+             .crossJoin(F.broadcast(t_tgt))
+             .select(
+                 "_b",
+                 # the difference is re-cast to decimal(12,9) (|ln p| is
+                 # bounded by ln(total+buckets) << 1000) so the
+                 # count x term product below fits decimal(31,9)
+                 # EXACTLY — long x decimal(29,9) would overflow
+                 # precision 38 and make Spark silently REDUCE SCALE,
+                 # rounding each product where DuckDB stays exact
+                 # (caught by the r14 oracle at the 6th decimal)
+                 (F.round(F.log((F.col("_ct") + 1).cast("double")
+                                / (F.coalesce("_tt", F.lit(0))
+                                   + buckets)), 9).cast(dec)
+                  - F.round(F.log((F.col("_cr") + 1).cast("double")
+                                  / (F.coalesce("_tr", F.lit(0))
+                                     + buckets)), 9).cast(dec))
+                 .cast("decimal(12,9)").alias("_term")))
+    scored = (f_raw.join(F.broadcast(ratio), "_b")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("_c").cast("decimal(18,0)")
+                         * F.col("_term")).alias("_s"),
+                   F.sum("_c").alias("_n")))
+    return (raw.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_n", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                    # round the EXACT decimal, then cast: rounding after
+                    # a double cast can flip a .5-boundary sum between
+                    # engines (caught by the r14 oracle)
+                    F.coalesce(F.round(F.col("_s"), 6).cast("double"),
+                               F.lit(0.0)).alias("log_ratio")))
+
+
 def word_ngrams(text: Column | str, n: int = 5) -> Column:
     """Distinct lowercased word n-grams of a document (docs shorter than
     ``n`` tokens contribute their whole text as one gram, mirroring the

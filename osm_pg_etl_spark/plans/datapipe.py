@@ -2776,6 +2776,146 @@ FROM best WHERE rn = 1
 """
 
 
+def q_exact_substring_self_dedup(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """WITHIN-corpus ExactSubstr span removal (Lee et al. 2022): every
+    verbatim >=50-token run occurring more than once in the corpus is
+    cut from all but its first occurrence (smallest doc id, then
+    position); the gate returns every document's rebuilt text plus
+    removal accounting, so the hash pins the window marking, the
+    keep-first choice, the island merge AND the token-level rebuild."""
+    docs = docs_t(spark, sf_dir)
+    return dedup.remove_duplicate_spans(docs, min_tokens=_ESD_MIN)
+
+
+SQL_EXACT_SUBSTRING_SELF_DEDUP = rf"""
+WITH {_TOKS_SQL.strip()},
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - {_ESD_MIN - 2}),
+           i -> {{'p': i,
+                  'gh': md5(array_to_string(w[i:i+{_ESD_MIN - 1}], ' '))}}
+         )) AS u
+  FROM toks WHERE len(w) >= {_ESD_MIN}),
+pos AS (
+  SELECT doc_id, u.p AS p, u.gh AS gh,
+         doc_id * 1048576 + u.p AS k
+  FROM g),
+mk AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, k,
+           COUNT(*) OVER (PARTITION BY gh) AS n,
+           MIN(k) OVER (PARTITION BY gh) AS f
+    FROM pos)
+  WHERE n > 1 AND k != f),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END AS nw
+  FROM (
+    SELECT doc_id, p,
+           MAX(p + {_ESD_MIN}) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM mk)),
+isl2 AS (
+  SELECT doc_id, p,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM isl),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_ESD_MIN - 1} AS e
+  FROM isl2 GROUP BY doc_id, grp),
+sarr AS (
+  SELECT doc_id, list([s, e]) AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN a.sp IS NULL THEN array_to_string(t.w, ' ')
+       -- COALESCE: DuckDB's array_to_string of an emptied list yields
+       -- NULL where Spark's array_join yields '' (fully-removed docs)
+       ELSE COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(1, len(t.w) + 1),
+             i -> CASE WHEN len(list_filter(a.sp,
+                    x -> i >= x[1] AND i <= x[2])) > 0
+                  THEN NULL ELSE t.w[i] END),
+           x -> x IS NOT NULL), ' '), '') END AS clean_text,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_removed, 0) AS n_removed,
+       COALESCE(a.n_spans, 0) AS n_spans
+FROM toks t LEFT JOIN sarr a USING (doc_id)
+"""
+
+
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    log-likelihood ratio of every raw doc (doc_id % 5 != 0) against the
+    target slice (doc_id % 5 == 0), 1024 buckets, add-1 smoothing. The
+    hash pins the md5 bucketing, both smoothed distributions, the
+    rounded-ln exact-decimal terms and the per-doc feature sums."""
+    docs = docs_t(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") % _ESD_MOD != 0)
+    tgt = docs.filter(F.col("doc_id") % _ESD_MOD == 0)
+    return text.dsir_importance(raw, tgt, buckets=_DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH {_TOKS_SQL.strip()},
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    w,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)),
+                             i -> array_to_string(w[i:i+1], ' '))
+         ELSE [] END)) AS g
+  FROM toks),
+bkt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM grams),
+f_raw AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bkt WHERE doc_id % {_ESD_MOD} != 0 GROUP BY 1, 2),
+c_raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM f_raw GROUP BY b),
+c_tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM bkt WHERE doc_id % {_ESD_MOD} = 0 GROUP BY b),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(cr), 0) FROM c_raw) AS tr,
+         (SELECT COALESCE(SUM(ct), 0) FROM c_tgt) AS tt),
+keys AS (SELECT b FROM c_raw UNION SELECT b FROM c_tgt),
+ratio AS (
+  -- keys + two LEFT JOINs + scalar subqueries, NOT a FULL OUTER JOIN
+  -- chained with CROSS JOIN: DuckDB resolves that chain to a plan that
+  -- drops/garbles unmatched buckets (observed r14: 621 of 1024 rows,
+  -- wrong terms); this shape is unambiguous in both engines
+  SELECT k.b,
+         CAST(ROUND(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                       / ((SELECT tt FROM tot) + {_DSIR_BUCKETS})), 9)
+              AS DECIMAL(28,9))
+         - CAST(ROUND(ln(CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE)
+                         / ((SELECT tr FROM tot) + {_DSIR_BUCKETS})), 9)
+                AS DECIMAL(28,9)) AS term
+  FROM keys k
+  LEFT JOIN c_raw r ON r.b = k.b
+  LEFT JOIN c_tgt t ON t.b = k.b),
+scored AS (
+  SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_grams,
+         SUM(f.c * ratio.term) AS s
+  FROM f_raw f JOIN ratio USING (b) GROUP BY f.doc_id)
+SELECT t.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(CAST(ROUND(s.s, 6) AS DOUBLE), 0.0) AS log_ratio
+FROM toks t LEFT JOIN scored s USING (doc_id)
+WHERE t.doc_id % {_ESD_MOD} != 0
+"""
+
+
 def q_exact_substring_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontaminated training set itself: training docs that share NO
     >=50-token verbatim run with the eval slice (the anti-join over
@@ -2805,6 +2945,8 @@ QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "exact_substring_decontam": q_exact_substring_decontam,
     "exact_substring_kept": q_exact_substring_kept,
+    "exact_substring_self_dedup": q_exact_substring_self_dedup,
+    "dsir_weights": q_dsir_weights,
     "fingerprint_dupes": q_fingerprint_dupes,
     "minhash_neardup": q_minhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -2874,6 +3016,8 @@ ORACLES = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "exact_substring_decontam": SQL_EXACT_SUBSTRING_DECONTAM,
     "exact_substring_kept": SQL_EXACT_SUBSTRING_KEPT,
+    "exact_substring_self_dedup": SQL_EXACT_SUBSTRING_SELF_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "fingerprint_dupes": SQL_FINGERPRINT_DUPES,
     "minhash_neardup": _sql_minhash(),
     "dedup_clusters": _sql_dedup_clusters(),

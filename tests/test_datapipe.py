@@ -1080,6 +1080,104 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_dsir_importance(spark):
+    """r14: DSIR hashed-ngram importance weights — a raw doc written in
+    the target's vocabulary outscores one written in off-target
+    vocabulary, the add-1 smoothed math matches a hand computation for
+    a single-token corpus, and empty docs pass through with 0."""
+    import math
+
+    from osm_pg_etl_spark.operators.text import dsir_importance
+
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta alpha beta"), (101, "beta gamma alpha")],
+        "doc_id long, text string")
+    raw = spark.createDataFrame([
+        (1, "alpha beta gamma alpha"),     # target-like
+        (2, "zz yy xx ww vv uu"),          # off-target
+        (3, ""),                           # token-free
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_importance(raw, tgt, buckets=64).collect()}
+    assert out[1]["log_ratio"] > out[2]["log_ratio"]
+    assert out[3] == (3, 0, 0.0) or (out[3]["n_grams"] == 0
+                                     and out[3]["log_ratio"] == 0.0)
+    # hand-check: 1-token corpora, unigrams only -> one feature in one
+    # bucket; p_t = 2/(1+B), p_r = 2/(1+B) for the shared token
+    one_t = spark.createDataFrame([(9, "same")], "doc_id long, text string")
+    one_r = spark.createDataFrame([(8, "same")], "doc_id long, text string")
+    got = dsir_importance(one_r, one_t, buckets=16, ns=(1,)).collect()[0]
+    expect = round(round(math.log(2 / 17), 9) - round(math.log(2 / 17), 9),
+                   6)
+    assert got["n_grams"] == 1 and got["log_ratio"] == expect == 0.0
+    # and an asymmetric one: target has the token twice
+    two_t = spark.createDataFrame([(9, "same same")],
+                                  "doc_id long, text string")
+    got2 = dsir_importance(one_r, two_t, buckets=16, ns=(1,)).collect()[0]
+    exp2 = round(round(math.log(3 / 18), 9) - round(math.log(2 / 17), 9), 6)
+    assert got2["log_ratio"] == exp2 > 0
+    # bigram hand-check (pins the n>1 gram construction — a broken
+    # bigram builder that degenerates to equal garbage on both sides
+    # would still pass the unigram checks): raw "b a" vs target "a b"
+    # share unigrams, differ ONLY in the bigram, so
+    # log_ratio = round(ln(1/19),9) - round(ln(2/19),9) = -ln 2
+    r_ba = spark.createDataFrame([(8, "b a")], "doc_id long, text string")
+    t_ab = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    g3 = dsir_importance(r_ba, t_ab, buckets=16).collect()[0]
+    exp3 = round(round(math.log(1 / 19), 9) - round(math.log(2 / 19), 9), 6)
+    assert g3["n_grams"] == 3 and g3["log_ratio"] == exp3
+    assert abs(exp3 + math.log(2)) < 1e-6
+
+    import pytest
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_importance(raw, tgt, buckets=1)
+    with pytest.raises(ValueError, match="ns"):
+        dsir_importance(raw, tgt, ns=())
+
+
+def test_remove_duplicate_spans(spark):
+    """r14: within-corpus ExactSubstr span removal — the duplicated run
+    is cut from the LATER occurrence only (keep-first by (doc, pos)),
+    overlapping marked windows merge into one maximal span, docs below
+    L tokens or with no duplicate pass through, and a within-doc repeat
+    keeps its first copy."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"s{i}" for i in range(12))          # 12-token run
+    filler = lambda p, k: " ".join(f"{p}{i}" for i in range(k))  # noqa: E731
+    df = spark.createDataFrame([
+        (1, filler("a", 3) + " " + run + " " + filler("b", 2)),
+        (2, filler("c", 4) + " " + run),                 # later copy: cut
+        (3, filler("d", 8)),                             # clean
+        (4, run + " " + filler("e", 2) + " " + run),     # in-doc repeat
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, min_tokens=10).collect()}
+    # doc 1 holds the first occurrence: untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == (filler("a", 3) + " " + run + " "
+                                    + filler("b", 2)).lower()
+    # doc 2's copy is cut as ONE merged span of exactly the run
+    assert out[2]["n_spans"] == 1 and out[2]["n_removed"] == 12
+    assert out[2]["clean_text"] == filler("c", 4).lower()
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 8
+    # doc 4: both copies duplicate doc 1's run -> both cut (doc 1 is
+    # the global first), leaving only the filler between them
+    assert out[4]["n_removed"] == 24 and out[4]["n_spans"] == 2
+    assert out[4]["clean_text"] == filler("e", 2).lower()
+    # keep-first WITHIN one doc: corpus where doc 4 is alone
+    solo = spark.createDataFrame(
+        [(9, run + " " + filler("e", 2) + " " + run)],
+        "doc_id long, text string")
+    o9 = remove_duplicate_spans(solo, min_tokens=10).collect()[0]
+    assert o9["n_removed"] == 12   # second copy cut, first kept
+    assert o9["clean_text"] == (run + " " + filler("e", 2)).lower()
+    with pytest.raises(ValueError, match="min_tokens"):
+        remove_duplicate_spans(df, min_tokens=1)
+
+
 def test_dedup_against_reference(spark):
     """r13: cross-corpus MinHash dedup — a new-crawl doc near-duplicating
     a reference doc is flagged with its best match; unrelated docs keep;
