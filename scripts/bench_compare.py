@@ -101,11 +101,20 @@ def main() -> None:
     d_floors: list[float] = []
     s_floors_sh: list[float] = []
     d_floors_sh: list[float] = []
-    for _ in range(repeats):
+    for r in range(repeats):
         spark.catalog.clearCache()
         s_one: dict[str, float] = {}
         d_one: dict[str, float] = {}
-        for name in HEADLINE:
+        # r14 (verdict task 7): rotate the query order per pass so no
+        # entry systematically inherits a predecessor's JVM heap state
+        # (SCALING.md's tfidf-after-knn_join adjacency effect taxed the
+        # next query ~2.2x in a fixed order). Deterministic rotation —
+        # each pass starts len/repeats further along — keeps runs
+        # reproducible while the per-query MEDIAN sees different
+        # neighborhoods.
+        rot = (r * len(HEADLINE)) // repeats
+        pass_order = list(HEADLINE)[rot:] + list(HEADLINE)[:rot]
+        for name in pass_order:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             s_one[name] = time.perf_counter() - t0
@@ -179,6 +188,10 @@ def main() -> None:
         json.dump({"sf_dir": sf_dir,
                    "warm": True,
                    "repeats": repeats,
+                   "order_rotation": "per-pass deterministic rotation by "
+                                     "len/repeats (r14: no query "
+                                     "systematically inherits one "
+                                     "predecessor's JVM state)",
                    "duckdb_drain": "arrow() columnar fetch (symmetric "
                                    "with the Spark noop sink)",
                    "floor": {
