@@ -87,6 +87,89 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         min_alpha_frac: float = 0.8,
+                         min_required_stopwords: int = 2) -> DataFrame:
+    """The Gopher/MassiveText quality RULE SET (Rae et al. 2021 §A1.1,
+    reused by RefinedWeb and Dolma): the fixed-threshold document
+    filters that complement :func:`repetition_signals`' repetition
+    half. Returns every row with the measured signals and a ``keep``
+    flag that ANDs the rules:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min/max_mean_word_len];
+    - symbol-to-word ratio (``#`` chars + non-overlapping ``...``) at
+      most max_symbol_ratio;
+    - at most max_bullet_frac of non-empty lines starting with a
+      bullet (•, -, *) and at most max_ellipsis_frac ending with an
+      ellipsis (... or …), after trimming;
+    - at least min_alpha_frac of words containing a letter;
+    - at least min_required_stopwords distinct members of the
+      paper's required-word set {the, be, to, of, and, that, have,
+      with} present as tokens.
+
+    All pure Column expressions — zero shuffles, zero UDFs; ratios are
+    round(x, 6) of integer-derived doubles so the DuckDB oracle is
+    expression-exact. Zero-token/zero-line docs report 0 ratios and
+    fail the word-count rule."""
+    c = F.col(text_col)
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    n_tok = F.size(toks)
+    n_tok_d = F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        .cast("double") / n_tok_d, 6)
+    hash_cnt = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    dots_cnt = ((F.length(c)
+                 - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+                / F.lit(3)).cast("long")
+    symbol_ratio = F.round((hash_cnt + dots_cnt).cast("double")
+                           / n_tok_d, 6)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.round(F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("-")
+        | ln.startswith("*"))).cast("double") / n_lines, 6)
+    ellipsis = F.round(F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")))
+        .cast("double") / n_lines, 6)
+    alpha = F.round(F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tok_d, 6)
+    required = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in _GOPHER_REQUIRED])))
+    keep = ((n_tok >= min_words) & (n_tok <= max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet <= max_bullet_frac)
+            & (ellipsis <= max_ellipsis_frac)
+            & (alpha >= min_alpha_frac)
+            & (required >= min_required_stopwords))
+    return df.select(
+        "*",
+        n_tok.cast("bigint").alias("g_n_words"),
+        mean_wl.alias("g_mean_word_len"),
+        symbol_ratio.alias("g_symbol_ratio"),
+        bullet.alias("g_bullet_line_frac"),
+        ellipsis.alias("g_ellipsis_line_frac"),
+        alpha.alias("g_alpha_word_frac"),
+        required.cast("int").alias("g_required_stopwords"),
+        keep.alias("keep"))
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf·idf

@@ -1000,6 +1000,66 @@ FROM best
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText fixed-threshold quality rules (Rae et al.
+    2021 §A1.1): per-doc word count, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, required
+    stop-word count, and the ANDed keep decision. Pure Column
+    expressions; hash pins every measured signal and threshold."""
+    docs = docs_t(spark, sf_dir)
+    g = text.gopher_quality_rules(docs)
+    return g.select("doc_id", "g_n_words", "g_mean_word_len",
+                    "g_symbol_ratio", "g_bullet_line_frac",
+                    "g_ellipsis_line_frac", "g_alpha_word_frac",
+                    "g_required_stopwords", "keep")
+
+
+def _sql_gopher() -> str:
+    req = ", ".join(f"'{w}'" for w in text._GOPHER_REQUIRED)
+    return rf"""
+WITH {_TOKS_SQL.strip()},
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS g_n_words,
+         ROUND(CAST(COALESCE(list_sum(list_transform(w, t -> len(t))), 0)
+                    AS DOUBLE) / greatest(len(w), 1), 6)
+           AS g_mean_word_len,
+         ROUND(CAST((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) // 3
+                    AS DOUBLE) / greatest(len(w), 1), 6)
+           AS g_symbol_ratio,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    ln -> trim(ln)), ln -> ln <> '')
+           AS lines,
+         ROUND(CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                    AS DOUBLE) / greatest(len(w), 1), 6)
+           AS g_alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(w), [{req}])) AS INT)
+           AS g_required_stopwords
+  FROM toks JOIN documents USING (doc_id)),
+r AS (
+  SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+         ROUND(CAST(len(list_filter(lines,
+                 ln -> starts_with(ln, '•') OR starts_with(ln, '-')
+                       OR starts_with(ln, '*'))) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS g_bullet_line_frac,
+         ROUND(CAST(len(list_filter(lines,
+                 ln -> ends_with(ln, '...') OR ends_with(ln, '…')))
+               AS DOUBLE) / greatest(len(lines), 1), 6)
+           AS g_ellipsis_line_frac,
+         g_alpha_word_frac, g_required_stopwords
+  FROM m)
+SELECT *,
+       (g_n_words >= 50 AND g_n_words <= 100000
+        AND g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0
+        AND g_symbol_ratio <= 0.1
+        AND g_bullet_line_frac <= 0.9 AND g_ellipsis_line_frac <= 0.3
+        AND g_alpha_word_frac >= 0.8 AND g_required_stopwords >= 2)
+       AS keep
+FROM r
+"""
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     q = text.quality_features(docs)
@@ -2970,6 +3030,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
     "lang_id": q_lang_id,
+    "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
     "chunk_documents": q_chunk_documents,
@@ -3041,6 +3102,7 @@ ORACLES = {
     "winnow_fingerprints": _sql_winnow(),
     "winnow_neardup": _sql_winnow_neardup(),
     "lang_id": _sql_lang_id(),
+    "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),
     "chunk_documents": _sql_chunk(),

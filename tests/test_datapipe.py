@@ -1080,6 +1080,44 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_gopher_quality_rules(spark):
+    """r14: Gopher §A1.1 fixed-threshold rules — each rule flips keep on
+    a crafted doc while a plain-English doc passes."""
+    from osm_pg_etl_spark.operators.text import gopher_quality_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then have "
+            "to be of with that more words ") * 3  # ~60 tokens, english
+    docs = spark.createDataFrame([
+        (1, good),
+        (2, "short text the be to of"),                    # < min_words
+        (3, ("#" * 40 + " ") + good),                      # symbol ratio
+        (4, "\n".join("- bullet line the be to of" for _ in range(10))
+            + "\n" + good.replace(" ", "\n")),             # high bullets?
+        (5, good.replace("fox", "1234567")),               # still alpha-ok
+        (6, " ".join("12345" for _ in range(60))),         # no alpha words
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_rules(docs, min_words=20).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["g_n_words"] == 6
+    assert out[6]["keep"] is False and out[6]["g_alpha_word_frac"] == 0.0
+    # symbol rule: doc 3 has 40 '#' over ~61 words -> ratio > 0.1
+    assert out[3]["g_symbol_ratio"] > 0.1 and out[3]["keep"] is False
+    # bullet fraction: 10 bullet lines over 10 + token-per-line lines
+    assert 0 < out[4]["g_bullet_line_frac"] < 0.9
+    # ellipsis + mean word length boundaries
+    dots = spark.createDataFrame(
+        [(7, "\n".join("so it goes on and on ..." for _ in range(10)))],
+        "doc_id long, text string")
+    o7 = gopher_quality_rules(dots, min_words=5).collect()[0]
+    assert o7["g_ellipsis_line_frac"] == 1.0 and o7["keep"] is False
+    longw = spark.createDataFrame(
+        [(8, " ".join("supercalifragilistic" for _ in range(30))
+          + " the be")], "doc_id long, text string")
+    o8 = gopher_quality_rules(longw, min_words=5).collect()[0]
+    assert o8["g_mean_word_len"] > 10.0 and o8["keep"] is False
+
+
 def test_dsir_importance(spark):
     """r14: DSIR hashed-ngram importance weights — a raw doc written in
     the target's vocabulary outscores one written in off-target
