@@ -90,6 +90,57 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 _GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 
+_C4_BANNED = ("javascript", "lorem ipsum", "terms of use",
+              "privacy policy", "cookie policy", "uses cookies",
+              "use of cookies")
+_C4_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text",
+                    min_line_words: int = 3,
+                    min_kept_sentences: int = 3) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — the langline filters behind the C4
+    corpus): per document, keep only lines that end in terminal
+    punctuation (. ! ? or a closing quote), have at least
+    ``min_line_words`` words, and contain neither a curly brace nor a
+    banned phrase (javascript / lorem ipsum / the cookie-and-policy
+    boilerplate family, matched case-insensitively); documents keeping
+    fewer than ``min_kept_sentences`` lines are dropped entirely
+    (``keep = false``, empty clean_text).
+
+    Returns ``(<input cols>, clean_text, n_lines, n_kept_lines,
+    keep)``. Pure Column expressions over the line array — zero
+    shuffles, zero UDFs, oracle expression-exact."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "")
+
+    def line_ok(ln: Column) -> Column:
+        low = F.lower(ln)
+        terminal = None
+        for t in _C4_TERMINAL:
+            e = ln.endswith(t)
+            terminal = e if terminal is None else (terminal | e)
+        banned = F.lit(False)
+        for p in _C4_BANNED:
+            banned = banned | low.contains(p)
+        words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+        return (terminal & (words >= min_line_words)
+                & ~ln.contains("{") & ~ln.contains("}") & ~banned)
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept)
+    keep = n_kept >= min_kept_sentences
+    return df.select(
+        "*",
+        F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit(""))
+        .alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        keep.alias("keep"))
+
 
 def gopher_quality_rules(df: DataFrame, text_col: str = "text",
                          min_words: int = 50, max_words: int = 100_000,

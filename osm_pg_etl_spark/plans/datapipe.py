@@ -1060,6 +1060,104 @@ FROM r
 """
 
 
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) on a
+    deterministically line-structured derivation of the corpus (the
+    synthetic documents carry no newlines or punctuation, so the gate
+    first renders each doc as sentences of ``doc_id % 5 + 3`` tokens
+    with punctuation cycling . ! ? (none) ... by line index, plus a
+    lorem-ipsum line on doc_id % 17 == 0 and a curly-brace line on
+    doc_id % 13 == 0 — every branch of the rule set fires). Hash pins
+    the terminal-punctuation, min-words, brace and banned-phrase rules
+    plus the 3-kept-sentences document drop."""
+    from ..operators.text import c4_line_filters  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    w = F.split(F.col("text"), r"\s+")
+    w = F.filter(w, lambda t: t != "")
+    slen = (F.col("doc_id") % 5 + 3).cast("int")
+    n_sent = F.ceil(F.size(w) / slen).cast("int")
+    sent = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sent, F.lit(1))),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, (i - 1) * slen + 1, slen), " "),
+            F.element_at(
+                F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""),
+                        F.lit("...")),
+                ((F.col("doc_id") + i) % 5 + 1).cast("int"))))
+    body = F.array_join(sent, "\n")
+    derived = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(F.lit("lorem ipsum dolor sit amet.\n"), body)
+    ).when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("function f() { return 1; }\n"), body)
+    ).otherwise(body)
+    staged = docs.select("doc_id", derived.alias("text"))
+    out = c4_line_filters(staged)
+    return out.select("doc_id", "n_lines", "n_kept_lines", "keep",
+                      F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
+SQL_C4_LINE_FILTERS = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w,
+         CAST(doc_id % 5 + 3 AS INT) AS slen
+  FROM documents),
+rendered AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(CAST(ceil(len(w) / CAST(slen AS DOUBLE))
+                                  AS INT), 1) + 1),
+           i -> array_to_string(w[(i-1)*slen+1:i*slen], ' ')
+                || ['.', '!', '?', '', '...'][CAST((doc_id + i) % 5
+                                                   AS INT) + 1]) AS sent
+  FROM base),
+derived AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'lorem ipsum dolor sit amet.' || chr(10)
+                   || array_to_string(sent, chr(10))
+              WHEN doc_id % 13 = 0
+              THEN 'function f() {{ return 1; }}' || chr(10)
+                   || array_to_string(sent, chr(10))
+              ELSE array_to_string(sent, chr(10)) END AS text
+  FROM rendered),
+lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    ln -> trim(ln)), ln -> ln <> '')
+           AS lines
+  FROM derived),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, ln ->
+           (ends_with(ln, '.') OR ends_with(ln, '!')
+            OR ends_with(ln, '?') OR ends_with(ln, '"')
+            OR ends_with(ln, ''''))
+           AND len(list_filter(string_split_regex(ln, '\s+'),
+                               x -> x <> '')) >= 3
+           AND NOT contains(ln, '{{') AND NOT contains(ln, '}}')
+           AND NOT contains(lower(ln), 'javascript')
+           AND NOT contains(lower(ln), 'lorem ipsum')
+           AND NOT contains(lower(ln), 'terms of use')
+           AND NOT contains(lower(ln), 'privacy policy')
+           AND NOT contains(lower(ln), 'cookie policy')
+           AND NOT contains(lower(ln), 'uses cookies')
+           AND NOT contains(lower(ln), 'use of cookies')) AS k
+  FROM lined)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(k) AS INT) AS n_kept_lines,
+       len(k) >= 3 AS keep,
+       md5(CASE WHEN len(k) >= 3
+                THEN COALESCE(array_to_string(k, chr(10)), '')
+                ELSE '' END) AS clean_md5
+FROM kept
+"""
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     q = text.quality_features(docs)
@@ -3030,6 +3128,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
     "lang_id": q_lang_id,
+    "c4_line_filters": q_c4_line_filters,
     "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
@@ -3102,6 +3201,7 @@ ORACLES = {
     "winnow_fingerprints": _sql_winnow(),
     "winnow_neardup": _sql_winnow_neardup(),
     "lang_id": _sql_lang_id(),
+    "c4_line_filters": SQL_C4_LINE_FILTERS,
     "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),

@@ -1080,6 +1080,31 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_c4_line_filters(spark):
+    """r14: C4 line cleaning — terminal punctuation, min words, braces,
+    banned phrases, and the 3-kept-sentences document drop."""
+    from osm_pg_etl_spark.operators.text import c4_line_filters
+
+    docs = spark.createDataFrame([
+        (1, "this is a good sentence.\nanother fine line here!\n"
+            "a third one, surely?\nno terminal punctuation here\n"
+            "too short.\nvar x = {1};\nWe use JavaScript heavily.\n"
+            "read our privacy policy today."),
+        (2, "only one good sentence here.\nsecond good one too!\n"),
+        (3, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filters(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"] == ("this is a good sentence.\n"
+                                    "another fine line here!\n"
+                                    "a third one, surely?")
+    assert out[1]["n_lines"] == 8
+    # doc 2: only 2 survivors -> whole doc dropped
+    assert out[2]["keep"] is False and out[2]["clean_text"] == ""
+    assert out[2]["n_kept_lines"] == 2
+    assert out[3]["keep"] is False and out[3]["n_lines"] == 0
+
+
 def test_gopher_quality_rules(spark):
     """r14: Gopher §A1.1 fixed-threshold rules — each rule flips keep on
     a crafted doc while a plain-English doc passes."""
