@@ -131,12 +131,17 @@ def main() -> None:
 
     s_passes: list[dict[str, float]] = []
     d_passes: list[dict[str, float]] = []
-    for _ in range(REPEATS):
+    for r in range(REPEATS):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         s_one: dict[str, float] = {}
         d_one: dict[str, float] = {}
-        for name in DATA_BOUND:
+        # r14 (verdict task 7): rotate the per-pass order so no query
+        # systematically inherits one predecessor's JVM/buffer state
+        # (the r13 tfidf-after-knn_join adjacency effect)
+        rot = (r * len(DATA_BOUND)) // REPEATS
+        pass_order = DATA_BOUND[rot:] + DATA_BOUND[:rot]
+        for name in pass_order:
             t0 = time.perf_counter()
             run_spark(name)
             s_one[name] = time.perf_counter() - t0
@@ -162,6 +167,8 @@ def main() -> None:
     tot_s = sum(r["spark_sec"] for r in rows.values())
     tot_d = sum(r["duckdb_sec"] for r in rows.values())
     out = {"k": K, "base_sf_dir": SF_DIR, "repeats": REPEATS,
+           "order_rotation": "per-pass deterministic rotation by "
+                             "len/repeats (r14)",
            "spread_method": "range of central samples "
                             "(trim min(2,(n-3)//2) per side)",
            "duckdb_drain": "arrow() columnar fetch (symmetric with the "
