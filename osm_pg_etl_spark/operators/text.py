@@ -303,6 +303,45 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+_CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(candidate: Column | str) -> Column:
+    """Luhn checksum validation (ISO/IEC 7812 mod-10) of a card-number
+    candidate, as one Column expression: strip separators, walk digits
+    from the right doubling every second one (minus 9 past 9), valid
+    iff 13-19 digits summing to 0 mod 10. The filter every PII
+    pipeline runs so 16-digit order ids don't get scrubbed as cards."""
+    c = F.col(candidate) if isinstance(candidate, str) else candidate
+    digits = F.reverse(F.regexp_replace(c, "[^0-9]", ""))
+    n = F.length(digits)
+
+    def dig(i: Column) -> Column:
+        return F.element_at(F.split(digits, ""), i).cast("int")
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))), F.lit(0),
+        lambda acc, i: acc + F.when(i % 2 == 1, dig(i)).otherwise(
+            F.when(dig(i) * 2 < 10, dig(i) * 2)
+            .otherwise(dig(i) * 2 - 9)))
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def redact_cards(text: Column | str) -> Column:
+    """Replace Luhn-VALID card-number candidates (13-19 digits with
+    optional space/dash separators) with ``<CARD>``; invalid candidates
+    (plain long numbers, order ids) pass through untouched. Candidates
+    come from one ``regexp_extract_all`` and the replacement folds over
+    them in match order — pure Column, no UDF; run BEFORE the phone
+    regex in a combined scrub so partial card digits are never
+    mis-redacted as phones."""
+    c = F.col(text) if isinstance(text, str) else text
+    cands = F.regexp_extract_all(c, F.lit(_CARD_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, c, lambda acc, m: F.replace(acc, m, F.lit("<CARD>")))
+
+
 def pii_counts(text: Column | str) -> dict[str, Column]:
     """Match counts per PII kind (on the *unredacted* text), for audit
     metrics alongside the scrub."""

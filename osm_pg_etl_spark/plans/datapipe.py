@@ -1158,6 +1158,81 @@ FROM kept
 """
 
 
+def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated card redaction: each doc gets a deterministic
+    '#### #### #### ####' candidate derived from md5(doc_id) (hex
+    chars mod 10 — ~10% pass the checksum organically), embedded in a
+    sentence with a decoy order id; the hash pins candidate
+    extraction, the mod-10 walk, and that ONLY valid candidates are
+    replaced while the decoy never is."""
+    from ..operators.text import luhn_valid, redact_cards  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    digit = lambda i: (F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("card|"),
+                                   F.col("doc_id").cast("string"))),
+                    i, 1), 16, 10).cast("int") % 10).cast("string")
+    group = lambda a: F.concat(*[digit(i) for i in a])  # noqa: E731
+    card = F.concat_ws(" ", group(range(1, 5)), group(range(5, 9)),
+                       group(range(9, 13)), group(range(13, 17)))
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("order 1234567890123456789 pay "), card,
+                 F.lit(" today")).alias("text"),
+        card.alias("card"))
+    return staged.select(
+        "doc_id", "card",
+        luhn_valid(F.col("card")).alias("valid"),
+        redact_cards(F.col("text")).alias("redacted"))
+
+
+SQL_PII_LUHN_CARDS = r"""
+WITH staged AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, 17),
+           i -> CAST(('0x' || md5('card|' || doc_id)[i])::INT % 10
+                     AS VARCHAR)
+           ), '') AS flat
+  FROM documents),
+carded AS (
+  SELECT doc_id,
+         flat[1:4] || ' ' || flat[5:8] || ' ' || flat[9:12] || ' '
+           || flat[13:16] AS card
+  FROM staged),
+texted AS (
+  SELECT doc_id, card,
+         'order 1234567890123456789 pay ' || card || ' today' AS text
+  FROM carded),
+validated AS (
+  SELECT doc_id, card, text,
+         list_filter(
+           regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b'),
+           m -> len(replace(replace(m, ' ', ''), '-', ''))
+                  BETWEEN 13 AND 19
+                AND list_sum(list_transform(
+                      range(1, len(replace(replace(m, ' ', ''),
+                                           '-', '')) + 1),
+                      i -> CASE WHEN i % 2 = 1
+                           THEN (reverse(replace(replace(m, ' ', ''),
+                                                 '-', ''))[i])::INT
+                           ELSE CASE WHEN (reverse(replace(
+                                    replace(m, ' ', ''), '-', ''))[i]
+                                    )::INT * 2 < 10
+                                THEN (reverse(replace(replace(m, ' ',
+                                      ''), '-', ''))[i])::INT * 2
+                                ELSE (reverse(replace(replace(m, ' ',
+                                      ''), '-', ''))[i])::INT * 2 - 9
+                                END END)) % 10 = 0) AS ok
+  FROM texted)
+SELECT doc_id, card,
+       len(list_filter(ok, m -> m = card)) > 0 AS valid,
+       list_reduce(list_prepend(text, ok),
+                   (acc, m) -> replace(acc, m, '<CARD>')) AS redacted
+FROM validated
+"""
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_t(spark, sf_dir)
     q = text.quality_features(docs)
@@ -3129,6 +3204,7 @@ QUERIES = {
     "winnow_neardup": q_winnow_neardup,
     "lang_id": q_lang_id,
     "c4_line_filters": q_c4_line_filters,
+    "pii_luhn_cards": q_pii_luhn_cards,
     "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
@@ -3202,6 +3278,7 @@ ORACLES = {
     "winnow_neardup": _sql_winnow_neardup(),
     "lang_id": _sql_lang_id(),
     "c4_line_filters": SQL_C4_LINE_FILTERS,
+    "pii_luhn_cards": SQL_PII_LUHN_CARDS,
     "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),

@@ -1080,6 +1080,36 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_luhn_card_redaction(spark):
+    """r14: Luhn-gated card scrub — the canonical valid test number is
+    redacted (spaces or dashes), an off-by-one checksum and a 12-digit
+    run survive, and non-card digits are untouched."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.text import luhn_valid, redact_cards
+
+    df = spark.createDataFrame([
+        (1, "pay 4111 1111 1111 1111 now"),        # valid visa test
+        (2, "pay 4111-1111-1111-1112 now"),        # bad checksum
+        (3, "pay 411111111111 now"),               # 12 digits: too short
+        (4, "order 79927398713 and 4111111111111111 ok"),  # bare valid
+        (5, "no digits here"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["red"] for r in
+           df.select("doc_id", redact_cards("text").alias("red"))
+           .collect()}
+    assert out[1] == "pay <CARD> now"
+    assert out[2] == "pay 4111-1111-1111-1112 now"
+    assert out[3] == "pay 411111111111 now"
+    assert out[4] == "order 79927398713 and <CARD> ok"
+    assert out[5] == "no digits here"
+    flags = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", luhn_valid(F.regexp_extract(
+            "text", r"\b(?:\d[ -]?){12,18}\d\b", 0)).alias("v"))
+        .collect()}
+    assert flags[1] is True and flags[2] is False and flags[3] is False
+
+
 def test_c4_line_filters(spark):
     """r14: C4 line cleaning — terminal punctuation, min words, braces,
     banned phrases, and the 3-kept-sentences document drop."""
