@@ -303,6 +303,51 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon character entropy per document, in bits — the cheap
+    gibberish/binary-blob detector curation pipelines run alongside
+    the word-level quality rules (near-0 bits = one repeated char;
+    English prose sits ~4-4.5; random base64 ~6): ``H = −Σ p_c·log₂
+    p_c`` over the document's exact character histogram.
+
+    Engine-exact: each character class contributes
+    ``c · round(log₂(c/n), 9)`` with the division done once in double
+    (identical in IEEE engines) and the transcendental rounded to an
+    exact decimal before the (decimal) sum — the same portability
+    discipline as :func:`bigram_lm_scores`/:func:`dsir_importance`.
+
+    Scale shape: explode to (doc, char) counts — one map-side-
+    combinable shuffle whose key cardinality is |docs| × |alphabet| —
+    then one per-doc window/sum over that (tiny) histogram table.
+    Returns ``(id_col, n_chars, entropy)``; empty docs carry
+    (0, 0.0)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # the empty-element filter matters only for text = '': Spark's
+    # split('', '') is [''] where the oracle's range-index walk is empty
+    hist = (df.select(F.col(id_col),
+                      F.explode(F.filter(F.split(F.col(text_col), ""),
+                                         lambda ch: ch != ""))
+            .alias("_ch"))
+            .groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c")))
+    n = F.sum("_c").over(Window.partitionBy(id_col))
+    term = F.round(F.log2(F.col("_c").cast("double") / F.col("_n")), 9) \
+        .cast("decimal(12,9)")
+    scored = (hist.withColumn("_n", n)
+              .withColumn("_t", F.col("_c").cast("decimal(18,0)") * term)
+              .groupBy(id_col)
+              .agg(F.max("_n").alias("n_chars"), F.sum("_t").alias("_s")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chars", F.lit(0)).cast("bigint")
+                    .alias("n_chars"),
+                    F.coalesce(
+                        F.round((-F.col("_s")).cast("double")
+                                / F.col("n_chars"), 6),
+                        F.lit(0.0)).alias("entropy")))
+
+
 _CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
 
 

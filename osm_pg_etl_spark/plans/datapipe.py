@@ -1158,6 +1158,106 @@ FROM kept
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 curation-pass retention funnel, as one result: how many
+    documents survive (or are flagged by) each filter family — Gopher
+    rules, C4 line cleaning, exact dup groups, eval decontamination,
+    in-corpus ExactSubstr, DSIR target-affinity. Composes six verified
+    operators in one plan; each leg is a tiny aggregate over an
+    already-gated query, so the hash pins their interaction (same
+    inputs, same flags) rather than any new math."""
+    def n(df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    docs = docs_t(spark, sf_dir)
+    legs = [
+        ("total", n(docs)),
+        ("gopher_keep", n(q_gopher_rules(spark, sf_dir)
+                          .filter(F.col("keep")))),
+        ("c4_keep", n(q_c4_line_filters(spark, sf_dir)
+                      .filter(F.col("keep")))),
+        ("exact_dup_docs", n(docs.join(
+            docs.groupBy(F.md5(F.col("text")).alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1),
+            F.md5(F.col("text")) == F.col("_h"), "left_semi"))),
+        ("decontam_flagged", n(q_exact_substring_decontam(spark, sf_dir)
+                               .select("doc_id").distinct())),
+        ("self_dedup_affected", n(q_exact_substring_self_dedup(
+            spark, sf_dir).filter(F.col("n_removed") > 0))),
+        ("dsir_positive", n(q_dsir_weights(spark, sf_dir)
+                            .filter(F.col("log_ratio") > 0))),
+    ]
+    out = None
+    for stage, leg in legs:
+        piece = leg.select(F.lit(stage).alias("stage"),
+                           F.col("n_docs").cast("bigint").alias("n_docs"))
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def _sql_curation_funnel() -> str:
+    # each leg nests a full, independently-verified oracle statement
+    return f"""
+SELECT 'total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+UNION ALL
+SELECT 'gopher_keep', CAST(COUNT(*) AS BIGINT)
+FROM ({_sql_gopher()}) g WHERE g.keep
+UNION ALL
+SELECT 'c4_keep', CAST(COUNT(*) AS BIGINT)
+FROM ({SQL_C4_LINE_FILTERS}) c WHERE c.keep
+UNION ALL
+SELECT 'exact_dup_docs', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE md5(text) IN (
+  SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'decontam_flagged', CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+FROM ({SQL_EXACT_SUBSTRING_DECONTAM}) e
+UNION ALL
+SELECT 'self_dedup_affected', CAST(COUNT(*) AS BIGINT)
+FROM ({SQL_EXACT_SUBSTRING_SELF_DEDUP}) s WHERE s.n_removed > 0
+UNION ALL
+SELECT 'dsir_positive', CAST(COUNT(*) AS BIGINT)
+FROM ({SQL_DSIR_WEIGHTS}) w WHERE w.log_ratio > 0
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (bits): the gibberish/binary
+    detector signal. Hash pins the exact histogram, the per-class
+    round(log2,9)-decimal terms and the final normalization."""
+    from ..operators.text import char_entropy  # noqa: PLC0415
+
+    return char_entropy(docs_t(spark, sf_dir))
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+                                       i -> text[i])) AS ch
+  FROM documents),
+hist AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id, c,
+         SUM(c) OVER (PARTITION BY doc_id) AS n,
+         CAST(c AS DECIMAL(18,0))
+           * CAST(ROUND(log2(CAST(c AS DOUBLE)
+                             / (SUM(c) OVER (PARTITION BY doc_id))), 9)
+                  AS DECIMAL(12,9)) AS t
+  FROM hist),
+scored AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars, SUM(t) AS s
+  FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_chars, 0) AS n_chars,
+       COALESCE(ROUND(CAST(-s.s AS DOUBLE) / s.n_chars, 6), 0.0)
+         AS entropy
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn-gated card redaction: each doc gets a deterministic
     '#### #### #### ####' candidate derived from md5(doc_id) (hex
@@ -3205,6 +3305,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "c4_line_filters": q_c4_line_filters,
     "pii_luhn_cards": q_pii_luhn_cards,
+    "char_entropy": q_char_entropy,
+    "curation_funnel": q_curation_funnel,
     "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
@@ -3279,6 +3381,8 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "c4_line_filters": SQL_C4_LINE_FILTERS,
     "pii_luhn_cards": SQL_PII_LUHN_CARDS,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "curation_funnel": _sql_curation_funnel(),
     "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),

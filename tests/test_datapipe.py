@@ -1080,6 +1080,27 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_char_entropy(spark):
+    """r14: Shannon char entropy — exact values for degenerate and
+    uniform alphabets, 0 for empty docs."""
+    from osm_pg_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame([
+        (1, "aaaa"),          # one symbol: 0 bits
+        (2, "abab"),          # two equiprobable: 1 bit
+        (3, "abcd"),          # four equiprobable: 2 bits
+        (4, ""),              # empty
+        (5, "aab"),           # 2/3,1/3 -> ~0.918296
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1] == (1, 4, 0.0)
+    assert out[2] == (2, 4, 1.0)
+    assert out[3] == (3, 4, 2.0)
+    assert out[4] == (4, 0, 0.0)
+    assert abs(out[5]["entropy"] - 0.918296) < 1e-6
+    assert out[5]["n_chars"] == 3
+
+
 def test_luhn_card_redaction(spark):
     """r14: Luhn-gated card scrub — the canonical valid test number is
     redacted (spaces or dashes), an off-by-one checksum and a 12-digit
