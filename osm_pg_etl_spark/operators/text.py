@@ -303,6 +303,70 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+_URL_STRICT_WORDS = ("porn", "xxx", "casino", "viagra")
+_URL_SOFT_WORDS = ("sex", "adult", "escort", "webcam", "torrent")
+
+
+def url_quality_filter(df: DataFrame, blocklist: DataFrame,
+                       url_col: str = "url",
+                       strict_words: tuple[str, ...] = _URL_STRICT_WORDS,
+                       soft_words: tuple[str, ...] = _URL_SOFT_WORDS,
+                       soft_threshold: int = 2) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023,
+    arXiv:2306.01116 §3.1 — the first gate of their pipeline): drop a
+    page when its domain (or any parent domain) is on a blocklist,
+    when its host is a bare IP literal, when the URL contains a strict
+    banned word, or when it accumulates ``soft_threshold`` distinct
+    soft words. Returns every row plus ``(domain, blocked_domain,
+    is_ip, n_strict, n_soft, keep)``.
+
+    Scale shape: production blocklists run to millions of domains, so
+    the domain check is a JOIN, not a literal fold — the URL's domain
+    explodes into its parent-suffix chain (``a.b.co`` →
+    ``a.b.co, b.co, co``, bounded by label count) and LEFT-SEMI-joins
+    the blocklist (one broadcast or shuffle join on the domain string);
+    word rules are Column folds over the lowercased URL. ``blocklist``
+    must carry one ``domain`` column, lowercase."""
+    url = F.lower(F.col(url_col))
+    domain = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    parts = F.split(domain, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(1))),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."))
+    is_ip = domain.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    n_strict = reduce_sum = None
+    for w in strict_words:
+        t = url.contains(w).cast("int")
+        n_strict = t if n_strict is None else n_strict + t
+    for w in soft_words:
+        t = url.contains(w).cast("int")
+        reduce_sum = t if reduce_sum is None else reduce_sum + t
+
+    base = df.select("*", domain.alias("domain"),
+                     suffixes.alias("_sfx"),
+                     is_ip.alias("is_ip"),
+                     n_strict.cast("int").alias("n_strict"),
+                     reduce_sum.cast("int").alias("n_soft"))
+    hits = (base.select(F.col("domain").alias("_d"),
+                        F.explode("_sfx").alias("domain"))
+            .join(blocklist.select(F.lower(F.col("domain"))
+                                   .alias("domain")), "domain",
+                  "left_semi")
+            .select(F.col("_d").alias("domain")).distinct()
+            .withColumn("_blocked", F.lit(True)))
+    # hits is bounded by |distinct blocked domains| <= |blocklist| —
+    # usually broadcastable, but left to AQE (a 4 M-domain blocklist's
+    # hit set can exceed the broadcast threshold)
+    out = base.drop("_sfx").join(hits, "domain", "left")
+    keep = (F.col("_blocked").isNull() & ~F.col("is_ip")
+            & (F.col("n_strict") == 0)
+            & (F.col("n_soft") < soft_threshold))
+    return (out.select(
+        *[c for c in df.columns], "domain",
+        F.coalesce("_blocked", F.lit(False)).alias("blocked_domain"),
+        "is_ip", "n_strict", "n_soft", keep.alias("keep")))
+
+
 def char_entropy(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Shannon character entropy per document, in bits — the cheap

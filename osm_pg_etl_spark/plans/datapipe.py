@@ -1222,6 +1222,93 @@ FROM ({SQL_DSIR_WEIGHTS}) w WHERE w.log_ratio > 0
 """
 
 
+_URL_BLOCKLIST = ("badsite.com", "spam.example", "tracker.net")
+
+
+def q_url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb URL gate (Penedo et al. 2023 §3.1): eight synthesized
+    URL styles per doc_id residue — clean page, blocklisted domain,
+    SUBDOMAIN of a blocklisted domain (the suffix-chain join), strict
+    word in path, one soft word (kept), two soft words (dropped), IP
+    host, digit-heavy clean domain — filtered against a 3-domain
+    blocklist. Hash pins domain parsing, the suffix-chain semi-join,
+    word folds and the keep decision."""
+    from ..operators.text import url_quality_filter  # noqa: PLC0415
+
+    docs = docs_t(spark, sf_dir)
+    v = F.col("doc_id") % 8
+    b = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("https://site"),
+                                   (F.col("doc_id") % 5).cast("string"),
+                                   F.lit(".org/page/"), b))
+           .when(v == 1, F.concat(F.lit("https://badsite.com/p/"), b))
+           .when(v == 2, F.concat(F.lit("http://cdn.spam.example/x/"), b))
+           .when(v == 3, F.concat(F.lit("https://fun.example/casino/"), b))
+           .when(v == 4, F.concat(F.lit("https://news.example/adult-"),
+                                  b))
+           .when(v == 5, F.concat(F.lit("https://hub.example/sex/"
+                                        "webcam/"), b))
+           .when(v == 6, F.concat(F.lit("http://10.1.2.3/r/"), b))
+           .otherwise(F.concat(F.lit("https://shop42.example/item/"), b)))
+    staged = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST],
+                               "domain string")
+    out = url_quality_filter(staged, bl)
+    return out.select("doc_id", "url", "domain", "blocked_domain",
+                      "is_ip", "n_strict", "n_soft", "keep")
+
+
+def _sql_url_quality() -> str:
+    bl = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
+    return rf"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'https://site' || (doc_id % 5) || '.org/page/'
+                       || doc_id
+           WHEN 1 THEN 'https://badsite.com/p/' || doc_id
+           WHEN 2 THEN 'http://cdn.spam.example/x/' || doc_id
+           WHEN 3 THEN 'https://fun.example/casino/' || doc_id
+           WHEN 4 THEN 'https://news.example/adult-' || doc_id
+           WHEN 5 THEN 'https://hub.example/sex/webcam/' || doc_id
+           WHEN 6 THEN 'http://10.1.2.3/r/' || doc_id
+           ELSE 'https://shop42.example/item/' || doc_id END AS url
+  FROM documents),
+bl(domain) AS (VALUES {bl}),
+parsed AS (
+  SELECT doc_id, url, lower(url) AS lurl,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+  FROM staged),
+sfx AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(string_split(domain, '.')) + 1),
+           i -> array_to_string(string_split(domain, '.')
+                                [i:len(string_split(domain, '.'))], '.')
+         )) AS s
+  FROM parsed),
+blocked AS (
+  SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.s = bl.domain),
+scored AS (
+  SELECT p.doc_id, p.url, p.domain,
+         b.doc_id IS NOT NULL AS blocked_domain,
+         regexp_matches(p.domain,
+                        '^\d{{1,3}}(\.\d{{1,3}}){{3}}$') AS is_ip,
+         CAST(contains(p.lurl, 'porn')::INT + contains(p.lurl, 'xxx')::INT
+              + contains(p.lurl, 'casino')::INT
+              + contains(p.lurl, 'viagra')::INT AS INT) AS n_strict,
+         CAST(contains(p.lurl, 'sex')::INT + contains(p.lurl, 'adult')::INT
+              + contains(p.lurl, 'escort')::INT
+              + contains(p.lurl, 'webcam')::INT
+              + contains(p.lurl, 'torrent')::INT AS INT) AS n_soft
+  FROM parsed p LEFT JOIN blocked b USING (doc_id))
+SELECT doc_id, url, domain, blocked_domain, is_ip, n_strict, n_soft,
+       (NOT blocked_domain AND NOT is_ip AND n_strict = 0
+        AND n_soft < 2) AS keep
+FROM scored
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per doc (bits): the gibberish/binary
     detector signal. Hash pins the exact histogram, the per-class
@@ -3307,6 +3394,7 @@ QUERIES = {
     "pii_luhn_cards": q_pii_luhn_cards,
     "char_entropy": q_char_entropy,
     "curation_funnel": q_curation_funnel,
+    "url_quality_filter": q_url_quality_filter,
     "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
@@ -3383,6 +3471,7 @@ ORACLES = {
     "pii_luhn_cards": SQL_PII_LUHN_CARDS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "curation_funnel": _sql_curation_funnel(),
+    "url_quality_filter": _sql_url_quality(),
     "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),

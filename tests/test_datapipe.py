@@ -1080,6 +1080,35 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_url_quality_filter(spark):
+    """r14: RefinedWeb URL gate — blocklist suffix-chain matching
+    (subdomains blocked, lookalike domains not), IP hosts, strict and
+    soft word folds."""
+    from osm_pg_etl_spark.operators.text import url_quality_filter
+
+    bl = spark.createDataFrame([("badsite.com",), ("spam.example",)],
+                               "domain string")
+    df = spark.createDataFrame([
+        (1, "https://ok.example/page"),
+        (2, "https://badsite.com/x"),
+        (3, "http://a.b.badsite.com/y"),       # subdomain: blocked
+        (4, "https://notbadsite.com/z"),       # suffix must match labels
+        (5, "http://192.168.0.1/p"),
+        (6, "https://fun.example/casino/win"),  # strict
+        (7, "https://x.example/adult-content"),  # one soft: kept
+        (8, "https://x.example/adult-webcam"),   # two soft: dropped
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_quality_filter(df, bl).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["blocked_domain"] is True
+    assert out[3]["keep"] is False and out[3]["blocked_domain"] is True
+    assert out[4]["keep"] is True and out[4]["blocked_domain"] is False
+    assert out[5]["keep"] is False and out[5]["is_ip"] is True
+    assert out[6]["keep"] is False and out[6]["n_strict"] == 1
+    assert out[7]["keep"] is True and out[7]["n_soft"] == 1
+    assert out[8]["keep"] is False and out[8]["n_soft"] == 2
+
+
 def test_char_entropy(spark):
     """r14: Shannon char entropy — exact values for degenerate and
     uniform alphabets, 0 for empty docs."""
