@@ -63,23 +63,30 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     (a fully-boilerplate document comes back with ``clean_text = ''``
     and ``n_kept = 0``).
 
-    Scale shape: posexplode paragraphs (narrow) → one md5-keyed window
-    for the global first-occurrence rank (the only corpus-sized
-    exchange; a viral paragraph is one hot key, which AQE's skew
-    handling splits, and the rows are skinny — hash + id + position,
-    never the text twice) → one groupBy(id) to reassemble. Blank
-    paragraphs (only separators between them) are dropped before
-    ranking, like every public implementation of this pass."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
+    Scale shape: posexplode paragraphs (narrow) → the global first
+    occurrence per paragraph hash as a COMBINABLE aggregate
+    (``groupBy(hash).agg(min(struct(id, pos)))`` — map-side partial
+    aggregation collapses a viral paragraph to one row per input
+    partition BEFORE the exchange, so the hot key never concentrates;
+    a ``Window.partitionBy(hash)`` would put every occurrence of a
+    corpus-wide cookie banner in ONE window partition, and AQE's skew
+    handling splits joins and rebalanced shuffles, NOT window
+    partitions) → an AQE-skew-splittable join back keeps the rows
+    equal to their hash's minimum → one groupBy(id) to reassemble.
+    Rows are skinny throughout — hash + id + position, never the text
+    twice. Blank paragraphs (only separators between them) are dropped
+    before ranking, like every public implementation of this pass."""
     paras = (df.select(F.col(id_col),
                        F.posexplode(F.split(F.col(text_col), sep_pattern))
                        .alias("_pos", "_para"))
-             .filter(F.trim(F.col("_para")) != ""))
-    w = Window.partitionBy(md5_hex(F.col("_para"))) \
-        .orderBy(F.col(id_col), F.col("_pos"))
-    ranked = paras.withColumn("_rn", F.row_number().over(w))
-    kept = (ranked.filter(F.col("_rn") == 1)
+             .filter(F.trim(F.col("_para")) != "")
+             .withColumn("_ph", md5_hex(F.col("_para"))))
+    first = (paras.groupBy("_ph")
+             .agg(F.min(F.struct(F.col(id_col).alias("_fid"),
+                                 F.col("_pos").alias("_fpos"))).alias("_f")))
+    kept = (paras.join(first, "_ph")
+            .filter((F.col(id_col) == F.col("_f._fid"))
+                    & (F.col("_pos") == F.col("_f._fpos")))
             .groupBy(id_col)
             .agg(F.array_join(
                 F.transform(
@@ -461,8 +468,12 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
        the gram text never shuffles);
     2. collapse to the (gram, doc) grid with per-doc multiplicities — one
        shuffle, map-side combinable;
-    3. a window count over the grid marks grams seen in ≥2 docs — the grid
-       is corpus-vocabulary-sized, far smaller than the exploded windows;
+    3. a combinable ``groupBy(gh).count()`` over the grid (one row per
+       (gram, doc), so the count IS the doc count) marks grams seen in
+       ≥2 docs, joined back gram-keyed — partial aggregation collapses
+       a boilerplate 8-gram map-side and the join is AQE-skew-
+       splittable, where a ``Window.partitionBy(gh)`` would buffer
+       every posting of a common gram in one non-splittable partition;
     4. per-doc sums, left-joined back to every document (docs with no
        duplicated window report 0).
     """
@@ -471,14 +482,14 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
             .select(id_col, md5_hex("_gram").alias("gh"))
             .groupBy("gh", id_col)
             .agg(F.count(F.lit(1)).alias("mult")))
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    # per-gh doc count + per-doc totals both come from the one grid — the
-    # expensive tokenize/gram/md5 scan of the corpus runs exactly once.
-    # n_windows = sum of a doc's multiplicities; short docs (no window)
-    # re-enter via the left join from the narrow id scan.
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    marked = grid.withColumn("_nd", n_docs)
+    # grid feeds two consumers; its (gh, id) aggregation exchange is
+    # identical in both branches, so AQE reuses it and the expensive
+    # tokenize/gram/md5 corpus scan runs exactly once. The doc-count
+    # branch partial-aggregates before its exchange (a hot gram
+    # collapses to one row per map task); the join back is a plain
+    # gram-keyed equi-join AQE can skew-split.
+    gh_docs = grid.groupBy("gh").agg(F.count(F.lit(1)).alias("_nd"))
+    marked = grid.join(gh_docs, "gh")
     per_doc = (marked.groupBy(id_col)
                .agg(F.sum("mult").alias("n_windows"),
                     F.sum(F.when(F.col("_nd") > 1, F.col("mult"))
@@ -525,35 +536,50 @@ def exact_substring_overlaps(train: DataFrame, eval_df: DataFrame,
     Scale shape — a length-extending fingerprint join, never all-pairs
     and never an L-times token blowup:
 
-    1. **Seed** with ``m = min_tokens // 2``-token windows: the TRAIN
-       side fingerprints only stride-``s`` start positions
-       (``s = min_tokens - m + 1``, so ``m + s - 1 <= min_tokens``);
+    1. **Seed** with ``m = ceil((min_tokens + 1) / 2)``-token windows:
+       the TRAIN side fingerprints only stride-``s`` start positions
+       (``s = min_tokens - m + 1``, so ``m + s - 1 = min_tokens``);
        the EVAL side fingerprints every position. Any shared run of
        ``min_tokens`` tokens contains m-windows at ``s`` consecutive
        train starts, exactly one of which is stride-aligned — the
-       guarantee is exact, not probabilistic. Train shuffle volume is
-       one 32-byte digest per ``s`` tokens (~token volume at L=50,
-       vs ``L x`` for exploding L-windows); the eval side is the small
-       set by construction.
+       guarantee is exact, not probabilistic. ``m`` is chosen so that
+       ``s <= m``: windows at consecutive stride positions OVERLAP,
+       which step 3 relies on. Train shuffle volume is one 32-byte
+       digest per ``s`` tokens (~token volume at L=50, vs ``L x`` for
+       exploding L-windows); the eval side is the small set by
+       construction.
     2. **Join** train and eval fingerprints on the digest — a bucketed
-       inverted-index equi-join; 25-token verbatim grams have no
+       inverted-index equi-join; 26-token verbatim grams have no
        boilerplate skew worth salting.
-    3. **Diagonal dedup**: anchors of one maximal match share
-       ``i - j``; one ``groupBy(t, e, diag).min(i)`` keeps a single
-       extension per diagonal.
+    3. **Chain-start dedup**: anchors of one shared run lie on one
+       diagonal ``i - j`` at consecutive stride positions, and because
+       ``s <= m`` two matched anchors ``s`` apart certify a
+       CONTIGUOUS matched range (their windows overlap, leaving no
+       uncovered hole a mismatch could hide in) — so they provably
+       belong to the same run, and dropping every anchor whose
+       predecessor ``(i - s, j - s)`` also matched (one anti-join on
+       the anchor pairs) keeps exactly one anchor per (pair, diagonal,
+       run). Distinct runs on one diagonal each keep their own anchor
+       — collapsing to ``min(i)`` per diagonal would lose every run
+       after the first (e.g. an eval doc that differs from a train doc
+       by one early token edit: the short prefix run would shadow the
+       long suffix run).
     4. **Extend** each surviving anchor by anchored comparison: token
        arrays are equi-joined back for candidate docs only
        (semi-join-sized, not corpus-sized), and the overlap is
        ``lcp(reversed prefixes) + lcp(suffixes from the anchor start)``
        — the right lcp re-compares the anchor's own tokens, so a digest
-       collision can never manufacture a match.
+       collision can never manufacture a match. (A digest collision at
+       the predecessor position could in principle suppress an anchor
+       in step 3; that requires an md5 collision between two distinct
+       ~26-token texts, which has never been exhibited.)
 
     Oracle replay: every step is deterministic md5 + integer arithmetic;
-    the DuckDB oracle recomputes the identical seeds, diagonals and
+    the DuckDB oracle recomputes the identical seeds, chain starts and
     extensions (gate ``exact_substring_decontam``)."""
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
-    m = min_tokens // 2
+    m = (min_tokens + 2) // 2
     s = min_tokens - m + 1
 
     def anchors(d: DataFrame, out_id: str, stride: int,
@@ -575,10 +601,19 @@ def exact_substring_overlaps(train: DataFrame, eval_df: DataFrame,
 
     t_fp = anchors(spread(train), "_tid", s, "i")
     e_fp = anchors(eval_df, "_eid", 1, "j")
-    cand = (t_fp.join(e_fp, "gh")
-            .groupBy("_tid", "_eid",
-                     (F.col("i") - F.col("j")).alias("_diag"))
-            .agg(F.min("i").alias("i"))
+    pairs = (t_fp.join(e_fp, "gh")
+             .select("_tid", "_eid",
+                     (F.col("i") - F.col("j")).alias("_diag"), "i"))
+    # chain-start anti-join: drop anchors whose stride predecessor on the
+    # same diagonal also matched — with s <= m the two windows overlap, so
+    # the predecessor's extension provably covers this anchor's run; one
+    # extension per (pair, diagonal, run) survives, and disjoint runs on
+    # a shared diagonal are each kept (min(i) would shadow all but the
+    # first). Both sides are the same skinny pair table; AQE can
+    # skew-split the anti-join if a pathological diagonal ever gets hot.
+    prev = pairs.select("_tid", "_eid", "_diag",
+                        (F.col("i") + F.lit(s)).alias("i"))
+    cand = (pairs.join(prev, ["_tid", "_eid", "_diag", "i"], "left_anti")
             .select("_tid", "_eid", "i",
                     (F.col("i") - F.col("_diag")).alias("j")))
 
@@ -651,18 +686,21 @@ def remove_duplicate_spans(df: DataFrame, min_tokens: int = 50,
 
     1. one tokenize pass explodes ONE 16-byte md5 per token position
        (window text never shuffles; rows ~= token count, not L x);
-    2. per-gram occurrence count and first occurrence come from windows
-       over the gram-hash partition — a single gram-keyed exchange;
+    2. per-gram occurrence count and first occurrence are COMBINABLE
+       aggregates — ``groupBy(gh).agg(count, min(struct(id, p)))`` —
+       so a viral passage's gram collapses to one row per map task
+       before the exchange, and the join back that marks later
+       occurrences is a gram-keyed equi-join AQE can skew-split. (A
+       ``Window.partitionBy(gh)`` here would buffer every occurrence
+       of a hot gram in ONE window partition; AQE splits joins and
+       rebalanced shuffles, not window partitions.) First-occurrence
+       ordering is the exact lexicographic ``(doc_id, position)``
+       struct — no packed key, no document-length or id-range limits;
     3. marked positions merge into spans with the classic island scan
        (running max of span ends) — a per-document window, bounded by
        document length like dedup_paragraphs' reassembly;
     4. spans collect to a per-doc array (merged-disjoint, so small) and
-       one Column filter rebuilds the token stream — no row-Python.
-
-    Engine-exactness note: first-occurrence ordering uses the packed
-    key ``doc_id * 2^20 + pos``, so positions must stay below 2^20
-    tokens per document (chunk longer docs first) and ids below 2^43 —
-    both loudly outside any curated-corpus shape."""
+       one Column filter rebuilds the token stream — no row-Python."""
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     from pyspark.sql import Window  # noqa: PLC0415
@@ -684,13 +722,14 @@ def remove_duplicate_spans(df: DataFrame, min_tokens: int = 50,
         "CAST(array() AS array<struct<p:int,gh:string>>)"))
     pos = (base.select(F.col(id_col), F.explode(grams).alias("_g"))
            .select(id_col, F.col("_g.p").alias("p"),
-                   F.col("_g.gh").alias("gh"),
-                   (F.col(id_col) * F.lit(1 << 20) + F.col("_g.p"))
-                   .alias("_k")))
-    wg = Window.partitionBy("gh")
-    marked = (pos.withColumn("_n", F.count(F.lit(1)).over(wg))
-              .withColumn("_first", F.min("_k").over(wg))
-              .filter((F.col("_n") > 1) & (F.col("_k") != F.col("_first")))
+                   F.col("_g.gh").alias("gh")))
+    stats = (pos.groupBy("gh")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.min(F.struct(F.col(id_col).alias("_fid"),
+                                 F.col("p").alias("_fp"))).alias("_f")))
+    marked = (pos.join(stats.filter(F.col("_n") > 1), "gh")
+              .filter((F.col(id_col) != F.col("_f._fid"))
+                      | (F.col("p") != F.col("_f._fp")))
               .select(id_col, "p"))
 
     # island merge: a marked window [p, p+L) extends the current span

@@ -77,11 +77,19 @@ def fixed_point_presum(df: DataFrame, keys: Sequence[str],
     # Spark's Round on DoubleType allocates a BigDecimal per row, which
     # put the exact cost this function exists to avoid right back in the
     # hot loop (measured r14: 1.48 s vs 0.33 s on a 120 M-row pass).
-    # Identical results: cast truncates toward zero, so +-0.5 reproduces
-    # HALF_UP's away-from-zero ties; representation error (~1e-9
-    # relative) cannot cross an integer boundary because scale-exact
-    # inputs scale to integers, and the double multiply bounds exactness
-    # at 2^53 exactly as the old round(double) path did.
+    # Identical results for |value * 10^scale| < 2^52: cast truncates
+    # toward zero, so +-0.5 reproduces HALF_UP's away-from-zero ties;
+    # representation error (~1e-9 relative) cannot cross an integer
+    # boundary because scale-exact inputs scale to integers. Divergence
+    # band, stated precisely: for |scaled| in [2^52, 2^53) one double
+    # ulp is 1.0, so scaled + 0.5 is a tie the FPU resolves to-even —
+    # an ODD integer-valued scaled double comes back as value + 1 where
+    # F.round(double) returns it unchanged. That band is ~4.5e9 units
+    # above this function's documented 2^53 exactness ceiling headroom
+    # (scale-6 values >= ~4.5e9 absolute); callers at such magnitudes
+    # must pre-cast to decimal and use plain SUM instead — the double
+    # MULTIPLY by 10^scale is already inexact there, for this path and
+    # for round(double) alike.
     scaled_d = c * F.lit(float(10 ** scale))
     scaled = (scaled_d + F.when(scaled_d >= 0, F.lit(0.5))
               .otherwise(F.lit(-0.5))).cast("long")

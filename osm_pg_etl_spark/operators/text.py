@@ -326,7 +326,16 @@ def url_quality_filter(df: DataFrame, blocklist: DataFrame,
     ``a.b.co, b.co, co``, bounded by label count) and LEFT-SEMI-joins
     the blocklist (one broadcast or shuffle join on the domain string);
     word rules are Column folds over the lowercased URL. ``blocklist``
-    must carry one ``domain`` column, lowercase."""
+    must carry one ``domain`` column, lowercase. The input may not
+    already have any of the added output columns (raises, rather than
+    silently producing ambiguous duplicates)."""
+    clash = {"domain", "blocked_domain", "is_ip", "n_strict", "n_soft",
+             "keep"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has output column(s) {sorted(clash)}: rename "
+            "them first — url_quality_filter appends (domain, "
+            "blocked_domain, is_ip, n_strict, n_soft, keep)")
     url = F.lower(F.col(url_col))
     domain = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
     parts = F.split(domain, r"\.")
@@ -334,13 +343,14 @@ def url_quality_filter(df: DataFrame, blocklist: DataFrame,
         F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(1))),
         lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."))
     is_ip = domain.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    n_strict = reduce_sum = None
+    # seeded with lit(0) so empty word tuples mean "rule disabled", not
+    # an AttributeError on None
+    n_strict = F.lit(0)
+    reduce_sum = F.lit(0)
     for w in strict_words:
-        t = url.contains(w).cast("int")
-        n_strict = t if n_strict is None else n_strict + t
+        n_strict = n_strict + url.contains(w).cast("int")
     for w in soft_words:
-        t = url.contains(w).cast("int")
-        reduce_sum = t if reduce_sum is None else reduce_sum + t
+        reduce_sum = reduce_sum + url.contains(w).cast("int")
 
     base = df.select("*", domain.alias("domain"),
                      suffixes.alias("_sfx"),
@@ -443,12 +453,24 @@ def redact_cards(text: Column | str) -> Column:
     come from one ``regexp_extract_all`` and the replacement folds over
     them in match order — pure Column, no UDF; run BEFORE the phone
     regex in a combined scrub so partial card digits are never
-    mis-redacted as phones."""
+    mis-redacted as phones.
+
+    Each candidate is replaced ``\\b``-anchored (quoted via
+    ``\\Q…\\E``), mirroring the extraction contexts exactly — a plain
+    substring replace would partially rewrite a LONGER digit run that
+    merely contains a valid candidate (e.g. a 20+-digit order id the
+    card regex never matched). ``\\b`` is non-consuming and means the
+    same thing in Java regex and DuckDB's RE2, so the oracle replays
+    it verbatim (RE2 has no lookarounds, which rules out the
+    ``(?<!\\d)`` formulation)."""
     c = F.col(text) if isinstance(text, str) else text
     cands = F.regexp_extract_all(c, F.lit(_CARD_PATTERN), 0)
     valid = F.filter(cands, luhn_valid)
     return F.aggregate(
-        valid, c, lambda acc, m: F.replace(acc, m, F.lit("<CARD>")))
+        valid, c,
+        lambda acc, m: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b\Q"), m, F.lit(r"\E\b")),
+            F.lit("<CARD>")))
 
 
 def pii_counts(text: Column | str) -> dict[str, Column]:

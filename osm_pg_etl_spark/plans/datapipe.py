@@ -1414,8 +1414,12 @@ validated AS (
   FROM texted)
 SELECT doc_id, card,
        len(list_filter(ok, m -> m = card)) > 0 AS valid,
+       -- \b-anchored like the Spark side: a longer digit run that only
+       -- CONTAINS a valid candidate is never partially rewritten
        list_reduce(list_prepend(text, ok),
-                   (acc, m) -> replace(acc, m, '<CARD>')) AS redacted
+                   (acc, m) -> regexp_replace(
+                     acc, '\b\Q' || m || '\E\b', '<CARD>', 'g')
+       ) AS redacted
 FROM validated
 """
 
@@ -3114,7 +3118,10 @@ FROM g LEFT JOIN dup d USING (doc_id)
 _ESD_MOD = 5        # eval slice: doc_id % 5 == 0 (the 101-slice shares no
                     # long runs in the synthetic corpus; 5 yields real hits)
 _ESD_MIN = 50       # Lee et al. 2022's published 50-token threshold
-_ESD_M = _ESD_MIN // 2
+# m = ceil((L+1)/2) so the stride s = L - m + 1 satisfies s <= m:
+# consecutive stride windows overlap, which makes the chain-start
+# dedup in the cand CTE sound (see operators/dedup.py step 3)
+_ESD_M = (_ESD_MIN + 2) // 2
 _ESD_S = _ESD_MIN - _ESD_M + 1
 
 
@@ -3123,9 +3130,10 @@ def q_exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2107.06499): every training doc (doc_id % 5 != 0) sharing a
     >=50-token verbatim run with the eval slice (doc_id % 5 == 0), with
     the maximal overlap's length and 1-based token offsets. Seeded by a
-    stride-26 fingerprint join over 25-token windows, extended by
-    anchored lcp — the oracle replays seeds, diagonals and extensions
-    exactly."""
+    stride-25 fingerprint join over 26-token windows (overlapping
+    strides make the per-run chain-start dedup sound), extended by
+    anchored lcp — the oracle replays seeds, chain starts and
+    extensions exactly."""
     docs = docs_t(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % _ESD_MOD != 0)
     ev = docs.filter(F.col("doc_id") % _ESD_MOD == 0)
@@ -3161,9 +3169,19 @@ eg AS (
   FROM (SELECT doc_id, w,
                unnest(range(1, len(w) - {_ESD_M - 2}, 1)) AS j
         FROM ev)),
+pairs AS (
+  SELECT tid, eid, i - j AS diag, i
+  FROM tg JOIN eg USING (gh)),
 cand AS (
-  SELECT tid, eid, i - j AS diag, MIN(i) AS i
-  FROM tg JOIN eg USING (gh) GROUP BY 1, 2, 3),
+  -- chain-start dedup: drop anchors whose stride predecessor on the
+  -- same diagonal also matched (s <= m makes the two windows overlap,
+  -- so the predecessor's extension covers this run); one anchor per
+  -- (pair, diagonal, run) — disjoint runs on one diagonal each survive
+  SELECT p.tid, p.eid, p.diag, p.i FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs q
+    WHERE q.tid = p.tid AND q.eid = p.eid AND q.diag = p.diag
+      AND q.i = p.i - {_ESD_S})),
 arrs AS (
   SELECT c.tid, c.eid, c.i, c.i - c.diag AS j,
          list_reverse(t.w[1:c.i-1]) AS la,
@@ -3219,16 +3237,18 @@ g AS (
          )) AS u
   FROM toks WHERE len(w) >= {_ESD_MIN}),
 pos AS (
-  SELECT doc_id, u.p AS p, u.gh AS gh,
-         doc_id * 1048576 + u.p AS k
+  SELECT doc_id, u.p AS p, u.gh AS gh
   FROM g),
 mk AS (
+  -- keep-first by exact lexicographic (doc_id, p) — mirrors the Spark
+  -- side's min(struct(doc_id, p)) aggregate; no packed key, no
+  -- document-length or id-range limits
   SELECT doc_id, p FROM (
-    SELECT doc_id, p, k,
+    SELECT doc_id, p,
            COUNT(*) OVER (PARTITION BY gh) AS n,
-           MIN(k) OVER (PARTITION BY gh) AS f
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
     FROM pos)
-  WHERE n > 1 AND k != f),
+  WHERE n > 1 AND rn > 1),
 isl AS (
   SELECT doc_id, p,
          CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END AS nw

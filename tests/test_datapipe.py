@@ -1080,6 +1080,41 @@ def test_exact_substring_decontam(spark):
         exact_substring_overlaps(tr2, ev2, min_tokens=1)
 
 
+def test_exact_substring_disjoint_runs_one_diagonal(spark):
+    """r15 (ADVICE high): two disjoint shared runs on the SAME diagonal —
+    an eval doc that differs from a train doc by one edited token — must
+    not shadow each other. The old min(i)-per-diagonal collapse kept only
+    the prefix run's anchor; when the prefix is < L its extension died at
+    the edit and the >= L suffix run was silently missed."""
+    from osm_pg_etl_spark.operators.dedup import (
+        decontaminate_exact_substring, exact_substring_overlaps)
+
+    base = [f"w{i}" for i in range(1, 121)]        # 120 tokens
+    # edit token 30: prefix run = 29 tokens (seeds an anchor, dies < 50),
+    # suffix run = 90 tokens (must be found)
+    ev_toks = list(base)
+    ev_toks[29] = "EDITED"
+    train = spark.createDataFrame([(1, " ".join(base))],
+                                  "doc_id long, text string")
+    ev = spark.createDataFrame([(100, " ".join(ev_toks))],
+                               "doc_id long, text string")
+    out = exact_substring_overlaps(train, ev, min_tokens=50).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_tokens"] == 90
+    assert (out[0]["t_start"], out[0]["e_start"]) == (31, 31)
+    assert decontaminate_exact_substring(train, ev, 50).count() == 0
+
+    # both runs >= L on one diagonal: the MAXIMAL one must win
+    ev2_toks = list(base)
+    ev2_toks[59] = "EDITED"                        # runs of 59 and 60
+    ev2 = spark.createDataFrame([(200, " ".join(ev2_toks))],
+                                "doc_id long, text string")
+    out2 = exact_substring_overlaps(train, ev2, min_tokens=50).collect()
+    assert len(out2) == 1
+    assert out2[0]["overlap_tokens"] == 60
+    assert (out2[0]["t_start"], out2[0]["e_start"]) == (61, 61)
+
+
 def test_url_quality_filter(spark):
     """r14: RefinedWeb URL gate — blocklist suffix-chain matching
     (subdomains blocked, lookalike domains not), IP hosts, strict and
@@ -1107,6 +1142,47 @@ def test_url_quality_filter(spark):
     assert out[6]["keep"] is False and out[6]["n_strict"] == 1
     assert out[7]["keep"] is True and out[7]["n_soft"] == 1
     assert out[8]["keep"] is False and out[8]["n_soft"] == 2
+
+
+def test_url_quality_filter_edge_inputs(spark):
+    """r15 (ADVICE): empty word tuples mean 'rule disabled' (no crash);
+    an input that already has an output column raises instead of
+    silently producing ambiguous duplicates."""
+    import pytest
+
+    from osm_pg_etl_spark.operators.text import url_quality_filter
+
+    bl = spark.createDataFrame([("badsite.com",)], "domain string")
+    df = spark.createDataFrame(
+        [(1, "https://fun.example/casino/win")], "doc_id long, url string")
+    out = url_quality_filter(df, bl, strict_words=(), soft_words=()).collect()
+    assert out[0]["keep"] is True
+    assert out[0]["n_strict"] == 0 and out[0]["n_soft"] == 0
+    with pytest.raises(ValueError, match="output column"):
+        url_quality_filter(
+            df.withColumn("domain", df.url), bl)
+
+
+def test_redact_cards_boundary_anchored(spark):
+    """r15 (ADVICE): a longer digit run that merely CONTAINS a valid
+    card as a substring is never partially rewritten — replacement is
+    \\b-anchored like the extraction."""
+    from pyspark.sql import functions as F
+
+    from osm_pg_etl_spark.operators.text import redact_cards
+
+    df = spark.createDataFrame(
+        [(1, "ref 994532015112830366 pay 4532015112830366 now"),
+         (2, "pay 4532015112830366 and 4532015112830366 again")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["red"] for r in
+           df.select("doc_id", redact_cards(F.col("text")).alias("red"))
+           .collect()}
+    # the 18-digit run is Luhn-invalid and contains the valid 16-digit
+    # card as a substring: it must survive intact
+    assert out[1] == "ref 994532015112830366 pay <CARD> now"
+    # the same valid candidate appearing twice is redacted at both sites
+    assert out[2] == "pay <CARD> and <CARD> again"
 
 
 def test_char_entropy(spark):

@@ -241,3 +241,23 @@ def test_mode_flags_computes_each_tag_once(spark):
     assert " INSET " in plan
     assert "map(" not in plan.split("== Physical Plan ==")[-1].split(
         "(1) Scan")[0]  # no CreateMap node in the tree summary
+
+
+def test_dedup_family_no_gram_keyed_windows(spark):
+    """r15 (r14 verdict #1): the dedup family's per-gram/per-paragraph
+    statistics must be COMBINABLE aggregates + join-back, never a
+    Window.partitionBy(<content hash>) — map-side partial aggregation
+    collapses a viral paragraph/gram before the exchange and the join
+    back is AQE-skew-splittable, while AQE can NOT split a hot window
+    partition. Windows partitioned by the document id (island merge,
+    reassembly) remain legitimate: bounded by one document's length."""
+    from osm_pg_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for gate in ("dedup_paragraphs", "exact_substring_self_dedup",
+                 "dup_ngram_spans"):
+        plan = plan_of(qs[gate](spark, SF))
+        specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+        for key in specs:
+            assert key.startswith("doc_id"), \
+                f"{gate}: window partitioned by non-doc key {key}"
