@@ -3380,6 +3380,223 @@ WHERE doc_id % {_ESD_MOD} != 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training (r15) — oracle
+# replays the full Viterbi hard-EM pipeline with the position lattice
+# UNROLLED via lateral column aliases (the same discipline as the BPE
+# oracle's unrolled merge steps). Sound because both engines truncate
+# words to _UG_WC chars before any statistics.
+
+_UG_K = 4        # max piece length
+_UG_SEED = 96    # multi-char seed pieces
+_UG_KEEP = 48    # multi-char pieces kept after pruning
+_UG_WC = 12      # word truncation bound == DP unroll depth
+_UG_EM = 2       # EM iterations
+
+# DP state per position, packed into ONE BIGINT key whose numeric order
+# IS the lexicographic (cost, n_pieces, back_pointer) tie-break:
+#   key = icost * 10^4 + np * 100 + bp
+# with icost the path cost in EXACT nano-log units (nlp * 10^9, an
+# integer since nlp is DECIMAL(12,9)), np <= _UG_WC < 100 pieces and
+# bp < _UG_WC < 100. Max key ~ 12 pieces x 3e10 nano-lns x 10^4 ~
+# 3.6e15 — comfortably inside BIGINT. The packing keeps the oracle's
+# unrolled DP to BIGINT arithmetic + least() + scalar CASE only:
+# DuckDB 1.0.0's vectorized executor returned WRONG, run-to-run
+# varying results for both map_extract over a cross-joined MAP column
+# and list_reduce/list_filter over struct lists inside these nested
+# projections (reproduced on this box; single-row probes of the same
+# expressions were correct) — joins, integer math and least() are the
+# boring code path that holds.
+
+
+def _ug_lp_select(vsrc: str) -> str:
+    """Per-word lattice-edge costs as PLAIN BIGINT COLUMNS
+    ``ilp_{jj}_{i}`` (piece starting at jj covering through i, cost in
+    nano-log units), via one piece join + conditional aggregation —
+    deliberately map-free (see packing note above)."""
+    subs, cols = [], []
+    for i in range(1, _UG_WC + 1):
+        for jj in range(max(1, i - _UG_K + 1), i + 1):
+            piece = f"substr(u.w, {jj}, {i - jj + 1})"
+            subs.append(piece)
+            # the i <= len(w) guard stops a TRUNCATED window (substr
+            # past the word end) from matching a genuine shorter piece
+            cols.append(
+                f"MAX(CASE WHEN {i} <= len(u.w) AND v.piece = {piece} "
+                f"THEN CAST(CAST(v.nlp AS DECIMAL(22,9)) * 1000000000 AS BIGINT) END) "
+                f"AS ilp_{jj}_{i}")
+    return ("SELECT u.w, u.freq,\n         " + ",\n         ".join(cols)
+            + f"\n  FROM uwords u LEFT JOIN {vsrc} v "
+            + f"ON v.piece IN ({', '.join(dict.fromkeys(subs))})\n"
+            + "  GROUP BY u.w, u.freq")
+
+
+def _ug_stat(pos_expr: str) -> str:
+    """st value at a runtime position, as a scalar CASE chain (no list
+    indexing)."""
+    whens = " ".join(f"WHEN {i} THEN st_{i}"
+                     for i in range(1, _UG_WC + 1))
+    return f"CASE {pos_expr} {whens} END"
+
+
+def _ug_dp_select(src: str, recon: bool) -> str:
+    """Unrolled Viterbi DP over the ilp-column lattice of ``src`` as
+    NESTED projection layers — one new column per layer, every
+    back-reference a plain column ref. (Lateral column aliases would
+    be substituted textually by DuckDB's binder: st_12's tetranacci
+    fan-out times the backtrack's self-references explodes to ~1e9
+    expression nodes at BIND time.)"""
+    inner = f"SELECT * FROM {src}"
+    for i in range(1, _UG_WC + 1):
+        cands = []
+        for jj in range(max(1, i - _UG_K + 1), i + 1):
+            prev = "0" if jj == 1 else f"st_{jj - 1}"
+            lp = f"ilp_{jj}_{i}"
+            cands.append(
+                f"CASE WHEN ({prev}) IS NOT NULL AND {lp} IS NOT NULL "
+                f"THEN (({prev}) // 10000 + {lp}) * 10000 "
+                f"+ (({prev}) % 10000 // 100 + 1) * 100 + {jj - 1} END")
+        st = (f"CASE WHEN len(w) >= {i} "
+              f"THEN least({', '.join(cands)}) END")
+        inner = f"SELECT *, {st} AS st_{i} FROM ({inner})"
+    np_last = f"{_ug_stat('len(w)')} % 10000 // 100"
+    inner = f"SELECT *, {np_last} AS np FROM ({inner})"
+    if not recon:
+        return f"SELECT w, freq, np FROM ({inner})"
+    inner = (f"SELECT *, CAST(len(w) AS INT) AS pos_0, '' AS pcs_0 "
+             f"FROM ({inner})")
+    for k in range(1, _UG_WC + 1):
+        p, q = f"pos_{k - 1}", f"pcs_{k - 1}"
+        bp = f"bp_{k}"
+        inner = (f"SELECT *, {_ug_stat(p)} % 100 AS {bp} "
+                 f"FROM ({inner})")
+        pos_k = (f"CASE WHEN {p} > 0 THEN CAST({bp} AS INT) "
+                 f"ELSE {p} END")
+        pcs_k = (f"CASE WHEN {p} > 0 THEN {q} || "
+                 f"(CASE WHEN {q} = '' THEN '' ELSE ' ' END) || "
+                 f"substr(w, CAST({bp} AS INT) + 1, {p} - CAST({bp} AS INT)) "
+                 f"ELSE {q} END")
+        inner = (f"SELECT *, {pos_k} AS pos_{k}, {pcs_k} AS pcs_{k} "
+                 f"FROM ({inner})")
+    return (f"SELECT w, freq, np, pcs_{_UG_WC} AS pcs FROM ({inner})")
+
+
+def _ug_nlp_sql(src: str) -> str:
+    """Add-1 smoothed piece cost: ``nlp = -round(ln((cnt+1) /
+    (total+|V|)), 9)`` — the proven transcendental discipline."""
+    return (f"SELECT piece, cnt, -CAST(ROUND(ln((cnt + 1)::DOUBLE / "
+            f"((SELECT SUM(cnt) + COUNT(*) FROM {src}))::DOUBLE), 9) "
+            f"AS DECIMAL(12,9)) AS nlp FROM {src}")
+
+
+def _sql_unigram_chain() -> str:
+    """The WITH-chain shared by both unigram gates: seed -> EM x2 ->
+    pruned final vocabulary ``fv(piece, cnt, nlp)`` plus the word table
+    ``uwords``."""
+    parts = [_TOKS_SQL.strip()]
+    parts.append(f"""
+uwords AS MATERIALIZED (
+  SELECT substr(w_, 1, {_UG_WC}) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(w) AS w_ FROM toks) GROUP BY 1),
+seed_all AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(flatten(list_transform(range(1, len(w) + 1),
+             i -> list_transform(
+                    range(1, least({_UG_K}, len(w) - i + 1) + 1),
+                    l -> substr(w, i::INT, l::INT))))) AS piece
+    FROM uwords) GROUP BY piece),
+chars AS MATERIALIZED (SELECT piece, cnt FROM seed_all WHERE len(piece) = 1),
+v0c AS MATERIALIZED (
+  SELECT piece, cnt FROM chars
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM seed_all WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {_UG_SEED})),
+v0 AS MATERIALIZED ({_ug_nlp_sql('v0c')})""".strip())
+    prev = "v0"
+    for it in range(1, _UG_EM + 1):
+        parts.append(f"""
+wl{it} AS MATERIALIZED (
+  {_ug_lp_select(prev)}),
+dp{it} AS MATERIALIZED (
+  {_ug_dp_select(f'wl{it}', recon=True)}),
+counts{it} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(string_split(pcs, ' ')) AS piece
+        FROM dp{it})
+  WHERE piece <> '' GROUP BY piece),
+keys{it} AS MATERIALIZED (SELECT piece FROM chars
+             UNION SELECT piece FROM counts{it}),
+v{it}c AS MATERIALIZED (
+  SELECT k.piece, COALESCE(c.cnt, 0) AS cnt
+  FROM keys{it} k LEFT JOIN counts{it} c USING (piece)),
+v{it} AS MATERIALIZED ({_ug_nlp_sql(f'v{it}c')})""".strip())
+        prev = f"v{it}"
+    parts.append(f"""
+fvc AS MATERIALIZED (
+  SELECT piece, cnt FROM {prev} WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM {prev} WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {_UG_KEEP})),
+fv AS MATERIALIZED ({_ug_nlp_sql('fvc')})""".strip())
+    return ",\n".join(parts)
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM vocabulary trained on the documents corpus (Kudo
+    2018 Viterbi hard-EM): seed substrings -> 2 EM rounds -> pruned
+    (piece, n_count, logp). The hash pins the seed counts and
+    ordering, every lattice argmin tie-break, both E-step counts and
+    the final re-normalization."""
+    from ..operators.unigram import unigram_train  # noqa: PLC0415
+
+    return unigram_train(docs_t(spark, sf_dir), max_piece_len=_UG_K,
+                         seed_multi=_UG_SEED, em_iters=_UG_EM,
+                         keep_multi=_UG_KEEP, max_word_chars=_UG_WC)
+
+
+def _sql_unigram_vocab() -> str:
+    return f"""
+WITH {_sql_unigram_chain()}
+SELECT piece, cnt AS n_count, CAST(-nlp AS DOUBLE) AS logp FROM fv
+"""
+
+
+def q_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi tokenization of the corpus under the trained unigram
+    vocabulary: (doc_id, n_words, n_pieces) — the apply pass, run on
+    the distinct-word table and broadcast back (same shape as
+    bpe_tokenize)."""
+    from ..operators.unigram import unigram_tokenize_counts  # noqa: PLC0415
+
+    return unigram_tokenize_counts(
+        docs_t(spark, sf_dir), max_piece_len=_UG_K, seed_multi=_UG_SEED,
+        em_iters=_UG_EM, keep_multi=_UG_KEEP, max_word_chars=_UG_WC)
+
+
+def _sql_unigram_tokenize() -> str:
+    return f"""
+WITH {_sql_unigram_chain()},
+wlf AS MATERIALIZED (
+  {_ug_lp_select('fv')}),
+dpf AS MATERIALIZED (
+  {_ug_dp_select('wlf', recon=False)}),
+wn AS MATERIALIZED (SELECT w, np FROM dpf),
+docw AS MATERIALIZED (
+  SELECT doc_id, substr(w_, 1, {_UG_WC}) AS w
+  FROM (SELECT doc_id, unnest(w) AS w_ FROM toks)),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(np) AS BIGINT) AS n_pieces
+  FROM docw JOIN wn USING (w) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_pieces, 0) AS n_pieces
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -3415,6 +3632,8 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "curation_funnel": q_curation_funnel,
     "url_quality_filter": q_url_quality_filter,
+    "unigram_lm_vocab": q_unigram_lm_vocab,
+    "unigram_lm_tokenize": q_unigram_lm_tokenize,
     "gopher_rules": q_gopher_rules,
     "quality_features": q_quality_features,
     "repetition_signals": q_repetition_signals,
@@ -3492,6 +3711,8 @@ ORACLES = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "curation_funnel": _sql_curation_funnel(),
     "url_quality_filter": _sql_url_quality(),
+    "unigram_lm_vocab": _sql_unigram_vocab(),
+    "unigram_lm_tokenize": _sql_unigram_tokenize(),
     "gopher_rules": _sql_gopher(),
     "quality_features": _sql_quality(),
     "repetition_signals": _sql_repetition(),
