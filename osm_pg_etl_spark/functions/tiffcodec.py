@@ -7,12 +7,14 @@ training-data extension surface like its siblings).
 Scope: TIFF 6.0 baseline + tiles, both byte orders (II/MM), 8- and
 16-bit grayscale and RGB, strip organization (any RowsPerStrip) AND the
 tiled layout (tags 322-325, edge tiles padded — the satellite/deep-zoom
-shape), compression None (1), PackBits (32773) and LZW (5) — the TIFF
-LZW variant: MSB-first bit packing, Clear=256/EOI=257, and the EARLY
-code-width change (the width bumps one code sooner than GIF's — the
-classic interop trap), plus the horizontal-differencing predictor
-(tag 317 = 2) LZW files usually pair with, applied on SAMPLE values so
-it is depth-correct for 16-bit. PhotometricInterpretation 0/1/2
+shape), compression None (1), PackBits (32773), Deflate (8 — the
+libtiff/GDAL zip default — and its old-style alias 32946; r15) and
+LZW (5) — the TIFF LZW variant: MSB-first bit packing,
+Clear=256/EOI=257, and the EARLY code-width change (the width bumps
+one code sooner than GIF's — the classic interop trap), plus the
+horizontal-differencing predictor (tag 317 = 2) LZW and Deflate files
+usually pair with, applied on SAMPLE values so it is depth-correct
+for 16-bit. PhotometricInterpretation 0/1/2
 (WhiteIsZero inverted on decode), 3 (palette — 16-bit ColorMap lookup,
 the scanned-map shape) and 5 (CMYK, converted with the exact integer
 ``(255-c)*(255-k)//255``). Multi-IFD (multi-page) files decode to a
@@ -23,10 +25,9 @@ strips or abbreviated strips with shared JPEGTables (tag 347) spliced
 back per strip. RAW (non-JPEG) YCbCr — photometric 6 with subsampled
 macropixel data units per TIFF6 §21, tags 529/530/532 — decodes for
 real since r13 (Rec.601/full-range only, the tag defaults), as does
-16-bit CMYK. CCITT fax compressions, 16-bit palette, JPEG-in-TIFF
-tiles, non-Rec.601 matrices/headroom ReferenceBlackWhite, and
-mixed-depth channels raise ``NotImplementedError`` loudly — the
-honest-boundary pattern.
+16-bit CMYK. CCITT fax compressions, non-Rec.601 matrices/headroom
+ReferenceBlackWhite, and mixed-depth channels raise
+``NotImplementedError`` loudly — the honest-boundary pattern.
 
 Lossless throughout: any image round-trips bit-exactly, so gates pin
 true gradients, not special cases.
@@ -35,6 +36,7 @@ true gradients, not special cases.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -174,9 +176,30 @@ def _store_decode(d: bytes, n: int) -> bytes:
     return d[:n]
 
 
+def _deflate_encode(data: bytes) -> bytes:
+    # level 6 (zlib default): output is deterministic for a given zlib,
+    # and the decoder accepts any level
+    return zlib.compress(data, 6)
+
+
+def _deflate_decode(data: bytes, expect: int) -> bytes:
+    try:
+        raw = zlib.decompress(data)
+    except zlib.error as e:
+        raise ValueError(f"corrupt Deflate strip: {e}") from None
+    if len(raw) < expect:
+        raise ValueError("Deflate strip shorter than expected")
+    return raw[:expect]
+
+
 _COMPRESSORS = {
     1: (lambda d: d, _store_decode),
     5: (_tiff_lzw_encode, _tiff_lzw_decode),
+    # 8 = Adobe Deflate (TIFF Tech Note; the libtiff/GDAL default for
+    # zipped TIFFs), 32946 = the original old-style Deflate code —
+    # identical zlib streams, both real-world shapes
+    8: (_deflate_encode, _deflate_decode),
+    32946: (_deflate_encode, _deflate_decode),
     32773: (_packbits_encode, _packbits_decode),
 }
 
@@ -199,9 +222,10 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
     """(h, w) gray or (h, w, 3) RGB — uint8 OR uint16 samples — or a
     LIST of such arrays for a multi-page file (the scan-corpus shape:
     one IFD per page, chained) -> TIFF bytes. ``compression``: 1 (none),
-    5 (LZW), 32773 (PackBits). ``predictor`` (LZW only): 1 = none,
-    2 = horizontal differencing (applied on sample values, so it is
-    depth-correct for 16-bit too). ``byte_order``: ``"II"``
+    5 (LZW), 8 or 32946 (Deflate — new- and old-style codes, identical
+    zlib streams), 32773 (PackBits). ``predictor`` (LZW/Deflate):
+    1 = none, 2 = horizontal differencing (applied on sample values, so
+    it is depth-correct for 16-bit too). ``byte_order``: ``"II"``
     (little-endian) or ``"MM"`` (big-endian) — both real-world shapes,
     so the decoder's MM path is testable against genuine files.
     ``tile_size``: None writes the strip layout; ``(tile_w, tile_h)``
@@ -268,7 +292,7 @@ def encode_tiff(rgb_or_gray: np.ndarray | list[np.ndarray],
         sample_dt = np.dtype(bo + ("u1" if bps == 8 else "u2"))
         h, w = a.shape[:2]
         px = a.reshape(h, w * spp)
-        use_pred = 2 if (compression == 5 and predictor == 2
+        use_pred = 2 if (compression in (5, 8, 32946) and predictor == 2
                          and ycbcr_subsampling is None) else 1
         chunks: list[bytes] = []
         enc = _COMPRESSORS[compression][0]
@@ -906,7 +930,8 @@ def _decode_tiff_body(payload: bytes, bo: str) -> list[np.ndarray]:
         if comp not in _COMPRESSORS:
             raise NotImplementedError(
                 f"TIFF compression {comp} unsupported (baseline "
-                "none/LZW/PackBits + new-style JPEG only — no CCITT)")
+                "none/LZW/Deflate/PackBits + new-style JPEG only — "
+                "no CCITT)")
         if spp not in (1, 3, 4):
             raise NotImplementedError(f"{spp} samples per pixel")
         dec = _COMPRESSORS[comp][1]

@@ -331,9 +331,11 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                           ) -> DataFrame:
     """REAL TIFF payloads (r11/r12, :mod:`..functions.tiffcodec`): one
     TIFF per row — a GRADIENT gray image (8-bit pixel = base + x + y,
-    base = 19·id mod 103, bounded < 256) — cycling the three baseline
-    compressions by id (none / LZW with the horizontal-differencing
-    predictor / PackBits), BOTH byte orders (MM keyed on (id//8) % 2, so
+    base = 19·id mod 103, bounded < 256) — cycling the baseline
+    compressions on (id//2) % 6 (none / LZW with the horizontal-
+    differencing predictor / PackBits / Deflate 8 / old-style Deflate
+    32946 / LZW again — r15; (id//2) steps by 5 per class residue, so
+    every id-mod-10 class sees all six), BOTH byte orders (MM keyed on (id//8) % 2, so
     every class sees both), and (r12, widened r13)
     the layout/depth/photometric classes by id mod 10:
 
@@ -404,7 +406,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                          + np.arange(h)[:, None]).astype(np.uint8)
                 out.append(encode_tiff(
                     np.stack([gray8] * 3, axis=2),
-                    compression=(1, 5, 32773)[i % 3], rows_per_strip=4,
+                    compression=(1, 5, 32773, 8, 32946, 5)[(i // 2) % 6], rows_per_strip=4,
                     byte_order="MM" if mm else "II",
                     ycbcr_subsampling=((1, 1), (2, 1), (2, 2))
                     [(i // 2) % 3]))
@@ -418,7 +420,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
                 out.append(encode_tiff(
                     np.stack([65535 - v16, 65535 - v16, 65535 - v16,
                               np.zeros_like(v16)], axis=2),
-                    compression=(1, 5, 32773)[i % 3], rows_per_strip=4,
+                    compression=(1, 5, 32773, 8, 32946, 5)[(i // 2) % 6], rows_per_strip=4,
                     byte_order="MM" if mm else "II"))
                 continue
             if cls == 7:
@@ -444,7 +446,7 @@ def attach_synthetic_tiff(df: DataFrame, id_col: str = "doc_id",
             h = i % 10 + (18 if big else 1)
             gray = (base + np.arange(w)[None, :]
                     + np.arange(h)[:, None]).astype(np.uint16)
-            comp = (1, 5, 32773)[i % 3]
+            comp = (1, 5, 32773, 8, 32946, 5)[(i // 2) % 6]
             kwargs = dict(compression=comp, rows_per_strip=4,
                           byte_order="MM" if mm else "II",
                           tile_size=(16, 16) if big else None)

@@ -1637,3 +1637,71 @@ def test_tiff_raw_ycbcr():
             mal[e + 8:e + 12] = struct.pack("<I", 4)
     with pytest.raises(ValueError, match="strips exceed"):
         decode_tiff(bytes(mal))
+
+
+def test_tiff_deflate_roundtrip():
+    """r15: Deflate (compression 8, the libtiff/GDAL zip default) and
+    its old-style alias 32946 round-trip bit-exactly across depths,
+    byte orders, the predictor, tiles, palette, CMYK, raw YCbCr and
+    multi-page files; corrupt streams fail loudly."""
+    import numpy as np
+    import pytest
+
+    from osm_pg_etl_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(15)
+    g8 = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    g16 = rng.integers(0, 65536, (23, 17)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+
+    def want(a):
+        return np.stack([a] * 3, axis=2) if a.ndim == 2 else a
+
+    for comp in (8, 32946):
+        for arr in (g8, g16, rgb):
+            for bo in ("II", "MM"):
+                for pred in (1, 2):
+                    out = decode_tiff(encode_tiff(
+                        arr, compression=comp, predictor=pred,
+                        byte_order=bo, rows_per_strip=4))[0]
+                    assert np.array_equal(out, want(arr)), \
+                        (comp, arr.dtype, bo, pred)
+    # predictor genuinely helps zlib on smooth content (and inverts)
+    grad = ((np.arange(50)[:, None] + np.arange(80)[None, :])
+            % 256).astype(np.uint8)
+    with_p = encode_tiff(grad, compression=8, predictor=2)
+    without = encode_tiff(grad, compression=8, predictor=1)
+    assert len(with_p) < len(without)
+    assert np.array_equal(decode_tiff(with_p)[0][:, :, 0], grad)
+    # tiled + 16-bit composed
+    big = (rng.integers(0, 65536, (37, 41))).astype(np.uint16)
+    out = decode_tiff(encode_tiff(big, compression=8,
+                                  tile_size=(16, 16)))[0]
+    assert np.array_equal(out, np.stack([big] * 3, axis=2))
+    # palette / CMYK / raw-YCbCr ride the generic compressor table
+    lut = np.arange(256, dtype=np.uint8)
+    pal = np.stack([255 - lut, lut, 255 - lut], axis=1)
+    idx = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(idx, compression=32946, palette=pal))[0],
+        pal[idx])
+    v = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    cmyk = np.stack([255 - v, 255 - v, 255 - v, np.zeros_like(v)], axis=2)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(cmyk, compression=8, predictor=2))[0],
+        np.stack([v, v, v], axis=2))
+    gray = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    page = np.stack([gray] * 3, axis=2)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(page, compression=8,
+                                ycbcr_subsampling=(2, 2),
+                                rows_per_strip=4))[0], page)
+    # multi-page
+    mp = decode_tiff(encode_tiff([g8, g16], compression=8))
+    assert np.array_equal(mp[0], want(g8))
+    assert np.array_equal(mp[1], want(g16))
+    # corrupt stream fails loudly
+    blob = bytearray(encode_tiff(g8, compression=8))
+    blob[-10:] = b"\x00" * 10
+    with pytest.raises(ValueError, match="Deflate"):
+        decode_tiff(bytes(blob))
