@@ -50,7 +50,12 @@ DIR = f"/tmp/sf1_bench_k{K}"
 DATA_BOUND = ["osm_merged_network", "osm_communities", "quantile_profile",
               "rollup_counts", "knn_join", "tfidf_top_terms",
               "osm_directed_graph", "minhash_neardup", "dup_ngram_spans",
-              "osm_poi_nearest"]
+              "osm_poi_nearest",
+              # r15 (verdict task 3): the worst sf0.1 floor-dominated
+              # gates that lacked sf1 numbers; osm_relation_members
+              # stays floor-model-pinned instead (its relation synthesis
+              # walks the customer dim, whose FK web is not replicated)
+              "hll_intersect", "length_batches", "pack_positions"]
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "7")))
 
 
@@ -80,6 +85,7 @@ def main() -> None:
         # the OSM way-tag derivation joins l_orderkey against o_orderkey,
         # so both must shift by the same, collision-free amount
         ospan = rd("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+        espan = rd("events").agg(F.max("event_id")).collect()[0][0] + 1
         plans = {
             "part": (rd("part"), {"p_partkey": pspan}, 8),
             "lineitem": (rd("lineitem"),
@@ -87,6 +93,11 @@ def main() -> None:
             "orders": (rd("orders"), {"o_orderkey": ospan}, 8),
             "documents": (rd("documents"), {"doc_id": 5_000_000}, 4),
             "embeddings": (rd("embeddings"), {"vec_id": 5_000_000}, 4),
+            # r15: events for the sketch/windowing gates — self-contained
+            # (no FK into the TPC-H web); user_id shifts so per-replica
+            # user populations are disjoint and distinct-counts scale
+            "events": (rd("events"),
+                       {"event_id": espan, "user_id": 5_000_000}, 8),
         }
         for name, (df, offs, nfiles) in plans.items():
             (replicate(df, offs, K).repartition(nfiles)
@@ -104,7 +115,8 @@ def main() -> None:
     # Spark's shuffle-spill behavior
     con.execute("SET memory_limit='48GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in ("part", "lineitem", "orders", "documents", "embeddings"):
+    for t in ("part", "lineitem", "orders", "documents", "embeddings",
+              "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{DIR}/{t}.parquet/*.parquet'")
         spark.read.parquet(f"{DIR}/{t}.parquet").count()  # warm both

@@ -1,0 +1,159 @@
+"""Per-query job-count x measured-floor model for the sf0.1 headline
+bench (r14 verdict task 3): the sub-2 s entries with double-digit
+ratios vs DuckDB are claimed to be SCHEDULER-FLOOR-dominated, not
+plan problems — this script proves it per query instead of asserting
+it.
+
+Model: Spark's fixed cost per query ~= a * n_jobs + b * n_stages,
+with (a, b) fitted from two in-harness probes (a 1-row noop-sink job =
+one job/one stage; the same plus a 1-row groupBy = one job/two
+stages — the exact probe pair BENCHCMP.json's floor block records).
+n_jobs / n_stages come from the SparkContext status tracker with a
+job group per query, so eager localCheckpoint jobs inside plan
+construction are counted too.
+
+For every headline query it reports: jobs, stages, predicted floor
+seconds, the measured warm median, floor_share = pred/measured, and —
+joining BENCHCMP.json's DuckDB medians — the raw ratio and the
+ex-floor ratio (measured - pred) / duckdb. Queries whose floor_share
+explains most of their runtime are floor-bound by construction: their
+sf0.1 ratio is a job-count artifact that amortizes with data (the sf1
+suite shows the data-bound set at <=2x), not a missing optimization.
+
+Results -> FLOOR_MODEL_r{N}.json (pass the round tag as argv[1]).
+
+Usage: python scripts/floor_model.py [r15] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TAG = sys.argv[1] if len(sys.argv) > 1 else "r15"
+SF_DIR = (sys.argv[2] if len(sys.argv) > 2
+          else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bench import HEADLINE
+    from osm_pg_etl_spark.plans.registry import all_queries
+    from osm_pg_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="floor-model")
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    queries = all_queries()
+    tracker = sc.statusTracker()
+
+    def run_grouped(group: str, fn) -> tuple[float, int, int]:
+        """Run fn under a job group; return (seconds, n_jobs, n_stages)."""
+        sc.setJobGroup(group, group)
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        sc.setJobGroup("idle", "idle")
+        jobs = tracker.getJobIdsForGroup(group)
+        stages = 0
+        for j in jobs:
+            info = tracker.getJobInfo(j)
+            stages += len(info.stageIds) if info else 0
+        return dt, len(jobs), stages
+
+    def noop_write(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # ---- fit (a, b): per-job and per-stage floor from 1- and 2-stage
+    # probes, median of many repeats (same probe pair as BENCHCMP's
+    # floor block, measured fresh so the fit matches THIS box state)
+    one = spark.range(1)
+    two = spark.range(1).groupBy((F.col("id") % 2).alias("k")).count()
+    # 10 untimed warm rounds: the first dozen scheduler round-trips of
+    # a fresh JVM carry JIT/codegen costs that would inflate the fit
+    # ~5-10x (observed) and make every query look floor-dominated
+    for _ in range(10):
+        noop_write(one), noop_write(two)
+    t1s, t2s = [], []
+    for i in range(25):
+        t1s.append(run_grouped(f"probe1_{i}", lambda: noop_write(one))[0])
+        t2s.append(run_grouped(f"probe2_{i}", lambda: noop_write(two))[0])
+    f1, f2 = statistics.median(t1s), statistics.median(t2s)
+    b = max(f2 - f1, 0.0)                       # per extra stage
+    a = max(f1 - b, 0.0)                        # per job
+    print(f"floor fit: 1-stage {f1*1e3:.1f} ms, 2-stage {f2*1e3:.1f} ms "
+          f"-> a={a*1e3:.1f} ms/job, b={b*1e3:.1f} ms/stage",
+          file=sys.stderr)
+
+    # DuckDB medians for context (provenance: the committed interleaved
+    # A/B run — not re-measured here)
+    try:
+        cmp_doc = json.load(open("BENCHCMP.json"))
+        duck = {q: v["duckdb_s"] for q, v in cmp_doc["queries"].items()}
+    except (OSError, KeyError):
+        duck = {}
+
+    per_query: dict[str, dict] = {}
+    for name in HEADLINE:
+        spark.catalog.clearCache()
+        run_grouped(f"warm_{name}",
+                    lambda: noop_write(queries[name](spark, SF_DIR)))
+        times, jobs, stages = [], 0, 0
+        for r in range(REPEATS):
+            dt, jobs, stages = run_grouped(
+                f"{name}_{r}",
+                lambda: noop_write(queries[name](spark, SF_DIR)))
+            times.append(dt)
+        med = statistics.median(times)
+        pred = a * jobs + b * stages
+        row = {
+            "n_jobs": jobs, "n_stages": stages,
+            "pred_floor_s": round(pred, 3),
+            "spark_median_s": round(med, 3),
+            "floor_share": round(min(pred / med, 1.0), 3) if med else None,
+        }
+        if name in duck:
+            row["duckdb_s"] = duck[name]
+            row["ratio"] = round(med / duck[name], 2)
+            row["ratio_ex_floor"] = round(
+                max(med - pred, 0.0) / duck[name], 2)
+        per_query[name] = row
+        print(f"{name:24s} jobs={jobs:3d} stages={stages:3d} "
+              f"pred={pred:6.3f}s measured={med:6.3f}s "
+              f"share={row['floor_share']}", file=sys.stderr)
+
+    floor_dominated = {q: v for q, v in per_query.items()
+                       if v.get("floor_share", 0) >= 0.5}
+    out = {
+        "sf_dir": SF_DIR,
+        "repeats": REPEATS,
+        "fit": {"probe_1stage_s": round(f1, 4),
+                "probe_2stage_s": round(f2, 4),
+                "a_per_job_s": round(a, 4), "b_per_stage_s": round(b, 4)},
+        "duckdb_provenance": "BENCHCMP.json medians (interleaved A/B)",
+        "total_spark_s": round(sum(v["spark_median_s"]
+                                   for v in per_query.values()), 2),
+        "total_pred_floor_s": round(sum(v["pred_floor_s"]
+                                        for v in per_query.values()), 2),
+        "n_floor_dominated": len(floor_dominated),
+        "floor_dominated": sorted(floor_dominated),
+        "queries": per_query,
+    }
+    path = f"FLOOR_MODEL_{TAG}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(json.dumps({k: out[k] for k in
+                      ("total_spark_s", "total_pred_floor_s",
+                       "n_floor_dominated")}))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
