@@ -46,22 +46,29 @@ def range_boundaries(df: DataFrame, key: Column | str,
                      sample_per_bucket: int = 64) -> list:
     """Sorted boundary keys splitting ``key``'s value range into at most
     ``num_buckets`` roughly equal buckets.  Deterministic for a given
-    dataset: the sample membership is ``xxhash64(key) % m == 0``, a pure
-    function of the value.  Returns ``[]`` when the data is empty or tiny
-    (single bucket — correct, just unparallel)."""
+    dataset: the sample is the ``num_buckets * sample_per_bucket`` rows
+    with the SMALLEST ``(xxhash64(key), key)`` — a bottom-k uniform
+    sample that is a pure function of the value set (hash ties broken
+    by the key itself).  Returns ``[]`` when the data is empty or tiny
+    (single bucket — correct, just unparallel).
+
+    One driver action (TakeOrdered), driver memory bounded by the
+    sample size.  (r15: the previous scheme — count the table, then
+    collect rows where ``hash % m == 0`` — was equally deterministic
+    but cost TWO full-scan jobs per call; at sub-second benchmark
+    scale those scheduler round-trips dominated the queries built on
+    this, see FLOOR_MODEL_r15.json.)"""
     key = F.col(key) if isinstance(key, str) else key
     if num_buckets is None:
         num_buckets = int(df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
-    keyed = df.select(key.alias("_k")).where(F.col("_k").isNotNull())
-    n = keyed.count()
-    if n == 0 or num_buckets <= 1:
+    if num_buckets <= 1:
         return []
+    keyed = df.select(key.alias("_k")).where(F.col("_k").isNotNull())
     target = num_buckets * sample_per_bucket
-    m = max(1, n // target)
-    sample = [r[0] for r in keyed.where(
-        F.pmod(F.xxhash64("_k"), F.lit(m)) == 0).collect()]
-    sample.sort()
+    sample = sorted(r["_k"] for r in
+                    keyed.select("_k", F.xxhash64("_k").alias("_h"))
+                    .orderBy("_h", "_k").limit(target).collect())
     if len(sample) < 2:
         return []
     bounds = []

@@ -121,25 +121,40 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
     for tiny overlaps use an exact semi-join instead; this operator is
     for dashboard-grade overlap of large sets). Deterministic: register
     math is integer-exact, estimates are fixed-order double ops, so the
-    result is engine-identical and oracle-checkable."""
-    ra = hll_registers(a, value_col, (), p)
-    rb = hll_registers(b, value_col, (), p)
-    ru = (ra.unionByName(rb)
-          .groupBy("_reg").agg(F.max("_rank").alias("_rank")))
-    ea = hll_estimate_from_registers(ra, (), p) \
-        .select(F.col("hll_estimate").alias("est_a"))
-    eb = hll_estimate_from_registers(rb, (), p) \
-        .select(F.col("hll_estimate").alias("est_b"))
-    eu = hll_estimate_from_registers(ru, (), p) \
-        .select(F.col("hll_estimate").alias("est_union"))
-    # three 1-row frames — the bounded crossJoin pattern (scalar totals)
-    return (ea.crossJoin(eb).crossJoin(eu)
-            .select(F.round("est_a", 6).alias("est_a"),
-                    F.round("est_b", 6).alias("est_b"),
-                    F.round("est_union", 6).alias("est_union"),
-                    F.round(F.col("est_a") + F.col("est_b")
-                            - F.col("est_union"), 6)
-                    .alias("est_intersection")))
+    result is engine-identical and oracle-checkable.
+
+    Plan shape (r15): the two inputs are TAGGED and unioned so the
+    register build is ONE keyed aggregation ``groupBy(side, reg)``
+    (its exchange is reused by the union-sketch merge), and the three
+    estimates come out of one grouped aggregate that pivots to a
+    single row — no per-estimate scalar crossJoin broadcasts. The r14
+    plan ran two register aggs, three 1-row estimate aggs and two
+    broadcast joins: identical values, ~3x the AQE job count, which at
+    sub-second scale IS the runtime (the scheduler-floor effect
+    FLOOR_MODEL_r15.json quantifies)."""
+    ta = (a.select(F.col(value_col).alias("_v"))
+          .withColumn("_side", F.lit("a")))
+    tb = (b.select(F.col(value_col).alias("_v"))
+          .withColumn("_side", F.lit("b")))
+    regs = hll_registers(ta.unionByName(tb), "_v", ("_side",), p)
+    ru = (regs.groupBy("_reg").agg(F.max("_rank").alias("_rank"))
+          .select(F.lit("u").alias("_side"), "_reg", "_rank"))
+    est = hll_estimate_from_registers(
+        regs.unionByName(ru.select(*regs.columns)), ("_side",), p)
+
+    def pick(side: str):
+        return F.max(F.when(F.col("_side") == side,
+                            F.col("hll_estimate")))
+
+    piv = est.groupBy().agg(pick("a").alias("est_a"),
+                            pick("b").alias("est_b"),
+                            pick("u").alias("est_union"))
+    return piv.select(F.round("est_a", 6).alias("est_a"),
+                      F.round("est_b", 6).alias("est_b"),
+                      F.round("est_union", 6).alias("est_union"),
+                      F.round(F.col("est_a") + F.col("est_b")
+                              - F.col("est_union"), 6)
+                      .alias("est_intersection"))
 
 
 def hll_sql(value_expr: str, group_by: str = "", p: int = 10,

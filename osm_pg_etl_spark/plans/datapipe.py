@@ -1647,17 +1647,18 @@ def q_pack_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     global exclusive prefix sum over token counts in doc_id order, cut
     into capacity-token training sequences.
 
-    Stage-budget floor (measured sf0.1, warm, r6): ~1.2 s isolated
-    (bench median 1.7 s under scheduler contention) over only 5 000
-    documents = 4 job barriers — boundary sampling ~0.3 s, per-chunk
-    offset shuffle + collect ~0.3 s, broadcast-join + local windows
-    ~0.6 s (of which ~0.3 s is the tokenizing scan) — vs DuckDB's 63 ms
-    single in-process window. The floor is data-independent: passing
-    cached ``boundaries`` drops it to ~0.7 s, and at corpus scale the
-    same 4 barriers amortize over real data while the construction stays
-    skew-free (every window partition is one bounded range chunk; a
-    single global ORDER BY window — DuckDB's plan — is one reducer and
-    dies first)."""
+    Stage-budget floor: scheduler barriers, not data — boundary
+    sampling (ONE TakeOrdered job since r15's bottom-k
+    range_boundaries), per-chunk offset shuffle, broadcast-join +
+    bounded local windows — vs DuckDB's single in-process window
+    (per-query job/stage counts and the fitted floor live in
+    FLOOR_MODEL_r15.json; sf1 amortization in BENCHCMP_sf1.json). The
+    floor is data-independent: passing cached ``boundaries`` removes
+    the sampling job entirely, and at corpus scale the same barriers
+    amortize over real data while the construction stays skew-free
+    (every window partition is one bounded range chunk; a single
+    global ORDER BY window — DuckDB's plan — is one reducer and dies
+    first)."""
     docs = docs_t(spark, sf_dir)
     return text.pack_positions(docs, capacity=_PACK_CAPACITY)
 
@@ -1757,13 +1758,14 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the skew-free range-chunk prefix sum (no per-bucket global
     window).
 
-    Stage-budget floor (measured sf0.1, warm, r6): ~0.95-1.3 s isolated
-    (bench median 2.1 s under contention) over 5 000 docs — the same
-    4-barrier shape as pack_positions (boundary sampling, per-
-    (bucket, chunk) offset shuffle, broadcast-join + bounded local
-    windows) vs DuckDB's 65 ms in-process per-bucket window. Data-free
-    floor; the per-bucket global window DuckDB uses is one reducer per
-    length bucket (a handful for the whole corpus) at 100 TB."""
+    Stage-budget floor: the same barrier shape as pack_positions
+    (one-job bottom-k boundary sampling since r15, per-(bucket, chunk)
+    offset shuffle, broadcast-join + bounded local windows) vs
+    DuckDB's in-process per-bucket window — counts and fitted floor in
+    FLOOR_MODEL_r15.json, sf1 amortization in BENCHCMP_sf1.json.
+    Data-free floor; the per-bucket global window DuckDB uses is one
+    reducer per length bucket (a handful for the whole corpus) at
+    100 TB."""
     docs = docs_t(spark, sf_dir)
     return text.length_batches(docs, budget=_BATCH_BUDGET)
 

@@ -1854,8 +1854,18 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "purchase")
     est = sketch.hll_intersect_estimate(a, b, "user_id", p=10)
-    exact = (a.select("user_id").distinct()
-             .join(b.select("user_id").distinct(), "user_id", "left_semi")
+    # exact |A∩B| as ONE user-keyed flag aggregation (map-side
+    # combinable) — replaces the r14 distinct+distinct+semi-join+agg
+    # plan: same value, one exchange instead of three, and at
+    # sub-second scale the exchange count IS the runtime (see
+    # FLOOR_MODEL_r15.json)
+    exact = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("_a"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("_b"))
+             .filter((F.col("_a") == 1) & (F.col("_b") == 1))
              .agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
     return est.crossJoin(exact)
 

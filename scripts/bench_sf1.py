@@ -78,7 +78,10 @@ def main() -> None:
     spark = get_spark(app_name=f"bench-sf1-{K}x")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(DIR, "_DONE")):
+    # r15 added the events table: re-materialize if a pre-r15 DIR
+    # lacks it (the _DONE marker alone would mask that)
+    if (not os.path.exists(os.path.join(DIR, "_DONE"))
+            or not os.path.exists(os.path.join(DIR, "events.parquet"))):
         rd = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")  # noqa: E731
         pspan = rd("part").agg(F.max("p_partkey")).collect()[0][0] + 1
         # order-key span from ORDERS (the superset of lineitem's keys):
