@@ -4,11 +4,12 @@ ratios vs DuckDB are claimed to be SCHEDULER-FLOOR-dominated, not
 plan problems — this script proves it per query instead of asserting
 it.
 
-Model: Spark's fixed cost per query ~= a * n_jobs + b * n_stages,
-with (a, b) fitted from two in-harness probes (a 1-row noop-sink job =
-one job/one stage; the same plus a 1-row groupBy = one job/two
-stages — the exact probe pair BENCHCMP.json's floor block records).
-n_jobs / n_stages come from the SparkContext status tracker with a
+Model: Spark's fixed cost per query ~= a*n_jobs + b*n_stages +
+c*n_tasks, with (a, b, c) solved from three in-harness probes (a
+1-row noop-sink job; the same plus a 1-row groupBy exchange; a
+32-task single-stage job) using the probes' MEASURED job/stage/task
+counts — under AQE the shuffle probe is 2 jobs / 3 stages, not the
+naive 1/2. Counts come from the SparkContext status tracker with a
 job group per query, so eager localCheckpoint jobs inside plan
 construction are counted too.
 
@@ -54,19 +55,23 @@ def main() -> None:
     queries = all_queries()
     tracker = sc.statusTracker()
 
-    def run_grouped(group: str, fn) -> tuple[float, int, int]:
-        """Run fn under a job group; return (seconds, n_jobs, n_stages)."""
+    def run_grouped(group: str, fn) -> tuple[float, int, int, int]:
+        """Run fn under a job group; return (secs, jobs, stages, tasks)."""
         sc.setJobGroup(group, group)
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
         sc.setJobGroup("idle", "idle")
         jobs = tracker.getJobIdsForGroup(group)
-        stages = 0
+        stages = tasks = 0
         for j in jobs:
             info = tracker.getJobInfo(j)
-            stages += len(info.stageIds) if info else 0
-        return dt, len(jobs), stages
+            for sid in (info.stageIds if info else ()):
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo:
+                    stages += 1
+                    tasks += sinfo.numTasks
+        return dt, len(jobs), stages, tasks
 
     def noop_write(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -74,23 +79,44 @@ def main() -> None:
     # ---- fit (a, b): per-job and per-stage floor from 1- and 2-stage
     # probes, median of many repeats (same probe pair as BENCHCMP's
     # floor block, measured fresh so the fit matches THIS box state)
-    one = spark.range(1)
-    two = spark.range(1).groupBy((F.col("id") % 2).alias("k")).count()
+    # partition counts pinned: range(1) defaults to 32 partitions,
+    # which would make probe 0 the same (jobs, stages, tasks) shape as
+    # probe 2 and the solve singular
+    probes = [spark.range(0, 1, 1, 1),          # 1 job / 1 stage / 1 task
+              # a REAL exchange: 8 map partitions so AQE cannot collapse
+              # the shuffle into the scan stage (a 1-partition input
+              # planned as 1 job / 1 stage and made the solve singular)
+              spark.range(0, 64, 1, 8)
+              .groupBy((F.col("id") % 4).alias("k")).count(),
+              spark.range(0, 32, 1, 32)]       # 32 one-row tasks, 1 stage
     # 10 untimed warm rounds: the first dozen scheduler round-trips of
     # a fresh JVM carry JIT/codegen costs that would inflate the fit
     # ~5-10x (observed) and make every query look floor-dominated
     for _ in range(10):
-        noop_write(one), noop_write(two)
-    t1s, t2s = [], []
-    for i in range(25):
-        t1s.append(run_grouped(f"probe1_{i}", lambda: noop_write(one))[0])
-        t2s.append(run_grouped(f"probe2_{i}", lambda: noop_write(two))[0])
-    f1, f2 = statistics.median(t1s), statistics.median(t2s)
-    b = max(f2 - f1, 0.0)                       # per extra stage
-    a = max(f1 - b, 0.0)                        # per job
-    print(f"floor fit: 1-stage {f1*1e3:.1f} ms, 2-stage {f2*1e3:.1f} ms "
-          f"-> a={a*1e3:.1f} ms/job, b={b*1e3:.1f} ms/stage",
-          file=sys.stderr)
+        for pdf in probes:
+            noop_write(pdf)
+    meds, shapes = [], []
+    for k, pdf in enumerate(probes):
+        ts, shape = [], (0, 0, 0)
+        for i in range(25):
+            dt, pj, ps, pt = run_grouped(
+                f"probe{k}_{i}", lambda pdf=pdf: noop_write(pdf))
+            ts.append(dt)
+            shape = (pj, ps, pt)
+        meds.append(statistics.median(ts))
+        shapes.append(shape)
+    # exact 3x3 solve on the probes' MEASURED (jobs, stages, tasks)
+    import numpy as np
+    A = np.array(shapes, dtype=float)
+    try:
+        a, b, c = (max(x, 0.0) for x in np.linalg.solve(A, np.array(meds)))
+    except np.linalg.LinAlgError:
+        a, c = 0.0, 0.0
+        b = meds[0] / shapes[0][1] if shapes[0][1] else 0.0
+    for k, (m, sh) in enumerate(zip(meds, shapes)):
+        print(f"probe{k}: {m*1e3:.1f} ms shape={sh}", file=sys.stderr)
+    print(f"floor fit: a={a*1e3:.2f} ms/job, b={b*1e3:.2f} ms/stage, "
+          f"c={c*1e3:.2f} ms/task", file=sys.stderr)
 
     # DuckDB medians for context (provenance: the committed interleaved
     # A/B run — not re-measured here)
@@ -105,16 +131,16 @@ def main() -> None:
         spark.catalog.clearCache()
         run_grouped(f"warm_{name}",
                     lambda: noop_write(queries[name](spark, SF_DIR)))
-        times, jobs, stages = [], 0, 0
+        times, jobs, stages, tasks = [], 0, 0, 0
         for r in range(REPEATS):
-            dt, jobs, stages = run_grouped(
+            dt, jobs, stages, tasks = run_grouped(
                 f"{name}_{r}",
                 lambda: noop_write(queries[name](spark, SF_DIR)))
             times.append(dt)
         med = statistics.median(times)
-        pred = a * jobs + b * stages
+        pred = a * jobs + b * stages + c * tasks
         row = {
-            "n_jobs": jobs, "n_stages": stages,
+            "n_jobs": jobs, "n_stages": stages, "n_tasks": tasks,
             "pred_floor_s": round(pred, 3),
             "spark_median_s": round(med, 3),
             "floor_share": round(min(pred / med, 1.0), 3) if med else None,
@@ -126,7 +152,7 @@ def main() -> None:
                 max(med - pred, 0.0) / duck[name], 2)
         per_query[name] = row
         print(f"{name:24s} jobs={jobs:3d} stages={stages:3d} "
-              f"pred={pred:6.3f}s measured={med:6.3f}s "
+              f"tasks={tasks:5d} pred={pred:6.3f}s measured={med:6.3f}s "
               f"share={row['floor_share']}", file=sys.stderr)
 
     floor_dominated = {q: v for q, v in per_query.items()
@@ -134,9 +160,10 @@ def main() -> None:
     out = {
         "sf_dir": SF_DIR,
         "repeats": REPEATS,
-        "fit": {"probe_1stage_s": round(f1, 4),
-                "probe_2stage_s": round(f2, 4),
-                "a_per_job_s": round(a, 4), "b_per_stage_s": round(b, 4)},
+        "fit": {"probe_medians_s": [round(m, 4) for m in meds],
+                "probe_shapes_jobs_stages_tasks": shapes,
+                "a_per_job_s": round(a, 5), "b_per_stage_s": round(b, 5),
+                "c_per_task_s": round(c, 5)},
         "duckdb_provenance": "BENCHCMP.json medians (interleaved A/B)",
         "total_spark_s": round(sum(v["spark_median_s"]
                                    for v in per_query.values()), 2),
