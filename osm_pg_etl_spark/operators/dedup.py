@@ -80,7 +80,15 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                        F.posexplode(F.split(F.col(text_col), sep_pattern))
                        .alias("_pos", "_para"))
              .filter(F.trim(F.col("_para")) != "")
-             .withColumn("_ph", md5_hex(F.col("_para"))))
+             .withColumn("_ph", md5_hex(F.col("_para")))
+             # materialized once (lazily; no cache pin outlives the
+             # query): the first-occurrence agg and the keep join prune
+             # different columns, so their subplans canonicalize
+             # differently and Spark will NOT reuse the exchange — the
+             # split/hash scan would run per consumer (r15, measured at
+             # sf1). This is the exploded paragraph table an industrial
+             # boilerplate pass persists anyway.
+             .localCheckpoint(eager=False))
     first = (paras.groupBy("_ph")
              .agg(F.min(F.struct(F.col(id_col).alias("_fid"),
                                  F.col("_pos").alias("_fpos"))).alias("_f")))
@@ -481,13 +489,19 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                       F.explode(positioned_ngrams(text_col, n)).alias("_gram"))
             .select(id_col, md5_hex("_gram").alias("gh"))
             .groupBy("gh", id_col)
-            .agg(F.count(F.lit(1)).alias("mult")))
-    # grid feeds two consumers; its (gh, id) aggregation exchange is
-    # identical in both branches, so AQE reuses it and the expensive
-    # tokenize/gram/md5 corpus scan runs exactly once. The doc-count
-    # branch partial-aggregates before its exchange (a hot gram
-    # collapses to one row per map task); the join back is a plain
-    # gram-keyed equi-join AQE can skew-split.
+            .agg(F.count(F.lit(1)).alias("mult"))
+            # materialized once (lazily): the doc-count branch prunes
+            # `mult`, so its grid subplan canonicalizes differently
+            # from the join branch's and Spark will NOT reuse the
+            # aggregation exchange — without this the tokenize/gram/
+            # md5 corpus scan runs per consumer (r15: measured 5.3 ->
+            # 9.7 s at sf1 before the checkpoint). The grid is the
+            # narrow (gram-hash, doc, mult) posting table an
+            # industrial dedup pass persists anyway.
+            .localCheckpoint(eager=False))
+    # the doc-count branch partial-aggregates before its exchange (a
+    # hot gram collapses to one row per map task); the join back is a
+    # plain gram-keyed equi-join AQE can skew-split.
     gh_docs = grid.groupBy("gh").agg(F.count(F.lit(1)).alias("_nd"))
     marked = grid.join(gh_docs, "gh")
     per_doc = (marked.groupBy(id_col)
@@ -722,7 +736,15 @@ def remove_duplicate_spans(df: DataFrame, min_tokens: int = 50,
         "CAST(array() AS array<struct<p:int,gh:string>>)"))
     pos = (base.select(F.col(id_col), F.explode(grams).alias("_g"))
            .select(id_col, F.col("_g.p").alias("p"),
-                   F.col("_g.gh").alias("gh")))
+                   F.col("_g.gh").alias("gh"))
+           # materialized once (lazily): the stats agg and the
+           # occurrence-marking join would otherwise each re-run the
+           # tokenize/window/md5 explode (their pruned subplans do not
+           # canonicalize equal, so no ReusedExchange). The posting
+           # table is ~one 16-byte digest + (id, pos) per token —
+           # the structure Lee et al.'s ExactSubstr implementation
+           # materializes on disk at corpus scale too.
+           .localCheckpoint(eager=False))
     stats = (pos.groupBy("gh")
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.min(F.struct(F.col(id_col).alias("_fid"),
