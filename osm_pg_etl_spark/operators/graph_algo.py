@@ -39,6 +39,28 @@ def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             .distinct())
 
 
+def _iter_cache(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialize a table that a round loop will equi-join on ``keys[0]``
+    every iteration: localCheckpoint (rounds embed a plan LEAF, so
+    per-round optimizer cost stays flat), then hash-partition on the join
+    key, sort within partitions by all join keys, and cache.
+
+    The cache — not the checkpoint — is what makes the rounds cheap: an
+    InMemoryRelation preserves outputPartitioning AND outputOrdering, so
+    every round's sort-merge join reads the table with NO exchange and NO
+    sort, while a bare ``localCheckpoint`` reports UnknownPartitioning
+    from its LogicalRDD (verified on 4.1.2) and every round re-shuffled
+    and re-sorted the full table. One partitioning established once,
+    reused by every keyed round — guide §2.4. The partition count follows
+    ``spark.sql.shuffle.partitions`` (scale-configured, not hard-coded);
+    a mismatch on the other (per-round, much smaller) side of the join
+    costs only that side's exchange, exactly what it cost before."""
+    return (df.localCheckpoint()
+            .repartition(keys[0])
+            .sortWithinPartitions(*keys)
+            .cache())
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 50,
                          return_rounds: bool = False):
@@ -125,9 +147,10 @@ def shortest_paths(edges: DataFrame, source: int, max_hops: int = 4,
     minimum over all ≤k-edge path sums. Returns (node, dist); unreached
     nodes are absent.
     """
-    e = edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"),
-                     F.col(weight).cast("double").alias("w")).cache()
+    e = _iter_cache(edges.select(F.col(src).cast("long").alias("u"),
+                                 F.col(dst).cast("long").alias("v"),
+                                 F.col(weight).cast("double").alias("w")),
+                    "u")
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0.0)], "node long, dist double")
     for _ in range(max_hops):
@@ -193,10 +216,13 @@ def shortest_paths_weighted(edges: DataFrame, source,
         raise TypeError("source must be a node id or a list of node ids, "
                         "not a bool")
     single = not isinstance(source, Iterable)
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"),
-                      F.col(weight).cast("double").alias("w"))
-         .localCheckpoint())
+    # _iter_cache keyed on u: every relaxation round joins the static edge
+    # list on the frontier's node key — previously each of the (tens of)
+    # rounds re-shuffled and re-sorted the whole edge table
+    e = _iter_cache(edges.select(F.col(src).cast("long").alias("u"),
+                                 F.col(dst).cast("long").alias("v"),
+                                 F.col(weight).cast("double").alias("w")),
+                    "u")
     spark = edges.sparkSession
     sources = [int(source)] if single else [int(x) for x in source]
     # multi-source: every wave advances in the SAME rounds keyed on
@@ -278,6 +304,11 @@ def shortest_paths_radius(edges: DataFrame, source,
                       F.col(dst).cast("long").alias("v"),
                       F.col(weight).cast("double").alias("w"))
          .localCheckpoint())
+    # NOTE the shortcut-doubling loop below deliberately keeps plain
+    # per-round localCheckpoints: sc changes every round (the self-join
+    # squares it), so there is no static table whose partitioning a
+    # later round could reuse — _iter_cache would only add a per-round
+    # exchange + cache-store for nothing.
     sc = (e.filter((F.col("w") < F.lit(float(delta))) & (F.col("u") != F.col("v")))
           .groupBy("u", "v").agg(F.min("w").alias("w"))
           .localCheckpoint())
@@ -301,9 +332,10 @@ def shortest_paths_radius(edges: DataFrame, source,
         if (row["c"], row["h"]) == sig:
             break
         sig = (row["c"], row["h"])
+    # no checkpoint on aug: shortest_paths_weighted _iter_cache-s its own
+    # projection of it, so materializing here would just double the pass
     aug = (e.unionByName(sc)
-           .groupBy("u", "v").agg(F.min("w").alias("w"))
-           .localCheckpoint())
+           .groupBy("u", "v").agg(F.min("w").alias("w")))
     out = shortest_paths_weighted(aug, source, src="u", dst="v",
                                   weight="w", max_rounds=max_rounds,
                                   return_rounds=return_rounds)
@@ -532,7 +564,10 @@ def turn_restricted_distances(directed: DataFrame, source: int,
                       .collect()}
         trans = _via_way_stateful_transitions(
             trans, e0, via_way_restrictions, banned, forbid_uturn)
-    trans = trans.localCheckpoint()
+    # keyed on (from_u, via[, st_from]): every relaxation round joins the
+    # static transition table on exactly these frontier keys
+    trans = _iter_cache(trans, "from_u", "via",
+                        *(["st_from"] if stateful else []))
     dist = (e0.filter(F.col("u") == int(source))
             .select("u", "v", F.col("w").alias("dist"))
             .localCheckpoint())
@@ -598,7 +633,8 @@ def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
     if not directed:
         e = e.unionByName(e.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
-    e = e.filter(F.col("u") != F.col("v")).distinct().cache()
+    # keyed on u: every BFS level joins the frontier on e["u"]
+    e = _iter_cache(e.filter(F.col("u") != F.col("v")).distinct(), "u")
 
     spark = edges.sparkSession
     srcs = spark.createDataFrame([(int(s),) for s in sources], "s long")
@@ -662,13 +698,17 @@ def betweenness(edges: DataFrame, sources: list[int], max_depth: int = 6,
     (node, betweenness) for every node on some counted shortest path;
     isolated / never-intermediate nodes report 0 via the final left join.
     """
-    vis = sigma_table(edges, sources, max_depth, directed, src, dst).cache()
+    # vis keyed on node: every level joins (s, node) / node==u, both
+    # satisfied by HashPartitioning(node); e keyed on u for the same
+    # per-level predecessor join
+    vis = _iter_cache(sigma_table(edges, sources, max_depth, directed,
+                                  src, dst), "node")
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     if not directed:
         e = e.unionByName(e.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
-    e = e.filter(F.col("u") != F.col("v")).distinct().cache()
+    e = _iter_cache(e.filter(F.col("u") != F.col("v")).distinct(), "u")
 
     lmax = vis.agg(F.max("dist")).collect()[0][0] or 0
     # delta rows exist for every visited node at levels >= the one being
@@ -857,7 +897,8 @@ def _power_iteration(edges: DataFrame, seeds: list[int] | None,
              .distinct().cache())
     n = nodes.count() if seeds is None else len(seeds)
     out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = e.join(out, "u").select("u", "v", "outdeg").cache()
+    # keyed on u: every power iteration joins pr on links["u"]
+    links = _iter_cache(e.join(out, "u").select("u", "v", "outdeg"), "u")
     if seeds is None:
         is_seed = F.lit(True)
         pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
@@ -965,6 +1006,17 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
     exactly this operator's contract — and its value→count map state is
     bounded by node degree, partial-merged map-side). All shuffles are
     keyed on node id; nothing is collected to the driver.
+
+    r15: the edge table stays a plain ``localCheckpoint`` — ``_iter_cache``
+    (hash-partition on the round join key + sort + cache) was measured
+    here and LOST: with only ``n_iter`` = 4 keyed rounds the extra
+    partition+sort+cache-store pass and the pinned partition count (which
+    AQE can no longer coalesce at small scale) cost more than the four
+    saved edge-side exchanges (A/B at sf0.1, 5 interleaved reps:
+    iter_cache median 8.41 s vs checkpoint 8.26 s on osm_communities;
+    scripts/ab_lpa.py). The many-round operators (pagerank, betweenness,
+    Bellman-Ford SSSP — tens of keyed rounds over the same static table)
+    DO amortize the build and ride ``_iter_cache``.
     Returns (node, community).
     """
     e = symmetric_edges(edges, src, dst).localCheckpoint()
@@ -1102,21 +1154,23 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
 
     Returns (node, community) for every original node.
     """
+    # we keyed on b: every move round's first join is wedges⋈labels on b
+    # (_louvain_round); deg keyed on id: every round joins it on id / a
     if weight is None:
-        e = symmetric_edges(edges, src, dst).localCheckpoint()
+        e = _iter_cache(symmetric_edges(edges, src, dst), "b")
         we = e.select("a", "b", F.lit(1).cast("long").alias("w"))
     else:
         raw = edges.select(F.col(src).cast("long").alias("a"),
                            F.col(dst).cast("long").alias("b"),
                            F.col(weight).cast("long").alias("w"))
-        we = (raw.unionByName(raw.select(F.col("b").alias("a"),
-                                         F.col("a").alias("b"), "w"))
-              .filter(F.col("a") != F.col("b"))
-              .groupBy("a", "b").agg(F.min("w").alias("w"))
-              .localCheckpoint())
+        we = _iter_cache(
+            raw.unionByName(raw.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"), "w"))
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b").agg(F.min("w").alias("w")), "b")
         e = we
-    deg = (we.groupBy(F.col("a").alias("id"))
-           .agg(F.sum("w").alias("k")).localCheckpoint())
+    deg = _iter_cache(we.groupBy(F.col("a").alias("id"))
+                      .agg(F.sum("w").alias("k")), "id")
     m2 = float(deg.agg(F.sum("k")).collect()[0][0] or 0)
     if m2 == 0:
         out = e.select(F.col("a").alias("node"),
@@ -1154,13 +1208,16 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
                                F.col("label").alias("ca"))
             lbj = labels.select(F.col("id").alias("b"),
                                 F.col("label").alias("cb"))
-            we = (we.join(la, "a").join(lbj, "b")
-                  .filter(F.col("ca") != F.col("cb"))
-                  .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
-                  .agg(F.sum("w").alias("w")).localCheckpoint())
-            deg = (labels.join(deg, "id")
-                   .groupBy(F.col("label").alias("id"))
-                   .agg(F.sum("k").alias("k")).localCheckpoint())
+            # b-join first: we is b-partitioned, so the heavier join of
+            # the contraction runs exchange-free on the we side
+            we = _iter_cache(
+                we.join(lbj, "b").join(la, "a")
+                .filter(F.col("ca") != F.col("cb"))
+                .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+                .agg(F.sum("w").alias("w")), "b")
+            deg = _iter_cache(labels.join(deg, "id")
+                              .groupBy(F.col("label").alias("id"))
+                              .agg(F.sum("k").alias("k")), "id")
     out = orig.select(F.col("id").alias("node"),
                       F.col("label").alias("community"))
     return (out, executed) if return_rounds else out
