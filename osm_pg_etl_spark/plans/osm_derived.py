@@ -2253,6 +2253,45 @@ def derive_ways_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(way_ids, "id", "left_semi"))
 
 
+def derive_car_way_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The car_network EDGE-ID SET as an (edge_id) DataFrame, for
+    consumers that never touch geometry, length or tags beyond the
+    include/exclude rules (r15). Membership in the car network is a pure
+    function of the way's tags plus way existence, so this derives it in
+    plain-column cascade form — each probed tag projected ONCE as its
+    own column from ``_way_tag_exprs`` and the ``CAR_HIGHWAY_INCLUDE`` /
+    ``CAR_EXCLUDE_RULES`` filters (imported from operators.network — one
+    source of truth) compiled against attribute references — and
+    semi-joins the distinct way ids. Routing through
+    ``car_network(derive_osm(...)["ways"])`` instead forces the whole
+    way-assembly subplan (sequence window + nodes join + collect_list)
+    that column pruning cannot cross, and probing the tags MAP re-inlines
+    the full CreateMap at every of the ~7 filter sites once it crosses a
+    projection boundary (the r8 lesson). Measured sf0.1, 5-rep
+    clearCache noop median: edge-id subplan 1.25 s → 0.61 s. A rule key
+    the synthetic tags never emit degrades to NULL (isin → NULL →
+    excluded-by-coalesce), exactly the absent-map-key semantics."""
+    from ..operators.network import (  # noqa: PLC0415
+        CAR_EXCLUDE_RULES, CAR_HIGHWAY_INCLUDE)
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    exprs = _way_tag_exprs(key)
+    probed = {"highway"} | {k for k, _ in CAR_EXCLUDE_RULES}
+    proj = orders.select(key.alias("edge_id"),
+                         *[exprs[k].alias(k) for k in sorted(probed)
+                           if k in exprs])
+    proj = proj.filter(F.col("highway").isin(*CAR_HIGHWAY_INCLUDE))
+    excl: Column = F.lit(False)
+    for k, values in CAR_EXCLUDE_RULES:
+        c = F.col(k) if k in exprs else F.lit(None).cast("string")
+        excl = excl | c.isin(*values)
+    proj = proj.filter(~F.coalesce(excl, F.lit(False)))
+    way_ids = li.select(F.col("l_orderkey").alias("edge_id")).distinct()
+    return proj.join(way_ids, "edge_id", "left_semi").select("edge_id")
+
+
 def q_osm_mode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode flags depend only on tags, so build a geometry-free network
     projection (the cascade operator is identical; skipping the linestring
@@ -3154,10 +3193,18 @@ def q_osm_explore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch's presentation sort — 5 whole stage barriers saved.
     # localCheckpoint over cache: same 5-way reuse, but deserialized
     # blocks skip the columnar-serialize step a map column pays in the
-    # InMemoryRelation (measured ~10% on this gate at sf0.1)
+    # InMemoryRelation (measured ~10% on this gate at sf0.1).
+    # r15: eager=False — the eager checkpoint ran the wtags subplan as
+    # its own job BEFORE the union job (a full barrier: nothing else
+    # could overlap it). Lazily-checkpointed, the first branch stage to
+    # touch a partition computes-and-persists it and concurrent stages
+    # block on the BlockManager's per-block lock rather than recompute,
+    # so the five branches still share one materialization but the
+    # barrier is gone (A/B at sf0.1, 5-rep build+noop median:
+    # 2.18 s → 2.08 s; same result, one fewer job).
     cat = tags_summary_catalog(d["nodes"],
                                derive_ways_tags(spark, sf_dir)
-                               .localCheckpoint(),
+                               .localCheckpoint(eager=False),
                                ordered=False)
     lit = F.lit
 
@@ -3223,11 +3270,19 @@ def q_osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is keyed on relation_id or member_id (no skew; route
     relations have bounded membership), the edge-id probe side is
     DISTINCT-shrunk before the join, and the sf0.01→0.1 bench delta is
-    flat — fixed per-stage overhead, not data work."""
-    d = derive_osm(spark, sf_dir)
+    flat — fixed per-stage overhead, not data work.
+
+    r15: the summary consumes the network ONLY as the edge-id set
+    (``relation_route_summary`` projects ``edge_id`` and distincts it),
+    so feed it ``derive_car_way_ids`` — the same include/exclude rules
+    compiled over plain tag columns — instead of the full
+    ``car_network`` output, whose way-assembly subplan (sequence window
+    + nodes join + collect_list + linestring build) column pruning
+    cannot remove."""
     rels, members = derive_relations(t(spark, sf_dir, "customer"),
                                      t(spark, sf_dir, "orders"))
-    return relation_route_summary(rels, members, car_network(d["ways"]))
+    return relation_route_summary(rels, members,
+                                  derive_car_way_ids(spark, sf_dir))
 
 
 SQL_OSM_RELATION_MEMBERS = _cte(_WTAGS_SQL, _WN_SQL, _CN_SQL, _RELS_SQL,
