@@ -822,14 +822,27 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
     wedge (a→b, a→c) closed by edge (b→c). Returns
     (node, degree, n_triangles, clustering) for every node with degree
     ≥ 1; clustering = 2T / (deg·(deg−1)), 0 when degree < 2."""
-    und = symmetric_edges(edges, src, dst).cache()
+    # r15: the old `und.unpersist()` before returning ran at
+    # DataFrame-BUILD time (this operator is fully lazy, nothing has
+    # executed yet), so the cache was dropped before the action ever
+    # started and the whole upstream edge pipeline (for the OSM gates:
+    # derive → car_network → merged_network) was re-inlined at every one
+    # of und's plan references — osm_triangles at sf0.01 planned 341
+    # jobs/run, 34 s Spark wall. localCheckpoint (not cache) because und
+    # is referenced ~10× across the unrolled wedge plan (e embeds it
+    # thrice, e is itself referenced thrice): a cache leaves the full
+    # logical subtree at every reference and the analyzer alone took
+    # ~7 s; the checkpoint turns them into RDD-scan leaves. e (the
+    # oriented edge list, referenced as e1/e2/closer) is cached on top.
+    und = symmetric_edges(edges, src, dst).localCheckpoint()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     e = (und.join(deg.select(F.col("a").alias("a"), F.col("d").alias("da")),
                   "a")
          .join(deg.select(F.col("a").alias("b"), F.col("d").alias("db")),
                "b")
          .filter(F.struct("da", "a") < F.struct("db", "b"))
-         .select("a", "b", "da", "db"))
+         .select("a", "b", "da", "db")
+         .cache())
     e1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"),
                   F.col("db").alias("dv"))
     e2 = e.select(F.col("a").alias("u"), F.col("b").alias("w"),
@@ -847,7 +860,6 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
            .select("node", "degree",
                    F.coalesce("n_triangles", F.lit(0)).cast("long")
                    .alias("n_triangles")))
-    und.unpersist()
     return out.withColumn(
         "clustering",
         F.when(F.col("degree") >= 2,
