@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def _lit_double_array(values) -> Column:
+    """A literal array<double> built from ONE SQL-parsed expression
+    instead of one py4j round-trip per element (r15, guide §7.3
+    planning-time class): ``F.array(*[F.lit(x) ...])`` costs ~0.6 ms of
+    driver py4j chatter per element — a 64-dim hyperplane × 12 tables
+    × 4 planes query spent ~3 s just BUILDING its filter expression.
+    ``repr(float)`` is the shortest round-tripping decimal form and
+    Java's ``Double.parseDouble`` is correctly rounded, so every element
+    is bit-identical to the per-element literal (A/B checked incl.
+    subnormals, -0.0, 2^1023). Falls back to per-element literals for
+    non-finite values, which SQL text cannot carry."""
+    xs = [float(x) for x in values]
+    if not xs or not all(math.isfinite(x) for x in xs):
+        return F.array(*[F.lit(x) for x in xs])
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns, computed JVM-side."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -79,7 +96,7 @@ def brute_force_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     """Exact top-k by cosine against a literal query vector. The ORDER BY +
     LIMIT compiles to TakeOrderedAndProject — per-partition top-k then a
     single driver merge, no global sort shuffle."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_double_array(query)
     return (embeddings
             .select(F.col(id_col),
                     F.round(cosine(_as_double_array(F.col(vec_col)), q), 6)
@@ -107,7 +124,7 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit p set iff dot(vec, plane_p) >= 0. Narrow."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
+        lit_plane = _lit_double_array(plane)
         sig = sig + F.when(dot(vec, lit_plane) >= 0,
                            F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
@@ -161,7 +178,7 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         planes = _hyperplanes(dim, num_planes, seed + tbl)
         probes = _query_probe_buckets(query, planes, multi_probe)
         cond = cond | hyperplane_signature(vec, planes).isin(probes)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_double_array(query)
     return (embeddings.filter(cond)
             .select(F.col(id_col),
                     F.round(cosine(vec, q), 6)
@@ -376,7 +393,7 @@ def ivf_quantization_cost(embeddings: DataFrame,
     helped."""
     v = _as_double_array(F.col(vec_col))
     best = F.array_max(F.array(*[
-        F.struct(cosine(v, F.array(*[F.lit(x) for x in cv])).alias("s"),
+        F.struct(cosine(v, _lit_double_array(cv)).alias("s"),
                  F.lit(-cid).cast("long").alias("nc"))
         for cid, cv in centroids]))
     row = (embeddings.select((1.0 - best["s"]).alias("c"))
@@ -398,7 +415,7 @@ def ivf_assign(embeddings: DataFrame,
     v = _as_double_array(F.col(vec_col))
     best = F.array_max(F.array(*[
         F.struct(
-            cosine(v, F.array(*[F.lit(x) for x in cv])).alias("s"),
+            cosine(v, _lit_double_array(cv)).alias("s"),
             F.lit(-cid).cast("long").alias("nc"))
         for cid, cv in centroids]))
     return embeddings.withColumn("ivf_cell", (-best["nc"]).cast("long"))
@@ -427,7 +444,7 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 
     assigned = ivf_assign(embeddings, centroids, vec_col)
     candidates = assigned.filter(F.col("ivf_cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_double_array(query)
     return (candidates
             .select(F.col(id_col),
                     F.round(cosine(_as_double_array(F.col(vec_col)), q), 6)
