@@ -1818,8 +1818,13 @@ def q_osm_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
     merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
-    edges = merged.select(F.col("start_node").alias("src"),
-                          F.col("end_node").alias("dst"))
+    # r15: checkpoint the edge list ONCE — label_propagation and
+    # modularity_of each build their own symmetric view of it, and
+    # without this the whole derive→car_network→merged_network pipeline
+    # executed twice (once per operator's internal checkpoint)
+    edges = (merged.select(F.col("start_node").alias("src"),
+                           F.col("end_node").alias("dst"))
+             .localCheckpoint())
     return modularity_of(edges, label_propagation(edges, n_iter=_LPA_ITER))
 
 
