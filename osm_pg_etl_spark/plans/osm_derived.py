@@ -3114,7 +3114,16 @@ def q_osm_cdc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tags import tag_cross_summary
     from ..streaming.actions import apply_actions
 
-    ways = derive_osm(spark, sf_dir)["ways"]
+    # r15: the whole gate (changeset synthesis, MERGE, crosstab) touches
+    # only (id, tags) — and the oracle's CTE chain is likewise built on
+    # the geometry-free wtags view — so feed it derive_ways_tags instead
+    # of the assembled ways table, whose nodes/linestring collect_list
+    # subplan was re-inlined at each of the snapshot's three plan
+    # references; lazily checkpointed so the three references share one
+    # materialization without a build-time barrier (same recipe as
+    # q_osm_explore_summary). sf0.01, 3 warm reps: 23 → 8 jobs,
+    # build+exec 1.5 s → 1.0 s.
+    ways = derive_ways_tags(spark, sf_dir).localCheckpoint(eager=False)
     wid = F.col("id")
     touched = ways.where(wid % 7 == 0)
     actions = touched.select(
