@@ -25,8 +25,15 @@ round; convergence is a cheap (count, hash-sum) fixpoint on the edge set.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# unique observed-metric names for _ckpt_observe (one per materialization;
+# the name only has to be unique within a single QueryExecution, but a
+# process-wide counter keeps debugging unambiguous)
+_PROBE_SEQ = itertools.count()
 
 
 def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -59,6 +66,58 @@ def _iter_cache(df: DataFrame, *keys: str) -> DataFrame:
             .repartition(keys[0])
             .sortWithinPartitions(*keys)
             .cache())
+
+
+def _ckpt_observe(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
+    """Eager ``localCheckpoint`` with the given AGGREGATE expressions folded
+    into the materialization job as observed metrics (guide §1.4/§2.1).
+
+    Every fixpoint loop in this module must read a per-round scalar (row
+    count, change count, or a (count, hash) signature) from the table it
+    just checkpointed. Running that as a separate ``.agg().collect()`` /
+    ``.count()`` costs one extra scheduler job per round locally AND — the
+    100-TB cost — one extra full pass over the round's materialized RDD.
+    ``Dataset.observe`` computes the same aggregates in the checkpoint's
+    own tasks (CollectMetricsExec is a pass-through; the checkpointed rows
+    are identical), and the metrics arrive with the action's completion
+    event (verified on 4.1.2), so the probe becomes free.
+
+    The metrics are read SYNCHRONOUSLY from the executed plan's
+    ``QueryExecution.observedMetrics`` (complete when the action returns:
+    the DAGScheduler merges task accumulators before job completion) —
+    NOT via ``Observation.get``, which waits on the asynchronous listener
+    bus: under the event backlog of a many-job session that wait measured
+    SLOWER than the separate probe job it replaces (osm_louvain_refined
+    +2–3 s/run), while the synchronous read beats both (102 ms vs 123 ms
+    listener vs 180 ms separate-job per checkpoint+probe round, idle
+    session, 30 reps).
+
+    The observed values equal the separate aggregation's exactly: a
+    localCheckpoint computes every partition exactly once. (On a cluster
+    with speculative execution a duplicated task attempt could distort a
+    metric; signature COMPARISONS tolerate that the same way they already
+    tolerate xxhash collisions — a distorted signature can only fail to
+    match, forcing one extra round, unless it collides.)
+
+    Returns ``(checkpointed_df, metrics_dict)``.
+    """
+    from pyspark.serializers import CPickleSerializer
+
+    name = f"_ckpt_probe_{next(_PROBE_SEQ)}"
+    od = df.observe(name, *metrics)
+    ck = od.localCheckpoint()
+    jrow = od._jdf.queryExecution().observedMetrics().apply(name)
+    utils = getattr(df.sparkSession._jvm,
+                    "org.apache.spark.sql.api.python.PythonSQLUtils")
+    return ck, CPickleSerializer().loads(utils.toPyRow(jrow)).asDict()
+
+
+def _sig_metrics(*hash_cols: str) -> tuple:
+    """The (count, xxhash-sum) fixpoint-signature aggregates used by the
+    contraction/doubling loops, as observe-able metric expressions."""
+    return (F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.xxhash64(*hash_cols).cast("decimal(38,0)")),
+                       F.lit(0)).alias("h"))
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -110,16 +169,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
               .distinct())
         # small-star over the oriented edges: all of Γ≤(u) ∪ {u} → min
         mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
-        e = (ls.join(mins2, "a")
-             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-             .unionByName(mins2.select("a", F.col("m").alias("b")))
-             .where(F.col("a") != F.col("b"))
-             .distinct()
-             .localCheckpoint())
-        row = e.agg(F.count(F.lit(1)).alias("c"),
-                    F.coalesce(F.sum(F.xxhash64("a", "b")
-                                     .cast("decimal(38,0)")), F.lit(0))
-                    .alias("h")).collect()[0]
+        # fixpoint signature observed inside the checkpoint job itself —
+        # no separate per-round pass over e (_ckpt_observe)
+        e, row = _ckpt_observe(
+            ls.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct(),
+            *_sig_metrics("a", "b"))
         if (row["c"], row["h"]) == sig:
             break
         sig = (row["c"], row["h"])
@@ -240,14 +298,16 @@ def shortest_paths_weighted(edges: DataFrame, source,
                          F.lit(None).cast("double").alias("prev")))
         cur = dist.select("s", "node", "dist",
                           F.col("dist").alias("prev"))
-        new = (cur.unionByName(relax)
-               .groupBy("s", "node").agg(F.min("dist").alias("dist"),
-                                         F.min("prev").alias("prev"))
-               .localCheckpoint())
-        frontier = (new.filter(F.col("prev").isNull()
-                               | (F.col("dist") < F.col("prev")))
-                    .select("s", "node", "dist"))
-        changed = frontier.count()
+        improved = F.col("prev").isNull() | (F.col("dist") < F.col("prev"))
+        # the frontier-size probe rides the checkpoint job as an observed
+        # metric instead of a second pass over new (_ckpt_observe)
+        new, m = _ckpt_observe(
+            cur.unionByName(relax)
+            .groupBy("s", "node").agg(F.min("dist").alias("dist"),
+                                      F.min("prev").alias("prev")),
+            F.count(F.when(improved, 1)).alias("chg"))
+        frontier = new.filter(improved).select("s", "node", "dist")
+        changed = m["chg"]
         dist = new.select("s", "node", "dist")
         rounds += 1
         if changed == 0:
@@ -322,13 +382,10 @@ def shortest_paths_radius(edges: DataFrame, source,
                        (F.col("x.w") + F.col("y.w")).alias("w"))
                .filter((F.col("w") < F.lit(float(delta)))
                        & (F.col("u") != F.col("v"))))
-        sc = (sc.unionByName(hop)
-              .groupBy("u", "v").agg(F.min("w").alias("w"))
-              .localCheckpoint())
-        row = sc.agg(F.count(F.lit(1)).alias("c"),
-                     F.coalesce(F.sum(F.xxhash64("u", "v")
-                                      .cast("decimal(38,0)")), F.lit(0))
-                     .alias("h")).collect()[0]
+        # fixpoint signature observed inside the checkpoint job
+        sc, row = _ckpt_observe(
+            sc.unionByName(hop).groupBy("u", "v").agg(F.min("w").alias("w")),
+            *_sig_metrics("u", "v"))
         if (row["c"], row["h"]) == sig:
             break
         sig = (row["c"], row["h"])
@@ -590,14 +647,15 @@ def turn_restricted_distances(directed: DataFrame, source: int,
             relax_cols.insert(2, F.col("st_to").alias("st"))
         relax = trans.join(frontier, cond).select(*relax_cols)
         cur = dist.select(*keys, "dist", F.col("dist").alias("prev"))
-        new = (cur.unionByName(relax)
-               .groupBy(*keys).agg(F.min("dist").alias("dist"),
-                                   F.min("prev").alias("prev"))
-               .localCheckpoint())
-        frontier = (new.filter(F.col("prev").isNull()
-                               | (F.col("dist") < F.col("prev")))
-                    .select(*keys, "dist"))
-        changed = frontier.count()
+        improved = F.col("prev").isNull() | (F.col("dist") < F.col("prev"))
+        # frontier-size probe folded into the checkpoint job (_ckpt_observe)
+        new, m = _ckpt_observe(
+            cur.unionByName(relax)
+            .groupBy(*keys).agg(F.min("dist").alias("dist"),
+                                F.min("prev").alias("prev")),
+            F.count(F.when(improved, 1)).alias("chg"))
+        frontier = new.filter(improved).select(*keys, "dist")
+        changed = m["chg"]
         dist = new.select(*keys, "dist")
         rounds += 1
         if changed == 0:
@@ -651,12 +709,14 @@ def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
     for d in range(1, max_depth + 1):
         cand = (frontier.join(e, frontier["node"] == e["u"])
                 .select("s", F.col("v").alias("node"), "sigma"))
-        nxt = (cand.join(visited.select("s", "node"), ["s", "node"],
-                         "left_anti")
-               .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
-               .select("s", "node", F.lit(d).alias("dist"), "sigma")
-               .localCheckpoint())
-        if nxt.isEmpty():
+        # the emptiness probe rides the checkpoint job (_ckpt_observe)
+        nxt, m = _ckpt_observe(
+            cand.join(visited.select("s", "node"), ["s", "node"],
+                      "left_anti")
+            .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+            .select("s", "node", F.lit(d).alias("dist"), "sigma"),
+            F.count(F.lit(1)).alias("c"))
+        if m["c"] == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
@@ -1082,8 +1142,9 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
     computes bit-identical scores.
 
     Cost: one edges⋈labels shuffle join keyed on node, one community-keyed
-    aggregate for Σtot, and one degree-bounded per-node window — the same
-    shape as one LPA round plus the Σtot join. Nothing driver-side.
+    aggregate for Σtot, and one degree-bounded per-node argmax aggregate —
+    the same shape as one LPA round plus the Σtot join. Nothing
+    driver-side.
     """
     lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
     k2c = (wedges.join(lb, "b")
@@ -1108,13 +1169,21 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
                       F.col("w2c").cast("double")
                       - F.col("k").cast("double")
                       * F.col("tot_adj").cast("double") / F.lit(m2)))
-    w = Window.partitionBy("a").orderBy(F.col("score").desc(),
-                                        F.col("cb").asc())
-    return (sc.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    # argmax as ONE hash aggregate instead of a row_number window (guide
+    # §2.3): the candidate table arrives hash-partitioned on a from the
+    # cand⋈cur join, so the window's only added physical work was a full
+    # SORT of every candidate row each round; min(struct(-score, cb, …))
+    # expresses the same (score DESC, cb ASC) argmax — double negation is
+    # an exact IEEE sign flip, and cb is unique within an a-group (cand is
+    # grouped by (a, cb)) so the trailing payload field never compares.
+    # Equivalence pinned by test_louvain_round_argmax_agg_equals_window.
+    win = F.min(F.struct((-F.col("score")).alias("ns"),
+                         F.col("cb").alias("cb"),
+                         F.col("ca").alias("ca"))).alias("_w")
+    return (sc.groupBy("a").agg(win)
             .select(F.col("a").alias("id"),
-                    F.when(F.col("cb") < F.col("ca"),
-                           F.col("cb")).otherwise(F.col("ca"))
+                    F.when(F.col("_w.cb") < F.col("_w.ca"),
+                           F.col("_w.cb")).otherwise(F.col("_w.ca"))
                     .alias("label")))
 
 
@@ -1201,17 +1270,18 @@ def louvain(edges: DataFrame, rounds: tuple = (6, 4, 3),
         sig = None
         done = 0
         for _ in range(n_rounds):
-            labels = _louvain_round(we, labels, deg, m2).localCheckpoint()
             done += 1
             if early_stop and 3 <= done < n_rounds:
-                row = labels.agg(
-                    F.count(F.lit(1)).alias("c"),
-                    F.coalesce(F.sum(F.xxhash64("id", "label")
-                                     .cast("decimal(38,0)")), F.lit(0))
-                    .alias("h")).collect()[0]
+                # convergence signature observed inside the round's own
+                # checkpoint job — the check no longer costs a pass
+                labels, row = _ckpt_observe(
+                    _louvain_round(we, labels, deg, m2),
+                    *_sig_metrics("id", "label"))
                 if (row["c"], row["h"]) == sig:
                     break
                 sig = (row["c"], row["h"])
+            else:
+                labels = _louvain_round(we, labels, deg, m2).localCheckpoint()
         executed.append(done)
         if orig is None:
             orig = labels
@@ -1350,16 +1420,20 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src", dst: str = "dst",
     fixpoint (the edge set only shrinks, so count equality IS stability —
     no hash needed).
     """
-    e = symmetric_edges(edges, src, dst).localCheckpoint()
-    n_prev = e.count()
+    e, m0 = _ckpt_observe(symmetric_edges(edges, src, dst),
+                          F.count(F.lit(1)).alias("c"))
+    n_prev = m0["c"]
     rounds = 0
     for _ in range(max_rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("a")
-        e2 = (e.join(keep, "a", "left_semi")
-              .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-              .select("a", "b").localCheckpoint())
-        n = e2.count()
+        # edge-count fixpoint probe folded into the checkpoint job
+        e2, m = _ckpt_observe(
+            e.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b"),
+            F.count(F.lit(1)).alias("c"))
+        n = m["c"]
         e = e2
         rounds += 1
         if n == n_prev:

@@ -333,7 +333,13 @@ def merged_network_incremental(old_network: DataFrame,
     the affected subset only.
     """
     ch = changed_way_ids.select("way_id").distinct()
-    new_wn = network_way_nodes(new_way_nodes, new_network)
+    # new_wn is read three times (the batch's new-row counts, the
+    # flipped-node membership scan, and the affected-subset way_nodes
+    # below); without the cache every reference re-derives
+    # new_way_nodes — from the gate that is a full way-assembly +
+    # posexplode per reference (guide §5: materialize multi-consumer
+    # intermediates once)
+    new_wn = network_way_nodes(new_way_nodes, new_network).cache()
     # restrict to the changed ways FIRST so the network semi-join and
     # count aggregation below touch only the batch's rows
     old_ch = network_way_nodes(
@@ -368,7 +374,14 @@ def merged_network_incremental(old_network: DataFrame,
     sub_net = new_network.join(
         affected.select(F.col("way_id").alias("edge_id")),
         "edge_id", "left_semi")
-    sub_wn = new_way_nodes.join(affected, "way_id", "left_semi")
+    # way_nodes for the re-split subset, read from the cached network-
+    # restricted table rather than raw new_way_nodes: identical input to
+    # merged_network because its own network_way_nodes(sub_wn, sub_net)
+    # re-restricts to sub_net's ways, and sub_net ⊆ new_network — the
+    # network restriction is idempotent, so pre-restricted rows are the
+    # same rows (network_way_nodes is a left-semi join that keeps the
+    # way_nodes schema unchanged)
+    sub_wn = new_wn.join(affected, "way_id", "left_semi")
     recomputed = merged_network(sub_net, sub_wn, attrs=attrs,
                                 shared_override=new_shared)
     kept = old_merged.join(

@@ -428,8 +428,7 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path trustworthy at 100 TB, where rerunning the topology pipeline
     over an unchanged continent to absorb a minutely diff is the
     dominant waste."""
-    from ..operators.topology import (
-        merged_network_incremental, unnest_way_nodes)
+    from ..operators.topology import merged_network_incremental
 
     d = derive_osm(spark, sf_dir)
     ways, way_nodes = d["ways"], d["way_nodes"]
@@ -449,7 +448,24 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(mod_nd, F.expr(
                         "slice(nodes, 1, size(nodes) - 1)"))
                     .otherwise(F.col("nodes"))))
-    new_way_nodes = unnest_way_nodes(new_ways)
+    # new_way_nodes applied at the way_nodes level (the oracle's
+    # _WN_MUTATED_SQL shape) instead of unnest_way_nodes(new_ways):
+    # value-identical — the way assembly's nodes join cannot drop rows
+    # (node ids are foreign keys into nodes, sequence_id is the dense
+    # 0..n-1 array position either way) — but each consumer reads the
+    # CACHED way_nodes table (already hash-partitioned by way_id from
+    # its row_number window, so the count window below adds no
+    # exchange) rather than re-running the collect_list way assembly +
+    # posexplode per reference (guide §5 / §2.3)
+    _n = F.count(F.lit(1)).over(Window.partitionBy("way_id"))
+    new_way_nodes = (way_nodes
+                     .withColumn("_n", _n)
+                     .filter((F.col("way_id") % 101 != 0)
+                             & ~((F.col("way_id") % 103 == 0)
+                                 & (F.col("_n") > 2)
+                                 & (F.col("sequence_id")
+                                    == F.col("_n") - 1)))
+                     .drop("_n"))
     changed = (ways.filter((F.col("id") % 101 == 0)
                            | (F.col("id") % 103 == 0))
                .select(F.col("id").alias("way_id")))

@@ -58,3 +58,140 @@ def test_car_way_ids_equals_car_network_edge_ids(spark):
                            .select("edge_id").distinct().collect())}
     assert fast == full
     assert fast, "empty car network at sf0.001 would make the test vacuous"
+
+
+def test_mutated_way_nodes_equals_unnest_of_mutated_ways(spark):
+    """q_osm_merged_incremental's CDC batch applied at the way_nodes
+    level (the oracle's _WN_MUTATED_SQL shape) must produce exactly the
+    rows of unnest_way_nodes over the array-mutated ways — the
+    substitution that lets every consumer read the cached way_nodes
+    table instead of re-running the collect_list way assembly."""
+    from pyspark.sql import Window
+
+    from osm_pg_etl_spark.operators.topology import unnest_way_nodes
+    from osm_pg_etl_spark.plans.osm_derived import derive_osm
+
+    d = derive_osm(spark, SF)
+    ways, way_nodes = d["ways"], d["way_nodes"]
+
+    # the original formulation: mutate the assembled ways, re-unnest
+    mod_nd = (F.col("id") % 103 == 0) & (F.size("nodes") > 2)
+    new_ways = (ways.filter(F.col("id") % 101 != 0)
+                .withColumn("nodes", F.when(mod_nd, F.expr(
+                    "slice(nodes, 1, size(nodes) - 1)"))
+                    .otherwise(F.col("nodes"))))
+    via_assembly = unnest_way_nodes(new_ways)
+
+    # the shipped formulation: filter the way_nodes rows directly
+    _n = F.count(F.lit(1)).over(Window.partitionBy("way_id"))
+    direct = (way_nodes.withColumn("_n", _n)
+              .filter((F.col("way_id") % 101 != 0)
+                      & ~((F.col("way_id") % 103 == 0)
+                          & (F.col("_n") > 2)
+                          & (F.col("sequence_id") == F.col("_n") - 1)))
+              .drop("_n"))
+
+    a = sorted(map(tuple, via_assembly.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+    assert a, "empty way_nodes at sf0.001 would make the test vacuous"
+
+
+def test_network_restricted_sub_wn_identical(spark):
+    """merged_network_incremental feeds merged_network the network-
+    restricted new_wn instead of raw new_way_nodes for the affected
+    subset; network_way_nodes must make both inputs land identically."""
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import (network_way_nodes,
+                                                     unnest_way_nodes)
+    from osm_pg_etl_spark.plans.osm_derived import derive_osm
+
+    d = derive_osm(spark, SF)
+    ways, way_nodes = d["ways"], d["way_nodes"]
+    cn = car_network(ways)
+    affected = (way_nodes.select("way_id").distinct()
+                .filter(F.col("way_id") % 7 == 0))
+    sub_net = cn.join(affected.select(F.col("way_id").alias("edge_id")),
+                      "edge_id", "left_semi")
+
+    raw_sub = way_nodes.join(affected, "way_id", "left_semi")
+    wn_sub = (network_way_nodes(way_nodes, cn)
+              .join(affected, "way_id", "left_semi"))
+    a = sorted(map(tuple,
+                   network_way_nodes(raw_sub, sub_net).collect()))
+    b = sorted(map(tuple,
+                   network_way_nodes(wn_sub, sub_net).collect()))
+    assert a == b
+    assert a
+
+
+def test_louvain_round_argmax_agg_equals_window(spark):
+    """_louvain_round's per-node argmax as min(struct(-score, cb, ca))
+    must pick exactly the rows the original row_number window over
+    (score DESC, cb ASC) picked — including exact-tie scores, which fall
+    to the smallest community id."""
+    from pyspark.sql import Window
+
+    from osm_pg_etl_spark.operators.graph_algo import (_louvain_round,
+                                                       symmetric_edges)
+    from osm_pg_etl_spark.plans.osm_derived import (car_network,
+                                                    derive_osm,
+                                                    merged_network)
+
+    d = derive_osm(spark, SF)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    e = symmetric_edges(merged.select(
+        F.col("start_node").alias("src"),
+        F.col("end_node").alias("dst"))).localCheckpoint()
+    we = e.select("a", "b", F.lit(1).cast("long").alias("w"))
+    deg = (we.groupBy(F.col("a").alias("id"))
+           .agg(F.sum("w").alias("k")).localCheckpoint())
+    m2 = float(deg.agg(F.sum("k")).collect()[0][0])
+    labels = deg.select("id", F.col("id").alias("label"))
+
+    # two rounds through the shipped agg path
+    got1 = _louvain_round(we, labels, deg, m2).localCheckpoint()
+    got2 = _louvain_round(we, got1, deg, m2)
+
+    # reference: the pre-r15 window formulation, replayed on the same
+    # score table (rebuilt inline so the test owns the old semantics)
+    def window_round(lbls):
+        lb = lbls.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+        k2c = (we.join(lb, "b").groupBy("a", "cb")
+               .agg(F.sum("w").alias("w2c")))
+        cur = lbls.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+        cand = (k2c.unionByName(cur.select(
+                    "a", F.col("ca").alias("cb"),
+                    F.lit(0).cast("long").alias("w2c")))
+                .groupBy("a", "cb").agg(F.sum("w2c").alias("w2c")))
+        ctot = (lbls.join(deg, "id")
+                .groupBy(F.col("label").alias("cb"))
+                .agg(F.sum("k").alias("tot")))
+        sc = (cand.join(cur, "a")
+              .join(deg.withColumnRenamed("id", "a"), "a")
+              .join(ctot, "cb")
+              .withColumn("tot_adj",
+                          F.col("tot") - F.when(F.col("cb") == F.col("ca"),
+                                                F.col("k"))
+                          .otherwise(F.lit(0)))
+              .withColumn("score",
+                          F.col("w2c").cast("double")
+                          - F.col("k").cast("double")
+                          * F.col("tot_adj").cast("double") / F.lit(m2)))
+        w = Window.partitionBy("a").orderBy(F.col("score").desc(),
+                                            F.col("cb").asc())
+        return (sc.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("a").alias("id"),
+                        F.when(F.col("cb") < F.col("ca"),
+                               F.col("cb")).otherwise(F.col("ca"))
+                        .alias("label")))
+
+    want1 = window_round(labels).localCheckpoint()
+    want2 = window_round(want1)
+    assert sorted(map(tuple, got1.collect())) \
+        == sorted(map(tuple, want1.collect()))
+    assert sorted(map(tuple, got2.collect())) \
+        == sorted(map(tuple, want2.collect()))
+    assert got1.count() > 0
