@@ -1169,13 +1169,17 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
                       F.col("w2c").cast("double")
                       - F.col("k").cast("double")
                       * F.col("tot_adj").cast("double") / F.lit(m2)))
-    # argmax as ONE hash aggregate instead of a row_number window (guide
-    # §2.3): the candidate table arrives hash-partitioned on a from the
-    # cand⋈cur join, so the window's only added physical work was a full
-    # SORT of every candidate row each round; min(struct(-score, cb, …))
-    # expresses the same (score DESC, cb ASC) argmax — double negation is
-    # an exact IEEE sign flip, and cb is unique within an a-group (cand is
-    # grouped by (a, cb)) so the trailing payload field never compares.
+    # argmax as ONE aggregate instead of a row_number window (guide §2.3):
+    # min(struct(-score, cb, …)) expresses the same (score DESC, cb ASC)
+    # argmax — double negation is an exact IEEE sign flip, and cb is
+    # unique within an a-group (cand is grouped by (a, cb)) so the
+    # trailing payload field never compares. A struct buffer is not
+    # hash-aggregatable, so this plans as a partial+final SortAggregate —
+    # still strictly less work than the window it replaces: the sort
+    # comparator narrows from (a, score DESC, cb) to the group key alone,
+    # the row_number buffering + filter disappear, and the PARTIAL
+    # aggregate collapses candidates map-side before any exchange when
+    # the input is not already a-partitioned (a window cannot).
     # Equivalence pinned by test_louvain_round_argmax_agg_equals_window.
     win = F.min(F.struct((-F.col("score")).alias("ns"),
                          F.col("cb").alias("cb"),
