@@ -182,13 +182,23 @@ def _assemble_from_way_arrays(limits: DataFrame, network: DataFrame,
             ))
 
 
-def _assemble_from_nodes(merge_rows: DataFrame, nodes: DataFrame) -> DataFrame:
+def _assemble_from_nodes(merge_rows: DataFrame, nodes: DataFrame,
+                         broadcast_rows: bool = False) -> DataFrame:
     """General segment assembly (``osm-road-graphs.sql:143-148``): join the
     per-segment node rows to the nodes table for coordinates, then rebuild
     ordered arrays with sort_array(collect_list(struct(seq, ...))) — the
     deterministic replacement for ``array_agg(... ORDER BY sequence_id)``
-    (SURVEY §2.4 A7/A8)."""
-    pts = merge_rows.join(
+    (SURVEY §2.4 A7/A8).
+
+    ``broadcast_rows=True`` hints ``merge_rows`` as the broadcast side of
+    the coordinate join: the incremental path passes blast-radius-sized
+    merge rows against a planet-sized nodes table, and the hint turns the
+    nodes side's full shuffle into a stationary scan (guide §3.1 — the
+    big side is not shuffled at all; an inner join is side-symmetric so
+    the result is unchanged). Leave it off when merge_rows is the full
+    corpus (the general full-rebuild path)."""
+    rows = F.broadcast(merge_rows) if broadcast_rows else merge_rows
+    pts = rows.join(
         nodes.select(F.col("id").alias("node_id"), "lon", "lat"),
         "node_id", "inner")
     collected = (pts.groupBy(F.col("way_id").alias("edge_id"), "group_id")
@@ -291,7 +301,8 @@ def merged_network_incremental(old_network: DataFrame,
                                changed_way_ids: DataFrame,
                                attrs: tuple[str, ...] = DEFAULT_MERGE_ATTRS,
                                old_node_counts: DataFrame | None = None,
-                               return_affected: bool = False):
+                               return_affected: bool = False,
+                               nodes: DataFrame | None = None):
     """Incremental maintenance of the merged network under a way-level
     change batch — the ``osmosisUpdate()`` scenario (apply a minutely
     diff, refresh the derived road graph; ``etl/pgsnapshot_schema_0.6.
@@ -331,6 +342,23 @@ def merged_network_incremental(old_network: DataFrame,
     flip membership (narrow — no shuffle; an inverted node→way index
     turns even that into a lookup), and the split/merge pipeline over
     the affected subset only.
+
+    ``nodes``: pass the nodes table to assemble the affected subset's
+    segment arrays from (way_nodes ∩ affected) ⋈ nodes — the general
+    assembly path — instead of slicing ``new_network``'s own
+    nodes/geom arrays. ``new_network`` then only needs
+    (edge_id, tags, *attrs): at 100 TB this removes the LAST
+    full-corpus array assembly from the IVM path (maintaining a
+    planet-wide ways-with-arrays snapshot per batch just so ~0.01 % of
+    it can be sliced), leaving only per-table maintained state plus
+    blast-radius work. Contract inherited from the general path: the
+    nodes table must cover every node id of the affected ways, and
+    every affected network way must have way_nodes rows (both hold
+    whenever way_nodes/nodes are the consistent post-batch snapshot —
+    node ids are foreign keys); segment values are identical to the
+    fast path's because sequence_id is the dense array position and
+    the way arrays were themselves assembled from the same nodes
+    table (pinned by test_incremental_nodes_path_equals_arrays_path).
     """
     ch = changed_way_ids.select("way_id").distinct()
     # new_wn is read three times (the batch's new-row counts, the
@@ -356,20 +384,29 @@ def merged_network_incremental(old_network: DataFrame,
              .unionByName(old_ch.groupBy("node_id")
                           .agg((-F.count(F.lit(1))).alias("_d")))
              .groupBy("node_id").agg(F.sum("_d").alias("_d")))
-    counts = (old_counts.join(delta, "node_id", "full")
-              .select("node_id",
-                      (F.coalesce("count", F.lit(0))
-                       + F.coalesce("_d", F.lit(0))).alias("count")))
-    new_shared = counts.filter(F.col("count") > 1)
-    flipped = (old_counts.join(delta, "node_id", "full")
-               .filter((F.coalesce("count", F.lit(0)) > 1)
-                       != ((F.coalesce("count", F.lit(0))
-                            + F.coalesce("_d", F.lit(0))) > 1))
+    # ONE old⋈delta count merge, cached: its two readers (new_shared
+    # below, flipped) would otherwise each re-execute the old_counts
+    # aggregation — a full way_nodes pass per reader when the maintained
+    # state isn't supplied (guide §5: materialize multi-consumer
+    # intermediates once; r15 follow-up to the new_wn cache above)
+    merged_counts = (old_counts.join(delta, "node_id", "full")
+                     .select("node_id",
+                             F.coalesce("count", F.lit(0)).alias("_oc"),
+                             (F.coalesce("count", F.lit(0))
+                              + F.coalesce("_d", F.lit(0))).alias("_nc"))
+                     .cache())
+    new_shared = (merged_counts.filter(F.col("_nc") > 1)
+                  .select("node_id", F.col("_nc").alias("count")))
+    flipped = (merged_counts
+               .filter((F.col("_oc") > 1) != (F.col("_nc") > 1))
                .select("node_id"))
 
+    # affected is tiny (the blast radius' way ids) but read THREE times
+    # (sub_net, sub_wn, the kept anti-join) — without the cache each
+    # reader re-runs the flipped-membership scan over new_wn
     affected = (ch.unionByName(
         new_wn.join(flipped, "node_id", "left_semi")
-        .select("way_id")).distinct())
+        .select("way_id")).distinct().cache())
 
     sub_net = new_network.join(
         affected.select(F.col("way_id").alias("edge_id")),
@@ -382,8 +419,12 @@ def merged_network_incremental(old_network: DataFrame,
     # same rows (network_way_nodes is a left-semi join that keeps the
     # way_nodes schema unchanged)
     sub_wn = new_wn.join(affected, "way_id", "left_semi")
-    recomputed = merged_network(sub_net, sub_wn, attrs=attrs,
-                                shared_override=new_shared)
+    if nodes is None:
+        recomputed = merged_network(sub_net, sub_wn, attrs=attrs,
+                                    shared_override=new_shared)
+    else:
+        recomputed = _assemble_affected_from_nodes(sub_net, sub_wn,
+                                                   new_shared, nodes, attrs)
     kept = old_merged.join(
         affected.select(F.col("way_id").alias("edge_id")),
         "edge_id", "left_anti")
@@ -392,3 +433,38 @@ def merged_network_incremental(old_network: DataFrame,
     # fraction of ways re-split IS the scale claim (wall clock on a
     # local job floor is barrier-bound either way)
     return (out, affected) if return_affected else out
+
+
+def _assemble_affected_from_nodes(sub_net: DataFrame, sub_wn: DataFrame,
+                                  shared: DataFrame, nodes: DataFrame,
+                                  attrs: tuple[str, ...]) -> DataFrame:
+    """Re-split the affected subset via the general assembly path, reading
+    arrays from nowhere: the split chain (shared→splits→limits) runs on
+    ``sub_wn`` exactly as :func:`merged_network` would run it on
+    ``network_way_nodes(sub_wn, sub_net)`` (identical — ``sub_wn``'s ways
+    are already restricted to ``sub_net``'s, see
+    test_network_restricted_sub_wn_identical), ways without a split row
+    get an explicit whole-way [0, max seq] range (the general path's
+    anti-join passthrough, expressed without touching ``new_network``
+    arrays; max sequence_id = len(nodes)-1 because sequence ids are the
+    dense array positions), and one :func:`_assemble_from_nodes` pass
+    rebuilds every affected segment from the nodes table."""
+    wn_net = sub_wn.repartition("way_id").cache()
+    lengths = ways_length(wn_net).cache()
+    splits = ways_split_nodes(wn_net, shared, lengths)
+    limits = ways_merge_limits(wn_net, shared, splits, lengths)
+    whole = (wn_net.groupBy("way_id")
+             .agg(F.max("sequence_id").alias("top_limit"))
+             .join(limits.select("way_id").distinct(), "way_id", "left_anti")
+             .select("way_id", F.lit(0).cast("int").alias("bottom_limit"),
+                     F.col("top_limit").cast("int")))
+    segs = _assemble_from_nodes(
+        nodes_to_merge(wn_net, limits.unionByName(whole)), nodes,
+        broadcast_rows=True)
+    attr_tbl = sub_net.select("edge_id", "tags", *attrs)
+    return (segs.join(attr_tbl, "edge_id", "inner")
+            .select(array_first("nodes").alias("start_node"),
+                    array_last("nodes").alias("end_node"),
+                    "edge_id", "tags", "nodes",
+                    linestring_length_km("geom").alias("length"),
+                    *attrs, "geom"))

@@ -427,7 +427,13 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves incremental ≡ full — the property that makes the incremental
     path trustworthy at 100 TB, where rerunning the topology pipeline
     over an unchanged continent to absorb a minutely diff is the
-    dominant waste."""
+    dominant waste.
+
+    r15: the new-side network is fed META-ONLY (edge_id, tags, attrs —
+    the cached old network minus the deleted ways; the batch never
+    edits tags) and the operator reassembles the affected subset's
+    arrays from way_nodes ⋈ nodes (``nodes=``), so no planet-wide
+    ways-with-arrays snapshot is built for the new side at all."""
     from ..operators.topology import merged_network_incremental
 
     d = derive_osm(spark, sf_dir)
@@ -435,19 +441,6 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_cn = car_network(ways).cache()
     old_merged = merged_network(old_cn, way_nodes, pre_partitioned=True)
 
-    mod_ls = (F.col("id") % 103 == 0) & (F.size("linestring") > 2)
-    mod_nd = (F.col("id") % 103 == 0) & (F.size("nodes") > 2)
-    new_ways = (ways.filter(F.col("id") % 101 != 0)
-                .withColumn(
-                    "linestring",
-                    F.when(mod_ls, F.expr(
-                        "slice(linestring, 1, size(linestring) - 1)"))
-                    .otherwise(F.col("linestring")))
-                .withColumn(
-                    "nodes",
-                    F.when(mod_nd, F.expr(
-                        "slice(nodes, 1, size(nodes) - 1)"))
-                    .otherwise(F.col("nodes"))))
     # new_way_nodes applied at the way_nodes level (the oracle's
     # _WN_MUTATED_SQL shape) instead of unnest_way_nodes(new_ways):
     # value-identical — the way assembly's nodes join cannot drop rows
@@ -466,12 +459,33 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  & (F.col("sequence_id")
                                     == F.col("_n") - 1)))
                      .drop("_n"))
-    changed = (ways.filter((F.col("id") % 101 == 0)
-                           | (F.col("id") % 103 == 0))
-               .select(F.col("id").alias("way_id")))
-    new_cn = car_network(new_ways).cache()
+    # changed ways from the CACHED way_nodes table instead of the
+    # assembled ways table: identical id set (ways is the groupBy of
+    # way_nodes ⋈ nodes, and node ids are foreign keys, so no way is
+    # dropped by that join; the operator distincts), without re-running
+    # the pruned-assembly pass. Over-inclusion would merely widen the
+    # blast radius; under-inclusion is impossible (superset by
+    # construction).
+    changed = (way_nodes.filter((F.col("way_id") % 101 == 0)
+                                | (F.col("way_id") % 103 == 0))
+               .select("way_id"))
+    # The new-side network as META ONLY (edge_id, tags, attrs), derived
+    # from the cached old network: the CDC batch deletes ways and
+    # truncates node arrays but never edits tags, and car_network's
+    # include/exclude filter reads tags alone, so the post-batch network
+    # membership and meta columns are exactly old_cn minus the deleted
+    # ways — the maintained ways-meta table patched by the diff, which
+    # is how osmosisUpdate keeps it. The affected subset's arrays are
+    # assembled by the operator from way_nodes ⋈ nodes (nodes=...),
+    # so NO planet-wide ways-with-arrays snapshot is built for the new
+    # side at all (pre-r15 this was a second full collect_list assembly
+    # + cache of every new way's arrays).
+    new_cn = (old_cn.select("edge_id", "tags",
+                            "speed_limit", "highway", "oneway")
+              .filter(F.col("edge_id") % 101 != 0))
     inc = merged_network_incremental(old_cn, way_nodes, old_merged,
-                                     new_cn, new_way_nodes, changed)
+                                     new_cn, new_way_nodes, changed,
+                                     nodes=d["nodes"])
     return inc.select("edge_id", "start_node", "end_node",
                       F.size("nodes").alias("n_nodes"),
                       F.round("length", 4).alias("length_km"),

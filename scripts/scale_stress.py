@@ -394,6 +394,7 @@ def run_ivm(k: int, del_mod: int = 101, trunc_mod: int = 103) -> None:
     d = derive_osm_from(part, li)
     ways = d["ways"].localCheckpoint()
     way_nodes = d["way_nodes"].localCheckpoint()
+    nodes_tbl = d["nodes"].localCheckpoint()
     old_cn = car_network(ways).localCheckpoint()
     old_merged = merged_network(old_cn, way_nodes).localCheckpoint()
     # the maintained count state, materialized alongside old_merged
@@ -421,9 +422,14 @@ def run_ivm(k: int, del_mod: int = 101, trunc_mod: int = 103) -> None:
     n_full = merged_network(new_cn, new_way_nodes).count()
     t_full = time.perf_counter() - t0
     t0 = time.perf_counter()
+    # nodes= : the r15 meta-only path the gate now uses — the affected
+    # subset is reassembled from way_nodes ⋈ nodes, so the incremental
+    # side never reads new_cn's arrays (and the n_full == n_inc check
+    # cross-validates that path at every replica factor)
     inc, affected = merged_network_incremental(
         old_cn, way_nodes, old_merged, new_cn, new_way_nodes,
-        changed, old_node_counts=old_counts, return_affected=True)
+        changed, old_node_counts=old_counts, return_affected=True,
+        nodes=nodes_tbl)
     n_inc = inc.count()
     t_inc = time.perf_counter() - t0
     n_aff = affected.count()

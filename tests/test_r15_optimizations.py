@@ -195,3 +195,62 @@ def test_louvain_round_argmax_agg_equals_window(spark):
     assert sorted(map(tuple, got2.collect())) \
         == sorted(map(tuple, want2.collect()))
     assert got1.count() > 0
+
+
+def test_incremental_nodes_path_equals_arrays_path(spark, osm):
+    """merged_network_incremental(nodes=...) must reproduce BOTH the
+    arrays-path incremental result and the full recompute exactly, from
+    a META-ONLY new_network (edge_id, tags, attrs — no nodes/geom
+    columns at all), for a batch that exercises every assembly case:
+    W1 truncated (re-split, multi-segment), W2 deleted, W3 flipped to
+    unsplit (whole-way range), W5 flipped to split (dead-end tail),
+    W100 added (interior shared node -> 2 segments), W8 no-op-modified
+    (2-node way, no ways_length row -> whole-way range)."""
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import (
+        merged_network, merged_network_incremental, unnest_way_nodes)
+
+    # the fixture's node_coord formula: batch-added ways must be
+    # CONSISTENT with the nodes table (the nodes-path contract — it
+    # reassembles geom from nodes, the arrays path slices it verbatim)
+    def node_coord(nid):
+        return (float(nid % 6) / 100.0, float(nid // 6) / 100.0)
+
+    cn_old = car_network(osm["ways"])
+    old_merged = merged_network(cn_old, osm["way_nodes"])
+
+    ways = osm["ways"]
+    trunc = F.when(F.col("id") == 1,
+                   F.expr("slice(nodes, 1, size(nodes) - 1)")) \
+        .otherwise(F.col("nodes"))
+    trunc_ls = F.when(F.col("id") == 1,
+                      F.expr("slice(linestring, 1, size(linestring) - 1)")) \
+        .otherwise(F.col("linestring"))
+    added = spark.createDataFrame(
+        [(100, {"highway": "residential"}, [7, 16, 6],
+          [node_coord(7), node_coord(16), node_coord(6)])], ways.schema)
+    new_ways = (ways.filter("id != 2")
+                .withColumn("nodes", trunc)
+                .withColumn("linestring", trunc_ls)
+                .unionByName(added))
+    new_way_nodes = unnest_way_nodes(new_ways)
+    changed = spark.createDataFrame([(1,), (2,), (8,), (100,)],
+                                    "way_id long")
+
+    cn_new = car_network(new_ways)
+    full = merged_network(cn_new, new_way_nodes)
+    inc_arrays = merged_network_incremental(
+        cn_old, osm["way_nodes"], old_merged,
+        cn_new, new_way_nodes, changed)
+    meta = cn_new.select("edge_id", "tags",
+                         "speed_limit", "highway", "oneway")
+    inc_nodes = merged_network_incremental(
+        cn_old, osm["way_nodes"], old_merged,
+        meta, new_way_nodes, changed, nodes=osm["nodes"])
+
+    f = sorted(map(str, full.collect()))
+    a = sorted(map(str, inc_arrays.select(*full.columns).collect()))
+    n = sorted(map(str, inc_nodes.select(*full.columns).collect()))
+    assert n == f
+    assert a == f
+    assert sorted(map(str, old_merged.collect())) != f
