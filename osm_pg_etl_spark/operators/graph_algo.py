@@ -1079,11 +1079,19 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
     fixed unroll keeps the DuckDB oracle expressible.
 
     Per round: one equi-join of the label table to the symmetric edge list
-    on the source key + ONE ``mode(label, deterministic=True)`` aggregate
-    per node (the deterministic mode breaks ties by the lowest value —
-    exactly this operator's contract — and its value→count map state is
-    bounded by node degree, partial-merged map-side). All shuffles are
-    keyed on node id; nothing is collected to the driver.
+    on the source key + the (count DESC, label ASC) argmax per node,
+    written as one shuffle and two plain aggregates (r15 §14): the joined
+    (b, label) rows are hash-partitioned on ``b`` once — hash(b) clusters
+    (b, label), so the label-count aggregate, the argmax aggregate and
+    the NEXT round's join on the renamed key all reuse that single
+    exchange. ``min(struct(-count, label))`` is exactly
+    ``mode(label, deterministic=True)`` (most frequent, ties to the
+    lowest — count negation is exact on longs); the mode formulation it
+    replaces shuffled ObjectHashAggregate value→count map buffers (an
+    object aggregate with a 128-key sort-based fallback) where this
+    shuffles plain rows through codegen'd hash + sort aggregates.
+    Equivalence pinned by test_lpa_two_phase_argmax_equals_mode. All
+    shuffles are keyed on node id; nothing is collected to the driver.
 
     r15: the edge table stays a plain ``localCheckpoint`` — ``_iter_cache``
     (hash-partition on the round join key + sort + cache) was measured
@@ -1102,8 +1110,15 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
               .withColumn("label", F.col("id")))
     for i in range(n_iter):
         labels = (e.join(labels.withColumnRenamed("id", "a"), "a")
+                  .select("b", "label")
+                  .repartition("b")
+                  .groupBy("b", "label")
+                  .agg(F.count(F.lit(1)).alias("_n"))
                   .groupBy(F.col("b").alias("id"))
-                  .agg(F.mode("label", True).alias("label")))
+                  .agg(F.min(F.struct((-F.col("_n")).alias("nn"),
+                                      F.col("label").alias("lb")))
+                       .alias("_w"))
+                  .select("id", F.col("_w.lb").alias("label")))
         # mid-run lineage truncation only for LONG runs: each checkpoint
         # is a full job barrier (~0.35 s locally), so short fixed unrolls
         # (the 4-round gate) run as one multi-stage job, while plan depth
@@ -1141,27 +1156,40 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
     integer until one double multiply/divide in fixed order, so DuckDB
     computes bit-identical scores.
 
-    Cost: one edges⋈labels shuffle join keyed on node, one community-keyed
-    aggregate for Σtot, and one degree-bounded per-node argmax aggregate —
-    the same shape as one LPA round plus the Σtot join. Nothing
-    driver-side.
+    Cost: ONE edge-sized exchange per round (r15 §13). The joined
+    candidate rows are hash-partitioned on ``a`` once, right after the
+    edges⋈labels join: hash(a) clusters (a, cb), so the w(x→c)
+    aggregate, the node-sized broadcast joins and the final per-node
+    argmax all run on that single partitioning with no further
+    edge-sized exchange. The previous shape paid three — the (a, cb)
+    aggregate exchange, a union + re-aggregate that injected the node's
+    own community as a zero-weight candidate, and the argmax partial→
+    final exchange. The self candidate is folded into the SAME argmax
+    aggregate as a second min over a per-row-constant struct (Σtot is
+    joined a second time on ``ca``; same broadcast table), so no stage,
+    join or exchange is added for it. Nothing driver-side.
     """
     lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
-    k2c = (wedges.join(lb, "b")
-           .groupBy("a", "cb").agg(F.sum("w").alias("w2c")))
     cur = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
-    # a node's own community is always a candidate (w2c contribution 0),
-    # so isolated-within-community nodes still get a defined argmax
-    cand = (k2c.unionByName(cur.select(
-                "a", F.col("ca").alias("cb"),
-                F.lit(0).cast("long").alias("w2c")))
-            .groupBy("a", "cb").agg(F.sum("w2c").alias("w2c")))
     ctot = (labels.join(deg, "id")
             .groupBy(F.col("label").alias("cb"))
             .agg(F.sum("k").alias("tot")))
-    sc = (cand.join(cur, "a")
+    # hash(a) satisfies the (a, cb) clustering requirement, so this is
+    # the round's only edge-sized exchange; the map-side combine the
+    # (a, cb) aggregate exchange used to get is worth ~nothing here
+    # (neighbours sit in distinct communities for most rounds, so the
+    # partial aggregate barely shrank the shuffle it replaced — and the
+    # two downstream edge-sized exchanges it fed are gone entirely)
+    k2c = (wedges.join(lb, "b")
+           .select("a", "cb", "w")
+           .repartition("a")
+           .groupBy("a", "cb").agg(F.sum("w").alias("w2c")))
+    sc = (k2c.join(cur, "a")
           .join(deg.withColumnRenamed("id", "a"), "a")
           .join(ctot, "cb")
+          .join(ctot.select(F.col("cb").alias("_sca"),
+                            F.col("tot").alias("_stot")),
+                F.col("ca") == F.col("_sca"))
           .withColumn("tot_adj",
                       F.col("tot") - F.when(F.col("cb") == F.col("ca"),
                                             F.col("k")).otherwise(F.lit(0)))
@@ -1172,22 +1200,49 @@ def _louvain_round(wedges: DataFrame, labels: DataFrame, deg: DataFrame,
     # argmax as ONE aggregate instead of a row_number window (guide §2.3):
     # min(struct(-score, cb, …)) expresses the same (score DESC, cb ASC)
     # argmax — double negation is an exact IEEE sign flip, and cb is
-    # unique within an a-group (cand is grouped by (a, cb)) so the
+    # unique within an a-group (k2c is grouped by (a, cb)) so the
     # trailing payload field never compares. A struct buffer is not
     # hash-aggregatable, so this plans as a partial+final SortAggregate —
-    # still strictly less work than the window it replaces: the sort
-    # comparator narrows from (a, score DESC, cb) to the group key alone,
-    # the row_number buffering + filter disappear, and the PARTIAL
-    # aggregate collapses candidates map-side before any exchange when
-    # the input is not already a-partitioned (a window cannot).
+    # still strictly less work than the window it replaces (no row
+    # buffering, group-key-only comparator), and here both halves run
+    # on the one a-partitioning with no exchange between them.
     # Equivalence pinned by test_louvain_round_argmax_agg_equals_window.
+    #
+    # The node's own community is always a candidate (w2c contribution
+    # 0, tot_adj = tot − k). Instead of unioning a zero-weight stub into
+    # the candidate table and re-aggregating it (an edge-sized exchange),
+    # its struct is computed per-row from the ca-keyed Σtot join (every
+    # row of an a-group carries the identical value, so min() just
+    # selects it) and folded into the argmax with least(). When (a, ca)
+    # has intra-community edges the TRUE self candidate is already among
+    # the sc rows with its real w2c ≥ 0, and since score is monotonically
+    # non-decreasing in w2c with every other term fixed, this zero-weight
+    # copy is dominated (ns_self ≥ ns_true, same cb = ca; on exact double
+    # ties the structs are identical), so least(min, self) equals the min
+    # over the unioned candidate set bit-for-bit. w ≥ 0 always (1 on the
+    # unweighted path, floor(km·1e6) ≥ 0 on the weighted path, and
+    # contraction sums preserve sign). The self ns is written as
+    # −(0.0 − x), not x: struct orderings are total (−0.0 < +0.0), and
+    # the unioned formulation produced −0.0 for a zero self score
+    # (x = +0.0 whenever the node is its community's only member, i.e.
+    # every node in a level's first round) — the direct form would yield
+    # +0.0 and could flip an exact-zero tie.
     win = F.min(F.struct((-F.col("score")).alias("ns"),
                          F.col("cb").alias("cb"),
                          F.col("ca").alias("ca"))).alias("_w")
-    return (sc.groupBy("a").agg(win)
+    selfw = F.min(F.struct(
+        (-(F.lit(0.0)
+           - F.col("k").cast("double")
+           * (F.col("_stot") - F.col("k")).cast("double")
+           / F.lit(m2))).alias("ns"),
+        F.col("ca").alias("cb"),
+        F.col("ca").alias("ca"))).alias("_s")
+    return (sc.groupBy("a").agg(win, selfw)
             .select(F.col("a").alias("id"),
-                    F.when(F.col("_w.cb") < F.col("_w.ca"),
-                           F.col("_w.cb")).otherwise(F.col("_w.ca"))
+                    F.least("_w", "_s").alias("_m"))
+            .select(F.col("id"),
+                    F.when(F.col("_m.cb") < F.col("_m.ca"),
+                           F.col("_m.cb")).otherwise(F.col("_m.ca"))
                     .alias("label")))
 
 

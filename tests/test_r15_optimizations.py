@@ -197,6 +197,122 @@ def test_louvain_round_argmax_agg_equals_window(spark):
     assert got1.count() > 0
 
 
+def test_louvain_round_self_candidate_least_ties(spark):
+    """r15 §13: _louvain_round folds the node's own community into the
+    argmax via a node-sized least() instead of unioning a zero-weight
+    candidate row and re-aggregating (an edge-sized exchange). The
+    corner this pins: exact ±0.0 score ties between the self candidate
+    and a zero-weight neighbour candidate (struct orderings are total,
+    −0.0 < +0.0), plus true-self-candidate domination when (a, ca) has
+    intra-community edges. Zero-weight edges make every round-1
+    candidate score a signed zero; three rounds replay the shipped path
+    against the original union + row_number window formulation."""
+    from pyspark.sql import Window
+
+    from osm_pg_etl_spark.operators.graph_algo import _louvain_round
+
+    raw = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (3, 4, 5), (4, 5, 5), (1, 5, 0),
+         (2, 4, 0), (1, 3, 2), (5, 6, 0), (6, 7, 1), (2, 7, 3)],
+        "a long, b long, w long")
+    we = (raw.unionByName(raw.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b"), "w"))
+          .filter(F.col("a") != F.col("b"))
+          .groupBy("a", "b").agg(F.min("w").alias("w"))
+          .localCheckpoint())
+    deg = (we.groupBy(F.col("a").alias("id"))
+           .agg(F.sum("w").alias("k")).localCheckpoint())
+    m2 = float(deg.agg(F.sum("k")).collect()[0][0])
+
+    def window_round(lbls):
+        lb = lbls.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+        k2c = (we.join(lb, "b").groupBy("a", "cb")
+               .agg(F.sum("w").alias("w2c")))
+        cur = lbls.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+        cand = (k2c.unionByName(cur.select(
+                    "a", F.col("ca").alias("cb"),
+                    F.lit(0).cast("long").alias("w2c")))
+                .groupBy("a", "cb").agg(F.sum("w2c").alias("w2c")))
+        ctot = (lbls.join(deg, "id")
+                .groupBy(F.col("label").alias("cb"))
+                .agg(F.sum("k").alias("tot")))
+        sc = (cand.join(cur, "a")
+              .join(deg.withColumnRenamed("id", "a"), "a")
+              .join(ctot, "cb")
+              .withColumn("tot_adj",
+                          F.col("tot") - F.when(F.col("cb") == F.col("ca"),
+                                                F.col("k"))
+                          .otherwise(F.lit(0)))
+              .withColumn("score",
+                          F.col("w2c").cast("double")
+                          - F.col("k").cast("double")
+                          * F.col("tot_adj").cast("double") / F.lit(m2)))
+        w = Window.partitionBy("a").orderBy(F.col("score").desc(),
+                                            F.col("cb").asc())
+        return (sc.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("a").alias("id"),
+                        F.when(F.col("cb") < F.col("ca"),
+                               F.col("cb")).otherwise(F.col("ca"))
+                        .alias("label")))
+
+    got = deg.select("id", F.col("id").alias("label")).localCheckpoint()
+    want = got
+    for _ in range(3):
+        got = _louvain_round(we, got, deg, m2).localCheckpoint()
+        want = window_round(want).localCheckpoint()
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+    assert got.count() == 7
+
+
+def test_lpa_two_phase_argmax_equals_mode(spark):
+    """r15 §14: label_propagation's per-round argmax as
+    min(struct(-count, label)) over one b-partitioning must pick exactly
+    what mode(label, deterministic=True) picked — most frequent label,
+    ties to the lowest. The car graph is mostly degree-2 chain nodes, so
+    nearly every node is a two-way tie every round, exercising the
+    tie-break densely; four rounds replayed in lockstep."""
+    from osm_pg_etl_spark.operators.graph_algo import symmetric_edges
+    from osm_pg_etl_spark.plans.osm_derived import (car_network,
+                                                    derive_osm,
+                                                    merged_network)
+
+    d = derive_osm(spark, SF)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    e = symmetric_edges(merged.select(
+        F.col("start_node").alias("src"),
+        F.col("end_node").alias("dst"))).localCheckpoint()
+    start = (e.select(F.col("a").alias("id")).distinct()
+             .withColumn("label", F.col("id")).localCheckpoint())
+
+    def two_phase(lbls):
+        return (e.join(lbls.withColumnRenamed("id", "a"), "a")
+                .select("b", "label")
+                .repartition("b")
+                .groupBy("b", "label")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min(F.struct((-F.col("_n")).alias("nn"),
+                                    F.col("label").alias("lb")))
+                     .alias("_w"))
+                .select("id", F.col("_w.lb").alias("label")))
+
+    def mode_round(lbls):
+        return (e.join(lbls.withColumnRenamed("id", "a"), "a")
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.mode("label", True).alias("label")))
+
+    got, want = start, start
+    for _ in range(4):
+        got = two_phase(got).localCheckpoint()
+        want = mode_round(want).localCheckpoint()
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
 def test_incremental_nodes_path_equals_arrays_path(spark, osm):
     """merged_network_incremental(nodes=...) must reproduce BOTH the
     arrays-path incremental result and the full recompute exactly, from
