@@ -99,17 +99,35 @@ def _ckpt_observe(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
     tolerate xxhash collisions — a distorted signature can only fail to
     match, forcing one extra round, unless it collides.)
 
+    The synchronous read leans on private API
+    (``QueryExecution.observedMetrics`` + ``PythonSQLUtils.toPyRow``); a
+    Spark minor bump that moves either falls back to one separate probe
+    job over the checkpointed rows (r16, r15-verdict task 7) — same
+    values (the checkpoint is materialized and deterministic), just the
+    pre-r15 cost, so all seven fixpoint loops degrade gracefully instead
+    of breaking at once.
+
     Returns ``(checkpointed_df, metrics_dict)``.
     """
-    from pyspark.serializers import CPickleSerializer
-
     name = f"_ckpt_probe_{next(_PROBE_SEQ)}"
     od = df.observe(name, *metrics)
     ck = od.localCheckpoint()
+    try:
+        return ck, _read_observed(od, name)
+    except Exception:
+        return ck, ck.agg(*metrics).collect()[0].asDict()
+
+
+def _read_observed(od: DataFrame, name: str) -> dict:
+    """Synchronous observed-metrics read off the executed plan (private
+    API; see _ckpt_observe). Split out so tests can monkeypatch it to
+    raise and exercise the public-API fallback."""
+    from pyspark.serializers import CPickleSerializer
+
     jrow = od._jdf.queryExecution().observedMetrics().apply(name)
-    utils = getattr(df.sparkSession._jvm,
+    utils = getattr(od.sparkSession._jvm,
                     "org.apache.spark.sql.api.python.PythonSQLUtils")
-    return ck, CPickleSerializer().loads(utils.toPyRow(jrow)).asDict()
+    return CPickleSerializer().loads(utils.toPyRow(jrow)).asDict()
 
 
 def _sig_metrics(*hash_cols: str) -> tuple:
@@ -705,21 +723,29 @@ def sigma_table(edges: DataFrame, sources: list[int], max_depth: int = 6,
     visited = srcs.select("s", F.col("s").alias("node"),
                           F.lit(0).alias("dist"),
                           F.lit(1).cast("long").alias("sigma"))
-    frontier = visited
+    # r16 (r15-verdict task 6): ONE checkpoint job per level instead of
+    # two — the level's new rows are unioned into ``visited`` and the
+    # consolidated table is the only materialization; the next level's
+    # frontier is ``visited.filter(dist == d)`` (a scan of the one
+    # materialized RDD, no second checkpointed table), and the
+    # emptiness probe rides the same job as an observed conditional
+    # count. Trade recorded honestly: each level re-reads the visited
+    # leaf once more (frontier filter) in exchange for dropping a full
+    # materialization write + job barrier per level — strictly fewer
+    # passes over materialized data AND half the scheduler jobs.
     for d in range(1, max_depth + 1):
+        frontier = visited.filter(F.col("dist") == d - 1)
         cand = (frontier.join(e, frontier["node"] == e["u"])
                 .select("s", F.col("v").alias("node"), "sigma"))
-        # the emptiness probe rides the checkpoint job (_ckpt_observe)
-        nxt, m = _ckpt_observe(
-            cand.join(visited.select("s", "node"), ["s", "node"],
-                      "left_anti")
-            .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
-            .select("s", "node", F.lit(d).alias("dist"), "sigma"),
-            F.count(F.lit(1)).alias("c"))
+        nxt = (cand.join(visited.select("s", "node"), ["s", "node"],
+                         "left_anti")
+               .groupBy("s", "node").agg(F.sum("sigma").alias("sigma"))
+               .select("s", "node", F.lit(d).alias("dist"), "sigma"))
+        visited, m = _ckpt_observe(
+            visited.unionByName(nxt),
+            F.count(F.when(F.col("dist") == d, F.lit(1))).alias("c"))
         if m["c"] == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
     e.unpersist()
     return visited
 
@@ -986,7 +1012,7 @@ def _power_iteration(edges: DataFrame, seeds: list[int] | None,
             "node",
             F.when(is_seed, F.lit(1.0 / n)).otherwise(F.lit(0.0))
             .alias("pr"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (links.join(pr, links["u"] == pr["node"])
                    .select(F.col("v").alias("node"),
                            (F.col("pr") / F.col("outdeg")).alias("w")))
@@ -1007,8 +1033,21 @@ def _power_iteration(edges: DataFrame, seeds: list[int] | None,
               .select("node",
                       (base
                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
-                      .alias("pr"))
-              .localCheckpoint())
+                      .alias("pr")))
+        # r16 (r15-verdict task 5): materialize every SECOND round — the
+        # iteration count is fixed (no per-round probe), so two rounds
+        # ride one checkpoint job and jobs/run halve (guide §9 pattern).
+        # In the unmaterialized round the next round's three references
+        # to ``pr`` (contrib, dang, the update) re-read the same subtree,
+        # but its inflow exchange and dangling broadcast are deduped by
+        # ReuseExchange, so the duplicated work is two node-sized
+        # post-shuffle joins — strictly less than a job barrier + full
+        # materialization locally, and one fewer full pass over the rank
+        # table per pair of rounds at scale. The LAST round is always
+        # materialized: the unpersists below run at build time, so the
+        # returned plan must not depend on the caches.
+        if i % 2 == 1 or i == n_iter - 1:
+            pr = pr.localCheckpoint()
     e.unpersist()
     links.unpersist()
     return pr.select("node", F.col("pr").alias("pagerank"))

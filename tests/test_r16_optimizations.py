@@ -1,0 +1,97 @@
+"""Focused equivalence tests for round-16 optimization internals.
+
+Same contract as test_r15_optimizations: each test pins an optimization
+that replaced one computation with a cheaper equivalent, so a future
+edit that breaks the equivalence fails here rather than at the next
+oracle sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ckpt_observe_public_api_fallback(spark, monkeypatch):
+    """When the private observed-metrics read breaks (a Spark minor bump
+    moving QueryExecution.observedMetrics / PythonSQLUtils.toPyRow),
+    _ckpt_observe must fall back to a separate probe job with identical
+    values instead of taking down every fixpoint loop."""
+    from osm_pg_etl_spark.operators import graph_algo
+
+    df = spark.range(7).select(F.col("id").alias("a"),
+                               (F.col("id") % 3).alias("b"))
+    metrics = graph_algo._sig_metrics("a", "b")
+    ck_ok, m_ok = graph_algo._ckpt_observe(df, *metrics)
+
+    def boom(od, name):
+        raise RuntimeError("private API gone")
+
+    monkeypatch.setattr(graph_algo, "_read_observed", boom)
+    ck_fb, m_fb = graph_algo._ckpt_observe(df, *metrics)
+    assert m_fb == m_ok
+    assert sorted(map(tuple, ck_fb.collect())) \
+        == sorted(map(tuple, ck_ok.collect()))
+
+    # an operator that leans on the probe still converges on the fallback
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    comp = {(r["node"], r["component"])
+            for r in graph_algo.connected_components(edges).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_sigma_table_single_checkpoint_rows(spark):
+    """r16 sigma_table (one consolidated checkpoint per level, frontier
+    derived by dist filter) must produce the exact (s, node, dist, sigma)
+    rows of textbook multi-source BFS with path counting."""
+    from osm_pg_etl_spark.operators.graph_algo import sigma_table
+
+    # 1-2, 1-3, 2-3, 2-4, 3-5, 4-5 (undirected)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 5), (4, 5)],
+        "src long, dst long")
+    got = {(r["s"], r["node"], r["dist"], r["sigma"])
+           for r in sigma_table(edges, [1], max_depth=6).collect()}
+    # dist/sigma by hand: 1:(0,1); 2,3:(1,1); 4 via 2 (1 path), 5 via 3
+    # (1 path) at dist 2
+    assert got == {(1, 1, 0, 1), (1, 2, 1, 1), (1, 3, 1, 1),
+                   (1, 4, 2, 1), (1, 5, 2, 1)}
+    # sigma accumulation across equal-length paths
+    edges2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long")
+    got2 = {(r["s"], r["node"], r["dist"], r["sigma"])
+            for r in sigma_table(edges2, [1], max_depth=6).collect()}
+    assert got2 == {(1, 1, 0, 1), (1, 2, 1, 1), (1, 3, 1, 1),
+                    (1, 4, 2, 2)}
+
+
+def test_power_iteration_biennial_checkpoint_exact(spark):
+    """The every-second-round checkpoint cadence must not change the
+    rank vector: compare against a per-round NumPy-free replay of the
+    same operation sequence."""
+    from osm_pg_etl_spark.operators.graph_algo import pagerank
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(edges, n_iter=7, damping=0.85).collect()}
+
+    nodes = sorted({n for e in rows for n in e})
+    out = {}
+    for u, v in rows:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    pr = {x: 1.0 / n for x in nodes}
+    for _ in range(7):
+        dang = sum(pr[x] for x in nodes if x not in out)
+        inflow = {x: 0.0 for x in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                inflow[v] += pr[u] / len(vs)
+        pr = {x: (1.0 - 0.85) / n + (0.85 * dang) / float(n)
+              + 0.85 * inflow[x] for x in nodes}
+    assert set(got) == set(pr)
+    for x in nodes:
+        assert got[x] == pr[x] or abs(got[x] - pr[x]) < 1e-15
