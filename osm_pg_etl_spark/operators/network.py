@@ -114,7 +114,8 @@ def highway_maxspeed_values(network: DataFrame) -> DataFrame:
             .orderBy("highway", F.desc("count")))
 
 
-def impute_speed_limit(network: DataFrame) -> DataFrame:
+def impute_speed_limit(network: DataFrame,
+                       medians_from: DataFrame | None = None) -> DataFrame:
     """Median imputation UPDATE…FROM (``osm-road-graphs.sql:43-54``,
     ``osm-complete-graphs.sql:33-46``): per-highway exact median of known
     speed limits, imputed into NULL rows.
@@ -122,8 +123,18 @@ def impute_speed_limit(network: DataFrame) -> DataFrame:
     The reference's target column is INTEGER, so PostgreSQL rounds the
     numeric median half-away-from-zero on assignment — reproduced with
     ``round().cast("int")``. The median table is one row per highway class:
-    broadcast join, zero shuffle of the network table."""
-    medians = median_by_group(network, ["highway"], "speed_limit", alias="_med")
+    broadcast join, zero shuffle of the network table.
+
+    ``medians_from``: compute the per-highway medians over THIS table
+    instead of ``network``. The r16 osm_directed_graph gate imputes the
+    *merged* network from the pre-split car network's medians — identical
+    to imputing before the split (every merged segment copies
+    (highway, speed_limit) verbatim from its single parent way, and the
+    reference's UPDATE runs on the pre-split table), while letting the
+    gate ride the shared cached ``merged`` table."""
+    medians = median_by_group(
+        network if medians_from is None else medians_from,
+        ["highway"], "speed_limit", alias="_med")
     return (network.join(broadcast(medians), "highway", "left")
             .withColumn("speed_limit",
                         F.coalesce(F.col("speed_limit"),

@@ -157,6 +157,32 @@ def derive_osm_from(part: DataFrame, li: DataFrame) -> dict[str, DataFrame]:
     return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes}
 
 
+def _shared_network(spark: SparkSession, sf_dir: str):
+    """derive → car_network → merged_network with the two pipeline
+    constants cached — the r15-verdict task-1 "shared merged-network
+    materialization" (guide §5: materialize multi-consumer intermediates
+    once).
+
+    Every OSM graph gate rebuilds this identical derive→cn→merged
+    pipeline; before r16 only ``cn`` was cached, so each gate re-ran the
+    shared/limits/assembly chain (~3.5-5.5 s per gate at sf0.01).
+    Caching ``merged`` keys on the ANALYZED PLAN: Spark's CacheManager
+    matches sameResult plans, so every gate in one process that builds
+    this pipeline reads one materialization. The "keyed registry" IS the
+    CacheManager — there is no Python-level store, nothing outlives
+    ``spark.catalog.clearCache()`` (the bench clears between timed
+    passes, so every pass re-materializes from the parquet inputs; the
+    first OSM query of a pass pays the build, the rest share it), and a
+    fresh process starts empty (pinned by
+    tests/test_r16_optimizations.py::test_shared_network_registry_empty_at_start).
+
+    Returns ``(tables_dict, cn, merged)``."""
+    d = derive_osm(spark, sf_dir)
+    cn = car_network(d["ways"]).cache()
+    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True).cache()
+    return d, cn, merged
+
+
 # ---------------------------------------------------------------------------
 # Shared DuckDB CTE fragments mirroring the derivation + reference pipeline.
 # ---------------------------------------------------------------------------
@@ -395,9 +421,7 @@ def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     limits window, and the assembly, with shared_nodes the only
     node_id-keyed shuffle and the small dims broadcast. Same standard as
     tfidf_top_terms' documented floor (text.py:101-115)."""
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     return merged.select("edge_id", "start_node", "end_node",
                          F.size("nodes").alias("n_nodes"),
                          F.round("length", 4).alias("length_km"),
@@ -436,10 +460,8 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways-with-arrays snapshot is built for the new side at all."""
     from ..operators.topology import merged_network_incremental
 
-    d = derive_osm(spark, sf_dir)
-    ways, way_nodes = d["ways"], d["way_nodes"]
-    old_cn = car_network(ways).cache()
-    old_merged = merged_network(old_cn, way_nodes, pre_partitioned=True)
+    d, old_cn, old_merged = _shared_network(spark, sf_dir)
+    way_nodes = d["way_nodes"]
 
     # new_way_nodes applied at the way_nodes level (the oracle's
     # _WN_MUTATED_SQL shape) instead of unnest_way_nodes(new_ways):
@@ -517,13 +539,21 @@ FROM merged
 
 
 def q_osm_directed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = derive_osm(spark, sf_dir)
-    # cache the filtered network: the expensive ways-derivation subtree
-    # feeds the median agg, the imputation join, the semi-join and the
-    # assembly join — without this it is recomputed per consumer
-    cn = impute_speed_limit(car_network(d["ways"]).cache())
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
-    out = directed_network(merged, minimal=True)
+    # r16: ride the SHARED plain merged network and impute AFTER the
+    # split, with the medians still computed over the pre-split car
+    # network (impute_speed_limit(medians_from=cn)). Value-identical to
+    # the old merged_network(impute(cn)) formulation: every merged
+    # segment copies (highway, speed_limit, oneway) verbatim from its
+    # single parent way (_assemble_from_way_arrays projects network[a];
+    # splitting never mixes ways), so coalescing the copied NULLs with
+    # the same per-highway median table gives the same rows — while the
+    # gate now shares the one cached merged materialization with every
+    # other OSM gate instead of building a private imputed variant of
+    # the whole split pipeline (equivalence pinned by
+    # tests/test_r16_optimizations.py::test_impute_after_merge_equals_before).
+    d, cn, merged = _shared_network(spark, sf_dir)
+    out = directed_network(impute_speed_limit(merged, medians_from=cn),
+                           minimal=True)
     return out.select("start_node", "end_node",
                       F.round("length", 4).alias("length_km"), "speed_limit")
 
@@ -568,9 +598,7 @@ def q_osm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min reachable node id, so the result is iteration-order independent."""
     from ..operators.graph_algo import connected_components
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return connected_components(edges)
@@ -603,9 +631,7 @@ def q_osm_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator while the oracle walks the recursive closure."""
     from ..operators.graph_algo import connected_components, symmetric_edges
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True).cache()
+    d, cn, merged = _shared_network(spark, sf_dir)
     n_segments = merged.count()
     n_self = merged.filter(F.col("start_node") == F.col("end_node")).count()
     n_parallel = (merged.filter(F.col("start_node") != F.col("end_node"))
@@ -671,9 +697,7 @@ def q_osm_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right and take MIN over the same value set."""
     from ..operators.graph_algo import shortest_paths
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     sp = shortest_paths(directed, source, max_hops=4,
@@ -726,9 +750,7 @@ def q_osm_shortest_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently comparing two different truncations)."""
     from ..operators.graph_algo import shortest_paths_weighted
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     sp, rounds = shortest_paths_weighted(directed, source, src="start_node",
@@ -758,9 +780,7 @@ def q_osm_shortest_km_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     the N-node path is where the bound bites)."""
     from ..operators.graph_algo import shortest_paths_radius
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     sp, rounds = shortest_paths_radius(directed, source,
@@ -786,9 +806,7 @@ def q_osm_access_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     list). The reference reaches pgrouting/igraph for this."""
     from ..operators.graph_algo import shortest_paths_weighted
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).cache()
     sources = [r["start_node"] for r in
                (directed.select("start_node").distinct()
@@ -872,9 +890,7 @@ def q_osm_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward pass) + one semi-join; all counts integer-exact."""
     from ..operators.graph_algo import sigma_table
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).localCheckpoint()
     source = int(directed.agg(F.min("start_node")).collect()[0][0])
 
@@ -942,9 +958,7 @@ def q_osm_turn_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph_algo import (
         line_graph_transitions, turn_restricted_distances)
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged, minimal=True).cache()
     source = directed.agg(F.min("start_node")).collect()[0][0]
     trans = line_graph_transitions(directed)
@@ -1125,9 +1139,7 @@ def q_osm_turn_restricted_via_way(spark: SparkSession,
     from ..operators.graph_algo import turn_restricted_distances
     from ..operators.relations import via_way_turn_restrictions
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged).cache()
     rels, members = derive_via_way_restriction_relations(directed)
     vw = via_way_turn_restrictions(rels, members, directed)
@@ -1163,9 +1175,7 @@ def q_osm_turn_restricted_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph_algo import turn_restricted_distances
     from ..operators.relations import turn_restrictions_from_relations
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     directed = directed_network(merged).cache()
     rels, members = derive_restriction_relations(directed)
     restr = turn_restrictions_from_relations(rels, members, directed)
@@ -1481,9 +1491,7 @@ def q_osm_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (undirected pairs counted once, igraph's convention)."""
     from ..operators.graph_algo import betweenness, symmetric_edges
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     und = symmetric_edges(edges)
@@ -1558,9 +1566,7 @@ def q_osm_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the shared multi-source BFS sigma table."""
     from ..operators.graph_algo import harmonic_centrality, symmetric_edges
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     und = symmetric_edges(edges)
@@ -1722,9 +1728,7 @@ def q_osm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree)."""
     from ..operators.graph_algo import triangle_counts
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return triangle_counts(edges)
@@ -1742,9 +1746,7 @@ def q_osm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     harmless — a test asserts convergence margin)."""
     from ..operators.graph_algo import k_core
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
@@ -1788,9 +1790,7 @@ def q_osm_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (osm-pg-etl.md:31-105 exports the edge list for exactly this)."""
     from ..operators.graph_algo import label_propagation
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return label_propagation(edges, n_iter=_LPA_ITER)
@@ -1845,9 +1845,7 @@ def q_osm_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 9 digits. One labels⋈edges join + two aggregations past the LPA."""
     from ..operators.graph_algo import label_propagation, modularity_of
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     # r15: checkpoint the edge list ONCE — label_propagation and
     # modularity_of each build their own symmetric view of it, and
     # without this the whole derive→car_network→merged_network pipeline
@@ -1898,9 +1896,7 @@ def q_osm_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph at sf0.01 (asserted in tests/test_graph_algo-side parity)."""
     from ..operators.graph_algo import louvain
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"))
     return louvain(edges, rounds=_LOUVAIN_ROUNDS)
@@ -1953,9 +1949,7 @@ def q_osm_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND refinement both distributed."""
     from ..operators.graph_algo import louvain, refine_connected
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst")).localCheckpoint()
     return refine_connected(edges, louvain(edges, rounds=_LOUVAIN_ROUNDS))
@@ -1968,9 +1962,7 @@ def q_osm_modularity_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical exact-integer Q construction)."""
     from ..operators.graph_algo import louvain, modularity_of
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst")).localCheckpoint()
     return modularity_of(edges, louvain(edges, rounds=_LOUVAIN_ROUNDS))
@@ -2012,9 +2004,7 @@ def q_osm_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the haversine double itself is engine-identical)."""
     from ..operators.graph_algo import louvain
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
     edges = merged.select(F.col("start_node").alias("src"),
                           F.col("end_node").alias("dst"),
                           F.floor(F.col("length") * 1_000_000)
@@ -2178,10 +2168,10 @@ def q_osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling mass redistributed so total mass stays 1."""
     from ..operators.graph_algo import pagerank
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
-    directed = directed_network(merged, minimal=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
+    # .cache(): the same minimal directed plan the shortest_* gates cache
+    # — plan-matched, so one materialization serves the whole family
+    directed = directed_network(merged, minimal=True).cache()
     pr = pagerank(directed.select(F.col("start_node").alias("src"),
                                   F.col("end_node").alias("dst")),
                   n_iter=_PR_ITER, damping=_PR_DAMPING)
@@ -2267,10 +2257,9 @@ def q_osm_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.graph_algo.personalized_pagerank)."""
     from ..operators.graph_algo import personalized_pagerank
 
-    d = derive_osm(spark, sf_dir)
-    cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True)
-    directed = directed_network(merged, minimal=True)
+    d, cn, merged = _shared_network(spark, sf_dir)
+    # .cache(): plan-matched with the shortest_* gates' cached directed
+    directed = directed_network(merged, minimal=True).cache()
     edges = directed.select(F.col("start_node").alias("src"),
                             F.col("end_node").alias("dst"))
     nodes = (edges.select(F.col("src").alias("node"))

@@ -13,6 +13,86 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
+def test_impute_after_merge_equals_before(spark):
+    """osm_directed_graph r16 rewrite: imputing the MERGED network from
+    the pre-split car network's medians must equal merging the imputed
+    network — every merged segment copies (highway, speed_limit, oneway)
+    verbatim from its single parent way, so the coalesce commutes with
+    the split."""
+    from osm_pg_etl_spark.operators.graphs import directed_network
+    from osm_pg_etl_spark.operators.network import (car_network,
+                                                    impute_speed_limit)
+    from osm_pg_etl_spark.operators.topology import merged_network
+    from osm_pg_etl_spark.plans.osm_derived import derive_osm
+
+    d = derive_osm(spark, SF)
+    cn = car_network(d["ways"]).cache()
+
+    old = directed_network(
+        merged_network(impute_speed_limit(cn), d["way_nodes"],
+                       pre_partitioned=True),
+        minimal=True)
+    new = directed_network(
+        impute_speed_limit(
+            merged_network(cn, d["way_nodes"], pre_partitioned=True),
+            medians_from=cn),
+        minimal=True)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a, b = canon(old), canon(new)
+    assert a, "empty directed graph at sf0.001 would make the test vacuous"
+    assert a == b
+
+
+def test_shared_network_cross_query_cache_hit(spark):
+    """The load-bearing assumption of _shared_network: two gates built
+    in the same process produce sameResult merged plans, so the
+    CacheManager serves the second gate from the first's materialized
+    cache (the physical plan reads an InMemoryTableScan instead of
+    re-running the split pipeline)."""
+    from osm_pg_etl_spark.plans.osm_derived import _shared_network
+
+    spark.catalog.clearCache()
+    _, _, m1 = _shared_network(spark, SF)
+    _, _, m2 = _shared_network(spark, SF)
+    assert m1._jdf.queryExecution().analyzed().sameResult(
+        m2._jdf.queryExecution().analyzed())
+    # physical plan of the second build must hit the cache entry the
+    # first build registered
+    phys = m2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in phys
+    spark.catalog.clearCache()
+
+
+def test_shared_network_registry_empty_at_start(spark):
+    """No cross-run reuse: the shared materialization lives ONLY in
+    Spark's CacheManager — there is no Python-level registry in the
+    module, and clearCache() (what bench.py runs between timed passes)
+    leaves nothing behind, so every pass/process recomputes from the
+    parquet inputs."""
+    from pyspark.sql import DataFrame
+
+    from osm_pg_etl_spark.plans import osm_derived
+
+    # no module-level container of DataFrames (a results registry would
+    # have to live somewhere importable to survive across queries)
+    for name, val in vars(osm_derived).items():
+        if isinstance(val, dict):
+            assert not any(isinstance(v, DataFrame) for v in val.values()), \
+                f"module-level DataFrame registry found: {name}"
+        assert not isinstance(val, DataFrame), \
+            f"module-level DataFrame found: {name}"
+
+    _, _, merged = osm_derived._shared_network(spark, SF)
+    merged.count()  # materialize the cache
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
+    assert cm.isEmpty(), "clearCache must drop the shared materialization"
+
+
 def test_ckpt_observe_public_api_fallback(spark, monkeypatch):
     """When the private observed-metrics read breaks (a Spark minor bump
     moving QueryExecution.observedMetrics / PythonSQLUtils.toPyRow),
