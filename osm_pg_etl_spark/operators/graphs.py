@@ -46,6 +46,13 @@ def directed_network(merged: DataFrame, minimal: bool = False) -> DataFrame:
 
     ``minimal=True`` projects the 4-column ``car_graph_directed`` shape
     (``:223-254``) consumed by igraph.
+
+    Accepts geometry-free inputs (the meta projection _shared_network
+    caches): the heavy passthrough columns (tags, nodes, geom) appear in
+    the output only when present on ``merged`` — direction logic reads
+    only oneway/highway, and node-list reversal only applies when there
+    is a node list. Full-width inputs produce the exact EDGE_COLUMNS
+    shape as before.
     """
     two_way = (F.col("oneway").isNull() | (F.col("oneway") == "no")) \
         & (F.col("highway") != "motorway")
@@ -63,21 +70,28 @@ def directed_network(merged: DataFrame, minimal: bool = False) -> DataFrame:
         F.when(forward, F.array(F.lit("f"))).otherwise(empty),
         F.when(reverse_drawn, F.array(F.lit("r"))).otherwise(empty))
     fwd = F.col("_dir") == "f"
-    out = (merged
-           .withColumn("_dir", F.explode(dirs))
-           .select(
-               F.when(fwd, F.col("start_node")).otherwise(F.col("end_node"))
-               .alias("start_node"),
-               F.when(fwd, F.col("end_node")).otherwise(F.col("start_node"))
-               .alias("end_node"),
-               F.col("edge_id"), F.col("tags"),
-               F.when(fwd, F.col("nodes")).otherwise(array_reverse("nodes"))
-               .alias("nodes"),
-               F.col("length"), F.col("speed_limit"), F.col("highway"),
-               F.col("oneway"), F.col("geom")))
+    base = merged.withColumn("_dir", F.explode(dirs))
+    start = (F.when(fwd, F.col("start_node")).otherwise(F.col("end_node"))
+             .alias("start_node"))
+    end = (F.when(fwd, F.col("end_node")).otherwise(F.col("start_node"))
+           .alias("end_node"))
     if minimal:
-        out = out.select("start_node", "end_node", "length", "speed_limit")
-    return out
+        # project the 4 columns directly — never referencing the heavy
+        # passthrough columns keeps this valid for geometry-free inputs
+        # (Catalyst would have pruned them anyway on full-width ones)
+        return base.select(start, end, F.col("length"),
+                           F.col("speed_limit"))
+    cols = [start, end, F.col("edge_id")]
+    if "tags" in merged.columns:
+        cols.append(F.col("tags"))
+    if "nodes" in merged.columns:
+        cols.append(F.when(fwd, F.col("nodes"))
+                    .otherwise(array_reverse("nodes")).alias("nodes"))
+    cols += [F.col(c) for c in ("length", "speed_limit", "highway",
+                                "oneway") if c in merged.columns]
+    if "geom" in merged.columns:
+        cols.append(F.col("geom"))
+    return base.select(*cols)
 
 
 def create_topology(edges: DataFrame, tolerance: float = 0.0001,

@@ -428,7 +428,15 @@ def merged_network_incremental(old_network: DataFrame,
     kept = old_merged.join(
         affected.select(F.col("way_id").alias("edge_id")),
         "edge_id", "left_anti")
-    out = kept.unionByName(recomputed.select(*kept.columns))
+    # old_merged may be the geometry-free meta projection of the merged
+    # table (n_nodes in place of the nodes/geom arrays — what
+    # _shared_network caches); align the recomputed side by computing
+    # the same size. Any other column mismatch still fails loudly.
+    rec_cols = [F.size("nodes").alias("n_nodes")
+                if c == "n_nodes" and "n_nodes" not in recomputed.columns
+                else F.col(c)
+                for c in kept.columns]
+    out = kept.unionByName(recomputed.select(*rec_cols))
     # return_affected: the blast-radius table, for telemetry — the
     # fraction of ways re-split IS the scale claim (wall clock on a
     # local job floor is barrier-bound either way)

@@ -176,10 +176,25 @@ def _shared_network(spark: SparkSession, sf_dir: str):
     fresh process starts empty (pinned by
     tests/test_r16_optimizations.py::test_shared_network_registry_empty_at_start).
 
+    The cached table is the GEOMETRY-FREE meta projection (n_nodes in
+    place of the nodes/geom arrays, no tags map): every consumer of this
+    helper reads only (edge_id, endpoints, n_nodes, length, attrs) —
+    verified per call site — and caching the full-width table
+    materializes per-segment coordinate/node arrays nobody reads, which
+    an interleaved sf1 A/B measured at +16% on osm_communities (the
+    cache build cost + storage footprint; InMemoryTableScan prunes
+    columns on read, but the build must compute and store them). Gates
+    that need geometry (geometric_split/blades, create_topology,
+    explore_summary) read ``cn``/``d`` instead and are unaffected.
+
     Returns ``(tables_dict, cn, merged)``."""
     d = derive_osm(spark, sf_dir)
     cn = car_network(d["ways"]).cache()
-    merged = merged_network(cn, d["way_nodes"], pre_partitioned=True).cache()
+    merged = (merged_network(cn, d["way_nodes"], pre_partitioned=True)
+              .select("edge_id", "start_node", "end_node",
+                      F.size("nodes").alias("n_nodes"),
+                      "length", "speed_limit", "highway", "oneway")
+              .cache())
     return d, cn, merged
 
 
@@ -422,8 +437,7 @@ def q_osm_merged_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     node_id-keyed shuffle and the small dims broadcast. Same standard as
     tfidf_top_terms' documented floor (text.py:101-115)."""
     d, cn, merged = _shared_network(spark, sf_dir)
-    return merged.select("edge_id", "start_node", "end_node",
-                         F.size("nodes").alias("n_nodes"),
+    return merged.select("edge_id", "start_node", "end_node", "n_nodes",
                          F.round("length", 4).alias("length_km"),
                          "highway", "oneway", "speed_limit")
 
@@ -508,8 +522,7 @@ def q_osm_merged_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = merged_network_incremental(old_cn, way_nodes, old_merged,
                                      new_cn, new_way_nodes, changed,
                                      nodes=d["nodes"])
-    return inc.select("edge_id", "start_node", "end_node",
-                      F.size("nodes").alias("n_nodes"),
+    return inc.select("edge_id", "start_node", "end_node", "n_nodes",
                       F.round("length", 4).alias("length_km"),
                       "highway", "oneway", "speed_limit")
 

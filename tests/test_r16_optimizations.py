@@ -93,6 +93,73 @@ def test_shared_network_registry_empty_at_start(spark):
     assert cm.isEmpty(), "clearCache must drop the shared materialization"
 
 
+def test_shared_network_geometry_free(spark):
+    """The shared cache is the META projection: no per-segment
+    nodes/geom arrays or tags map may be materialized into it (caching
+    them was measured +16% on osm_communities at sf1 — the build pays
+    for columns no consumer reads), and its values must equal the same
+    projection of the full merged table."""
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import merged_network
+    from osm_pg_etl_spark.plans.osm_derived import (_shared_network,
+                                                    derive_osm)
+
+    _, _, merged = _shared_network(spark, SF)
+    assert set(merged.columns) == {"edge_id", "start_node", "end_node",
+                                   "n_nodes", "length", "speed_limit",
+                                   "highway", "oneway"}
+
+    d = derive_osm(spark, SF)
+    full = merged_network(car_network(d["ways"]), d["way_nodes"],
+                          pre_partitioned=True)
+    ref = full.select("edge_id", "start_node", "end_node",
+                      F.size("nodes").alias("n_nodes"),
+                      "length", "speed_limit", "highway", "oneway")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a, b = canon(merged), canon(ref)
+    assert a, "empty merged network at sf0.001 would make this vacuous"
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_directed_network_narrow_equals_full_projection(spark):
+    """directed_network on the geometry-free meta projection must emit
+    exactly the full-width expansion minus the heavy passthrough columns
+    (direction logic reads only oneway/highway)."""
+    from osm_pg_etl_spark.operators.graphs import directed_network
+    from osm_pg_etl_spark.operators.network import car_network
+    from osm_pg_etl_spark.operators.topology import merged_network
+    from osm_pg_etl_spark.plans.osm_derived import derive_osm
+
+    d = derive_osm(spark, SF)
+    full = merged_network(car_network(d["ways"]), d["way_nodes"],
+                          pre_partitioned=True)
+    narrow = full.select("edge_id", "start_node", "end_node",
+                         "length", "speed_limit", "highway", "oneway")
+
+    want_cols = ["start_node", "end_node", "edge_id", "length",
+                 "speed_limit", "highway", "oneway"]
+    got = directed_network(narrow)
+    assert got.columns == want_cols
+
+    def canon(df):
+        # multiset compare: rows carry NULLs (speed_limit/oneway), which
+        # tuple sorting cannot order
+        from collections import Counter
+        return Counter(tuple(r) for r in df.collect())
+
+    a = canon(directed_network(full).select(*want_cols))
+    b = canon(got)
+    assert a and a == b
+    # and the minimal shape is unchanged for both input widths
+    m_full = canon(directed_network(full, minimal=True))
+    m_narrow = canon(directed_network(narrow, minimal=True))
+    assert m_full == m_narrow
+
+
 def test_ckpt_observe_public_api_fallback(spark, monkeypatch):
     """When the private observed-metrics read breaks (a Spark minor bump
     moving QueryExecution.observedMetrics / PythonSQLUtils.toPyRow),
