@@ -186,3 +186,31 @@ def osm(spark):
         way_nodes_schema)
 
     return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes}
+
+
+# ---------------------------------------------------------------------------
+# Fast default profile (r15 VERDICT task 2): tests listed in
+# tests/slow_tests.txt (one node id per line, measured with --durations on
+# a full run) get the `slow` marker, and pytest.ini's `-m "not slow"`
+# deselects them from the plain `pytest tests/` run so it fits the
+# driver's verify window. `-m ""` runs everything. A stale entry (renamed
+# test) simply stops matching — the test safely returns to the default
+# profile. Node ids given explicitly on the command line are not marked,
+# so `pytest tests/test_x.py::test_y` always runs what you asked for.
+# ---------------------------------------------------------------------------
+def pytest_collection_modifyitems(config, items):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_tests.txt")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        slow = {ln.strip() for ln in fh if ln.strip()
+                and not ln.startswith("#")}
+    explicit = {a for a in config.args if "::" in a}
+    for item in items:
+        nodeid = item.nodeid
+        base = nodeid.split("[", 1)[0]
+        if nodeid in explicit or base in explicit:
+            continue
+        if nodeid in slow or base in slow:
+            item.add_marker(pytest.mark.slow)
